@@ -1,0 +1,430 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md).
+
+Everything is seeded (numpy ``default_rng([seed, row])`` per row) so every
+regeneration is byte-identical. No external data. Outputs are Parquet with
+the exact BASELINE.json ``input_hint`` schema for the images table (Lance is
+not installed in this sandbox; Parquet is the documented fallback with an
+identical Arrow schema — FIXTURES.md preamble).
+
+Tables produced (see FIXTURES.md for column semantics):
+- ``images``        (image_id, bytes, w, h, fmt, caption, phash)
+- ``images_dupmap`` ground truth for planted near-duplicates (test-only)
+- ``urls``          the URL universe with per-URL metadata (shares, date)
+- ``frontier_seed`` seed list (with planted duplicate rows)
+- ``pages``         offline page store the synthetic fetcher joins against
+- ``redirects``     offline redirect map (chains ≤5 to exercise the 4-hop cap)
+- ``robots``        per-host disallow prefixes (north-rule addition)
+- ``items``         social-media posts for the NLP pipeline fixtures
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codecs import ALL_FMTS, encode, phash64, resize_area
+
+VOCAB = (
+    "storm crawler focused media image caption pipeline vector index cluster "
+    "news article page content link social stream data query batch actor "
+    "shard partition frontier fetch parse score rank token window event "
+    "detect count domain host url hash filter bloom cuckoo robots polite "
+    "budget round checkpoint resume lineage metric throughput scale node "
+    "green blue red yellow river mountain city harbor market garden bridge "
+    "festival concert election summit storm flood quake rally launch match"
+).split()
+
+ENTITIES = [
+    "Alice_Person",
+    "Bob_Person",
+    "Carol_Person",
+    "Athens_Location",
+    "Berlin_Location",
+    "Paris_Location",
+    "Acme_Organization",
+    "Globex_Organization",
+    "Initech_Organization",
+]
+
+SOCIAL_HOSTS = [
+    "vimeo.com",
+    "instagram.com",
+    "www.youtube.com",
+    "twitpic.com",
+    "dailymotion.com",
+    "www.facebook.com",
+]
+
+DAY_MS = 24 * 3600 * 1000
+EPOCH0_MS = 1_700_000_000_000  # fixed corpus epoch (2023-11-14T22:13:20Z)
+
+
+def _caption(rng: np.random.Generator, n_lo=4, n_hi=12) -> str:
+    n = int(rng.integers(n_lo, n_hi + 1))
+    words = [VOCAB[int(i)] for i in rng.integers(0, len(VOCAB), n)]
+    if rng.random() < 0.3:
+        words.insert(int(rng.integers(0, len(words))), ENTITIES[int(rng.integers(0, len(ENTITIES)))])
+    return " ".join(words)
+
+
+def _image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pattern: gradients + sinusoids + mild noise
+    (compresses reasonably under PNG while remaining photo-ish)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = np.empty((h, w, 3), dtype=np.float64)
+    for c in range(3):
+        fx, fy = rng.uniform(0.5, 4.0, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        base[:, :, c] = (
+            96
+            + 60 * np.sin(2 * np.pi * (fx * xx / w + fy * yy / h) + phase)
+            + 40 * (xx / w)
+            + 30 * (yy / h)
+        )
+    base += rng.normal(0, 6.0, size=base.shape)
+    return base.clip(0, 255).astype(np.uint8)
+
+
+def gen_images(
+    n: int,
+    seed: int = 42,
+    dup_frac: float = 0.05,
+    dim_lo: int = 64,
+    dim_hi: int = 256,
+) -> tuple[pa.Table, pa.Table]:
+    """Build the images table (+ dup ground truth). Rows chunk-deterministic:
+    row i depends only on (seed, i)."""
+    ids, blobs, ws, hs, fmts, caps, phashes = [], [], [], [], [], [], []
+    dup_src, dup_dst = [], []
+    originals: list[tuple[int, np.ndarray]] = []  # (row, rgb) ring of recent originals
+    for i in range(n):
+        rng = np.random.default_rng([seed, i])
+        image_id = f"img{i:08d}"
+        fmt = ALL_FMTS[int(rng.integers(0, len(ALL_FMTS)))]
+        if i > 0 and rng.random() < dup_frac:
+            j, src_rgb = originals[int(rng.integers(0, len(originals)))]
+            mode = rng.random()
+            if mode < 0.5:
+                rgb = src_rgb  # re-encode (possibly different fmt)
+            else:
+                sh, sw = src_rgb.shape[:2]
+                scale = float(rng.uniform(0.6, 0.95))
+                rgb = (
+                    resize_area(src_rgb.astype(np.float64), max(16, int(sh * scale)), max(16, int(sw * scale)))
+                    .round()
+                    .clip(0, 255)
+                    .astype(np.uint8)
+                )
+            dup_src.append(image_id)
+            dup_dst.append(f"img{j:08d}")
+        else:
+            w = int(rng.integers(dim_lo, dim_hi + 1))
+            h = int(rng.integers(dim_lo, dim_hi + 1))
+            rgb = _image(rng, w, h)
+            if len(originals) >= 64:
+                originals.pop(0)
+            originals.append((i, rgb))
+        data = encode(rgb, fmt)
+        ids.append(image_id)
+        blobs.append(data)
+        hs.append(rgb.shape[0])
+        ws.append(rgb.shape[1])
+        fmts.append(fmt)
+        caps.append(_caption(rng))
+        phashes.append(phash64(rgb))
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    tbl = pa.table(
+        {
+            "image_id": ids,
+            "bytes": blobs,
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": fmts,
+            "caption": caps,
+            "phash": pa.array(phashes, pa.int64()),
+        },
+        schema=schema,
+    )
+    dupmap = pa.table({"image_id": dup_src, "dup_of": dup_dst})
+    return tbl, dupmap
+
+
+# --------------------------------------------------------------------------
+# synthetic web
+# --------------------------------------------------------------------------
+
+
+def _hosts(n_hosts: int) -> list[str]:
+    return [f"news{i}.example{i % 7}.com" for i in range(n_hosts)]
+
+
+def gen_web(
+    n_urls: int,
+    n_seeds: int,
+    n_images: int,
+    seed: int = 42,
+    n_hosts: int | None = None,
+    social_frac: float = 0.10,
+    redirect_frac: float = 0.10,
+    long_url_frac: float = 0.01,
+    disallow_frac: float = 0.05,
+    dup_seed_frac: float = 0.20,
+    out_degree: int = 5,
+    imgs_per_page: int = 4,
+) -> dict[str, pa.Table]:
+    """Build urls / frontier_seed / pages / redirects / robots tables.
+
+    Host distribution is Zipf-skewed (FIXTURES.md §2) so a few hot hosts own
+    ~half the URLs — this exercises per-host politeness deferral and the
+    salt-based skew splitting of the frontier partitioner.
+    """
+    if n_hosts is None:
+        n_hosts = max(8, n_urls // 200)
+    hosts = _hosts(n_hosts)
+    rng = np.random.default_rng([seed, 10_001])
+
+    # Zipf host weights
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    weights = 1.0 / ranks
+    weights /= weights.sum()
+
+    n_social = int(n_urls * social_frac)
+    n_normal = n_urls - n_social
+    host_idx = rng.choice(n_hosts, size=n_normal, p=weights)
+
+    urls, domains, is_social = [], [], []
+    for i in range(n_normal):
+        h = hosts[int(host_idx[i])]
+        r = rng.random()
+        if r < disallow_frac:
+            path = f"/private/p{i:07d}"
+        elif r < disallow_frac + long_url_frac:
+            path = "/p/" + "x" * 310 + f"/{i:07d}"  # > 300 chars → fetch skip
+        else:
+            path = f"/p/{i:07d}"
+        urls.append(f"https://{h}{path}")
+        domains.append(h)
+        is_social.append(False)
+    for i in range(n_social):
+        h = SOCIAL_HOSTS[int(rng.integers(0, len(SOCIAL_HOSTS)))]
+        urls.append(f"https://{h}/v/{i:07d}")
+        domains.append(h)
+        is_social.append(True)
+
+    n = len(urls)
+    shares = rng.zipf(1.6, size=n).astype(np.int64).clip(0, 10_000)
+    dates = EPOCH0_MS + rng.integers(0, DAY_MS, size=n, dtype=np.int64)
+
+    urls_tbl = pa.table(
+        {
+            "url": urls,
+            "domain": domains,
+            "shares": pa.array(shares, pa.int64()),
+            "date": pa.array(dates, pa.timestamp("ms")),
+            "is_social": is_social,
+        }
+    )
+
+    # redirects: map url -> another url (chains up to 5)
+    n_redir = int(n * redirect_frac)
+    redir_from_idx = rng.choice(n, size=n_redir, replace=False)
+    redir_src, redir_dst = [], []
+    chain_left = 0
+    prev = None
+    for idx in redir_from_idx:
+        src = urls[int(idx)]
+        if chain_left > 0 and prev is not None:
+            dst = prev  # extend a chain backwards: src -> prev
+            chain_left -= 1
+        else:
+            dst = urls[int(rng.integers(0, n))]
+            chain_left = int(rng.integers(0, 6))
+        if dst != src:
+            redir_src.append(src)
+            redir_dst.append(dst)
+            prev = src
+    redirects_tbl = pa.table({"src": redir_src, "dst": redir_dst})
+
+    # robots: every host disallows /private/
+    robots_tbl = pa.table(
+        {
+            "host": hosts + SOCIAL_HOSTS,
+            "disallow_prefix": ["/private/"] * (len(hosts) + len(SOCIAL_HOSTS)),
+        }
+    )
+
+    # pages for non-social urls
+    page_urls, status, ctype, htmls, out_links_col, image_ids_col = [], [], [], [], [], []
+    for i in range(n_normal):
+        prng = np.random.default_rng([seed, 20_000, i])
+        u, h = urls[i], domains[i]
+        page_urls.append(u)
+        r = prng.random()
+        sc = 200 if r < 0.95 else (404 if r < 0.975 else 500)
+        status.append(sc)
+        ct = "text/html" if prng.random() < 0.97 else "application/pdf"
+        ctype.append(ct)
+        k = int(prng.integers(1, out_degree + 1))
+        links = [urls[int(j)] for j in prng.integers(0, n, size=k)]
+        out_links_col.append(links)
+        title = _caption(prng, 3, 8).title()
+        paras = [_caption(prng, 20, 60) for _ in range(int(prng.integers(2, 6)))]
+        img_tags, good_ids = [], []
+        n_imgs = int(prng.integers(0, imgs_per_page + 1))
+        for _ in range(n_imgs):
+            img_i = int(prng.integers(0, n_images))
+            image_id = f"img{img_i:08d}"
+            src = f"https://img.{h}/{image_id}"
+            wpx = int(prng.integers(50, 800))
+            hpx = int(prng.integers(50, 800))
+            case = prng.random()
+            alt = _caption(prng, 2, 6)
+            attrs = f'width="{wpx}" height="{hpx}" alt="{alt}"'
+            ok = wpx >= 200 and hpx >= 200 and wpx * hpx >= 40000
+            if case < 0.08:
+                attrs = f'alt="{alt}"'  # missing dims → dropped
+                ok = False
+            elif case < 0.14:
+                src = src + ".gif"  # .gif → dropped
+                ok = False
+            elif case < 0.18:
+                src = f"https://img.{h}/" + "y" * 520 + image_id  # >500 chars → dropped
+                ok = False
+            elif case < 0.26:
+                attrs = f'width="{wpx}" height="{hpx}"'  # no alt → title fallback
+            img_tags.append(f'<img src="{src}" {attrs}>')
+            if ok:
+                good_ids.append(image_id)
+        boiler = " ".join(f'<a href="{l}">more</a>' for l in links)
+        html = (
+            f"<html><head><title>{title}</title></head><body>"
+            f'<div class="nav">{boiler}</div>'
+            f'<div class="article">'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "".join(img_tags)
+            + "</div>"
+            f'<div class="footer">contact about terms</div>'
+            f"</body></html>"
+        )
+        htmls.append(html.encode("utf-8"))
+        image_ids_col.append(good_ids)
+
+    pages_tbl = pa.table(
+        {
+            "url": page_urls,
+            "status_code": pa.array(status, pa.int32()),
+            "content_type": ctype,
+            "html": pa.array(htmls, pa.large_binary()),
+            "out_links": pa.array(out_links_col, pa.list_(pa.string())),
+            "image_ids": pa.array(image_ids_col, pa.list_(pa.string())),
+        }
+    )
+
+    # frontier seeds (~20% duplicates of an earlier seed row)
+    srng = np.random.default_rng([seed, 30_000])
+    seed_rows = []
+    for i in range(n_seeds):
+        if seed_rows and srng.random() < dup_seed_frac:
+            seed_rows.append(seed_rows[int(srng.integers(0, len(seed_rows)))])
+        else:
+            seed_rows.append(int(srng.integers(0, n)))
+    fr = pa.table(
+        {
+            "url": [urls[j] for j in seed_rows],
+            "domain": [domains[j] for j in seed_rows],
+            "shares": pa.array([int(shares[j]) for j in seed_rows], pa.int64()),
+            "date": pa.array([int(dates[j]) for j in seed_rows], pa.timestamp("ms")),
+            "reference": [f"seed{i:06d}" for i in range(n_seeds)],
+            "is_social": [bool(is_social[j]) for j in seed_rows],
+        }
+    )
+
+    return {
+        "urls": urls_tbl,
+        "frontier_seed": fr,
+        "pages": pages_tbl,
+        "redirects": redirects_tbl,
+        "robots": robots_tbl,
+    }
+
+
+def gen_items(n: int, seed: int = 42, n_users: int = 50, window_s: int = 60, windows: int = 8) -> pa.Table:
+    """Social-media posts with a planted 'event' token ramping over the last
+    K windows (FIXTURES.md §4)."""
+    rng = np.random.default_rng([seed, 40_000])
+    tags_vocab = VOCAB[:30]
+    user_w = 1.0 / np.arange(1, n_users + 1)
+    user_w /= user_w.sum()
+    ids, titles, tags_col, users, shares, ts = [], [], [], [], [], []
+    t0 = EPOCH0_MS
+    span = windows * window_s * 1000
+    for i in range(n):
+        prng = np.random.default_rng([seed, 40_001, i])
+        t = t0 + int(prng.integers(0, span))
+        win = (t - t0) // (window_s * 1000)
+        title = _caption(prng, 5, 15)
+        # plant: 'quakeevent' appears with probability rising with window idx
+        if prng.random() < 0.05 + 0.10 * win:
+            title += " quakeevent"
+        ids.append(f"item{i:07d}")
+        titles.append(title)
+        k = int(prng.integers(0, 4))
+        tags_col.append([tags_vocab[int(j)] for j in prng.integers(0, len(tags_vocab), k)])
+        users.append(f"user{int(prng.choice(n_users, p=user_w)):04d}")
+        shares.append(int(prng.zipf(1.8)))
+        ts.append(t)
+    return pa.table(
+        {
+            "id": ids,
+            "title": titles,
+            "tags": pa.array(tags_col, pa.list_(pa.string())),
+            "user_id": users,
+            "shares": pa.array(shares, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ms")),
+        }
+    )
+
+
+TIERS = {
+    # name: (frontier seeds, url universe, images, hosts)
+    "tiny": dict(n_urls=600, n_seeds=200, n_images=100, n_hosts=12),
+    "small": dict(n_urls=30_000, n_seeds=10_000, n_images=5_000, n_hosts=60),
+    "bench": dict(n_urls=2_000_000, n_seeds=1_000_000, n_images=50_000, n_hosts=400),
+}
+
+
+def generate_tier(tier: str, out_dir: str, seed: int = 42, force: bool = False) -> str:
+    """Write a full fixture tier under ``out_dir`` (idempotent via a DONE
+    marker — reruns skip; bench reuses are cheap)."""
+    cfg = TIERS[tier]
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    img_dims = dict(dim_lo=64, dim_hi=256) if cfg["n_images"] <= 1000 else dict(dim_lo=64, dim_hi=128)
+    images, dupmap = gen_images(cfg["n_images"], seed=seed, **img_dims)
+    pq.write_table(images, os.path.join(out_dir, "images.parquet"))
+    pq.write_table(dupmap, os.path.join(out_dir, "images_dupmap.parquet"))
+    web = gen_web(
+        cfg["n_urls"], cfg["n_seeds"], cfg["n_images"], seed=seed, n_hosts=cfg["n_hosts"]
+    )
+    for name, tbl in web.items():
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+    items = gen_items(min(cfg["n_seeds"], 20_000), seed=seed)
+    pq.write_table(items, os.path.join(out_dir, "items.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"tier={tier} seed={seed}\n")
+    return out_dir

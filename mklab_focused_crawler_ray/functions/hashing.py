@@ -1,0 +1,129 @@
+"""Content-hash kernels: stable 64-bit hashes, MinHash, SimHash.
+
+These back the deduplication suite (exact / MinHash-LSH / SimHash) and are
+computed per batch inside ``map_batches`` and merged via groupby — no
+driver-side state. All arithmetic is uint64 wrap-around (deterministic across
+machines), vectorized with numpy broadcasting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def sha256_hex(texts) -> list[str]:
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def stable_hash64(token: str) -> int:
+    """Deterministic unsigned 64-bit token hash (blake2b-8)."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def token_hashes(tokens) -> np.ndarray:
+    """uint64 base hashes for a token sequence (blake2b-8 each)."""
+    return np.array([stable_hash64(t) for t in tokens], dtype=np.uint64)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a strong uint64→uint64 mixer."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= _M1
+        x ^= x >> np.uint64(27)
+        x *= _M2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def minhash_seeds(num_perm: int, seed: int = 1) -> np.ndarray:
+    """Per-permutation uint64 seeds (splitmix64 stream from ``seed``)."""
+    idx = np.arange(1, num_perm + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return mix64(np.uint64(seed) + idx * _GOLDEN)
+
+
+def minhash_signature(base_hashes: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """MinHash signature: min_i over tokens of mix64(token_hash ^ seed_i).
+
+    Returns uint64[num_perm]; empty input → all 2^64-1 (max sentinel), so an
+    empty doc matches nothing.
+    """
+    if base_hashes.size == 0:
+        return np.full(seeds.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    h = mix64(base_hashes[None, :] ^ seeds[:, None])  # (num_perm, n_tokens)
+    return h.min(axis=1)
+
+
+def minhash_signatures(token_hash_lists, seeds: np.ndarray) -> np.ndarray:
+    """Batch MinHash: list of per-doc uint64 arrays → (n_docs, num_perm)."""
+    out = np.empty((len(token_hash_lists), seeds.shape[0]), dtype=np.uint64)
+    for i, th in enumerate(token_hash_lists):
+        out[i] = minhash_signature(np.asarray(th, dtype=np.uint64), seeds)
+    return out
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Collapse a (n_docs, num_perm) signature matrix into (n_docs, bands)
+    uint64 band keys (hash of each band's rows). Docs sharing any
+    (band_index, band_key) pair are LSH candidates."""
+    n_docs, num_perm = sig.shape
+    assert num_perm % bands == 0, "num_perm must divide into equal bands"
+    r = num_perm // bands
+    banded = sig.reshape(n_docs, bands, r)
+    # order-dependent combine: h = mix64(h*GOLDEN ^ v) folded across the band
+    key = np.zeros((n_docs, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            key = mix64((key * _GOLDEN) ^ banded[:, :, j])
+    return key
+
+
+def simhash64(token_hash_lists, weights=None) -> np.ndarray:
+    """64-bit SimHash per doc: sign of weighted bit-votes of token hashes."""
+    n = len(token_hash_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, th in enumerate(token_hash_lists):
+        th = np.asarray(th, dtype=np.uint64)
+        if th.size == 0:
+            continue
+        w = (
+            np.ones(th.size, dtype=np.float64)
+            if weights is None
+            else np.asarray(weights[i], dtype=np.float64)
+        )
+        bitmat = ((th[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.float64)
+        votes = (bitmat * 2.0 - 1.0).T @ w  # (64,)
+        bitsset = (votes > 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(bitsset << bits)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distance between uint64 arrays (broadcastable)."""
+    x = np.bitwise_xor(a, b)
+    return popcount64(x)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x -= (x >> np.uint64(1)) & m1
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        x = (x * h01) >> np.uint64(56)
+    return x.astype(np.int64)
