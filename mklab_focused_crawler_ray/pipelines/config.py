@@ -1,0 +1,35 @@
+"""Crawl configuration shared by the Ray engine and the pure-Python oracle.
+
+The scheduling rule the north rule holds both implementations to:
+- crawl order within a round = (score desc, url asc), score =
+  functions/scoring.webpage_score with a FIXED reference clock ``now_ms``
+  (no wall clock anywhere — reproducibility)
+- per-host politeness budget per round (default 10 — the reference's
+  maxPerRoute, bolts/FetcherBolt.java:85), split exactly across a host's
+  salt sub-queues (state/politeness.salt_quota)
+- global round budget; deferred URLs stay pending
+- seen-set: first-wins on the scheduled URL and its redirect-expanded final
+  URL; optional 24 h TTL (utils/CrawlDecider.java:14)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..fixtures.generate import DAY_MS, EPOCH0_MS
+
+
+@dataclass
+class CrawlConfig:
+    n_shards: int = 4
+    per_host_budget: int = 10
+    round_budget: int = 200
+    max_rounds: int = 5
+    now_ms: int = EPOCH0_MS + DAY_MS  # fixed reference clock (end of corpus day)
+    seen_ttl_ms: int | None = None  # e.g. 24*3600*1000 for CrawlDecider semantics
+    hot_threshold: int = 50  # seed-count per host above which the host is salted
+    max_salts: int = 4
+    seen_capacity: int = 1 << 17
+    fetch_concurrency: int = 4  # FetchExtract actor pool size
+    fetch_batch_size: int = 256
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,372 @@
+"""Sharded URL frontier: seen-set + priority scheduling + politeness +
+per-partition checkpoints.
+
+This is the from-scratch north-rule core (SURVEY.md §7.1 step 3). The
+reference's counterparts are: a Redis-hash exact seen-set
+(bolts/media/StatusCheckBolt.java:59-68), an in-memory PriorityQueue drained
+best-first (bolts/webpages/RankerBolt.java:44-53,94-126), a per-route
+connection cap of 10 (bolts/FetcherBolt.java:85) and Mongo "status=injected"
+claims (spouts/MongoDbSpout.java:92-95). Here those become:
+
+- partitioning: a URL belongs to shard ``hash(domain '#' salt) % n_shards``
+  where ``salt = url_hash64(url) % n_salts(domain)``. The salt map is an
+  explicit, static skew-splitting config: hot registered domains are split
+  over several shards, each owning an exact share of the host's politeness
+  budget (state/politeness.py:salt_quota) so the per-host cap is preserved.
+- seen-set: per-shard CuckooFilter (bloom fallback) as the O(1) gate, plus
+  the partition-exact ledger (url_hash64 → seen_at_ms) that makes cuckoo
+  false positives behaviorally invisible and gives the EXACT final seen-set
+  the north rule demands. 24 h TTL recrawl semantics follow
+  utils/CrawlDecider.java:14,23-27.
+- scheduling: per (domain,salt) min-heaps; a round ``propose(budget)``
+  drains each host's top quota, merges, and the driver takes the global top
+  ``budget`` under the crawl order (score desc, url asc). Deterministic and
+  provably equal to single-threaded greedy selection under the same quotas
+  (tested against pipelines/oracle.py).
+- checkpoint: per-shard directory with pending/seen parquet + manifest.json
+  (round id, counters, lineage), written atomically (tmp + rename) so a
+  killed job resumes at the last round without re-fetching.
+
+The shard core is a plain Python class; ``FrontierShardActor`` is the thin
+``@ray.remote`` wrapper. The oracle and unit tests drive the core directly.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import mix64
+from ..functions.urls import url_hash64, url_hash64_vec
+from .cuckoo import CuckooFilter
+from .politeness import DEFAULT_PER_HOST_BUDGET, RobotsCache, salt_quota
+
+
+def n_salts_for(host: str, salt_map: dict[str, int]) -> int:
+    return salt_map.get(host, 1)
+
+
+def salt_of(url_hash: int, n_salts: int) -> int:
+    return int(url_hash % n_salts) if n_salts > 1 else 0
+
+
+def shard_of(domain: str, salt: int, n_shards: int) -> int:
+    key = f"{domain}#{salt}".encode("utf-8")
+    h = 0xCBF29CE484222325
+    for b in key:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return int(mix64(np.array([h], dtype=np.uint64))[0] % np.uint64(n_shards))
+
+
+def route(url: str, host: str, n_shards: int, salt_map: dict[str, int]) -> tuple[int, int]:
+    """(shard, salt) for a URL: politeness/salting keyed by HOST, shard
+    placement keyed by the registered domain (north-rule partitioning) so all
+    politeness state for a registered domain co-locates, while hot single
+    hosts can still split across shards via salts."""
+    from ..functions.urls import registered_domain
+
+    ns = n_salts_for(host, salt_map)
+    s = salt_of(url_hash64(url), ns)
+    return shard_of(registered_domain(host), s, n_shards), s
+
+
+def build_salt_map(
+    domain_counts: dict[str, int], hot_threshold: int, max_salts: int = 8
+) -> dict[str, int]:
+    """Static skew-splitting config: a domain whose (seed) URL count exceeds
+    ``hot_threshold`` is split into min(max_salts, count//hot_threshold + 1)
+    sub-queues. Computed once from the seed distribution so routing stays
+    stable for the whole crawl (dynamic re-salting would move pending URLs
+    between shards mid-crawl and break first-wins determinism)."""
+    out = {}
+    for d, c in domain_counts.items():
+        if c > hot_threshold:
+            out[d] = min(max_salts, c // hot_threshold + 1)
+    return out
+
+
+class FrontierShard:
+    """One frontier partition. Owns every (domain, salt) pair that routes to
+    it; all state is local; checkpoints are self-contained."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        n_shards: int,
+        salt_map: dict[str, int] | None = None,
+        per_host_budget: int = DEFAULT_PER_HOST_BUDGET,
+        seen_ttl_ms: int | None = None,
+        seen_capacity: int = 1 << 16,
+        robots: RobotsCache | None = None,
+    ):
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        self.salt_map = dict(salt_map or {})
+        self.per_host_budget = per_host_budget
+        self.seen_ttl_ms = seen_ttl_ms
+        self.seen_capacity = seen_capacity
+        self.robots = robots or RobotsCache()
+        # (domain, salt) -> heap of (-score, url, payload-dict)
+        self.queues: dict[tuple[str, int], list] = {}
+        self.pending_hashes: set[int] = set()
+        self.cuckoo = CuckooFilter(seen_capacity)
+        self.seen: dict[int, int] = {}  # url_hash -> seen_at_ms (exact ledger)
+        self._proposed: dict[str, tuple[tuple[str, int], float, dict]] = {}
+        self.counters = {
+            "enqueued": 0,
+            "dup_pending": 0,
+            "dup_seen": 0,
+            "robots_denied": 0,
+            "scheduled": 0,
+            "deferred": 0,
+        }
+        self.round = 0
+        self.lineage: list[dict] = []
+
+    # -- enqueue ----------------------------------------------------------
+    def enqueue(self, rows: dict, now_ms: int = 0) -> dict:
+        """Add candidate URLs. ``rows`` is a dict of equal-length lists/arrays
+        with keys url, domain, salt, score (+ optional passthrough columns
+        shares, date_ms, ref). Dedup: pending-skip and seen-skip (first
+        occurrence wins); robots checked here. Returns counter deltas."""
+        urls = rows["url"]
+        domains = rows["domain"]
+        salts = rows.get("salt") or [0] * len(urls)
+        scores = rows["score"]
+        shares = rows.get("shares") or [0] * len(urls)
+        dates = rows.get("date_ms") or [0] * len(urls)
+        hashes = url_hash64_vec(urls)
+        added = 0
+        cuckoo_hits = self.cuckoo.contains_many(hashes) if len(urls) else np.zeros(0, bool)
+        for i, u in enumerate(urls):
+            h = int(hashes[i])
+            if h in self.pending_hashes:
+                self.counters["dup_pending"] += 1
+                continue
+            if cuckoo_hits[i] and self._is_seen(h, now_ms):
+                self.counters["dup_seen"] += 1
+                continue
+            if not self.robots.allowed(u):
+                self.counters["robots_denied"] += 1
+                continue
+            key = (domains[i], int(salts[i]))
+            payload = {"shares": int(shares[i]), "date_ms": int(dates[i])}
+            heapq.heappush(
+                self.queues.setdefault(key, []), (-float(scores[i]), u, payload)
+            )
+            self.pending_hashes.add(h)
+            added += 1
+        self.counters["enqueued"] += added
+        return {"added": added}
+
+    def _is_seen(self, h: int, now_ms: int) -> bool:
+        at = self.seen.get(h)
+        if at is None:
+            return False  # cuckoo false positive — ledger is authoritative
+        if self.seen_ttl_ms is not None and now_ms - at >= self.seen_ttl_ms:
+            return False  # expired → eligible for recrawl (CrawlDecider.java:23-27)
+        return True
+
+    def contains_urls(self, urls: list[str], now_ms: int = 0) -> list[bool]:
+        """Exact seen-membership for a URL list (cuckoo gate + ledger verify)."""
+        if not urls:
+            return []
+        hashes = url_hash64_vec(urls)
+        gate = self.cuckoo.contains_many(hashes)
+        return [
+            bool(g) and self._is_seen(int(h), now_ms) for g, h in zip(gate, hashes)
+        ]
+
+    def mark_seen(self, urls: list[str], now_ms: int = 0) -> None:
+        """Directly mark URLs seen (redirect-expanded targets). Cancels the
+        URL if it is pending (lazy deletion — stale heap entries are skipped
+        at propose time) so first-wins holds across redirect aliases."""
+        for u in urls:
+            h = url_hash64(u)
+            if h not in self.seen:
+                self.cuckoo.add(h)
+            self.seen[h] = now_ms
+            self.pending_hashes.discard(h)
+
+    # -- round protocol ---------------------------------------------------
+    def propose(self, budget: int) -> list[tuple[float, str, str, int]]:
+        """Pop this shard's best candidates subject to per-(domain,salt)
+        quotas; at most ``budget`` rows. Returns (score, url, domain, salt)
+        sorted by (score desc, url asc). Popped rows are parked in
+        ``_proposed`` until commit()."""
+        assert not self._proposed, "propose() called twice without commit()"
+        cands: list[tuple[float, str, str, int]] = []
+        for (domain, salt), heap in self.queues.items():
+            ns = n_salts_for(domain, self.salt_map)
+            quota = salt_quota(self.per_host_budget, ns, salt)
+            taken = 0
+            while heap and taken < quota:
+                negs, u, payload = heapq.heappop(heap)
+                if url_hash64(u) not in self.pending_hashes:
+                    continue  # stale (cancelled via mark_seen) — discard
+                self._proposed[u] = ((domain, salt), -negs, payload)
+                cands.append((-negs, u, domain, salt))
+                taken += 1
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        if len(cands) > budget:
+            for s, u, d, sl in cands[budget:]:
+                self._return_to_queue(u)
+            cands = cands[:budget]
+        return cands
+
+    def _return_to_queue(self, url: str) -> None:
+        key, score, payload = self._proposed.pop(url)
+        heapq.heappush(self.queues[key], (-score, url, payload))
+
+    def commit(self, selected_urls: list[str], now_ms: int = 0) -> list[dict]:
+        """Driver reports which proposed URLs made the global cut. Selected →
+        seen + removed; the rest return to their queues. Returns full rows
+        for the selected URLs (for the round Dataset)."""
+        out = []
+        selected = set(selected_urls)
+        for u in list(self._proposed):
+            if u not in selected:
+                self._return_to_queue(u)
+                self.counters["deferred"] += 1
+        for u in selected_urls:
+            key, score, payload = self._proposed.pop(u)
+            h = url_hash64(u)
+            self.pending_hashes.discard(h)
+            if h not in self.seen:
+                self.cuckoo.add(h)
+            self.seen[h] = now_ms
+            self.counters["scheduled"] += 1
+            out.append(
+                {
+                    "url": u,
+                    "domain": key[0],
+                    "salt": key[1],
+                    "score": score,
+                    **payload,
+                }
+            )
+        return out
+
+    def end_round(self, round_id: int, extra: dict | None = None) -> None:
+        self.round = round_id
+        self.lineage.append({"round": round_id, **self.counters, **(extra or {})})
+
+    # -- introspection ----------------------------------------------------
+    def pending_count(self) -> int:
+        return sum(len(h) for h in self.queues.values())
+
+    def seen_hashes(self) -> np.ndarray:
+        return np.array(sorted(self.seen.keys()), dtype=np.uint64)
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "pending": self.pending_count(),
+            "seen": len(self.seen),
+            "round": self.round,
+            **self.counters,
+        }
+
+    # -- checkpoint -------------------------------------------------------
+    def checkpoint(self, root: str) -> str:
+        d = os.path.join(root, f"shard_{self.shard_id:04d}")
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        rows = {"url": [], "domain": [], "salt": [], "score": [], "shares": [], "date_ms": []}
+        for (domain, salt), heap in self.queues.items():
+            for negs, u, payload in heap:
+                if url_hash64(u) not in self.pending_hashes:
+                    continue  # stale cancelled entry — not real pending state
+                rows["url"].append(u)
+                rows["domain"].append(domain)
+                rows["salt"].append(salt)
+                rows["score"].append(-negs)
+                rows["shares"].append(payload["shares"])
+                rows["date_ms"].append(payload["date_ms"])
+        pq.write_table(
+            pa.table(
+                {
+                    "url": rows["url"],
+                    "domain": rows["domain"],
+                    "salt": pa.array(rows["salt"], pa.int32()),
+                    "score": pa.array(rows["score"], pa.float64()),
+                    "shares": pa.array(rows["shares"], pa.int64()),
+                    "date_ms": pa.array(rows["date_ms"], pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "pending.parquet"),
+        )
+        hashes = np.array(list(self.seen.keys()), dtype=np.uint64)
+        at = np.array([self.seen[int(h)] for h in hashes], dtype=np.int64)
+        pq.write_table(
+            pa.table({"url_hash": pa.array(hashes, pa.uint64()), "seen_at_ms": pa.array(at, pa.int64())}),
+            os.path.join(tmp, "seen.parquet"),
+        )
+        manifest = {
+            "shard_id": self.shard_id,
+            "n_shards": self.n_shards,
+            "round": self.round,
+            "counters": self.counters,
+            "lineage": self.lineage,
+            "salt_map": self.salt_map,
+            "per_host_budget": self.per_host_budget,
+            "seen_ttl_ms": self.seen_ttl_ms,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.rename(tmp, d)
+        return d
+
+    def restore(self, root: str) -> bool:
+        d = os.path.join(root, f"shard_{self.shard_id:04d}")
+        if not os.path.exists(os.path.join(d, "manifest.json")):
+            return False
+        with open(os.path.join(d, "manifest.json")) as f:
+            m = json.load(f)
+        self.round = m["round"]
+        self.counters = m["counters"]
+        self.lineage = m["lineage"]
+        self.salt_map = {k: int(v) for k, v in m.get("salt_map", {}).items()}
+        self.per_host_budget = m["per_host_budget"]
+        self.seen_ttl_ms = m["seen_ttl_ms"]
+        seen_tbl = pq.read_table(os.path.join(d, "seen.parquet"))
+        hashes = seen_tbl["url_hash"].to_numpy()
+        ats = seen_tbl["seen_at_ms"].to_numpy()
+        self.seen = {int(h): int(a) for h, a in zip(hashes, ats)}
+        self.cuckoo = CuckooFilter(self.seen_capacity)
+        for h in hashes:
+            self.cuckoo.add(int(h))
+        pend = pq.read_table(os.path.join(d, "pending.parquet"))
+        self.queues = {}
+        self.pending_hashes = set()
+        cols = {c: pend[c].to_pylist() for c in pend.schema.names}
+        for i in range(pend.num_rows):
+            key = (cols["domain"][i], int(cols["salt"][i]))
+            heapq.heappush(
+                self.queues.setdefault(key, []),
+                (
+                    -float(cols["score"][i]),
+                    cols["url"][i],
+                    {"shares": int(cols["shares"][i]), "date_ms": int(cols["date_ms"][i])},
+                ),
+            )
+            self.pending_hashes.add(int(url_hash64(cols["url"][i])))
+        return True
+
+
+def make_frontier_actors(num_shards: int, **kwargs):
+    """Create the shard actor pool (long-lived named-by-index actors)."""
+    import ray
+
+    Actor = ray.remote(num_cpus=0.5)(FrontierShard)
+    return [Actor.remote(i, num_shards, **kwargs) for i in range(num_shards)]
