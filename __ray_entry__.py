@@ -1,44 +1,78 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module:
+nothing here (or in the library code these call) invokes ``ray.init`` /
+``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``        — flagship document-processing pipeline on sf0.001
+- ``queries()``      — one callable per implemented operator/pipeline
+                       (SURVEY.md §2 + training-data additions)
+- ``oracle_sql()``   — DuckDB-equivalent SQL for every SQL-expressible query
+                       (column names match exactly; float outputs are
+                       integer micro/cent units computed with identical
+                       expressions on both sides)
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents → language-ID +
+    quality features + token counts + SimHash fingerprint, one streaming
+    Dataset (read → chained vectorized map_batches)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mklab_focused_crawler_ray.functions.hashing import simhash64, token_hashes
+    from mklab_focused_crawler_ray.functions.text import (
+        count_tokens_ws,
+        detect_language,
+        quality_features,
+    )
+    from mklab_focused_crawler_ray.pipelines.queries import TOKEN_RE
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs, quals, nwords, nws, sims = [], [], [], [], []
+        thl = []
+        for t in texts:
+            langs.append(detect_language(t))
+            q = quality_features(t)
+            quals.append(q["quality"])
+            nwords.append(q["n_words"])
+            nws.append(count_tokens_ws(t))
+            thl.append(token_hashes(TOKEN_RE.findall(t.lower())))
+        sims = simhash64(thl).view(np.int64)
+        return (
+            batch.append_column("lang_pred", pa.array(langs, pa.string()))
+            .append_column("quality", pa.array(quals, pa.float64()))
+            .append_column("n_words", pa.array(nwords, pa.int64()))
+            .append_column("n_ws_tokens", pa.array(nws, pa.int64()))
+            .append_column("simhash", pa.array(sims, pa.int64()))
+        )
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).map_batches(enrich, batch_format="pyarrow", batch_size=1024)
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mklab_focused_crawler_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mklab_focused_crawler_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -134,7 +134,13 @@ def gen_images(
         ws.append(rgb.shape[1])
         fmts.append(fmt)
         caps.append(_caption(rng))
-        phashes.append(phash64(rgb))
+        # phash is computed from the DECODED pixels (FIXTURES.md §1) so the
+        # stored hash is reproducible from `bytes` alone; lossless decodes
+        # are identical to rgb, only the lossy codec needs a re-decode.
+        from .codecs import q6_decode
+
+        rgb_dec = q6_decode(data) if fmt == "q6" else rgb
+        phashes.append(phash64(rgb_dec))
     schema = pa.schema(
         [
             ("image_id", pa.string()),

@@ -1,0 +1,617 @@
+"""Driver-facing query suite over the TPC-H-ish testdata tables.
+
+Each ``q_*`` function is a Ray-Data-first pipeline over
+``{sf_dir}/*.parquet``; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL the
+driver runs side-by-side (CORRECTNESS gate). Column names and value
+encodings match EXACTLY by construction:
+
+- float outputs are emitted as integer micro/cent units computed with the
+  identical expression ``floor(x * scale + 0.5)`` on both sides, so hash
+  comparison is immune to float-formatting and summation-order differences
+  (integer sums are associative; per-row rounding is deterministic).
+- token queries use the same regex ``[a-z0-9]+`` over ``lower(text)`` in
+  Python ``re`` and DuckDB ``regexp_extract_all``.
+
+Operator lineage (reference parity, SURVEY.md §2):
+- ranker_scores / top100_ranked → RankerBolt score + BoundedPQueue top-k
+  (bolts/webpages/RankerBolt.java:78-92; utils/BoundedPQueue.java:28-47)
+- event_type_counts / contributor_counts / windowed_counts →
+  MediaCounterBolt / ItemsCounterBolt grouped counts + EventDetectionBolt
+  window assembly (bolts/metrics/MediaCounterBolt.java:66-106;
+  bolts/items/EventDetectionBolt.java:54-63)
+- token_counts / token_idf → TokenizationBolt + Vocabulary DF/IDF
+  (bolts/items/TokenizationBolt.java:126-154; utils/Vocabulary.java:50-70)
+- exact_dedup_docs / tokenset_dedup_groups / minhash LSH (rows-only) →
+  StatusCheckBolt first-wins dedup generalized to content dedup
+  (bolts/media/StatusCheckBolt.java:59-68)
+- embedding_top10 → VisualIndexerBolt nearest-neighbor query re-expressed
+  as brute-force cosine top-k (bolts/media/VisualIndexerBolt.java:167-171)
+- q1_lineitem / revenue_by_priority → generic partial-agg + broadcast-join
+  patterns the counter/updater bolts imply at scale
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+NOW_MS = 1_706_745_600_000  # 2024-02-01T00:00:00Z — after the events table's max ts
+AVG_TIME_DIFF_MS = 600_000.0
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _micro(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1_000_000.0 + 0.5).astype(np.int64)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _score_batch(batch: pa.Table) -> pa.Table:
+    v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ts_ms = batch["ts"].cast(pa.int64()).to_numpy() // 1000  # us → ms
+    shares_score = (1.0 - np.exp(-0.05 * v) + 1.0) / 2.0
+    age = (NOW_MS - ts_ms).astype(np.float64)
+    pub_score = (np.exp(-age / AVG_TIME_DIFF_MS) + 1.0) / 2.0
+    return pa.table(
+        {
+            "event_id": batch["event_id"],
+            "score_micro": pa.array(_micro(shares_score * pub_score), pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# scoring / top-k
+# --------------------------------------------------------------------------
+
+
+def q_ranker_scores(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "value"]
+    ).map_batches(_score_batch, batch_format="pyarrow")
+
+
+def q_top100_ranked(sf_dir: str):
+    ds = q_ranker_scores(sf_dir)
+    # BoundedPQueue semantics: global top-k under (score desc, id asc).
+    return ds.sort(["score_micro", "event_id"], descending=[True, False]).limit(100)
+
+
+# --------------------------------------------------------------------------
+# grouped counts (counter bolts)
+# --------------------------------------------------------------------------
+
+
+def _count_by(sf_dir: str, table: str, key: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    return (
+        rd.read_parquet(_p(sf_dir, table), columns=[key])
+        .groupby(key)
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_event_type_counts(sf_dir: str):
+    return _count_by(sf_dir, "events", "event_type")
+
+
+def q_contributor_counts(sf_dir: str):
+    return _count_by(sf_dir, "events", "user_id")
+
+
+def q_windowed_counts(sf_dir: str):
+    """1-minute tumbling windows per event type (EventDetection window
+    assembly). Pre-aggregates inside map_batches (partial counts) before the
+    small groupby — the scale path for 100 TB of events."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_ms = batch["ts"].cast(pa.int64()).to_numpy() // 1000
+        win = ts_ms // 60_000
+        et = batch["event_type"].to_pylist()
+        agg: dict[tuple[int, str], int] = {}
+        for w, e in zip(win, et):
+            agg[(int(w), e)] = agg.get((int(w), e), 0) + 1
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "window": pa.array([k[0] for k in keys], pa.int64()),
+                "event_type": pa.array([k[1] for k in keys], pa.string()),
+                "pn": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", "event_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# tokens (TokenizationBolt / Vocabulary)
+# --------------------------------------------------------------------------
+
+
+def _token_partial(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    tf: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower())
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0) + 1
+        for tok in set(toks):
+            df[tok] = df.get(tok, 0) + 1
+    keys = list(tf.keys())
+    return pa.table(
+        {
+            "token": pa.array(keys, pa.string()),
+            "ptf": pa.array([tf[k] for k in keys], pa.int64()),
+            "pdf": pa.array([df[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def q_token_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(_token_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("ptf", alias_name="tf"), Sum("pdf", alias_name="df"))
+    )
+
+
+def q_token_idf(sf_dir: str):
+    """IDF = log10(N/df) — utils/Vocabulary.java:68."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy().astype(np.float64)
+        idf = np.log10(n_docs / df)
+        return pa.table(
+            {
+                "token": batch["token"],
+                "df": batch["df"],
+                "idf_micro": pa.array(_micro(idf), pa.int64()),
+            }
+        )
+
+    return q_token_counts(sf_dir).drop_columns(["tf"]).map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: group by content hash, keep min doc_id (first-wins)."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "text_sha": pa.array(hs, pa.string())})
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_sha")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .drop_columns(["text_sha"])
+    )
+
+
+def q_tokenset_dedup_groups(sf_dir: str):
+    """Near-dup by identical normalized token SET (order/multiplicity
+    insensitive) — the SQL-expressible cousin of MinHash dedup."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    def add_sig(batch: pa.Table) -> pa.Table:
+        sigs = [
+            " ".join(sorted(set(TOKEN_RE.findall(t.lower()))))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "sig": pa.array(sigs, pa.string())})
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(add_sig, batch_format="pyarrow")
+        .groupby("sig")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_docs"))
+        .drop_columns(["sig"])
+    )
+
+
+# --------------------------------------------------------------------------
+# doc stats / languages
+# --------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str):
+    import ray.data as rd
+
+    ws_re = re.compile(r"\S+")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": pa.array([len(t) for t in texts], pa.int64()),
+                "n_words": pa.array(
+                    [len(TOKEN_RE.findall(t.lower())) for t in texts], pa.int64()
+                ),
+                "n_ws_tokens": pa.array([len(ws_re.findall(t)) for t in texts], pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def q_lang_counts(sf_dir: str):
+    return _count_by(sf_dir, "documents", "lang")
+
+
+# --------------------------------------------------------------------------
+# relational aggregates / joins
+# --------------------------------------------------------------------------
+
+
+def q_q1_lineitem(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with exact integer sums (cents)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        qty = batch["l_quantity"].to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(np.floor(qty + 0.5).astype(np.int64), pa.int64()),
+                "price_cents": pa.array(_cents(price), pa.int64()),
+                "disc_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "lineitem"),
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def q_revenue_by_priority(sf_dir: str):
+    """lineitem ⋈ orders revenue rollup. The orders side is the SMALL side →
+    broadcast once via ray.put and resolved per batch with a sorted-array
+    lookup (no shuffle join; SURVEY.md §2.10)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = pq.read_table(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    keys = orders["o_orderkey"].to_numpy()
+    order_sort = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order_sort]
+    prios = np.asarray(orders["o_orderpriority"].to_pylist(), dtype=object)[order_sort]
+    side_ref = ray.put((keys_sorted, prios))
+
+    class JoinAgg:
+        def __init__(self):
+            self.keys, self.prios = ray.get(side_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["l_orderkey"].to_numpy()
+            idx = np.searchsorted(self.keys, ok)
+            idx_c = np.clip(idx, 0, len(self.keys) - 1)
+            found = self.keys[idx_c] == ok
+            rev = _cents(
+                batch["l_extendedprice"].to_numpy()
+                * (1.0 - batch["l_discount"].to_numpy())
+            )
+            agg: dict[str, list[int]] = {}
+            for i in np.nonzero(found)[0]:
+                p = self.prios[idx_c[i]]
+                a = agg.setdefault(p, [0, 0])
+                a[0] += int(rev[i])
+                a[1] += 1
+            ks = list(agg.keys())
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(ks, pa.string()),
+                    "prev": pa.array([agg[k][0] for k in ks], pa.int64()),
+                    "pn": pa.array([agg[k][1] for k in ks], pa.int64()),
+                }
+            )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("prev", alias_name="revenue_cents"), Sum("pn", alias_name="n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings — brute-force cosine top-k (ANN baseline)
+# --------------------------------------------------------------------------
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def q_embedding_top10(sf_dir: str):
+    """Cosine top-10 neighbors of the first 5 vectors (brute force: per-batch
+    float64 matmul against a broadcast query matrix, then per-query top-k via
+    groupby.map_groups). IVF/LSH variants live in stages/ann.py."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    qt = pq.read_table(_p(sf_dir, "embeddings"))
+    mask = np.array([v < N_QUERIES for v in qt["vec_id"].to_numpy()])
+    qids = qt["vec_id"].to_numpy()[mask]
+    qmat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e, m in zip(qt["embedding"].to_pylist(), mask) if m]
+    )
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qmat))
+
+    class Sims:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy()
+            emb = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            cos = emb @ self.qmat.T  # (B, nq)
+            nq = len(self.qids)
+            return pa.table(
+                {
+                    "query_id": pa.array(np.repeat(self.qids, len(vids)), pa.int64()),
+                    "vec_id": pa.array(np.tile(vids, nq), pa.int64()),
+                    "cos_micro": pa.array(_micro(cos.T.ravel()), pa.int64()),
+                }
+            )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["vec_id"] != g["query_id"]]
+        return g.sort_values(["cos_micro", "vec_id"], ascending=[False, True]).head(TOP_K)
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(Sims, batch_format="pyarrow", concurrency=2)
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent — driver records rows-only check;
+# pytest validates semantics against brute force / planted ground truth)
+# --------------------------------------------------------------------------
+
+
+def q_simhash_docs(sf_dir: str):
+    """64-bit SimHash per document (bit-cast to int64 for Arrow)."""
+    import ray.data as rd
+
+    from ..functions.hashing import simhash64, token_hashes
+
+    def sh(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        thl = [token_hashes(TOKEN_RE.findall(t.lower())) for t in texts]
+        sigs = simhash64(thl).view(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(sigs, pa.int64())}
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        sh, batch_format="pyarrow"
+    )
+
+
+def q_langid_detect(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import detect_language
+
+    def lid(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(
+                    [detect_language(t) for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        lid, batch_format="pyarrow"
+    )
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    """MinHash + LSH banding near-dup candidate pairs, verified with exact
+    token-set Jaccard ≥ 0.5. Pipeline: signature per doc (map_batches) →
+    explode (band_id, band_key, doc_id) → groupby bands → candidate pairs →
+    verify → distinct pairs. See stages/dedup.py for the engine."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_p(sf_dir, "documents"), threshold=0.5)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import rabin_karp_fingerprints
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [
+            rabin_karp_fingerprints(t, k=16, keep=8)
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(
+                    [[f % (1 << 62) for f in fl] for fl in fps], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# registry + SQL oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "ranker_scores": q_ranker_scores,
+    "top100_ranked": q_top100_ranked,
+    "event_type_counts": q_event_type_counts,
+    "contributor_counts": q_contributor_counts,
+    "windowed_counts": q_windowed_counts,
+    "token_counts": q_token_counts,
+    "token_idf": q_token_idf,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "tokenset_dedup_groups": q_tokenset_dedup_groups,
+    "doc_stats": q_doc_stats,
+    "lang_counts": q_lang_counts,
+    "q1_lineitem": q_q1_lineitem,
+    "revenue_by_priority": q_revenue_by_priority,
+    "embedding_top10": q_embedding_top10,
+    # rows-only (non-SQL-expressible):
+    "simhash_docs": q_simhash_docs,
+    "langid_detect": q_langid_detect,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "doc_fingerprints": q_doc_fingerprints,
+}
+
+_SCORE_SQL = (
+    "(1 - EXP(-0.05*value) + 1)/2 * "
+    f"(EXP(-(({NOW_MS} - epoch_ms(ts))/{AVG_TIME_DIFF_MS})) + 1)/2"
+)
+_TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+ORACLE_SQL = {
+    "ranker_scores": (
+        f"SELECT event_id, CAST(FLOOR(({_SCORE_SQL})*1000000 + 0.5) AS BIGINT) AS score_micro "
+        "FROM events"
+    ),
+    "top100_ranked": (
+        f"SELECT event_id, CAST(FLOOR(({_SCORE_SQL})*1000000 + 0.5) AS BIGINT) AS score_micro "
+        "FROM events ORDER BY score_micro DESC, event_id ASC LIMIT 100"
+    ),
+    "event_type_counts": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "contributor_counts": "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+    "windowed_counts": (
+        "SELECT CAST(FLOOR(epoch_ms(ts)/60000.0) AS BIGINT) AS window, event_type, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2"
+    ),
+    "token_counts": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents) "
+        "SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token"
+    ),
+    "token_idf": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents), "
+        "d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token) "
+        "SELECT token, df, CAST(FLOOR(LOG10((SELECT COUNT(*) FROM documents)/CAST(df AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS idf_micro FROM d"
+    ),
+    "exact_dedup_docs": (
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY sha256(text)"
+    ),
+    "tokenset_dedup_groups": (
+        f"SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_docs FROM ("
+        f"SELECT doc_id, array_to_string(list_sort(list_distinct({_TOK_SQL})), ' ') AS sig "
+        "FROM documents) GROUP BY sig"
+    ),
+    "doc_stats": (
+        "SELECT doc_id, LENGTH(text) AS n_chars_calc, "
+        f"LEN({_TOK_SQL}) AS n_words, "
+        r"LEN(regexp_extract_all(text, '\S+')) AS n_ws_tokens FROM documents"
+    ),
+    "lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+    "q1_lineitem": (
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty, "
+        "SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_price_cents, "
+        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents, "
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "revenue_by_priority": (
+        "SELECT o_orderpriority, "
+        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents, "
+        "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    ),
+    "embedding_top10": (
+        "WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES}), "
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings), "
+        "s AS (SELECT q.query_id, v.vec_id, "
+        "CAST(FLOOR(list_cosine_similarity(q.qe, v.ve)*1000000 + 0.5) AS BIGINT) AS cos_micro "
+        "FROM q CROSS JOIN v WHERE v.vec_id != q.query_id) "
+        "SELECT query_id, vec_id, cos_micro FROM s "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, vec_id ASC) <= {TOP_K}"
+    ),
+}

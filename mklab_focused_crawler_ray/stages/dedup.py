@@ -1,0 +1,282 @@
+"""Deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Ray-Data-first shapes (ray_guide.md "Aggregation at scale"):
+- exact: content-hash column (map_batches) → groupby(hash) → first
+- MinHash+LSH: signature per doc (map_batches, seeds hoisted to __init__) →
+  explode (band_id, band_key, doc_id) rows → groupby(band) → candidate
+  pairs → exact-Jaccard verify → distinct pairs
+- SimHash: 64-bit signature column; near-dup = Hamming ≤ k within
+  band-prefix buckets
+- embedding cosine: normalized-vector matmul within hash buckets
+
+The reference has no content dedup (only the id-based StatusCheckBolt gate,
+bolts/media/StatusCheckBolt.java:59-68); these are the training-data-scale
+additions the build brief requires.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.text import char_shingles
+
+from ..functions.hashing import (
+    lsh_band_keys,
+    minhash_seeds,
+    minhash_signatures,
+    token_hashes,
+)
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+NUM_PERM = 128
+SHINGLE_K = 5  # char shingles (Broder-style) — robust on any vocabulary
+BANDS = 32  # r=4 rows/band → LSH s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
+
+
+class MinHashSignatures:
+    """Actor-pool stage: doc → (doc_id, band_id, band_key) exploded rows.
+    Permutation seeds are built once per actor in __init__."""
+
+    def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS):
+        self.seeds = minhash_seeds(num_perm)
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy()
+        thl = [token_hashes(sorted(set(char_shingles(t, SHINGLE_K)))) for t in texts]
+        sigs = minhash_signatures(thl, self.seeds)
+        keys = lsh_band_keys(sigs, self.bands)  # (n_docs, bands)
+        n = len(doc_ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(self.bands), n), pa.int32()),
+                "band_key": pa.array(keys.ravel().view(np.int64), pa.int64()),
+            }
+        )
+
+
+def _pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
+    ids = np.sort(g["doc_id"].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+
+def _token_set(text: str) -> set:
+    """Char-shingle set — the MinHash'd feature space (unigram token sets
+    are degenerate on small-vocabulary corpora: everything collides)."""
+    return set(char_shingles(text, SHINGLE_K))
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def minhash_lsh_pairs(doc_parquet: str, threshold: float = 0.5) -> pa.Table:
+    """Near-dup pairs (doc_a < doc_b, exact token-set Jaccard ≥ threshold)
+    found via MinHash-LSH candidates. Candidate pairs are collected to the
+    driver for verification — they are output-sized (bounded by true
+    near-dup density × LSH false-positive rate), not input-sized; at 100 TB
+    the verify step becomes a map_batches over the pair list joined against
+    a doc-id-bucketed token-set store instead of a broadcast dict."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
+    cand = (
+        ds.map_batches(MinHashSignatures, batch_format="pyarrow", concurrency=2)
+        .groupby(["band_id", "band_key"])
+        .map_groups(_pairs_from_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+    pairs = cand.to_pandas()
+    if len(pairs) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_micro": pa.array([], pa.int64()),
+            }
+        )
+    involved = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    import pyarrow.compute as pc
+
+    tbl = pq.read_table(doc_parquet, columns=["doc_id", "text"])
+    tbl = tbl.filter(pc.is_in(tbl["doc_id"], value_set=pa.array(involved)))
+    toks = {
+        int(d): _token_set(t)
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    jac = np.array(
+        [
+            jaccard(toks[int(a)], toks[int(b)])
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        ]
+    )
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["doc_a"].to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(pairs["doc_b"].to_numpy()[keep], pa.int64()),
+            "jaccard_micro": pa.array(
+                np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def brute_force_jaccard_pairs(texts: dict[int, str], threshold: float) -> set:
+    """O(n²) oracle for tests."""
+    ids = sorted(texts)
+    sets = {i: _token_set(texts[i]) for i in ids}
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if jaccard(sets[a], sets[b]) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def simhash_near_pairs(doc_parquet: str, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-dup pairs: bucket by each of 4 16-bit bands (any match →
+    candidate; Hamming ≤ 3 guarantees ≥1 identical band by pigeonhole),
+    verify Hamming ≤ max_hamming."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import hamming64, simhash64
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        thl = [token_hashes(TOKEN_RE.findall(t.lower())) for t in texts]
+        s = simhash64(thl)
+        n = len(texts)
+        bands = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            bands[:, b] = ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), 4), pa.int64()),
+                "simhash": pa.array(np.repeat(s.view(np.int64), 4), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "band_key": pa.array(bands.ravel(), pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = hamming64(sh[ii], sh[jj])
+        keep = hd <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "hamming": hd[keep]}
+        )
+
+    ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby(["band_id", "band_key"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+    )
+    t = out.to_pandas()
+    return pa.table(
+        {
+            "doc_a": pa.array(t["doc_a"], pa.int64()),
+            "doc_b": pa.array(t["doc_b"], pa.int64()),
+        }
+    )
+
+
+def embedding_cosine_pairs(
+    emb_parquet: str, threshold: float = 0.9, n_planes: int = 8
+) -> pa.Table:
+    """Embedding near-dup pairs via random-hyperplane LSH buckets + in-bucket
+    exact cosine. Deterministic planes (seeded). Probe the bucket and its
+    single-bit neighbors? No — multi-probe omitted; recall comes from using
+    2 independent plane sets (documented approximation)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    rng = np.random.default_rng(1234)
+
+    def make_stage(seed_offset: int):
+        planes = np.random.default_rng(1234 + seed_offset).normal(size=(n_planes, 64))
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy()
+            emb = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            bits = (emb @ planes.T) > 0
+            key = np.zeros(len(vids), dtype=np.int64)
+            for b in range(n_planes):
+                key = (key << 1) | bits[:, b].astype(np.int64)
+            out = pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "bucket": pa.array(key + (seed_offset << 32), pa.int64()),
+                    "norm_emb": pa.array(
+                        [e.tolist() for e in emb], pa.list_(pa.float64())
+                    ),
+                }
+            )
+            return out
+
+        return bucketize
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos_micro": []}).astype(np.int64)
+        m = np.stack([np.asarray(e) for e in g["norm_emb"]])
+        cos = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = cos[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ii][keep],
+                "doc_b": ids[jj][keep],
+                "cos_micro": np.floor(cos[ii, jj][keep] * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    ds = rd.read_parquet(emb_parquet, columns=["vec_id", "embedding"])
+    branches = [
+        ds.map_batches(make_stage(k), batch_format="pyarrow") for k in range(2)
+    ]
+    un = branches[0].union(branches[1])
+    out = (
+        un.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+    )
+    t = out.to_pandas()
+    return pa.table(
+        {
+            "doc_a": pa.array(t["doc_a"], pa.int64()),
+            "doc_b": pa.array(t["doc_b"], pa.int64()),
+        }
+    )
