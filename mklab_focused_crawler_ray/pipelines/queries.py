@@ -547,6 +547,10 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
 }
 
+from .queries_media import MEDIA_ORACLE_SQL, MEDIA_QUERIES  # noqa: E402
+
+QUERIES.update(MEDIA_QUERIES)
+
 _SCORE_SQL = (
     "(1 - EXP(-0.05*value) + 1)/2 * "
     f"(EXP(-(({NOW_MS} - epoch_ms(ts))/{AVG_TIME_DIFF_MS})) + 1)/2"
@@ -615,3 +619,5 @@ ORACLE_SQL = {
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, vec_id ASC) <= {TOP_K}"
     ),
 }
+
+ORACLE_SQL.update(MEDIA_ORACLE_SQL)

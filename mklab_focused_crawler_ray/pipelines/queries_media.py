@@ -1,0 +1,376 @@
+"""Image-payload, ANN and event-detection queries (rows-only suite).
+
+These pipelines run over the deterministic seeded image+web fixture
+(fixtures/generate.py — the BASELINE ``input_hint`` table shape), not the
+driver's TPC-H-ish tables, so they register as rows-only checks; their
+semantics are validated in pytest against brute force / planted ground
+truth (tests/test_image_stages.py, tests/test_ann.py).
+
+``sf_dir`` → fixture tier mapping keeps cost proportional to the driver's
+scale choice (tiny=100 images for sf0.001 smoke, small=5000 otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TIER_FOR_SF = {"sf0.001": "tiny"}
+
+
+def fixture_dir_for(sf_dir: str) -> str:
+    tier = _TIER_FOR_SF.get(os.path.basename(os.path.normpath(sf_dir)), "small")
+    out = os.environ.get("GRAFT_FIXTURE_ROOT", "/tmp/mkfc_fixtures")
+    from ..fixtures.generate import generate_tier
+
+    return generate_tier(tier, os.path.join(out, tier))
+
+
+def _images(sf_dir: str) -> str:
+    return os.path.join(fixture_dir_for(sf_dir), "images.parquet")
+
+
+# --------------------------------------------------------------------------
+# image pipeline (north-rule payload)
+# --------------------------------------------------------------------------
+
+
+def q_image_decode_check(sf_dir: str):
+    """Per-row invariant columns: decode_ok / w_ok / h_ok / phash_ok /
+    psnr_db_x100 (BASELINE input_hint invariant as a dataset)."""
+    from ..stages.image import decode_validate
+
+    return decode_validate(_images(sf_dir))
+
+
+def q_image_phash_pairs(sf_dir: str):
+    """Near-dup candidate pairs via pHash 16-bit band blocking + exact
+    Hamming ≤ 8 verify (VisualIndexerBolt 0.85-gate analogue)."""
+    from ..stages.image import phash_band_pairs
+
+    return phash_band_pairs(_images(sf_dir), max_hamming=8)
+
+
+def q_image_clusters(sf_dir: str):
+    """Connected-component near-dup clusters with deterministic
+    min-member-id labels (ClustererBolt minus UUID nondeterminism)."""
+    from ..stages.image import cluster_images
+
+    return cluster_images(_images(sf_dir), max_hamming=8)
+
+
+def q_image_embed(sf_dir: str):
+    """Deterministic 64-dim pseudo-embedding per image (SURF/VLAD/PCA
+    stand-in, FeatureExtractorBolt shape)."""
+    from ..stages.image import embed_images
+
+    return embed_images(_images(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# ANN over the driver's embeddings table
+# --------------------------------------------------------------------------
+
+
+def q_ann_ivf_top10(sf_dir: str):
+    from ..stages.ann import ivf_topk
+
+    return ivf_topk(os.path.join(sf_dir, "embeddings.parquet"), n_queries=5, k=10)
+
+
+def q_ann_lsh_top10(sf_dir: str):
+    from ..stages.ann import lsh_topk
+
+    return lsh_topk(os.path.join(sf_dir, "embeddings.parquet"), n_queries=5, k=10)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking
+    (stages/dedup.embedding_cosine_pairs). NOTE: the driver's embeddings
+    table plants no near-duplicates (max off-diagonal cosine < 0.8), so this
+    is the plumbing path; image_embed_dup_pairs exercises real positives."""
+    from ..stages.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        os.path.join(sf_dir, "embeddings.parquet"), threshold=0.95
+    )
+
+
+def fixture_embeddings_parquet(sf_dir: str) -> str:
+    """Materialize pseudo-embeddings of the image fixture once per tier
+    (deterministic; cached next to the fixture) as (vec_id, embedding)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    fdir = fixture_dir_for(sf_dir)
+    out = os.path.join(fdir, "pseudo_embeddings.parquet")
+    if os.path.exists(out):
+        return out
+    from ..stages.image import embed_images
+
+    tbl = pa.concat_tables(
+        [
+            b
+            for b in embed_images(os.path.join(fdir, "images.parquet")).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    vec_ids = pa.array(
+        [int(i[3:]) for i in tbl["image_id"].to_pylist()], pa.int64()
+    )
+    pq.write_table(
+        pa.table({"vec_id": vec_ids, "embedding": tbl["embedding"]}),
+        out + ".tmp",
+    )
+    os.replace(out + ".tmp", out)
+    return out
+
+
+def q_image_embed_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup over the image fixture's pseudo-embeddings:
+    planted duplicates (re-encode / downscale) give genuine cosine≈1 pairs."""
+    from ..stages.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(fixture_embeddings_parquet(sf_dir), threshold=0.995)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (documents)
+# --------------------------------------------------------------------------
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Token-3-gram Jaccard ≥ 0.5 near-dup pairs: per-doc shingle-hash
+    signature → MinHash-LSH candidate blocking → exact 3-gram Jaccard
+    verify. Scale path identical to minhash_dup_pairs but over word
+    3-grams instead of char shingles."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        os.path.join(sf_dir, "documents.parquet"),
+        threshold=0.5,
+        shingle="word3",
+    )
+
+
+# --------------------------------------------------------------------------
+# windowed event detection (EventDetectionBolt / Vocabulary / Snapshots)
+# --------------------------------------------------------------------------
+
+EVENT_WINDOWS = 5
+DOCS_PER_WINDOW = 50
+
+
+def q_event_candidates(sf_dir: str):
+    """Candidate event tokens per window over the documents table, windowed
+    by ingest order (window = doc_id // DOCS_PER_WINDOW — the reference
+    windows by arrival time; EventDetectionBolt.java:102-141):
+
+    1. (window, token) document frequencies via partial counts in
+       map_batches + small groupby (the wide step is over the tiny
+       (window, token) key space, not documents).
+    2. Driver-side monotonic IDF / IDF-shift rule over the last
+       EVENT_WINDOWS snapshots per evaluation point (snapshot state is
+       small — it fits the checkpoint, SURVEY.md §2.7).
+
+    Returns (window, token) candidate rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.vocabulary import candidate_events, idf
+    from .queries import TOKEN_RE, _p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = batch["doc_id"].to_numpy() // DOCS_PER_WINDOW
+        texts = batch["text"].to_pylist()
+        df: dict[tuple[int, str], int] = {}
+        nd: dict[int, int] = {}
+        for w, t in zip(win, texts):
+            w = int(w)
+            nd[w] = nd.get(w, 0) + 1
+            for tok in set(TOKEN_RE.findall(t.lower())):
+                df[(w, tok)] = df.get((w, tok), 0) + 1
+        keys = list(df.keys())
+        return pa.table(
+            {
+                "window": pa.array([k[0] for k in keys] + list(nd.keys()), pa.int64()),
+                "token": pa.array(
+                    [k[1] for k in keys] + ["\x00NDOCS"] * len(nd), pa.string()
+                ),
+                "pdf": pa.array(list(df.values()) + list(nd.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", "token"])
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+    )
+    ndocs = (
+        counts[counts["token"] == "\x00NDOCS"].set_index("window")["df"].to_dict()
+    )
+    counts = counts[counts["token"] != "\x00NDOCS"]
+    snapshots: list[pd.Series] = []
+    out_w, out_t = [], []
+    for w in sorted(ndocs):
+        sub = counts[counts["window"] == w]
+        snap = idf(sub.set_index("token")["df"], int(ndocs[w]))
+        snapshots.append(snap)
+        if len(snapshots) > EVENT_WINDOWS:
+            snapshots.pop(0)
+        if len(snapshots) == EVENT_WINDOWS:
+            for tok in candidate_events(snapshots):
+                out_w.append(int(w))
+                out_t.append(tok)
+    return pa.table(
+        {"window": pa.array(out_w, pa.int64()), "token": pa.array(out_t, pa.string())}
+    )
+
+
+def q_windowed_token_df(sf_dir: str):
+    """SQL-checkable windowed (window, token) document frequency."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE, _p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = batch["doc_id"].to_numpy() // DOCS_PER_WINDOW
+        texts = batch["text"].to_pylist()
+        df: dict[tuple[int, str], int] = {}
+        for w, t in zip(win, texts):
+            for tok in set(TOKEN_RE.findall(t.lower())):
+                df[(int(w), tok)] = df.get((int(w), tok), 0) + 1
+        keys = list(df.keys())
+        return pa.table(
+            {
+                "window": pa.array([k[0] for k in keys], pa.int64()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "pdf": pa.array(list(df.values()), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", "token"])
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+
+
+# --------------------------------------------------------------------------
+# misc SQL-checked additions (scalar-fn + per-group top-k parity)
+# --------------------------------------------------------------------------
+
+
+def q_props_extract(sf_dir: str):
+    """JSON scalar extraction (Gson-deserialization parity — SURVEY §2.10
+    scalar functions): props → k as int."""
+    import json
+
+    import ray.data as rd
+
+    from .queries import _p
+
+    def ext(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in batch["props"].to_pylist()]
+        return pa.table(
+            {"event_id": batch["event_id"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "props"]).map_batches(
+        ext, batch_format="pyarrow"
+    )
+
+
+def q_top3_docs_per_lang(sf_dir: str):
+    """Per-group bounded top-k (BoundedPQueue semantics per group): the 3
+    longest documents per language, ties broken by doc_id asc."""
+    import ray.data as rd
+
+    from .queries import _p
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def q_host_counts_events(sf_dir: str):
+    """Per-user rolling count with 10-minute windows (MediaCounterBolt
+    10-min flush cadence as a (window, user) groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import _p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_ms = batch["ts"].cast(pa.int64()).to_numpy() // 1000
+        win = ts_ms // 600_000
+        uid = batch["user_id"].to_numpy()
+        agg: dict[tuple[int, int], int] = {}
+        for w, u in zip(win, uid):
+            agg[(int(w), int(u))] = agg.get((int(w), int(u)), 0) + 1
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "window": pa.array([k[0] for k in keys], pa.int64()),
+                "user_id": pa.array([k[1] for k in keys], pa.int64()),
+                "pn": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", "user_id"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+MEDIA_QUERIES = {
+    "image_decode_check": q_image_decode_check,
+    "image_phash_pairs": q_image_phash_pairs,
+    "image_clusters": q_image_clusters,
+    "image_embed": q_image_embed,
+    "ann_ivf_top10": q_ann_ivf_top10,
+    "ann_lsh_top10": q_ann_lsh_top10,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "image_embed_dup_pairs": q_image_embed_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "event_candidates": q_event_candidates,
+    "windowed_token_df": q_windowed_token_df,
+    "props_extract": q_props_extract,
+    "top3_docs_per_lang": q_top3_docs_per_lang,
+    "user_rolling_counts": q_host_counts_events,
+}
+
+MEDIA_ORACLE_SQL = {
+    "windowed_token_df": (
+        'WITH tok AS (SELECT CAST(FLOOR(doc_id / {dpw}.0) AS BIGINT) AS "window", '
+        "unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token "
+        "FROM documents) "
+        'SELECT "window", token, COUNT(*) AS df FROM tok GROUP BY 1, 2'
+    ).format(dpw=DOCS_PER_WINDOW),
+    "props_extract": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+    ),
+    "top3_docs_per_lang": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) <= 3"
+    ),
+    "user_rolling_counts": (
+        "SELECT CAST(FLOOR(epoch_ms(ts)/600000.0) AS BIGINT) AS window, user_id, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2"
+    ),
+}

@@ -39,18 +39,35 @@ SHINGLE_K = 5  # char shingles (Broder-style) — robust on any vocabulary
 BANDS = 32  # r=4 rows/band → LSH s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
 
 
+def word_ngrams(text: str, n: int = 3) -> list[str]:
+    """Word n-gram shingles over the lowercase token stream."""
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _features(text: str, shingle: str) -> set:
+    """The MinHash'd feature space: 'char5' Broder shingles (default) or
+    'word3' token 3-grams (n-gram Jaccard dedup)."""
+    if shingle == "word3":
+        return set(word_ngrams(text, 3))
+    return set(char_shingles(text, SHINGLE_K))
+
+
 class MinHashSignatures:
     """Actor-pool stage: doc → (doc_id, band_id, band_key) exploded rows.
     Permutation seeds are built once per actor in __init__."""
 
-    def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS):
+    def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS, shingle: str = "char5"):
         self.seeds = minhash_seeds(num_perm)
         self.bands = bands
+        self.shingle = shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         doc_ids = batch["doc_id"].to_numpy()
-        thl = [token_hashes(sorted(set(char_shingles(t, SHINGLE_K)))) for t in texts]
+        thl = [token_hashes(sorted(_features(t, self.shingle))) for t in texts]
         sigs = minhash_signatures(thl, self.seeds)
         keys = lsh_band_keys(sigs, self.bands)  # (n_docs, bands)
         n = len(doc_ids)
@@ -84,7 +101,9 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def minhash_lsh_pairs(doc_parquet: str, threshold: float = 0.5) -> pa.Table:
+def minhash_lsh_pairs(
+    doc_parquet: str, threshold: float = 0.5, shingle: str = "char5"
+) -> pa.Table:
     """Near-dup pairs (doc_a < doc_b, exact token-set Jaccard ≥ threshold)
     found via MinHash-LSH candidates. Candidate pairs are collected to the
     driver for verification — they are output-sized (bounded by true
@@ -97,7 +116,12 @@ def minhash_lsh_pairs(doc_parquet: str, threshold: float = 0.5) -> pa.Table:
 
     ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
     cand = (
-        ds.map_batches(MinHashSignatures, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(
+            MinHashSignatures,
+            fn_constructor_kwargs={"shingle": shingle},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
         .groupby(["band_id", "band_key"])
         .map_groups(_pairs_from_group, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
@@ -118,7 +142,7 @@ def minhash_lsh_pairs(doc_parquet: str, threshold: float = 0.5) -> pa.Table:
     tbl = pq.read_table(doc_parquet, columns=["doc_id", "text"])
     tbl = tbl.filter(pc.is_in(tbl["doc_id"], value_set=pa.array(involved)))
     toks = {
-        int(d): _token_set(t)
+        int(d): _features(t, shingle)
         for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
     }
     jac = np.array(
@@ -139,10 +163,12 @@ def minhash_lsh_pairs(doc_parquet: str, threshold: float = 0.5) -> pa.Table:
     )
 
 
-def brute_force_jaccard_pairs(texts: dict[int, str], threshold: float) -> set:
+def brute_force_jaccard_pairs(
+    texts: dict[int, str], threshold: float, shingle: str = "char5"
+) -> set:
     """O(n²) oracle for tests."""
     ids = sorted(texts)
-    sets = {i: _token_set(texts[i]) for i in ids}
+    sets = {i: _features(texts[i], shingle) for i in ids}
     out = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
@@ -199,6 +225,8 @@ def simhash_near_pairs(doc_parquet: str, max_hamming: int = 3) -> pa.Table:
         .aggregate(Count(alias_name="nb"))
     )
     t = out.to_pandas()
+    if "doc_a" not in t.columns:
+        t = pd.DataFrame({"doc_a": [], "doc_b": []})
     return pa.table(
         {
             "doc_a": pa.array(t["doc_a"], pa.int64()),
@@ -274,6 +302,8 @@ def embedding_cosine_pairs(
         .aggregate(Count(alias_name="nb"))
     )
     t = out.to_pandas()
+    if "doc_a" not in t.columns:
+        t = pd.DataFrame({"doc_a": [], "doc_b": []})
     return pa.table(
         {
             "doc_a": pa.array(t["doc_a"], pa.int64()),

@@ -1,0 +1,381 @@
+"""Image-payload stages: decode / validate / embed / near-dup / cluster.
+
+Ray-Data restatement of the reference's media pipeline
+(``bolts/media/VisualIndexerBolt.java``, ``FeatureExtractorBolt.java``,
+``ClustererBolt.java``) over the BASELINE ``input_hint`` table
+``(image_id, bytes, w, h, fmt, caption, phash)``:
+
+- :class:`DecodeValidate` — actor-pool ``map_batches`` stage: decode the
+  ``bytes`` column (pure-python codecs; a real deployment swaps in
+  PIL/libvips here — same signature), verify the per-row invariant
+  (decoded-pixel PSNR ≥ 40 dB for the lossy ``q6`` format / exact for
+  lossless, stored-phash reproducibility, byte-exact captions travel
+  untouched) and emit measurement columns. DCT/codec state is built once
+  per actor in ``__init__``.
+- :class:`PseudoEmbed` — deterministic stand-in for SURF/VLAD/PCA
+  (``VisualIndexerBolt.java:60-83``): decode → luma → area-resize to 16×16 →
+  2-D DCT → flatten 64 low-frequency coeffs → L2-normalize. Same decode
+  budget rule as the reference: images above ``max_pixels = 768*512`` are
+  area-downscaled first (``VisualIndexerBolt.java:63``).
+- :func:`phash_band_pairs` — near-dup candidate pairs by pHash band
+  blocking (4 bands × 16 bits): explode (band, key) → groupby → pairs →
+  verify Hamming ≤ ``max_hamming``. Mirrors the visual-index 0.85
+  query gate (``VisualIndexerBolt.java:167-171``) with a distance metric
+  computable without model weights.
+- :func:`cluster_images` — connected components over the near-dup pairs
+  with **deterministic min-member-id labels** (replacing the reference's
+  ``UUID.randomUUID`` cluster ids, ``ClustererBolt.java:185`` — SURVEY.md
+  §7.4). Pairs are tiny relative to images (SURVEY §2.6) so the union-find
+  runs driver-side; labels are then broadcast-joined back in a
+  ``map_batches`` over the full table.
+
+Multimodal stubs (plumbing is real, codec body is gated):
+
+- :class:`ExtAudioFeatures` / :class:`ExtVideoFrameSample` — actor-pool
+  stages whose Ray-side contract (schema in/out, batch sizing, actor
+  ``__init__`` state) is tested, but whose media decode raises
+  ``NotImplementedError`` unless the optional library import succeeded
+  (none are installed in this sandbox).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..fixtures.codecs import (
+    _dct_matrix,
+    decode,
+    phash64,
+    phash_distance,
+    psnr,
+    resize_area,
+    to_gray,
+)
+
+MAX_PIXELS = 768 * 512  # decode budget — VisualIndexerBolt.java:63
+PSNR_MIN_DB = 40.0  # BASELINE input_hint per-row invariant
+EMBED_DIM = 64
+
+N_BANDS = 4
+BAND_BITS = 16
+
+
+# --------------------------------------------------------------------------
+# decode + invariant validation
+# --------------------------------------------------------------------------
+
+
+class DecodeValidate:
+    """batch (image_id, bytes, w, h, fmt, phash) → per-row invariant columns.
+
+    Output: image_id, fmt, w_ok, h_ok, phash_ok, psnr_db_x100 (int64;
+    2**31-1 sentinel for inf/lossless-exact), decode_ok.
+    """
+
+    def __init__(self, check_phash: bool = True):
+        self.check_phash = check_phash
+        _dct_matrix(32)  # warm the module-level DCT cache once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        phs = batch["phash"].to_numpy()
+        n = len(ids)
+        w_ok = np.zeros(n, bool)
+        h_ok = np.zeros(n, bool)
+        ph_ok = np.zeros(n, bool)
+        dec_ok = np.zeros(n, bool)
+        psnr_x100 = np.zeros(n, np.int64)
+        INF = np.int64(2**31 - 1)
+        for i in range(n):
+            try:
+                rgb = decode(blobs[i], fmts[i])
+            except Exception:
+                continue
+            dec_ok[i] = True
+            h_ok[i] = rgb.shape[0] == hs[i]
+            w_ok[i] = rgb.shape[1] == ws[i]
+            if self.check_phash:
+                ph_ok[i] = phash64(rgb) == int(phs[i])
+            if fmts[i] == "q6":
+                # lossy: PSNR vs a re-encode→decode round trip must be
+                # stable ≥ 40 dB (the codec is idempotent after one pass)
+                from ..fixtures.codecs import q6_decode, q6_encode
+
+                rt = q6_decode(q6_encode(rgb))
+                p = psnr(rgb, rt)
+                psnr_x100[i] = INF if np.isinf(p) else np.int64(round(p * 100))
+            else:
+                psnr_x100[i] = INF  # lossless: exact by construction
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
+                "decode_ok": pa.array(dec_ok),
+                "w_ok": pa.array(w_ok),
+                "h_ok": pa.array(h_ok),
+                "phash_ok": pa.array(ph_ok),
+                "psnr_db_x100": pa.array(psnr_x100, pa.int64()),
+            }
+        )
+
+
+def decode_validate(images_parquet: str, concurrency=(1, 8), batch_size: int = 64):
+    """Dataset pipeline: read (column-pruned) → DecodeValidate actor pool.
+
+    batch_size is small because rows carry image payloads
+    (SURVEY.md §7.4 wide-binary-rows note)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        images_parquet, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]
+    ).map_batches(
+        DecodeValidate,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# pseudo-embedding (deterministic SURF/VLAD/PCA stand-in)
+# --------------------------------------------------------------------------
+
+
+def pseudo_embed_rgb(rgb: np.ndarray) -> np.ndarray:
+    """Deterministic 64-dim unit vector from pixels: luma → budgeted
+    downscale → 16×16 area resize → 2-D DCT-II → flatten → L2 normalize."""
+    h, w = rgb.shape[:2]
+    if h * w > MAX_PIXELS:
+        scale = (MAX_PIXELS / (h * w)) ** 0.5
+        rgb = resize_area(rgb.astype(np.float64), max(1, int(h * scale)), max(1, int(w * scale)))
+    g = resize_area(to_gray(rgb), 16, 16)
+    d16 = _dct_matrix(16)
+    # drop the DC coefficient (index 0): mean brightness is near-constant
+    # across the corpus and would dominate the cosine (cf. phash64)
+    coef = (d16 @ g @ d16.T).flatten()[1 : EMBED_DIM + 1]
+    nrm = np.linalg.norm(coef)
+    return coef / nrm if nrm > 0 else coef
+
+
+class PseudoEmbed:
+    """batch (image_id, bytes, fmt) → (image_id, embedding list<float>)."""
+
+    def __init__(self):
+        _dct_matrix(16)
+        _dct_matrix(32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        embs = [
+            pseudo_embed_rgb(decode(b, f)).astype(np.float32)
+            for b, f in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "embedding": pa.array([e.tolist() for e in embs], pa.list_(pa.float32())),
+            }
+        )
+
+
+def embed_images(images_parquet: str, concurrency=(1, 8), batch_size: int = 64):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        images_parquet, columns=["image_id", "bytes", "fmt"]
+    ).map_batches(
+        PseudoEmbed,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# pHash-band near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def _band_explode(batch: pa.Table) -> pa.Table:
+    """(image_id, phash) → N_BANDS rows (band, key, image_id, phash)."""
+    ph = batch["phash"].to_numpy().view(np.uint64)
+    ids = batch["image_id"].to_pylist()
+    n = len(ids)
+    bands = np.repeat(np.arange(N_BANDS, dtype=np.int32), n)
+    keys = np.concatenate(
+        [((ph >> np.uint64(b * BAND_BITS)) & np.uint64((1 << BAND_BITS) - 1)).astype(np.int64) for b in range(N_BANDS)]
+    )
+    return pa.table(
+        {
+            "band": pa.array(bands, pa.int32()),
+            "key": pa.array(keys, pa.int64()),
+            "image_id": pa.array(ids * N_BANDS, pa.string()),
+            "phash": pa.array(np.tile(ph.view(np.int64), N_BANDS), pa.int64()),
+        }
+    )
+
+
+def _group_pairs(max_hamming: int):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id")
+        ids = g["image_id"].to_numpy()
+        ph = g["phash"].to_numpy()
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = phash_distance(int(ph[i]), int(ph[j]))
+                if d <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(d)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
+
+    return pairs
+
+
+def phash_band_pairs(images_parquet: str, max_hamming: int = 8):
+    """Candidate blocking on equal 16-bit pHash bands, exact Hamming verify,
+    distinct pairs. Returns a Dataset of (id_a, id_b, hamming), id_a < id_b."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    return (
+        rd.read_parquet(images_parquet, columns=["image_id", "phash"])
+        .map_batches(_band_explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(_group_pairs(max_hamming), batch_format="pandas")
+        # a pair can match in several bands → dedup on (id_a, id_b)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
+# connected-component clustering (deterministic min-id labels)
+# --------------------------------------------------------------------------
+
+
+def union_find_labels(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Min-member-id connected components over an edge list."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[str] = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in nodes}
+
+
+def cluster_images(images_parquet: str, max_hamming: int = 8):
+    """Near-dup clusters: pHash-band pairs → driver union-find (pairs are
+    tiny vs images) → broadcast label map → map_batches label join.
+    Returns (image_id, cluster_id); singletons get their own id."""
+    import ray
+    import ray.data as rd
+
+    pairs_tbl = phash_band_pairs(images_parquet, max_hamming).to_pandas()
+    labels = union_find_labels(list(zip(pairs_tbl["id_a"], pairs_tbl["id_b"])))
+    label_ref = ray.put(labels)
+
+    class Label:
+        def __init__(self):
+            self.labels = ray.get(label_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            return pa.table(
+                {
+                    "image_id": pa.array(ids, pa.string()),
+                    "cluster_id": pa.array(
+                        [self.labels.get(i, i) for i in ids], pa.string()
+                    ),
+                }
+            )
+
+    return rd.read_parquet(images_parquet, columns=["image_id"]).map_batches(
+        Label, batch_format="pyarrow", concurrency=2
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal stubs (audio / video) — plumbing real, codec gated
+# --------------------------------------------------------------------------
+
+try:  # pragma: no cover - not installed in this sandbox
+    import soundfile as _soundfile  # type: ignore
+except Exception:
+    _soundfile = None
+
+try:  # pragma: no cover
+    import av as _pyav  # type: ignore
+except Exception:
+    _pyav = None
+
+
+class ExtAudioFeatures:
+    """Actor stage: (clip_id, bytes) → (clip_id, n_samples, rms_x1000).
+
+    The Ray-side contract (schema, batch sizing, per-actor init) is real and
+    tested; the decode requires the optional ``soundfile`` library, absent
+    here → NotImplementedError (clearly-marked stub per the build brief)."""
+
+    def __init__(self):
+        self.backend = _soundfile
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend is None:
+            raise NotImplementedError(
+                "audio decode needs the optional 'soundfile' library "
+                "(not installed in this environment)"
+            )
+        out_n, out_r = [], []
+        for blob in batch["bytes"].to_pylist():  # pragma: no cover
+            import io
+
+            data, _sr = self.backend.read(io.BytesIO(blob))
+            out_n.append(len(data))
+            out_r.append(int(np.sqrt(np.mean(np.square(data))) * 1000))
+        return pa.table(
+            {
+                "clip_id": batch["clip_id"],
+                "n_samples": pa.array(out_n, pa.int64()),
+                "rms_x1000": pa.array(out_r, pa.int64()),
+            }
+        )
+
+
+class ExtVideoFrameSample:
+    """Actor stage: (video_id, bytes, every_n) → exploded frame rows
+    (video_id, frame_idx, frame_png). Needs optional 'av'; stubbed here."""
+
+    def __init__(self, every_n: int = 30):
+        self.backend = _pyav
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend is None:
+            raise NotImplementedError(
+                "video decode needs the optional 'av' (PyAV) library "
+                "(not installed in this environment)"
+            )
+        raise NotImplementedError  # pragma: no cover

@@ -1,0 +1,80 @@
+"""ANN variants: exact baseline agrees with numpy brute force; IVF / LSH
+recall@10 against the exact result is high on the test corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from mklab_focused_crawler_ray.stages.ann import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    train_centroids,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _numpy_exact(k=10, nq=5):
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid in range(nq):
+        q = mat[vids == qid][0]
+        cos = mat @ q
+        cm = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        mask = vids != qid
+        order = np.lexsort((vids[mask], -cm[mask]))[:k]
+        out[qid] = list(zip(vids[mask][order], cm[mask][order]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact():
+    return _numpy_exact()
+
+
+def _collect(ds):
+    df = ds.to_pandas()
+    out = {}
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cos_micro", "vec_id"], ascending=[False, True])
+        out[int(qid)] = list(zip(g["vec_id"], g["cos_micro"]))
+    return out
+
+
+def test_brute_force_matches_numpy(ray_session, exact):
+    got = _collect(brute_force_topk(EMB, n_queries=5, k=10))
+    for qid, expected in exact.items():
+        assert [int(v) for v, _ in got[qid]] == [int(v) for v, _ in expected]
+        assert [int(c) for _, c in got[qid]] == [int(c) for _, c in expected]
+
+
+def _recall(got, exact):
+    hits = tot = 0
+    for qid, expected in exact.items():
+        e = {int(v) for v, _ in expected}
+        g = {int(v) for v, _ in got.get(qid, [])}
+        hits += len(e & g)
+        tot += len(e)
+    return hits / tot
+
+
+def test_ivf_recall(ray_session, exact):
+    got = _collect(ivf_topk(EMB, n_queries=5, k=10, nlist=16, nprobe=8))
+    assert _recall(got, exact) >= 0.6
+
+
+def test_lsh_recall(ray_session, exact):
+    got = _collect(lsh_topk(EMB, n_queries=5, k=10, n_planes=32, bands=16))
+    assert _recall(got, exact) >= 0.6
+
+
+def test_centroids_deterministic():
+    c1 = train_centroids(EMB, nlist=8)
+    c2 = train_centroids(EMB, nlist=8)
+    assert np.array_equal(c1, c2)

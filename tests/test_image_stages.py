@@ -1,0 +1,177 @@
+"""Image-stage semantics: per-row invariant (PSNR/caption/phash), near-dup
+recall vs planted ground truth, deterministic clustering, embed properties,
+and the gated multimodal stubs."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mklab_focused_crawler_ray.fixtures.codecs import phash_distance
+from mklab_focused_crawler_ray.stages.image import (
+    DecodeValidate,
+    ExtAudioFeatures,
+    ExtVideoFrameSample,
+    PseudoEmbed,
+    cluster_images,
+    decode_validate,
+    phash_band_pairs,
+    union_find_labels,
+)
+
+
+@pytest.fixture(scope="module")
+def images_parquet(tiny_fixture):
+    return os.path.join(tiny_fixture, "images.parquet")
+
+
+@pytest.fixture(scope="module")
+def dupmap(tiny_fixture):
+    t = pq.read_table(os.path.join(tiny_fixture, "images_dupmap.parquet"))
+    return list(zip(t["image_id"].to_pylist(), t["dup_of"].to_pylist()))
+
+
+def test_decode_validate_invariants(ray_session, images_parquet):
+    df = decode_validate(images_parquet, concurrency=2).to_pandas()
+    assert df["decode_ok"].all()
+    assert df["w_ok"].all() and df["h_ok"].all()
+    # stored phash must be reproducible from bytes alone
+    assert df["phash_ok"].all()
+    # PSNR ≥ 40 dB for lossy, exact (sentinel) for lossless
+    lossy = df[df["fmt"] == "q6"]
+    assert (lossy["psnr_db_x100"] >= 40 * 100).all()
+    lossless = df[df["fmt"] != "q6"]
+    assert (lossless["psnr_db_x100"] == 2**31 - 1).all()
+
+
+def test_captions_roundtrip_byte_exact(images_parquet):
+    """Caption bytes travel untouched through read → batch → write."""
+    import ray.data as rd
+
+    src = pq.read_table(images_parquet, columns=["image_id", "caption"])
+    expected = dict(zip(src["image_id"].to_pylist(), src["caption"].to_pylist()))
+    out = (
+        rd.read_parquet(images_parquet, columns=["image_id", "caption"])
+        .map_batches(lambda b: b, batch_format="pyarrow")
+        .to_pandas()
+    )
+    got = dict(zip(out["image_id"], out["caption"]))
+    assert got == expected
+
+
+def test_phash_pairs_recall_vs_planted_dups(ray_session, images_parquet, dupmap):
+    pairs = phash_band_pairs(images_parquet, max_hamming=8).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    # every planted near-dup whose true Hamming distance ≤ 8 must be found
+    # (band blocking with 4×16-bit bands is exact for Hamming ≤ 3 by
+    # pigeonhole; planted re-encodes are usually distance 0-4)
+    ph = dict(
+        zip(
+            pq.read_table(images_parquet, columns=["image_id", "phash"])["image_id"].to_pylist(),
+            pq.read_table(images_parquet, columns=["image_id", "phash"])["phash"].to_pylist(),
+        )
+    )
+    expected = {
+        tuple(sorted((a, b)))
+        for a, b in dupmap
+        if phash_distance(ph[a], ph[b]) <= 3
+    }
+    assert expected <= got
+    # verify step: every reported pair is genuinely ≤ 8
+    for a, b, d in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"]):
+        assert phash_distance(ph[a], ph[b]) == d <= 8
+
+
+def test_union_find_min_id_labels():
+    labels = union_find_labels([("c", "b"), ("b", "a"), ("x", "y")])
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["x"] == labels["y"] == "x"
+
+
+def test_cluster_images_deterministic(ray_session, images_parquet, dupmap):
+    df1 = cluster_images(images_parquet).to_pandas().sort_values("image_id")
+    df2 = cluster_images(images_parquet).to_pandas().sort_values("image_id")
+    assert df1["cluster_id"].tolist() == df2["cluster_id"].tolist()
+    lab = dict(zip(df1["image_id"], df1["cluster_id"]))
+    ph = dict(
+        zip(
+            pq.read_table(images_parquet, columns=["image_id", "phash"])["image_id"].to_pylist(),
+            pq.read_table(images_parquet, columns=["image_id", "phash"])["phash"].to_pylist(),
+        )
+    )
+    for a, b in dupmap:
+        if phash_distance(ph[a], ph[b]) <= 3:
+            assert lab[a] == lab[b]
+    # labels are min-member ids: label ≤ every member id
+    for img, cl in lab.items():
+        assert cl <= img
+
+
+def test_pseudo_embed_unit_norm_and_determinism(images_parquet):
+    t = pq.read_table(images_parquet).slice(0, 8)
+    stage = PseudoEmbed()
+    out1 = stage(t)
+    out2 = PseudoEmbed()(t)
+    assert out1.equals(out2)
+    for e in out1["embedding"].to_pylist():
+        assert len(e) == 64
+        assert abs(np.linalg.norm(np.asarray(e)) - 1.0) < 1e-5
+
+
+def test_decode_validate_flags_corrupt_bytes():
+    bad = pa.table(
+        {
+            "image_id": ["x"],
+            "bytes": [b"not an image"],
+            "w": pa.array([10], pa.int32()),
+            "h": pa.array([10], pa.int32()),
+            "fmt": ["png"],
+            "caption": ["c"],
+            "phash": pa.array([0], pa.int64()),
+        }
+    )
+    out = DecodeValidate()(bad)
+    assert not out["decode_ok"][0].as_py()
+
+
+def test_image_embedding_dup_pairs_match_brute_force(ray_session):
+    """Hyperplane-LSH embedding near-dup over the fixture pseudo-embeddings
+    equals the O(n²) cosine check at the same threshold (planted re-encode /
+    downscale dups give genuine cosine≈1 positives)."""
+    import pandas as pd
+
+    from mklab_focused_crawler_ray.pipelines.queries_media import (
+        fixture_embeddings_parquet,
+        q_image_embed_dup_pairs,
+    )
+
+    p = fixture_embeddings_parquet("/root/testdata/sf0.001")
+    t = pq.read_table(p)
+    m = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    cos = m @ m.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = cos[ii, jj] >= 0.995
+    expected = {
+        tuple(sorted((int(ids[a]), int(ids[b]))))
+        for a, b in zip(ii[keep], jj[keep])
+    }
+    assert expected, "fixture must plant at least one embedding near-dup"
+    res = q_image_embed_dup_pairs("/root/testdata/sf0.001").to_pandas()
+    got = {tuple(sorted((int(a), int(b)))) for a, b in zip(res["doc_a"], res["doc_b"])}
+    # LSH with 2 independent plane sets: every brute-force pair at this
+    # threshold is near-identical → bucket collision is near-certain
+    assert got == expected
+
+
+def test_multimodal_stubs_raise_cleanly():
+    batch = pa.table({"clip_id": ["a"], "bytes": [b"\x00"]})
+    with pytest.raises(NotImplementedError):
+        ExtAudioFeatures()(batch)
+    with pytest.raises(NotImplementedError):
+        ExtVideoFrameSample()(pa.table({"video_id": ["v"], "bytes": [b"\x00"]}))
