@@ -408,6 +408,15 @@ TIERS = {
     # name: (frontier seeds, url universe, images, hosts)
     "tiny": dict(n_urls=600, n_seeds=200, n_images=100, n_hosts=12),
     "small": dict(n_urls=30_000, n_seeds=10_000, n_images=5_000, n_hosts=60),
+    # medium: scaling-bench tier — enough per-round work that compute
+    # dominates per-round orchestration at 32 cpus (image-dense pages)
+    "medium": dict(
+        n_urls=250_000,
+        n_seeds=150_000,
+        n_images=8_000,
+        n_hosts=150,
+        imgs_per_page=16,
+    ),
     "bench": dict(n_urls=2_000_000, n_seeds=1_000_000, n_images=50_000, n_hosts=400),
 }
 
@@ -420,12 +429,26 @@ def generate_tier(tier: str, out_dir: str, seed: int = 42, force: bool = False) 
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker) and not force:
         return out_dir
+    cfg = dict(cfg)
     img_dims = dict(dim_lo=64, dim_hi=256) if cfg["n_images"] <= 1000 else dict(dim_lo=64, dim_hi=128)
+    for k in ("dim_lo", "dim_hi"):
+        if k in cfg:
+            img_dims[k] = cfg.pop(k)
     images, dupmap = gen_images(cfg["n_images"], seed=seed, **img_dims)
     pq.write_table(images, os.path.join(out_dir, "images.parquet"))
     pq.write_table(dupmap, os.path.join(out_dir, "images_dupmap.parquet"))
+    extra = {
+        k: v
+        for k, v in cfg.items()
+        if k not in ("n_urls", "n_seeds", "n_images", "n_hosts")
+    }
     web = gen_web(
-        cfg["n_urls"], cfg["n_seeds"], cfg["n_images"], seed=seed, n_hosts=cfg["n_hosts"]
+        cfg["n_urls"],
+        cfg["n_seeds"],
+        cfg["n_images"],
+        seed=seed,
+        n_hosts=cfg["n_hosts"],
+        **extra,
     )
     for name, tbl in web.items():
         pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))

@@ -75,25 +75,40 @@ def url_hash64(url: str) -> int:
 
 
 def url_hash64_vec(urls) -> np.ndarray:
-    """Vectorized FNV-1a over a list of strings → uint64 ndarray."""
-    strs = list(urls)
-    n = len(strs)
-    out = np.empty(n, dtype=np.uint64)
+    """Vectorized FNV-1a over strings → uint64 ndarray. Runs over the Arrow
+    string buffers (one contiguous uint8 view + offsets) so the cost is
+    O(total bytes) of numpy work with no per-row Python objects."""
+    import pyarrow as pa
+
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        arr = (
+            urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+        ).cast(pa.large_string())
+    else:
+        urls = list(urls)
+        if len(urls) == 0:
+            return np.empty(0, dtype=np.uint64)
+        arr = pa.array(urls, pa.large_string())
+    n = len(arr)
     if n == 0:
-        return out
-    bufs = [np.frombuffer(s.encode("utf-8"), dtype=np.uint8) for s in strs]
-    lengths = np.array([len(b) for b in bufs], dtype=np.int64)
-    maxlen = int(lengths.max(initial=0))
-    mat = np.zeros((n, maxlen), dtype=np.uint64)
-    for i, b in enumerate(bufs):
-        mat[i, : len(b)] = b
+        return np.empty(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
     h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
+    maxlen = int(lengths.max(initial=0))
+    idx_all = np.arange(n)
     with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            active = j < lengths
-            nh = (h ^ mat[:, j]) * prime
-            h = np.where(active, nh, h)
+        j = 0
+        active = idx_all
+        while j < maxlen:
+            active = active[lengths[active] > j]
+            b = data[starts[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ b) * prime
+            j += 1
     return h
 
 

@@ -30,6 +30,7 @@ class CrawlConfig:
     hot_threshold: int = 50  # seed-count per host above which the host is salted
     max_salts: int = 4
     seen_capacity: int = 1 << 17
-    fetch_concurrency: int = 4  # FetchExtract actor pool size
+    fetch_concurrency: int = 4  # target fetch-stage parallelism (block fan-out)
     fetch_batch_size: int = 256
+    embed_media: bool = False  # decode+embed extracted media (vIndexer path)
     extra: dict = field(default_factory=dict)

@@ -4,13 +4,17 @@ Each crawl round:
 1. ``propose``/``commit`` against the sharded frontier actors (state/frontier)
    — global order (score desc, url asc) under per-host politeness quotas.
 2. The selected rows become a per-round ``ray.data.Dataset``:
-   from_arrow → Expander (redirect expansion + routing; broadcast map) →
+   from_arrow → expander (redirect expansion + routing; broadcast map) →
    [driver-side expanded-URL dedup against the owning shards — exact,
-   order-sensitive within the round] → FetchExtract actor pool (offline
-   fetch join + article/image extraction over Arrow batches) →
-   EnqueueLinks (discovered URLs scored + routed + enqueued into shards
+   order-sensitive within the round] → fetch_extract task stage (offline
+   fetch join against a zero-copy broadcast Arrow page store +
+   article/image extraction over Arrow batches) →
+   enqueue_links (discovered URLs scored + routed + enqueued into shards
    from inside the stage — link volume never lands on the driver) →
    write_parquet (one directory per round → resumable output).
+   All three stages are TASK-based (plain functions over broadcast
+   ObjectRefs), not per-round actor pools: actor spawn latency every round
+   dominated wall time and inverted scaling in the pool design.
 3. Shards checkpoint (pending + seen + manifest w/ lineage) every round; a
    killed run restores shard state and skips rounds whose output directory
    is already complete — no re-fetching.
@@ -30,35 +34,35 @@ import pyarrow.parquet as pq
 
 from ..functions.scoring import webpage_score
 from ..functions.urls import host_of, url_hash64, url_hash64_vec
-from ..state.frontier import FrontierShard, build_salt_map, route
+from ..state.frontier import FrontierShard, build_salt_map, route, route_many
 from ..state.politeness import RobotsCache
-from ..stages.expand import Expander
-from ..stages.fetch import FetchExtract
+from ..stages.expand import make_expander
+from ..stages.fetch import build_page_store, make_fetch_extract
 from .config import CrawlConfig
 
 
-class EnqueueLinks:
-    """map_batches sink-stage: discovered out_links are scored (universe
-    metadata via broadcast numpy lookup arrays), routed by
-    (registered_domain, salt) and enqueued into the frontier shard actors
-    directly from the worker — the driver never sees the link stream.
+import ray as _ray
+
+
+@_ray.remote
+def _expand_task(expander_fn, tbl_slice: pa.Table) -> pa.Table:
+    return expander_fn(tbl_slice)
+
+
+def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms):
+    """Task-based map_batches sink-stage factory: discovered out_links are
+    scored (universe metadata via broadcast zero-copy numpy lookup arrays),
+    routed by (registered_domain, salt) and enqueued into the frontier shard
+    actors directly from the worker — the driver never sees the link stream.
     Enqueue order across tasks is irrelevant: a URL's score derives from the
     URL alone, and the shard's first-wins dedup is order-insensitive for the
     final pending/seen state (oracle equivalence argument in
     pipelines/oracle.py)."""
 
-    def __init__(self, shards, meta_ref, salt_map, n_shards, now_ms):
+    def enqueue_links(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.shards = shards
-        self.sorted_hashes, self.shares, self.dates = ray.get(meta_ref)
-        self.salt_map = salt_map
-        self.n_shards = n_shards
-        self.now_ms = now_ms
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
+        sorted_hashes, meta_shares, meta_dates = ray.get(meta_ref)
         links: list[str] = []
         for cell in batch["out_links"]:
             links.extend(cell.as_py() or [])
@@ -66,37 +70,36 @@ class EnqueueLinks:
             # de-dup within the batch (cheap pre-filter; shards dedup exactly)
             links = list(dict.fromkeys(links))
             h = url_hash64_vec(links)
-            idx = np.searchsorted(self.sorted_hashes, h)
-            idx_c = np.clip(idx, 0, max(0, len(self.sorted_hashes) - 1))
+            idx = np.searchsorted(sorted_hashes, h)
+            idx_c = np.clip(idx, 0, max(0, len(sorted_hashes) - 1))
             found = (
-                (self.sorted_hashes[idx_c] == h)
-                if len(self.sorted_hashes)
+                (sorted_hashes[idx_c] == h)
+                if len(sorted_hashes)
                 else np.zeros(len(links), bool)
             )
-            shares = np.where(found, self.shares[idx_c], 0).astype(np.int64)
-            dates = np.where(found, self.dates[idx_c], self.now_ms).astype(np.int64)
-            scores = webpage_score(shares, dates, self.now_ms)
-            per_shard: dict[int, dict] = {}
-            for i, u in enumerate(links):
-                host = host_of(u)
-                shard, salt = route(u, host, self.n_shards, self.salt_map)
-                d = per_shard.setdefault(
-                    shard,
-                    {"url": [], "domain": [], "salt": [], "score": [], "shares": [], "date_ms": []},
-                )
-                d["url"].append(u)
-                d["domain"].append(host)
-                d["salt"].append(salt)
-                d["score"].append(float(scores[i]))
-                d["shares"].append(int(shares[i]))
-                d["date_ms"].append(int(dates[i]))
-            ray.get(
-                [
-                    self.shards[s].enqueue.remote(rows, self.now_ms)
-                    for s, rows in per_shard.items()
-                ]
-            )
+            shares = np.where(found, meta_shares[idx_c], 0).astype(np.int64)
+            dates = np.where(found, meta_dates[idx_c], now_ms).astype(np.int64)
+            scores = webpage_score(shares, dates, now_ms)
+            hosts = [host_of(u) for u in links]
+            shard_arr, salt_arr, _ = route_many(links, hosts, n_shards, salt_map)
+            links_np = np.asarray(links, dtype=object)
+            hosts_np = np.asarray(hosts, dtype=object)
+            futs = []
+            for s in np.unique(shard_arr):
+                m = shard_arr == s
+                rows = {
+                    "url": links_np[m].tolist(),
+                    "domain": hosts_np[m].tolist(),
+                    "salt": salt_arr[m].tolist(),
+                    "score": scores[m].tolist(),
+                    "shares": shares[m].tolist(),
+                    "date_ms": dates[m].tolist(),
+                }
+                futs.append(shards[int(s)].enqueue.remote(rows, now_ms))
+            ray.get(futs)
         return batch
+
+    return enqueue_links
 
 
 class RayCrawler:
@@ -120,20 +123,21 @@ class RayCrawler:
         self.redirect_map_ref = ray.put(
             dict(zip(redirects["src"].to_pylist(), redirects["dst"].to_pylist()))
         )
+        if cfg.embed_media:
+            from ..stages.visual import build_image_store
+
+            images = pq.read_table(
+                os.path.join(fixture_dir, "images.parquet"),
+                columns=["image_id", "bytes", "fmt"],
+            )
+            self.image_store_ref = ray.put(build_image_store(images))
+        else:
+            self.image_store_ref = None
         pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
-        # offline page store (broadcast). At 100 TB this becomes a
-        # hash-partitioned Lance store + bucketed join — see stages/fetch.py.
-        self.page_store_ref = ray.put(
-            {
-                u: (sc, ct, html)
-                for u, sc, ct, html in zip(
-                    pages["url"].to_pylist(),
-                    pages["status_code"].to_pylist(),
-                    pages["content_type"].to_pylist(),
-                    pages["html"].to_pylist(),
-                )
-            }
-        )
+        # offline page store (broadcast, zero-copy: sorted url-hash numpy
+        # index + Arrow table). At 100 TB this becomes a hash-partitioned
+        # Lance store + bucketed join — see stages/fetch.py.
+        self.page_store_ref = ray.put(build_page_store(pages))
         uni = pq.read_table(
             os.path.join(fixture_dir, "urls.parquet"), columns=["url", "shares", "date"]
         )
@@ -155,7 +159,9 @@ class RayCrawler:
             counts[d] = counts.get(d, 0) + 1
         self.salt_map = build_salt_map(counts, cfg.hot_threshold, cfg.max_salts)
 
-        Actor = ray.remote(num_cpus=0.25)(FrontierShard)
+        # tiny num_cpus: shard actors are control-plane (RPC-driven python
+        # state); reserving real CPU slots starves map tasks on small nodes
+        Actor = ray.remote(num_cpus=0.05)(FrontierShard)
         self.shards = [
             Actor.remote(
                 i,
@@ -170,6 +176,9 @@ class RayCrawler:
         ]
         self.trace: list[tuple[int, int, str]] = []
         self.start_round = 0
+        # cumulative wall-time per phase (control = propose/commit/merge/
+        # expand/dedup barriers; pipeline = fetch+extract+embed+enqueue+write)
+        self.phase_times = {"control": 0.0, "pipeline": 0.0}
 
     # -- seed / resume ----------------------------------------------------
     def _manifest_path(self) -> str:
@@ -200,40 +209,59 @@ class RayCrawler:
         shares = self.seeds["shares"].to_numpy().astype(np.int64)
         dates = self.seeds["date"].cast(pa.int64()).to_numpy()
         scores = webpage_score(shares, dates, self.cfg.now_ms)
-        per_shard: dict[int, dict] = {}
-        for i, u in enumerate(urls):
-            shard, salt = route(u, domains[i], self.cfg.n_shards, self.salt_map)
-            d = per_shard.setdefault(
-                shard,
-                {"url": [], "domain": [], "salt": [], "score": [], "shares": [], "date_ms": []},
-            )
-            d["url"].append(u)
-            d["domain"].append(domains[i])
-            d["salt"].append(salt)
-            d["score"].append(float(scores[i]))
-            d["shares"].append(int(shares[i]))
-            d["date_ms"].append(int(dates[i]))
-        ray.get(
-            [
-                self.shards[s].enqueue.remote(rows, self.cfg.now_ms)
-                for s, rows in per_shard.items()
-            ]
+        shard_arr, salt_arr, _ = route_many(
+            urls, domains, self.cfg.n_shards, self.salt_map
         )
+        urls_np = np.asarray(urls, dtype=object)
+        domains_np = np.asarray(domains, dtype=object)
+        futs = []
+        for s in np.unique(shard_arr):
+            m = shard_arr == s
+            rows = {
+                "url": urls_np[m].tolist(),
+                "domain": domains_np[m].tolist(),
+                "salt": salt_arr[m].tolist(),
+                "score": scores[m].tolist(),
+                "shares": shares[m].tolist(),
+                "date_ms": dates[m].tolist(),
+            }
+            futs.append(self.shards[int(s)].enqueue.remote(rows, self.cfg.now_ms))
+        ray.get(futs)
 
     # -- one round --------------------------------------------------------
     def run_round(self, rnd: int) -> int:
+        import time as _time
+
         import ray
         import ray.data as rd
 
         cfg = self.cfg
         now = cfg.now_ms
+        _t0 = _time.time()
         proposals = ray.get([s.propose.remote(cfg.round_budget) for s in self.shards])
-        merged = []  # (score, url, shard_idx)
+        # Arrow-native merge of shard proposals (driver-side python sort of
+        # O(budget × shards) tuples was a serial bottleneck at large rounds)
+        p_scores, p_urls, p_shards = [], [], []
         for si, props in enumerate(proposals):
             for score, url, domain, salt in props:
-                merged.append((score, url, si))
-        merged.sort(key=lambda t: (-t[0], t[1]))
-        selected = merged[: cfg.round_budget]
+                p_scores.append(score)
+                p_urls.append(url)
+                p_shards.append(si)
+        merged_tbl = pa.table(
+            {
+                "score": pa.array(p_scores, pa.float64()),
+                "url": pa.array(p_urls, pa.string()),
+                "shard": pa.array(p_shards, pa.int32()),
+            }
+        ).sort_by([("score", "descending"), ("url", "ascending")])
+        merged_tbl = merged_tbl.slice(0, cfg.round_budget)
+        selected = list(
+            zip(
+                merged_tbl["score"].to_pylist(),
+                merged_tbl["url"].to_pylist(),
+                merged_tbl["shard"].to_pylist(),
+            )
+        )
         per_shard_sel: dict[int, list[str]] = {i: [] for i in range(cfg.n_shards)}
         for score, url, si in selected:
             per_shard_sel[si].append(url)
@@ -245,41 +273,47 @@ class RayCrawler:
         )
         if not selected:
             return 0
-        rows_by_url = {r["url"]: r for rows in committed for r in rows}
+        # committed shards return columns; index url → (domain, shares, date)
+        rows_by_url = {}
+        for cols in committed:
+            for u, d, sh_, dm in zip(
+                cols["url"], cols["domain"], cols["shares"], cols["date_ms"]
+            ):
+                rows_by_url[u] = (d, sh_, dm)
         rank_of = {}
         for rank, (score, url, si) in enumerate(selected):
             self.trace.append((rnd, rank, url))
             rank_of[url] = rank
 
+        meta = [rows_by_url[u] for _, u, _ in selected]
         tbl = pa.table(
             {
                 "round": pa.array([rnd] * len(selected), pa.int32()),
                 "rank": pa.array([rank_of[u] for _, u, _ in selected], pa.int32()),
                 "url": pa.array([u for _, u, _ in selected], pa.string()),
-                "host": pa.array(
-                    [rows_by_url[u]["domain"] for _, u, _ in selected], pa.string()
-                ),
+                "host": pa.array([m[0] for m in meta], pa.string()),
                 "score": pa.array([s for s, _, _ in selected], pa.float64()),
-                "shares": pa.array(
-                    [rows_by_url[u]["shares"] for _, u, _ in selected], pa.int64()
-                ),
-                "date_ms": pa.array(
-                    [rows_by_url[u]["date_ms"] for _, u, _ in selected], pa.int64()
-                ),
+                "shares": pa.array([m[1] for m in meta], pa.int64()),
+                "date_ms": pa.array([m[2] for m in meta], pa.int64()),
             }
         )
 
-        # expansion (small control-plane stage; budget rows only)
-        ds = rd.from_arrow(tbl)
+        # expansion — raw Ray tasks over table slices, NOT a Dataset: this is
+        # a budget-row control-plane stage sandwiched between two driver
+        # barriers (the order-sensitive dedup below), and a per-round Dataset
+        # executor spin-up (~0.5 s) dominated the stage's actual work
+        # (SURVEY §2 note: raw tasks only where the Dataset API genuinely
+        # doesn't fit — this barrier is that case).
+        n_slices = max(1, min(8, len(tbl) // 4096))
+        expander_fn = make_expander(self.redirect_map_ref)
+        slice_refs = [
+            _expand_task.remote(expander_fn, tbl.slice(i * len(tbl) // n_slices,
+                                                       (i + 1) * len(tbl) // n_slices - i * len(tbl) // n_slices))
+            for i in range(n_slices)
+        ]
         exp = (
-            ds.map_batches(
-                Expander,
-                fn_constructor_kwargs={"redirect_map_ref": self.redirect_map_ref},
-                batch_format="pyarrow",
-                batch_size=4096,
-                concurrency=2,
-            )
-            .select_columns(["rank", "url", "expanded_url", "expanded_host", "route", "status"])
+            pa.concat_tables(ray.get(slice_refs))
+            .select(["rank", "url", "expanded_url", "expanded_host", "route", "status"])
             .to_pandas()
             .sort_values("rank")
         )
@@ -335,28 +369,39 @@ class RayCrawler:
             preserve_index=False,
         )
 
+        self.phase_times["control"] += _time.time() - _t0
+        _t0 = _time.time()
         # fetch + extract + enqueue discovered links + write round output
-        ds2 = (
-            rd.from_arrow(tbl2)
-            .map_batches(
-                FetchExtract,
-                fn_constructor_kwargs={"page_store_ref": self.page_store_ref},
+        # from_arrow yields ONE block — split it so the fetch stage fans out
+        # (tasks are per block; batch_size alone does not create parallelism)
+        n_blocks = max(
+            1,
+            min(
+                -(-len(tbl2) // cfg.fetch_batch_size),  # ceil
+                cfg.fetch_concurrency * 4,
+            ),
+        )
+        ds2 = rd.from_arrow(tbl2, override_num_blocks=n_blocks).map_batches(
+            make_fetch_extract(self.page_store_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+        )
+        if self.image_store_ref is not None:
+            from ..stages.visual import make_media_embed
+
+            ds2 = ds2.map_batches(
+                make_media_embed(self.image_store_ref),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency,
             )
+        ds2 = (
+            ds2
             .map_batches(
-                EnqueueLinks,
-                fn_constructor_kwargs={
-                    "shards": self.shards,
-                    "meta_ref": self.meta_ref,
-                    "salt_map": self.salt_map,
-                    "n_shards": cfg.n_shards,
-                    "now_ms": now,
-                },
+                make_enqueue_links(
+                    self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now
+                ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
-                concurrency=2,
             )
         )
         round_dir = os.path.join(self.out_dir, f"round={rnd}")
@@ -367,6 +412,7 @@ class RayCrawler:
             shutil.rmtree(tmp_dir)
         ds2.write_parquet(tmp_dir)
         os.rename(tmp_dir, round_dir)
+        self.phase_times["pipeline"] += _time.time() - _t0
         return len(selected)
 
     # -- full crawl -------------------------------------------------------

@@ -34,6 +34,34 @@ def expand_url(url: str, redirect_map: dict[str, str]) -> tuple[str, str]:
     return cur, "ok"
 
 
+def make_expander(redirect_map_ref):
+    """Task-based ``map_batches`` stage factory (the round loop uses this —
+    no per-round actor spawn; the redirect map is small, so the per-task
+    ``ray.get`` is cheap and worker-local after the first task)."""
+
+    def expander(batch: pa.Table) -> pa.Table:
+        import ray
+
+        redirects: dict[str, str] = ray.get(redirect_map_ref)
+        urls = batch["url"].to_pylist()
+        expanded, hosts, routes, statuses = [], [], [], []
+        for u in urls:
+            e, st = expand_url(u, redirects)
+            h = host_of(e)
+            expanded.append(e)
+            hosts.append(h)
+            routes.append(route_of_host(h))
+            statuses.append(st)
+        return (
+            batch.append_column("expanded_url", pa.array(expanded, pa.string()))
+            .append_column("expanded_host", pa.array(hosts, pa.string()))
+            .append_column("route", pa.array(routes, pa.string()))
+            .append_column("status", pa.array(statuses, pa.string()))
+        )
+
+    return expander
+
+
 class Expander:
     """Actor-pool ``map_batches`` stage: adds expanded_url / expanded_host /
     route / status columns. The redirect map is fetched from the object

@@ -91,10 +91,86 @@ def fetch_and_extract_row(
     }
 
 
+def build_page_store(pages: pa.Table):
+    """Driver-side: turn the pages table into a zero-copy broadcast store —
+    (sorted url-hash numpy array, pages table sorted the same way). Workers
+    ``ray.get`` this per task at near-zero cost: numpy int arrays and Arrow
+    string/binary columns map the plasma buffers directly instead of
+    unpickling a Python dict (the dict deserialize was the per-round tax of
+    the previous actor-pool design)."""
+    import numpy as np
+
+    from ..functions.urls import url_hash64_vec
+
+    h = url_hash64_vec(pages["url"].to_pylist())
+    order = np.argsort(h, kind="stable")
+    sorted_tbl = pages.take(pa.array(order)).combine_chunks()
+    return h[order], sorted_tbl
+
+
+class _ArrowPageLookup:
+    """dict-like facade over the (hashes, sorted table) store so
+    fetch_and_extract_row (shared with the pure-Python oracle) stays
+    unchanged. 64-bit hash prefilter + exact string verify."""
+
+    def __init__(self, hashes, tbl: pa.Table):
+        import numpy as np
+
+        self._np = np
+        self.hashes = hashes
+        self.urls = tbl["url"]
+        self.status = tbl["status_code"]
+        self.ctype = tbl["content_type"]
+        self.html = tbl["html"]
+
+    def get(self, url: str):
+        from ..functions.urls import url_hash64
+
+        np = self._np
+        h = np.uint64(url_hash64(url))
+        i = int(np.searchsorted(self.hashes, h))
+        while i < len(self.hashes) and self.hashes[i] == h:
+            if self.urls[i].as_py() == url:
+                return (
+                    self.status[i].as_py(),
+                    self.ctype[i].as_py(),
+                    self.html[i].as_py(),
+                )
+            i += 1
+        return None
+
+
+def make_fetch_extract(page_store_ref):
+    """Task-based ``map_batches`` stage factory. Each task resolves the
+    broadcast Arrow page store (zero-copy) and processes one batch; worker
+    processes are reused across rounds, so there is no per-round actor-pool
+    spawn cost."""
+
+    def fetch_extract(batch: pa.Table) -> pa.Table:
+        import ray
+
+        hashes, tbl = ray.get(page_store_ref)
+        pages = _ArrowPageLookup(hashes, tbl)
+        urls = batch["expanded_url"].to_pylist()
+        routes = batch["route"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        cols = {name: [] for name, _ in _EXTRACT_FIELDS}
+        for u, rt, st in zip(urls, routes, statuses):
+            r = fetch_and_extract_row(u, rt, st, pages)
+            for name, _ in _EXTRACT_FIELDS:
+                cols[name].append(r[name])
+        out = batch.drop_columns(["status"])
+        for name, typ in _EXTRACT_FIELDS:
+            out = out.append_column(name, pa.array(cols[name], typ))
+        return out
+
+    return fetch_extract
+
+
 class FetchExtract:
-    """Actor-pool ``map_batches`` stage. __init__ resolves the broadcast page
-    store once per actor; __call__ processes one Arrow batch of scheduled
-    rows (with expanded_url/route/status from the Expander)."""
+    """Actor-pool ``map_batches`` stage (kept for API parity; the round loop
+    now uses :func:`make_fetch_extract` — task pool + zero-copy store —
+    because per-round actor pools pay actor-spawn latency every round)."""
 
     def __init__(self, page_store_ref):
         import ray

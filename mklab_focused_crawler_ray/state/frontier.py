@@ -76,6 +76,39 @@ def route(url: str, host: str, n_shards: int, salt_map: dict[str, int]) -> tuple
     return shard_of(registered_domain(host), s, n_shards), s
 
 
+def route_many(
+    urls: list[str], hosts: list[str], n_shards: int, salt_map: dict[str, int]
+):
+    """Vectorized :func:`route` over equal-length url/host lists. Returns
+    (shard int32 array, salt int32 array, url-hash uint64 array). Hosts
+    repeat heavily, so registered-domain and shard placement are memoized
+    per host / (domain, salt) — the per-byte FNV in shard_of runs once per
+    distinct key, not once per URL."""
+    from ..functions.urls import registered_domain
+
+    h = url_hash64_vec(urls)
+    hosts_np = np.asarray(hosts, dtype=object)
+    uniq_hosts, inv = np.unique(hosts_np, return_inverse=True)
+    ns_u = np.array([salt_map.get(x, 1) for x in uniq_hosts], np.int64)
+    rd_u = [registered_domain(x) for x in uniq_hosts]
+    max_ns = int(ns_u.max()) if len(ns_u) else 1
+    ns_per = ns_u[inv]
+    salt = np.where(
+        ns_per > 1, (h % ns_per.astype(np.uint64)).astype(np.int64), 0
+    ).astype(np.int32)
+    # shard per unique (host, salt) combination, mapped back vectorized
+    combo = inv.astype(np.int64) * (max_ns + 1) + salt
+    uniq_combo, cinv = np.unique(combo, return_inverse=True)
+    shard_u = np.array(
+        [
+            shard_of(rd_u[int(c // (max_ns + 1))], int(c % (max_ns + 1)), n_shards)
+            for c in uniq_combo
+        ],
+        np.int32,
+    )
+    return shard_u[cinv], salt, h
+
+
 def build_salt_map(
     domain_counts: dict[str, int], hot_threshold: int, max_salts: int = 8
 ) -> dict[str, int]:
@@ -224,33 +257,38 @@ class FrontierShard:
         key, score, payload = self._proposed.pop(url)
         heapq.heappush(self.queues[key], (-score, url, payload))
 
-    def commit(self, selected_urls: list[str], now_ms: int = 0) -> list[dict]:
+    def commit(self, selected_urls: list[str], now_ms: int = 0) -> dict:
         """Driver reports which proposed URLs made the global cut. Selected →
-        seen + removed; the rest return to their queues. Returns full rows
-        for the selected URLs (for the round Dataset)."""
-        out = []
+        seen + removed; the rest return to their queues. Returns COLUMNS
+        (dict of equal-length lists, selected order preserved) — columnar so
+        the driver round-trip does not pickle one Python dict per row."""
         selected = set(selected_urls)
         for u in list(self._proposed):
             if u not in selected:
                 self._return_to_queue(u)
                 self.counters["deferred"] += 1
-        for u in selected_urls:
+        sel_hashes = url_hash64_vec(selected_urls)
+        out = {
+            "url": list(selected_urls),
+            "domain": [],
+            "salt": [],
+            "score": [],
+            "shares": [],
+            "date_ms": [],
+        }
+        for u, h_np in zip(selected_urls, sel_hashes):
             key, score, payload = self._proposed.pop(u)
-            h = url_hash64(u)
+            h = int(h_np)
             self.pending_hashes.discard(h)
             if h not in self.seen:
                 self.cuckoo.add(h)
             self.seen[h] = now_ms
             self.counters["scheduled"] += 1
-            out.append(
-                {
-                    "url": u,
-                    "domain": key[0],
-                    "salt": key[1],
-                    "score": score,
-                    **payload,
-                }
-            )
+            out["domain"].append(key[0])
+            out["salt"].append(key[1])
+            out["score"].append(score)
+            out["shares"].append(payload["shares"])
+            out["date_ms"].append(payload["date_ms"])
         return out
 
     def end_round(self, round_id: int, extra: dict | None = None) -> None:

@@ -1,0 +1,90 @@
+"""Checkpoint/resume conformance (north rule): a crawl killed mid-run and
+restarted from its per-partition checkpoints must (a) not re-fetch any URL it
+already fetched, and (b) finish with a trace + seen set identical to an
+uninterrupted run."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from mklab_focused_crawler_ray.pipelines.config import CrawlConfig
+
+CFG = dict(n_shards=3, per_host_budget=5, round_budget=40, max_rounds=4)
+
+
+def _fetched_urls(out_dir: str) -> list[str]:
+    urls = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("round="):
+            continue
+        p = os.path.join(out_dir, d)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                urls.extend(
+                    pq.read_table(os.path.join(p, f), columns=["url"])["url"].to_pylist()
+                )
+    return urls
+
+
+def test_resume_no_refetch_and_identical_final_state(ray_session, tiny_fixture, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.crawl import RayCrawler
+
+    # uninterrupted reference run
+    full = RayCrawler(tiny_fixture, CrawlConfig(**CFG), out_dir=str(tmp_path / "full"))
+    try:
+        ref = full.run(checkpoint_every=1)
+    finally:
+        full.shutdown()
+
+    # interrupted run: 2 rounds, checkpoint each round, then kill the actors
+    out = str(tmp_path / "resumed")
+    eng = RayCrawler(tiny_fixture, CrawlConfig(**CFG), out_dir=out)
+    try:
+        eng.enqueue_seeds()
+        for rnd in range(2):
+            eng.run_round(rnd)
+            import ray
+
+            ray.get([s.end_round.remote(rnd) for s in eng.shards])
+            eng.checkpoint(rnd + 1)
+    finally:
+        eng.shutdown()  # the "kill": all frontier shard actors die
+
+    fetched_before = _fetched_urls(out)
+    assert fetched_before, "interrupted run must have fetched something"
+
+    # fresh process-equivalent: new crawler object, same checkpoint dir
+    eng2 = RayCrawler(tiny_fixture, CrawlConfig(**CFG), out_dir=out)
+    try:
+        assert eng2.maybe_resume(), "checkpoint manifest must restore"
+        assert eng2.start_round == 2
+        for rnd in range(eng2.start_round, CFG["max_rounds"]):
+            n = eng2.run_round(rnd)
+            import ray
+
+            ray.get([s.end_round.remote(rnd) for s in eng2.shards])
+            eng2.checkpoint(rnd + 1)
+            if n == 0:
+                break
+        res = eng2.result()
+    finally:
+        eng2.shutdown()
+
+    # (a) no URL fetched twice across the interrupted + resumed halves
+    fetched_all = _fetched_urls(out)
+    assert len(fetched_all) == len(set(fetched_all)), "re-fetch after resume"
+
+    # (b) trace and seen set equal the uninterrupted run
+    assert res["trace"] == ref["trace"]
+    assert np.array_equal(
+        np.asarray(res["seen_hashes"], np.uint64),
+        np.asarray(ref["seen_hashes"], np.uint64),
+    )
+
+    # (c) checkpoints carry per-partition lineage
+    ckpt = os.path.join(out, "checkpoints")
+    manifests = [f for f in os.listdir(ckpt) if f.startswith("shard_")]
+    assert len(manifests) >= CFG["n_shards"]

@@ -105,7 +105,7 @@ def test_shard_first_wins_and_politeness():
     # per-host budget 2 → only top-2 proposed despite 3 pending
     assert [u for _, u, _, _ in props] == ["u1", "u2"]
     rows = s.commit(["u1", "u2"], now_ms=5)
-    assert [r["url"] for r in rows] == ["u1", "u2"]
+    assert rows["url"] == ["u1", "u2"]
     # re-enqueue of committed url is dup_seen
     s.enqueue(_rows(["u1"], [0.9]), now_ms=6)
     assert s.counters["dup_seen"] == 1
