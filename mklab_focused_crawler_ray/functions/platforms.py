@@ -1,0 +1,66 @@
+"""Platform media-URL regex dispatch — MediaExtractionBolt port.
+
+The seven compiled patterns and their capture-group semantics follow
+``bolts/webpages/MediaExtractionBolt.java:40-46`` verbatim (including the
+unescaped ``?`` quirks in the youtube/facebook patterns, which Java regex
+treats as optional preceding char — reproduced faithfully here since Python
+``re`` has the same semantics for ``h?`` style tokens; the practical effect
+is the patterns match with or without the literal ``?``).
+
+At HEAD every platform Retriever registration is commented out
+(``:60-76``), so extraction yields the media id + platform only and the
+item passes through — we mirror that: :func:`match_platform` returns
+``(platform, media_id)`` or ``None``; the retriever hook stays a no-op.
+"""
+
+from __future__ import annotations
+
+import re
+
+PLATFORM_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("instagram", re.compile(r"https*://instagram\.com/p/([\w\-]+)/")),
+    (
+        "youtube",
+        re.compile(r"https*://www\.youtube\.com/watch?.*v=([a-zA-Z0-9_\-]+)(&.+=.+)*"),
+    ),
+    ("vimeo", re.compile(r"https*://vimeo\.com/([0-9]+)/*$")),
+    ("twitpic", re.compile(r"https*://twitpic\.com/([A-Za-z0-9]+)/*.*$")),
+    (
+        "dailymotion",
+        re.compile(r"https*://www\.dailymotion\.com/video/([A-Za-z0-9]+)_.*$"),
+    ),
+    (
+        "facebook",
+        re.compile(r"https*://www\.facebook\.com/photo\.php?.*fbid=([a-zA-Z0-9_\-]+)(&.+=.+)*"),
+    ),
+    (
+        "flickr",
+        re.compile(r"https*://flickr\.com/photos/([A-Za-z0-9@]+)/([A-Za-z0-9@]+)/*.*$"),
+    ),
+]
+
+
+def match_platform(url: str) -> tuple[str, str] | None:
+    """(platform, media_id) for a recognized platform URL, else None —
+    MediaExtractionBolt.java:83-98 dispatch order."""
+    for name, pat in PLATFORM_PATTERNS:
+        m = pat.match(url)
+        if m:
+            return name, m.group(1)
+    return None
+
+
+def extract_platform_batch(urls: list[str]) -> tuple[list[str], list[str]]:
+    """Vectorized-ish helper: parallel lists (platform, media_id); empty
+    strings where no platform matched (row passes through unchanged, the
+    reference's null-retriever path, MediaExtractionBolt.java:100-117)."""
+    plats, ids = [], []
+    for u in urls:
+        m = match_platform(u)
+        if m is None:
+            plats.append("")
+            ids.append("")
+        else:
+            plats.append(m[0])
+            ids.append(m[1])
+    return plats, ids

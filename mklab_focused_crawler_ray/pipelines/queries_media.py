@@ -338,6 +338,86 @@ def q_host_counts_events(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# SocialMediaMonitor pipeline (items fixture; stages/nlp.py)
+# --------------------------------------------------------------------------
+
+
+def _items(sf_dir: str) -> str:
+    return os.path.join(fixture_dir_for(sf_dir), "items.parquet")
+
+
+def q_items_entities(sf_dir: str):
+    """EntityExtractionBolt: NER over item titles, deduped (type, name) with
+    counts (deterministic pattern model; actor-pool shape)."""
+    import ray.data as rd
+
+    from ..stages.nlp import EntityExtractor
+
+    return rd.read_parquet(_items(sf_dir), columns=["id", "title"]).map_batches(
+        EntityExtractor, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_items_ne_tokens(sf_dir: str):
+    """TokenizationBolt NE mode: entity-name tokens per item."""
+    from ..stages.nlp import items_tokens
+
+    return items_tokens(_items(sf_dir), mode="NE")
+
+
+def q_items_bigrams(sf_dir: str):
+    """TokenizationBolt ALL mode + ShingleFilter bigrams ('_' separator)."""
+    from ..stages.nlp import items_tokens
+
+    return items_tokens(_items(sf_dir), mode="ALL", ngrams=2)
+
+
+def q_items_top100(sf_dir: str):
+    """ItemsRankerBolt shares-score + BoundedPQueue top-100."""
+    from ..stages.nlp import items_ranked
+
+    return items_ranked(_items(sf_dir), k=100)
+
+
+def q_items_tag_counts(sf_dir: str):
+    """ItemsCounterBolt tag counts (explode + partial-agg groupby)."""
+    from ..stages.nlp import items_tag_counts
+
+    return items_tag_counts(_items(sf_dir))
+
+
+def q_items_event_candidates(sf_dir: str):
+    """EventDetectionBolt: windowed IDF-shift candidate events over item
+    titles (60 s windows, 5 snapshots — SocialMediaMonitor defaults)."""
+    from ..stages.nlp import items_event_candidates
+
+    return items_event_candidates(_items(sf_dir))
+
+
+def q_platform_media_extract(sf_dir: str):
+    """MediaExtractionBolt regex dispatch over the URL universe: platform +
+    media id per social-routed URL ('' = passthrough row)."""
+    import ray.data as rd
+
+    from ..functions.platforms import extract_platform_batch
+
+    def ext(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        plats, ids = extract_platform_batch(urls)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "platform": pa.array(plats, pa.string()),
+                "media_id": pa.array(ids, pa.string()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(fixture_dir_for(sf_dir), "urls.parquet"), columns=["url"]
+    ).map_batches(ext, batch_format="pyarrow")
+
+
 MEDIA_QUERIES = {
     "image_decode_check": q_image_decode_check,
     "image_phash_pairs": q_image_phash_pairs,
@@ -353,6 +433,13 @@ MEDIA_QUERIES = {
     "props_extract": q_props_extract,
     "top3_docs_per_lang": q_top3_docs_per_lang,
     "user_rolling_counts": q_host_counts_events,
+    "items_entities": q_items_entities,
+    "items_ne_tokens": q_items_ne_tokens,
+    "items_bigrams": q_items_bigrams,
+    "items_top100": q_items_top100,
+    "items_tag_counts": q_items_tag_counts,
+    "items_event_candidates": q_items_event_candidates,
+    "platform_media_extract": q_platform_media_extract,
 }
 
 MEDIA_ORACLE_SQL = {

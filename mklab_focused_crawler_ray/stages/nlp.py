@@ -1,0 +1,255 @@
+"""SocialMediaMonitor NLP pipeline stages (SURVEY.md §3.3).
+
+Ray-Data restatement of ``SocialMediaMonitor.java:119-126``:
+
+    itemsSpout → deserializer → entityExtractor (Stanford CRF NER)
+      → tokenizer (TokenType.NE) → eventDetector (windowed IDF-shift)
+
+over the deterministic items fixture (``fixtures/generate.gen_items``).
+
+- :func:`extract_entities` — deterministic stand-in for the Stanford NER
+  model (the fixture plants entities as ``Name_Type`` tokens): extracts
+  (name, type) mentions and mirrors EntityExtractionBolt's dedupe by
+  ``(type, lowercase name)`` with per-entity counts
+  (``bolts/items/EntityExtractionBolt.java:84-119``). The actor-pool shape
+  (model state in ``__init__``) is preserved so a real model drops in.
+- :func:`tokens_for_mode` — TokenizationBolt's four modes
+  (``bolts/items/TokenizationBolt.java:70-119``): ALL (title tokens),
+  NE (entity names), TAGS (item.tags); POS is unimplemented in this build
+  (the PosTaggingBolt output is terminal in the reference topology —
+  ``SocialMediaMonitor.java:123`` declares no consumer).
+- :func:`items_event_candidates` — EventDetectionBolt semantics: tumbling
+  ``window_s`` windows by ingest time, per-window token document
+  frequencies → Vocabulary IDF snapshots (bounded FIFO of ``windows``) →
+  candidate = token present in all windows with non-increasing IDF and
+  non-decreasing IDF-shift (``bolts/items/EventDetectionBolt.java:102-141``,
+  ``utils/Vocabulary.java:50-107``, ``utils/Snapshots.java:14-23``;
+  defaults windows=5, windowLength=60 s — ``SocialMediaMonitor.java:110``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.scoring import shares_score
+from ..functions.text import STOPWORDS, WORD_RE, shingles, tokenize
+
+ENTITY_RE = re.compile(r"\b([A-Z][A-Za-z]*)_(Person|Location|Organization)\b")
+
+EVENT_WINDOW_S = 60  # windowLength — SocialMediaMonitor.java:110
+EVENT_WINDOWS = 5  # snapshots kept — SocialMediaMonitor.java:110
+
+
+def extract_entities(title: str) -> list[dict]:
+    """(name, type, count) list, deduped by (type, lowercase name), count =
+    number of mentions — EntityExtractionBolt.java:84-119 semantics."""
+    agg: dict[tuple[str, str], dict] = {}
+    for m in ENTITY_RE.finditer(title):
+        name, typ = m.group(1), m.group(2).upper()
+        key = (typ, name.lower())
+        e = agg.get(key)
+        if e is None:
+            agg[key] = {"name": name, "type": typ, "count": 1}
+        else:
+            e["count"] += 1
+    return list(agg.values())
+
+
+class EntityExtractor:
+    """Actor-pool stage: (id, title) → (id, entities list<struct>). The
+    compiled pattern stands where the CRF model load sits in the reference
+    (EntityExtractionBolt.java:52 loads the model once in prepare())."""
+
+    ENTITY_TYPE = pa.struct(
+        [("name", pa.string()), ("type", pa.string()), ("count", pa.int32())]
+    )
+
+    def __init__(self):
+        self.pattern = ENTITY_RE  # model-in-__init__ shape
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ents = [extract_entities(t) for t in batch["title"].to_pylist()]
+        return pa.table(
+            {
+                "id": batch["id"],
+                "title": batch["title"],
+                "entities": pa.array(ents, pa.list_(self.ENTITY_TYPE)),
+            }
+        )
+
+
+def tokens_for_mode(
+    title: str,
+    entities: list[dict] | None = None,
+    tags: list[str] | None = None,
+    mode: str = "ALL",
+    ngrams: int = 1,
+) -> list[str]:
+    """TokenizationBolt.java:70-119 mode dispatch + :126-154 token chain."""
+    if mode == "ALL":
+        toks = tokenize(title)
+    elif mode == "NE":
+        toks = [e["name"].lower() for e in (entities or [])]
+    elif mode == "TAGS":
+        toks = [t.lower() for t in (tags or []) if t.lower() not in STOPWORDS]
+    else:
+        raise ValueError(f"unsupported token mode {mode!r} (POS is terminal in the reference)")
+    if ngrams > 1:
+        return shingles(toks, ngrams)
+    return toks
+
+
+def items_tokens(items_parquet: str, mode: str = "ALL", ngrams: int = 1):
+    """Dataset: (id, tokens) per item under the given tokenization mode."""
+    import ray.data as rd
+
+    cols = ["id", "title"] if mode != "TAGS" else ["id", "title", "tags"]
+
+    def tok(batch: pa.Table) -> pa.Table:
+        titles = batch["title"].to_pylist()
+        tags = batch["tags"].to_pylist() if "tags" in batch.column_names else [None] * len(titles)
+        out = []
+        for t, tg in zip(titles, tags):
+            ents = extract_entities(t) if mode == "NE" else None
+            out.append(tokens_for_mode(t, ents, tg, mode=mode, ngrams=ngrams))
+        return pa.table(
+            {"id": batch["id"], "tokens": pa.array(out, pa.list_(pa.string()))}
+        )
+
+    return rd.read_parquet(items_parquet, columns=cols).map_batches(
+        tok, batch_format="pyarrow"
+    )
+
+
+def items_ranked(items_parquet: str, k: int = 100):
+    """ItemsRankerBolt score (shares-score only —
+    bolts/items/ItemsRankerBolt.java:39-51) + bounded top-k."""
+    import ray.data as rd
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = shares_score(batch["shares"].to_numpy())
+        return pa.table(
+            {
+                "id": batch["id"],
+                "score_micro": pa.array(
+                    np.floor(s * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(items_parquet, columns=["id", "shares"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["score_micro", "id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def items_tag_counts(items_parquet: str):
+    """ItemsCounterBolt grouped tag counts (explode tags → groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for tags in batch["tags"].to_pylist():
+            for t in tags or []:
+                agg[t] = agg.get(t, 0) + 1
+        return pa.table(
+            {
+                "tag": pa.array(list(agg.keys()), pa.string()),
+                "pn": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(items_parquet, columns=["tags"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tag")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def items_contributor_counts(items_parquet: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    return (
+        rd.read_parquet(items_parquet, columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def items_event_candidates(
+    items_parquet: str,
+    window_s: int = EVENT_WINDOW_S,
+    windows: int = EVENT_WINDOWS,
+    mode: str = "ALL",
+):
+    """Windowed IDF-shift event detection over item titles.
+
+    Distributed part: (window, token) DF + per-window doc counts via partial
+    counts in map_batches → small groupby. Driver part: snapshot FIFO +
+    monotonicity rule (state is tiny — tokens × windows — and carried in
+    checkpoints at scale). Returns (window, token) candidates."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.vocabulary import candidate_events, idf
+
+    t0_holder = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # unit-safe: cast to timestamp[ms] first (fixture is ms, the driver
+        # tables are us — a bare int64 cast keeps the source unit)
+        ts_ms = batch["ts"].cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy()
+        win = ts_ms // (window_s * 1000)
+        titles = batch["title"].to_pylist()
+        df: dict[tuple[int, str], int] = {}
+        nd: dict[int, int] = {}
+        for w, title in zip(win, titles):
+            w = int(w)
+            nd[w] = nd.get(w, 0) + 1
+            for tok in set(tokens_for_mode(title, mode=mode)):
+                df[(w, tok)] = df.get((w, tok), 0) + 1
+        keys = list(df.keys())
+        return pa.table(
+            {
+                "window": pa.array(
+                    [k[0] for k in keys] + list(nd.keys()), pa.int64()
+                ),
+                "token": pa.array(
+                    [k[1] for k in keys] + ["\x00NDOCS"] * len(nd), pa.string()
+                ),
+                "pdf": pa.array(list(df.values()) + list(nd.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(items_parquet, columns=["title", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", "token"])
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+    )
+    ndocs = counts[counts["token"] == "\x00NDOCS"].set_index("window")["df"].to_dict()
+    counts = counts[counts["token"] != "\x00NDOCS"]
+    snapshots: list[pd.Series] = []
+    out_w, out_t = [], []
+    for w in sorted(ndocs):
+        sub = counts[counts["window"] == w]
+        snapshots.append(idf(sub.set_index("token")["df"], int(ndocs[w])))
+        if len(snapshots) > windows:
+            snapshots.pop(0)
+        if len(snapshots) == windows:
+            for tok in candidate_events(snapshots):
+                out_w.append(int(w))
+                out_t.append(tok)
+    return pa.table(
+        {"window": pa.array(out_w, pa.int64()), "token": pa.array(out_t, pa.string())}
+    )

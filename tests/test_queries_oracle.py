@@ -105,6 +105,13 @@ def test_rows_only_queries_run(ray_session):
         "embedding_dup_pairs": {"doc_a", "doc_b"},
         "image_embed_dup_pairs": {"doc_a", "doc_b"},
         "event_candidates": {"window", "token"},
+        "items_entities": {"id", "title", "entities"},
+        "items_ne_tokens": {"id", "tokens"},
+        "items_bigrams": {"id", "tokens"},
+        "items_top100": {"id", "score_micro"},
+        "items_tag_counts": {"tag", "n"},
+        "items_event_candidates": {"window", "token"},
+        "platform_media_extract": {"url", "platform", "media_id"},
     }
     for name, fn in e.queries().items():
         if name in oracles:
