@@ -130,6 +130,36 @@ def fixture_embeddings_parquet(sf_dir: str) -> str:
     return out
 
 
+def q_image_visual_clusters(sf_dir: str):
+    """Full visual-indexing path (Crawler topology §3.2): pseudo-embed every
+    image → replay through the sharded combined query+insert index (0.85
+    gate) → incremental clusters (0.75, min-member-id labels). Exactly equal
+    to the one-at-a-time oracle (tests/test_visual_index.py)."""
+    import ray
+
+    from ..state.visual_index import index_and_cluster, make_index_shards
+
+    emb = fixture_embeddings_parquet(sf_dir)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb)
+    ids = [f"img{int(v):08d}" for v in t["vec_id"].to_pylist()]
+    vecs = t["embedding"].to_pylist()
+    shards = make_index_shards(4)
+    try:
+        _nearest, clusters = index_and_cluster(ids, vecs, shards)
+    finally:
+        for s in shards:
+            ray.kill(s)
+    items = sorted(clusters.items())
+    return pa.table(
+        {
+            "image_id": pa.array([k for k, _ in items], pa.string()),
+            "cluster_id": pa.array([v for _, v in items], pa.string()),
+        }
+    )
+
+
 def q_image_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup over the image fixture's pseudo-embeddings:
     planted duplicates (re-encode / downscale) give genuine cosine≈1 pairs."""
@@ -427,6 +457,7 @@ MEDIA_QUERIES = {
     "ann_lsh_top10": q_ann_lsh_top10,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "image_embed_dup_pairs": q_image_embed_dup_pairs,
+    "image_visual_clusters": q_image_visual_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "event_candidates": q_event_candidates,
     "windowed_token_df": q_windowed_token_df,

@@ -1,0 +1,177 @@
+"""Sharded visual index actors — the VisualIndex service made explicit.
+
+Reference semantics (``bolts/media/VisualIndexerBolt.java:167-171``):
+``getSimilarImagesAndIndex(id, vector, 0.85)`` is a COMBINED
+query-then-insert against one global index service: an image can only match
+images indexed BEFORE it. ``ClustererBolt`` (``:135-193``) then joins the
+nearest neighbor's cluster when similarity ≥ 0.75, else opens a new
+cluster.
+
+Ray-native design (SURVEY §2.5, §7.4):
+- the index is K shard actors; a vector is INSERTED into its owner shard
+  (hash of id) but QUERIED against every shard (a neighbor may live
+  anywhere) — fan-out query, single-owner insert.
+- order sensitivity is preserved by processing ids in sorted order inside
+  :func:`index_and_cluster` (batch mode replays the stream order id-asc;
+  SURVEY §7.4 "sequential per-shard application in id order").
+- cluster ids are deterministic min-member ids, replacing the reference's
+  ``UUID.randomUUID`` (``ClustererBolt.java:185``).
+
+Each shard holds a normalized float32 matrix and answers cosine top-1 via
+one matmul per query batch — brute force per shard; the ANN variants
+(stages/ann.py) are the scale path for the query side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INDEX_THRESHOLD = 0.85  # VisualIndexerBolt.java:167
+CLUSTER_THRESHOLD = 0.75  # ClustererBolt.java:64,135
+
+
+class VisualIndexShard:
+    """One index partition: insert(id, vec); query(vecs) → best (id, sim)."""
+
+    def __init__(self, shard_id: int):
+        self.shard_id = shard_id
+        self.ids: list[str] = []
+        self.vecs: np.ndarray | None = None  # (n, d) float32, L2-normalized
+
+    def insert(self, ids: list[str], vecs: list[list[float]]) -> int:
+        m = np.asarray(vecs, dtype=np.float32)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        m = m / n
+        self.vecs = m if self.vecs is None else np.vstack([self.vecs, m])
+        self.ids.extend(ids)
+        return len(self.ids)
+
+    def query(self, vecs: list[list[float]]) -> list[tuple[str, float]]:
+        """Best match per query vector among vectors inserted SO FAR.
+        Returns ('', -1.0) rows when the shard is empty."""
+        if self.vecs is None or len(self.ids) == 0:
+            return [("", -1.0)] * len(vecs)
+        q = np.asarray(vecs, dtype=np.float32)
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        q = q / n
+        sims = q @ self.vecs.T  # (nq, n)
+        best = np.argmax(sims, axis=1)
+        return [
+            (self.ids[int(b)], float(sims[i, int(b)])) for i, b in enumerate(best)
+        ]
+
+    def size(self) -> int:
+        return len(self.ids)
+
+
+def make_index_shards(k: int):
+    import ray
+
+    Actor = ray.remote(num_cpus=0.05)(VisualIndexShard)
+    return [Actor.remote(i) for i in range(k)]
+
+
+def _owner(image_id: str, k: int) -> int:
+    from ..functions.urls import url_hash64
+
+    return int(url_hash64(image_id) % k)
+
+
+def index_and_cluster(
+    ids: list[str],
+    vecs: list[list[float]],
+    shards,
+    index_threshold: float = INDEX_THRESHOLD,
+    cluster_threshold: float = CLUSTER_THRESHOLD,
+    chunk: int = 256,
+):
+    """Replay the (id, vector) stream in id order through the sharded index:
+    per chunk — query ALL shards (earlier-indexed only), pick global best,
+    then insert the chunk into owner shards. Returns
+    (nearest: dict id → (neighbor_id, sim) with sim ≥ index_threshold,
+     clusters: dict id → cluster_id min-member-deterministic).
+
+    Within a chunk, later ids may also match EARLIER IDS OF THE SAME CHUNK —
+    handled with an in-chunk sequential pass so the result equals the pure
+    one-at-a-time replay (order-sensitivity conformance, SURVEY §7.4)."""
+    import ray
+
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+    nearest: dict[str, tuple[str, float]] = {}
+    clusters: dict[str, str] = {}
+
+    def _norm(v):
+        a = np.asarray(v, dtype=np.float32)
+        n = np.linalg.norm(a)
+        return a / n if n > 0 else a
+
+    k = len(shards)
+    for start in range(0, len(order), chunk):
+        sel = order[start : start + chunk]
+        c_ids = [ids[i] for i in sel]
+        c_vecs = [vecs[i] for i in sel]
+        # fan-out query against all shards (state = earlier chunks only)
+        per_shard = ray.get([s.query.remote(c_vecs) for s in shards])
+        best_prev = []
+        for qi in range(len(c_ids)):
+            cands = [per_shard[si][qi] for si in range(k)]
+            best_prev.append(max(cands, key=lambda t: t[1]))
+        # in-chunk sequential pass: earlier chunk members are also candidates
+        c_norm = [_norm(v) for v in c_vecs]
+        for qi in range(len(c_ids)):
+            bid, bsim = best_prev[qi]
+            for pj in range(qi):
+                s = float(np.dot(c_norm[qi], c_norm[pj]))
+                if s > bsim:
+                    bid, bsim = c_ids[pj], s
+            if bid and bsim >= index_threshold:
+                nearest[c_ids[qi]] = (bid, bsim)
+            # clustering decision (ClustererBolt: threshold 0.75 on the
+            # nearest neighbor regardless of the 0.85 index gate)
+            if bid and bsim >= cluster_threshold:
+                clusters[c_ids[qi]] = clusters.get(bid, bid)
+            else:
+                clusters[c_ids[qi]] = c_ids[qi]
+        # insert chunk into owner shards
+        per_owner: dict[int, tuple[list, list]] = {}
+        for cid, cv in zip(c_ids, c_vecs):
+            o = _owner(cid, k)
+            dd = per_owner.setdefault(o, ([], []))
+            dd[0].append(cid)
+            dd[1].append(cv)
+        ray.get([shards[o].insert.remote(ii, vv) for o, (ii, vv) in per_owner.items()])
+    return nearest, clusters
+
+
+def sequential_oracle(
+    ids: list[str],
+    vecs: list[list[float]],
+    index_threshold: float = INDEX_THRESHOLD,
+    cluster_threshold: float = CLUSTER_THRESHOLD,
+):
+    """Pure-python one-at-a-time replay — the conformance oracle."""
+    nearest: dict[str, tuple[str, float]] = {}
+    clusters: dict[str, str] = {}
+    seen_ids: list[str] = []
+    seen_vecs: list[np.ndarray] = []
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+    for i in order:
+        v = np.asarray(vecs[i], dtype=np.float32)
+        n = np.linalg.norm(v)
+        v = v / n if n > 0 else v
+        bid, bsim = "", -1.0
+        for sid, sv in zip(seen_ids, seen_vecs):
+            s = float(np.dot(v, sv))
+            if s > bsim:
+                bid, bsim = sid, s
+        if bid and bsim >= index_threshold:
+            nearest[ids[i]] = (bid, bsim)
+        if bid and bsim >= cluster_threshold:
+            clusters[ids[i]] = clusters.get(bid, bid)
+        else:
+            clusters[ids[i]] = ids[i]
+        seen_ids.append(ids[i])
+        seen_vecs.append(v)
+    return nearest, clusters

@@ -104,6 +104,7 @@ def test_rows_only_queries_run(ray_session):
         "ann_lsh_top10": {"query_id", "vec_id", "cos_micro"},
         "embedding_dup_pairs": {"doc_a", "doc_b"},
         "image_embed_dup_pairs": {"doc_a", "doc_b"},
+        "image_visual_clusters": {"image_id", "cluster_id"},
         "event_candidates": {"window", "token"},
         "items_entities": {"id", "title", "entities"},
         "items_ne_tokens": {"id", "tokens"},
