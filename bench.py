@@ -47,6 +47,17 @@ BENCH_QUERIES = [
     "embedding_top10",
     "simhash_docs",
     "langid_detect",
+    "windowed_token_df",
+    "props_extract",
+    "top3_docs_per_lang",
+    "user_rolling_counts",
+    "ngram_jaccard_pairs",
+    "ann_ivf_top10",
+    "ann_lsh_top10",
+    "items_top100",
+    "items_tag_counts",
+    "items_event_candidates",
+    "platform_media_extract",
 ]
 
 

@@ -33,6 +33,56 @@ def token_hashes(tokens) -> np.ndarray:
     return np.array([stable_hash64(t) for t in tokens], dtype=np.uint64)
 
 
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of all char k-shingles of the normalized text,
+    deduplicated — fully vectorized (rolling polynomial over the byte array
+    + splitmix64 finalizer), no per-shingle Python objects. Replaces
+    blake2b-per-shingle, which dominated MinHash signature time."""
+    s = " ".join(text.lower().split())
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < k:
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        h = np.zeros(1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                h = h * _GOLDEN + b[j]
+        return mix64(h)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _GOLDEN + b[j : j + m]
+    return np.unique(mix64(h))
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """uint64 hashes of word n-gram shingles (lowercase [a-z0-9]+ token
+    stream), deduplicated — token hashes via the Arrow-vectorized FNV, then
+    an n-window polynomial combine."""
+    import re
+
+    from .urls import url_hash64_vec
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = url_hash64_vec(toks)
+    if len(th) < n:
+        h = np.zeros(1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for t in th:
+                h = h * _GOLDEN + t
+        return mix64(h)
+    m = len(th) - n + 1
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h = h * _GOLDEN + th[j : j + m]
+    return np.unique(mix64(h))
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — a strong uint64→uint64 mixer."""
     x = x.astype(np.uint64, copy=True)

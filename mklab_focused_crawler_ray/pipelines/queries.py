@@ -84,8 +84,22 @@ def q_ranker_scores(sf_dir: str):
 
 def q_top100_ranked(sf_dir: str):
     ds = q_ranker_scores(sf_dir)
+
     # BoundedPQueue semantics: global top-k under (score desc, id asc).
-    return ds.sort(["score_micro", "event_id"], descending=[True, False]).limit(100)
+    # Scale path: per-block partial top-k first (utils/BoundedPQueue.java's
+    # capacity-k heap, applied per partition), so the global sort sees
+    # ≤ k × num_blocks rows instead of the full table.
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        sm = batch["score_micro"].to_numpy()
+        ev = batch["event_id"].to_numpy()
+        order = np.lexsort((ev, -sm))[:100]
+        return batch.take(pa.array(order))
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["score_micro", "event_id"], descending=[True, False])
+        .limit(100)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -425,6 +425,50 @@ def q_items_event_candidates(sf_dir: str):
     return items_event_candidates(_items(sf_dir))
 
 
+def q_items_json_roundtrip(sf_dir: str):
+    """Deserialization-bolt semantics (WebPage/MediaItem/Item
+    DeserializationBolt: JSON string → typed record, parse failures DROPPED
+    — bolts/webpages/WebPageDeserializationBolt.java:41-52): serialize the
+    items fixture to JSON lines, then parse back through a map_batches
+    deserializer with a malformed row injected per batch (must be dropped,
+    not crash)."""
+    import json
+
+    import ray.data as rd
+
+    def to_json(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        payloads = [json.dumps({**r, "ts": int(r["ts"].timestamp() * 1000)}) for r in rows]
+        payloads.append("{not valid json")  # injected failure row
+        return pa.table({"payload": pa.array(payloads, pa.string())})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, titles, users, shares = [], [], [], []
+        for p in batch["payload"].to_pylist():
+            try:
+                r = json.loads(p)
+            except Exception:
+                continue  # reference drops parse failures silently
+            ids.append(r["id"])
+            titles.append(r["title"])
+            users.append(r["user_id"])
+            shares.append(int(r["shares"]))
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.string()),
+                "title": pa.array(titles, pa.string()),
+                "user_id": pa.array(users, pa.string()),
+                "shares": pa.array(shares, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_items(sf_dir))
+        .map_batches(to_json, batch_format="pyarrow")
+        .map_batches(parse, batch_format="pyarrow")
+    )
+
+
 def q_platform_media_extract(sf_dir: str):
     """MediaExtractionBolt regex dispatch over the URL universe: platform +
     media id per social-routed URL ('' = passthrough row)."""
@@ -471,6 +515,7 @@ MEDIA_QUERIES = {
     "items_tag_counts": q_items_tag_counts,
     "items_event_candidates": q_items_event_candidates,
     "platform_media_extract": q_platform_media_extract,
+    "items_json_roundtrip": q_items_json_roundtrip,
 }
 
 MEDIA_ORACLE_SQL = {

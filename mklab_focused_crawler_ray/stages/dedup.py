@@ -65,9 +65,17 @@ class MinHashSignatures:
         self.shingle = shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import char_shingle_hashes, word_ngram_hashes
+
         texts = batch["text"].to_pylist()
         doc_ids = batch["doc_id"].to_numpy()
-        thl = [token_hashes(sorted(_features(t, self.shingle))) for t in texts]
+        # vectorized shingle hashing (the exact-Jaccard verify step still
+        # uses the string feature sets via _features — hashes only drive
+        # the LSH candidate generation)
+        if self.shingle == "word3":
+            thl = [word_ngram_hashes(t, 3) for t in texts]
+        else:
+            thl = [char_shingle_hashes(t, SHINGLE_K) for t in texts]
         sigs = minhash_signatures(thl, self.seeds)
         keys = lsh_band_keys(sigs, self.bands)  # (n_docs, bands)
         n = len(doc_ids)
@@ -115,19 +123,64 @@ def minhash_lsh_pairs(
     from ray.data.aggregate import Count
 
     ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
-    cand = (
-        ds.map_batches(
-            MinHashSignatures,
-            fn_constructor_kwargs={"shingle": shingle},
-            batch_format="pyarrow",
-            concurrency=2,
+    # 1) signatures → exploded (band_id, band_key, doc_id); materialize once
+    #    (reused by the hot-key scan and the candidate filter)
+    sig = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"shingle": shingle},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    ).materialize()
+    # 2) hot bands: (band_id, band_key) appearing >1 time. A groupby-count is
+    #    cheap; per-group UDFs are NOT (≈ num_perm × n_docs mostly-singleton
+    #    groups → one UDF call each dominated wall time in the map_groups
+    #    formulation).
+    from ray.data.aggregate import Count as _Count
+
+    import pyarrow.compute as _pc
+
+    hot = sig.groupby(["band_id", "band_key"]).aggregate(_Count(alias_name="n"))
+    hot_pd = hot.map_batches(
+        lambda b: b.filter(_pc.greater(b["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(hot_pd) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_micro": pa.array([], pa.int64()),
+            }
         )
-        .groupby(["band_id", "band_key"])
-        .map_groups(_pairs_from_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
+    import ray
+
+    hot_keys = np.unique(
+        (hot_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48))
+        ^ hot_pd["band_key"].to_numpy().view(np.uint64)
     )
-    pairs = cand.to_pandas()
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        combo = (
+            batch["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
+        ) ^ batch["band_key"].to_numpy().view(np.uint64)
+        idx = np.searchsorted(keys, combo)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[idx_c] == combo))
+
+    # 3) candidate rows are OUTPUT-sized now → collect and pair in pandas
+    cand_pd = sig.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    pair_set: set[tuple[int, int]] = set()
+    for (_, _), g in cand_pd.groupby(["band_id", "band_key"], sort=False):
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        pair_set.update(zip(ids[ii].tolist(), ids[jj].tolist()))
+    pairs = pd.DataFrame(
+        sorted(pair_set), columns=["doc_a", "doc_b"]
+    )
     if len(pairs) == 0:
         return pa.table(
             {

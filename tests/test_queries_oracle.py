@@ -113,6 +113,7 @@ def test_rows_only_queries_run(ray_session):
         "items_tag_counts": {"tag", "n"},
         "items_event_candidates": {"window", "token"},
         "platform_media_extract": {"url", "platform", "media_id"},
+        "items_json_roundtrip": {"id", "title", "user_id", "shares"},
     }
     for name, fn in e.queries().items():
         if name in oracles:
