@@ -425,6 +425,36 @@ def q_items_event_candidates(sf_dir: str):
     return items_event_candidates(_items(sf_dir))
 
 
+def q_crawl_trace(sf_dir: str):
+    """Flagship crawl (north rule) as a registry entry: run the full round
+    loop on the deterministic tiny fixture (sharded frontier, politeness,
+    expansion+dedup, fetch+extract, link enqueue) and return the trace
+    (round, rank, url) — which tests/test_crawl_trace.py proves equal to the
+    pure-python oracle."""
+    import shutil
+
+    from .config import CrawlConfig
+    from .crawl import RayCrawler
+
+    fdir = fixture_dir_for("sf0.001")  # tiny tier — bounded cost at any sf
+    out = "/tmp/mkfc_query_crawl"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(n_shards=3, per_host_budget=5, round_budget=40, max_rounds=4)
+    eng = RayCrawler(fdir, cfg, out_dir=out)
+    try:
+        res = eng.run(checkpoint_every=0)
+    finally:
+        eng.shutdown()
+    tr = res["trace"]
+    return pa.table(
+        {
+            "round": pa.array([t[0] for t in tr], pa.int32()),
+            "rank": pa.array([t[1] for t in tr], pa.int32()),
+            "url": pa.array([t[2] for t in tr], pa.string()),
+        }
+    )
+
+
 def q_items_json_roundtrip(sf_dir: str):
     """Deserialization-bolt semantics (WebPage/MediaItem/Item
     DeserializationBolt: JSON string → typed record, parse failures DROPPED
@@ -516,6 +546,7 @@ MEDIA_QUERIES = {
     "items_event_candidates": q_items_event_candidates,
     "platform_media_extract": q_platform_media_extract,
     "items_json_roundtrip": q_items_json_roundtrip,
+    "crawl_trace": q_crawl_trace,
 }
 
 MEDIA_ORACLE_SQL = {

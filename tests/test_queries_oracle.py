@@ -114,6 +114,7 @@ def test_rows_only_queries_run(ray_session):
         "items_event_candidates": {"window", "token"},
         "platform_media_extract": {"url", "platform", "media_id"},
         "items_json_roundtrip": {"id", "title", "user_id", "shares"},
+        "crawl_trace": {"round", "rank", "url"},
     }
     for name, fn in e.queries().items():
         if name in oracles:
