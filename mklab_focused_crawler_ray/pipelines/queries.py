@@ -357,42 +357,41 @@ def q_revenue_by_priority(sf_dir: str):
     order_sort = np.argsort(keys, kind="stable")
     keys_sorted = keys[order_sort]
     prios = np.asarray(orders["o_orderpriority"].to_pylist(), dtype=object)[order_sort]
-    side_ref = ray.put((keys_sorted, prios))
+    # factorize priorities driver-side so the per-batch partial aggregation
+    # is a pure np.bincount (no python dict in the hot path)
+    uniq_prios, prio_codes = np.unique(prios, return_inverse=True)
+    side_ref = ray.put((keys_sorted, prio_codes.astype(np.int64), list(uniq_prios)))
 
-    class JoinAgg:
-        def __init__(self):
-            self.keys, self.prios = ray.get(side_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = batch["l_orderkey"].to_numpy()
-            idx = np.searchsorted(self.keys, ok)
-            idx_c = np.clip(idx, 0, len(self.keys) - 1)
-            found = self.keys[idx_c] == ok
-            rev = _cents(
-                batch["l_extendedprice"].to_numpy()
-                * (1.0 - batch["l_discount"].to_numpy())
-            )
-            agg: dict[str, list[int]] = {}
-            for i in np.nonzero(found)[0]:
-                p = self.prios[idx_c[i]]
-                a = agg.setdefault(p, [0, 0])
-                a[0] += int(rev[i])
-                a[1] += 1
-            ks = list(agg.keys())
-            return pa.table(
-                {
-                    "o_orderpriority": pa.array(ks, pa.string()),
-                    "prev": pa.array([agg[k][0] for k in ks], pa.int64()),
-                    "pn": pa.array([agg[k][1] for k in ks], pa.int64()),
-                }
-            )
+    def join_agg(batch: pa.Table) -> pa.Table:
+        keys, codes, prio_names = ray.get(side_ref)
+        ok = batch["l_orderkey"].to_numpy()
+        idx = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+        found = keys[idx] == ok
+        rev = _cents(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy())
+        )
+        c = codes[idx[found]]
+        nprio = len(prio_names)
+        sums = np.bincount(c, weights=rev[found].astype(np.float64), minlength=nprio)
+        cnts = np.bincount(c, minlength=nprio)
+        keep = cnts > 0
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [p for p, k in zip(prio_names, keep) if k], pa.string()
+                ),
+                "prev": pa.array(sums[keep].astype(np.int64), pa.int64()),
+                "pn": pa.array(cnts[keep].astype(np.int64), pa.int64()),
+            }
+        )
 
     return (
         rd.read_parquet(
             _p(sf_dir, "lineitem"),
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         )
-        .map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+        .map_batches(join_agg, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("prev", alias_name="revenue_cents"), Sum("pn", alias_name="n_items"))
     )
@@ -609,16 +608,19 @@ ORACLE_SQL = {
         r"LEN(regexp_extract_all(text, '\S+')) AS n_ws_tokens FROM documents"
     ),
     "lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+    # NOTE: outer CAST(...AS BIGINT) — DuckDB SUM(BIGINT) yields HUGEINT,
+    # which pandas renders as float64; the cast keeps both sides int64 so
+    # the driver's schema/value comparison sees identical types.
     "q1_lineitem": (
         "SELECT l_returnflag, l_linestatus, "
-        "SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS sum_qty, "
-        "SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_price_cents, "
-        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents, "
+        "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
         "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
     "revenue_by_priority": (
         "SELECT o_orderpriority, "
-        "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
         "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY o_orderpriority"
     ),

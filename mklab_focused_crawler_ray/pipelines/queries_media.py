@@ -173,6 +173,22 @@ def q_image_embed_dup_pairs(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+def q_simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole-exact for
+    Hamming ≤ 3), exact Hamming verify."""
+    from ..stages.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(os.path.join(sf_dir, "documents.parquet"), max_hamming=3)
+
+
+def q_items_pos_tokens(sf_dir: str):
+    """TokenizationBolt POS mode: 'word#tag' tokens (deterministic
+    suffix-rule tagger standing in for the Maxent model)."""
+    from ..stages.nlp import items_tokens
+
+    return items_tokens(_items(sf_dir), mode="POS")
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Token-3-gram Jaccard ≥ 0.5 near-dup pairs: per-doc shingle-hash
     signature → MinHash-LSH candidate blocking → exact 3-gram Jaccard
@@ -533,6 +549,8 @@ MEDIA_QUERIES = {
     "image_embed_dup_pairs": q_image_embed_dup_pairs,
     "image_visual_clusters": q_image_visual_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "items_pos_tokens": q_items_pos_tokens,
     "event_candidates": q_event_candidates,
     "windowed_token_df": q_windowed_token_df,
     "props_extract": q_props_extract,

@@ -256,34 +256,64 @@ def simhash_near_pairs(doc_parquet: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = hamming64(sh[ii], sh[jj])
-        keep = hd <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "hamming": hd[keep]}
-        )
+    import pyarrow.compute as _pc
+    import ray
 
     ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
-    out = (
-        ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nb"))
+    sig = ds.map_batches(
+        sigs, batch_format="pyarrow", batch_size=512
+    ).materialize()
+    # hot-band design (see minhash_lsh_pairs): per-group UDFs over mostly-
+    # singleton band groups dominate wall time; count → broadcast hot keys →
+    # vectorized filter → output-sized pairing
+    hot_pd = (
+        sig.groupby(["band_id", "band_key"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(lambda b: b.filter(_pc.greater(b["n"], 1)), batch_format="pyarrow")
+        .to_pandas()
     )
-    t = out.to_pandas()
-    if "doc_a" not in t.columns:
-        t = pd.DataFrame({"doc_a": [], "doc_b": []})
+    if len(hot_pd) == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    hot_keys = np.unique(
+        (hot_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48))
+        ^ hot_pd["band_key"].to_numpy().view(np.uint64)
+    )
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        combo = (
+            batch["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
+        ) ^ batch["band_key"].to_numpy().view(np.uint64)
+        idx = np.clip(np.searchsorted(keys, combo), 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[idx] == combo))
+
+    cand = sig.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    pair_set: set[tuple[int, int]] = set()
+    sim_by_id: dict[int, int] = dict(
+        zip(cand["doc_id"].astype(int), cand["simhash"].astype(np.int64))
+    )
+    for (_, _), g in cand.groupby(["band_id", "band_key"], sort=False):
+        ids = np.sort(g["doc_id"].unique())
+        ii, jj = np.triu_indices(len(ids), k=1)
+        pair_set.update(zip(ids[ii].tolist(), ids[jj].tolist()))
+    if not pair_set:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    pl = sorted(pair_set)
+    a = np.array([p[0] for p in pl], np.int64)
+    b = np.array([p[1] for p in pl], np.int64)
+    ha = np.array([sim_by_id[int(x)] for x in a], np.int64).view(np.uint64)
+    hb = np.array([sim_by_id[int(x)] for x in b], np.int64).view(np.uint64)
+    hd = hamming64(ha, hb)
+    keep = hd <= max_hamming
     return pa.table(
         {
-            "doc_a": pa.array(t["doc_a"], pa.int64()),
-            "doc_b": pa.array(t["doc_b"], pa.int64()),
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
         }
     )
 

@@ -82,6 +82,38 @@ class EntityExtractor:
         )
 
 
+_POS_SUFFIX_RULES = [
+    ("ing", "VBG"),
+    ("ed", "VBD"),
+    ("ly", "RB"),
+    ("tion", "NN"),
+    ("ness", "NN"),
+    ("ment", "NN"),
+    ("ous", "JJ"),
+    ("ful", "JJ"),
+    ("ive", "JJ"),
+    ("est", "JJS"),
+    ("er", "NN"),
+    ("s", "NNS"),
+]
+
+
+def pos_tag(token: str) -> str:
+    """Deterministic suffix-rule tagger — the drop-in stand-in for the
+    Stanford MaxentTagger (bolts/items/PosTaggingBolt.java:37-71; model
+    state belongs in an actor __init__). Digits → CD, capitalized → NNP,
+    suffix table, default NN."""
+    if token[:1].isdigit():
+        return "CD"
+    low = token.lower()
+    for suf, tag in _POS_SUFFIX_RULES:
+        if len(low) > len(suf) + 1 and low.endswith(suf):
+            return tag
+    if token[:1].isupper():
+        return "NNP"
+    return "NN"
+
+
 def tokens_for_mode(
     title: str,
     entities: list[dict] | None = None,
@@ -89,15 +121,23 @@ def tokens_for_mode(
     mode: str = "ALL",
     ngrams: int = 1,
 ) -> list[str]:
-    """TokenizationBolt.java:70-119 mode dispatch + :126-154 token chain."""
+    """TokenizationBolt.java:70-119 mode dispatch + :126-154 token chain.
+    POS mode emits 'word#tag' pairs (TokenizationBolt.java:104-112)."""
     if mode == "ALL":
         toks = tokenize(title)
     elif mode == "NE":
         toks = [e["name"].lower() for e in (entities or [])]
     elif mode == "TAGS":
         toks = [t.lower() for t in (tags or []) if t.lower() not in STOPWORDS]
+    elif mode == "POS":
+        words = [w for w in WORD_RE.findall(title)]
+        toks = [
+            f"{w.lower()}#{pos_tag(w)}"
+            for w in words
+            if w.lower() not in STOPWORDS
+        ]
     else:
-        raise ValueError(f"unsupported token mode {mode!r} (POS is terminal in the reference)")
+        raise ValueError(f"unknown token mode {mode!r}")
     if ngrams > 1:
         return shingles(toks, ngrams)
     return toks

@@ -52,8 +52,16 @@ def test_tokens_modes():
     assert tags == ["river"]  # lowercased, stopword dropped
     bi = tokens_for_mode("alpha beta gamma", mode="ALL", ngrams=2)
     assert bi == ["alpha_beta", "beta_gamma"]  # '_' separator (ShingleFilter)
+    pos = tokens_for_mode("Running quickly 42 Berlin condition", mode="POS")
+    assert pos == [
+        "running#VBG",
+        "quickly#RB",
+        "42#CD",
+        "berlin#NNP",
+        "condition#NN",
+    ]
     with pytest.raises(ValueError):
-        tokens_for_mode(title, mode="POS")
+        tokens_for_mode(title, mode="NOPE")
 
 
 # -- event detection over planted fixture (gen_items plants 'quakeevent') ---

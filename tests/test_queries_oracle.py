@@ -88,6 +88,8 @@ def test_rows_only_queries_run(ray_session):
         "minhash_dup_pairs": {"doc_a", "doc_b", "jaccard_micro"},
         "doc_fingerprints": {"doc_id", "fingerprint"},
         "ngram_jaccard_pairs": {"doc_a", "doc_b", "jaccard_micro"},
+        "simhash_dup_pairs": {"doc_a", "doc_b"},
+        "items_pos_tokens": {"id", "tokens"},
         "image_decode_check": {
             "image_id",
             "fmt",
