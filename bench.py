@@ -87,7 +87,7 @@ def run_crawl(num_cpus: int, tier: str | None = None, warm: bool = False) -> dic
     shutil.rmtree(out_dir, ignore_errors=True)
     if tier == "medium":
         cfg = CrawlConfig(
-            n_shards=16, per_host_budget=1500, round_budget=100_000, max_rounds=2,
+            n_shards=16, per_host_budget=1500, round_budget=55_000, max_rounds=2,
             fetch_concurrency=num_cpus, fetch_batch_size=256, hot_threshold=2000,
             embed_media=True, seen_capacity=1 << 20,
         )
