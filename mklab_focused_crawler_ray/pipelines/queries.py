@@ -561,8 +561,10 @@ QUERIES = {
 }
 
 from .queries_media import MEDIA_ORACLE_SQL, MEDIA_QUERIES  # noqa: E402
+from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 
 QUERIES.update(MEDIA_QUERIES)
+QUERIES.update(REL_QUERIES)
 
 _SCORE_SQL = (
     "(1 - EXP(-0.05*value) + 1)/2 * "
@@ -637,3 +639,4 @@ ORACLE_SQL = {
 }
 
 ORACLE_SQL.update(MEDIA_ORACLE_SQL)
+ORACLE_SQL.update(REL_ORACLE_SQL)

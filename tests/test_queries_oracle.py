@@ -117,6 +117,7 @@ def test_rows_only_queries_run(ray_session):
         "platform_media_extract": {"url", "platform", "media_id"},
         "items_json_roundtrip": {"id", "title", "user_id", "shares"},
         "crawl_trace": {"round", "rank", "url"},
+        "crawl_status_counts": {"round", "status", "n"},
     }
     for name, fn in e.queries().items():
         if name in oracles:
