@@ -27,6 +27,12 @@ class CrawlConfig:
     max_rounds: int = 5
     now_ms: int = EPOCH0_MS + DAY_MS  # fixed reference clock (end of corpus day)
     seen_ttl_ms: int | None = None  # e.g. 24*3600*1000 for CrawlDecider semantics
+    # deterministic logical clock: round r runs at now_ms + r*round_duration_ms.
+    # Scores ALWAYS use the fixed now_ms (reproducible ordering); the advancing
+    # clock only drives seen-TTL expiry, enabling CrawlDecider's
+    # recrawl-after-expiry (utils/CrawlDecider.java:23-27) inside the
+    # deterministic round model. 0 = frozen clock (default).
+    round_duration_ms: int = 0
     hot_threshold: int = 50  # seed-count per host above which the host is salted
     max_salts: int = 4
     seen_capacity: int = 1 << 17

@@ -49,7 +49,7 @@ def _expand_task(expander_fn, tbl_slice: pa.Table) -> pa.Table:
     return expander_fn(tbl_slice)
 
 
-def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms):
+def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms, score_now_ms=None):
     """Task-based map_batches sink-stage factory: discovered out_links are
     scored (universe metadata via broadcast zero-copy numpy lookup arrays),
     routed by (registered_domain, salt) and enqueued into the frontier shard
@@ -77,9 +77,12 @@ def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms):
                 if len(sorted_hashes)
                 else np.zeros(len(links), bool)
             )
+            # score clock stays FIXED (reproducible ordering); now_ms is the
+            # advancing logical clock used only for seen-TTL bookkeeping
+            sn = score_now_ms if score_now_ms is not None else now_ms
             shares = np.where(found, meta_shares[idx_c], 0).astype(np.int64)
-            dates = np.where(found, meta_dates[idx_c], now_ms).astype(np.int64)
-            scores = webpage_score(shares, dates, now_ms)
+            dates = np.where(found, meta_dates[idx_c], sn).astype(np.int64)
+            scores = webpage_score(shares, dates, sn)
             hosts = [host_of(u) for u in links]
             shard_arr, salt_arr, _ = route_many(links, hosts, n_shards, salt_map)
             links_np = np.asarray(links, dtype=object)
@@ -236,7 +239,7 @@ class RayCrawler:
         import ray.data as rd
 
         cfg = self.cfg
-        now = cfg.now_ms
+        now = cfg.now_ms + rnd * cfg.round_duration_ms  # logical clock
         _t0 = _time.time()
         proposals = ray.get([s.propose.remote(cfg.round_budget) for s in self.shards])
         # Arrow-native merge of shard proposals (driver-side python sort of
@@ -398,7 +401,8 @@ class RayCrawler:
             ds2
             .map_batches(
                 make_enqueue_links(
-                    self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now
+                    self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now,
+                    score_now_ms=cfg.now_ms,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,

@@ -127,6 +127,7 @@ class CrawlOracle:
             self._enqueue(u, int(s), int(d), now)
 
         for rnd in range(cfg.max_rounds):
+            now = cfg.now_ms + rnd * cfg.round_duration_ms  # logical clock
             if not self.pending:
                 break
             order = sorted(self.pending.items(), key=lambda kv: (-kv[1][0], kv[0]))
