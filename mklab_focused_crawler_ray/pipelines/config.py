@@ -39,4 +39,7 @@ class CrawlConfig:
     fetch_concurrency: int = 4  # target fetch-stage parallelism (block fan-out)
     fetch_batch_size: int = 256
     embed_media: bool = False  # decode+embed extracted media (vIndexer path)
+    # StatusCheckBolt media-seen gate before the embedder, applied at round
+    # granularity (deterministic): ids embedded in earlier rounds are skipped
+    media_dedup: bool = False
     extra: dict = field(default_factory=dict)

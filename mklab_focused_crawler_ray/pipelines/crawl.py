@@ -179,6 +179,9 @@ class RayCrawler:
         ]
         self.trace: list[tuple[int, int, str]] = []
         self.start_round = 0
+        # media-seen gate state (cfg.media_dedup): sorted uint64 id-hashes
+        # of media embedded in completed rounds
+        self.media_seen = np.empty(0, dtype=np.uint64)
         # cumulative wall-time per phase (control = propose/commit/merge/
         # expand/dedup barriers; pipeline = fetch+extract+embed+enqueue+write)
         self.phase_times = {"control": 0.0, "pipeline": 0.0}
@@ -202,6 +205,9 @@ class RayCrawler:
             return False
         self.start_round = m["next_round"]
         self.trace = [tuple(t) for t in m.get("trace", [])]
+        ms_path = os.path.join(self.checkpoint_dir, "media_seen.npy")
+        if os.path.exists(ms_path):
+            self.media_seen = np.load(ms_path)
         return True
 
     def enqueue_seeds(self) -> None:
@@ -392,8 +398,11 @@ class RayCrawler:
         if self.image_store_ref is not None:
             from ..stages.visual import make_media_embed
 
+            seen_ref = (
+                ray.put(self.media_seen) if cfg.media_dedup else None
+            )
             ds2 = ds2.map_batches(
-                make_media_embed(self.image_store_ref),
+                make_media_embed(self.image_store_ref, media_seen_ref=seen_ref),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
             )
@@ -416,6 +425,20 @@ class RayCrawler:
             shutil.rmtree(tmp_dir)
         ds2.write_parquet(tmp_dir)
         os.rename(tmp_dir, round_dir)
+        if cfg.media_dedup and self.image_store_ref is not None:
+            new_ids: set[str] = set()
+            for f in os.listdir(round_dir):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(
+                        os.path.join(round_dir, f), columns=["media_image_ids"]
+                    )
+                    for cell in t["media_image_ids"]:
+                        new_ids.update(cell.as_py() or [])
+            if new_ids:
+                h = url_hash64_vec(sorted(new_ids))
+                self.media_seen = np.unique(
+                    np.concatenate([self.media_seen, h])
+                )
         self.phase_times["pipeline"] += _time.time() - _t0
         return len(selected)
 
@@ -439,6 +462,9 @@ class RayCrawler:
         import ray
 
         ray.get([s.checkpoint.remote(self.checkpoint_dir) for s in self.shards])
+        ms_path = os.path.join(self.checkpoint_dir, "media_seen.npy")
+        np.save(ms_path + ".tmp.npy", self.media_seen)
+        os.replace(ms_path + ".tmp.npy", ms_path)
         with open(self._manifest_path() + ".tmp", "w") as f:
             json.dump({"next_round": next_round, "trace": self.trace}, f)
         os.replace(self._manifest_path() + ".tmp", self._manifest_path())

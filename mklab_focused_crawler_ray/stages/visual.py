@@ -38,16 +38,24 @@ def image_id_of_src(src: str) -> str:
     return src.rsplit("/", 1)[-1]
 
 
-def make_media_embed(image_store_ref, embed_dim: int = 64):
+def make_media_embed(image_store_ref, embed_dim: int = 64, media_seen_ref=None):
     """Task-based map_batches stage: for each row's media list, look up the
     image bytes, decode, pseudo-embed and re-hash. Appends aligned list
     columns media_image_ids / media_phash / media_vec (empty lists when the
-    page has no media or the image is unknown → status mirrored per item)."""
+    page has no media or the image is unknown → status mirrored per item).
+
+    ``media_seen_ref`` (optional): broadcast sorted uint64 hash array of
+    media ids embedded in STRICTLY EARLIER rounds — the StatusCheckBolt
+    dedup gate in front of the visual indexer
+    (``bolts/media/StatusCheckBolt.java:59-68``), applied at round
+    granularity so the outcome is deterministic (within-round duplicates
+    all process; Storm's arrival-order gate is nondeterministic)."""
 
     def media_embed(batch: pa.Table) -> pa.Table:
         import ray
 
         hashes, tbl = ray.get(image_store_ref)
+        seen = ray.get(media_seen_ref) if media_seen_ref is not None else None
         ids_col = tbl["image_id"]
         bytes_col = tbl["bytes"]
         fmt_col = tbl["fmt"]
@@ -67,6 +75,11 @@ def make_media_embed(image_store_ref, embed_dim: int = 64):
             ids_row, ph_row, vec_row = [], [], []
             for m in items:
                 image_id = image_id_of_src(m["media_url"])
+                if seen is not None and len(seen):
+                    h = np.uint64(url_hash64(image_id))
+                    j = int(np.searchsorted(seen, h))
+                    if j < len(seen) and seen[j] == h:
+                        continue  # media-seen gate: already indexed
                 blob, fmt = lookup(image_id)
                 if blob is None:
                     continue  # unknown image — reference drops silently

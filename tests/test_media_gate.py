@@ -1,0 +1,80 @@
+"""Media-seen gate (StatusCheckBolt in front of the visual indexer,
+bolts/media/StatusCheckBolt.java:59-68) at round granularity: an image id
+embedded in round r is never re-embedded in round r' > r; the union of
+embedded ids is unchanged vs gate-off; trace is unaffected."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from mklab_focused_crawler_ray.pipelines.config import CrawlConfig
+
+CFG = dict(
+    n_shards=3,
+    per_host_budget=5,
+    round_budget=40,
+    max_rounds=4,
+    embed_media=True,
+)
+
+
+def _embedded_ids_per_round(out_dir: str) -> dict[int, set[str]]:
+    per_round: dict[int, set[str]] = {}
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("round="):
+            continue
+        rnd = int(d.split("=")[1])
+        ids: set[str] = set()
+        for f in os.listdir(os.path.join(out_dir, d)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(
+                    os.path.join(out_dir, d, f), columns=["media_image_ids"]
+                )
+                for cell in t["media_image_ids"]:
+                    ids.update(cell.as_py() or [])
+        per_round[rnd] = ids
+    return per_round
+
+
+def test_media_gate_no_reembed_across_rounds(ray_session, tiny_fixture, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.crawl import RayCrawler
+
+    gated = RayCrawler(
+        tiny_fixture,
+        CrawlConfig(**CFG, media_dedup=True),
+        out_dir=str(tmp_path / "gated"),
+    )
+    try:
+        res_g = gated.run(checkpoint_every=0)
+    finally:
+        gated.shutdown()
+    plain = RayCrawler(
+        tiny_fixture, CrawlConfig(**CFG), out_dir=str(tmp_path / "plain")
+    )
+    try:
+        res_p = plain.run(checkpoint_every=0)
+    finally:
+        plain.shutdown()
+
+    # trace identical — the gate only affects the embed side-channel
+    assert res_g["trace"] == res_p["trace"]
+
+    g = _embedded_ids_per_round(str(tmp_path / "gated"))
+    p = _embedded_ids_per_round(str(tmp_path / "plain"))
+    # no id re-embedded in a later round under the gate
+    seen: set[str] = set()
+    for rnd in sorted(g):
+        assert not (g[rnd] & seen), f"round {rnd} re-embedded gated ids"
+        seen |= g[rnd]
+    # the union of embedded ids matches the ungated run (first-wins, no loss)
+    assert seen == set().union(*p.values()) if p else seen == set()
+    # the gate must actually fire (ungated run re-embeds something)
+    p_seen: set[str] = set()
+    refired = False
+    for rnd in sorted(p):
+        if p[rnd] & p_seen:
+            refired = True
+        p_seen |= p[rnd]
+    assert refired, "fixture must contain cross-round media repeats"
