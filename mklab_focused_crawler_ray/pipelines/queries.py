@@ -108,13 +108,26 @@ def q_top100_ranked(sf_dir: str):
 
 
 def _count_by(sf_dir: str, table: str, key: str):
+    """Grouped count with partial aggregation inside map_batches: the
+    shuffle input is (#distinct × #blocks) partial rows, not the table."""
+    import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[key])
+        return pa.table(
+            {
+                key: vc.field("values"),
+                "pn": vc.field("counts").cast(pa.int64()),
+            }
+        )
 
     return (
         rd.read_parquet(_p(sf_dir, table), columns=[key])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(key)
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("pn", alias_name="n"))
     )
 
 
@@ -434,12 +447,24 @@ def q_embedding_top10(sf_dir: str):
             )
             emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             cos = emb @ self.qmat.T  # (B, nq)
-            nq = len(self.qids)
+            cm = _micro(cos)  # integer scores — total order (cos desc, vec_id asc)
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                # per-batch partial top-k under the SAME total order as the
+                # final selection (self-match excluded here too) → global
+                # result provably identical while the shuffle sees
+                # k × nq × #blocks rows, not B × nq
+                mask = vids != qid
+                vv, cc = vids[mask], cm[mask, qi]
+                order = np.lexsort((vv, -cc))[:TOP_K]
+                out_q.append(np.full(len(order), qid, np.int64))
+                out_v.append(vv[order])
+                out_c.append(cc[order])
             return pa.table(
                 {
-                    "query_id": pa.array(np.repeat(self.qids, len(vids)), pa.int64()),
-                    "vec_id": pa.array(np.tile(vids, nq), pa.int64()),
-                    "cos_micro": pa.array(_micro(cos.T.ravel()), pa.int64()),
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cos_micro": pa.array(np.concatenate(out_c), pa.int64()),
                 }
             )
 
