@@ -81,6 +81,20 @@ def q_ann_ivf_top10(sf_dir: str):
     return ivf_topk(os.path.join(sf_dir, "embeddings.parquet"), n_queries=5, k=10)
 
 
+def q_ann_ivf_partitioned_top10(sf_dir: str):
+    """IVF over a centroid-partitioned parquet layout — queries read ONLY
+    their nprobe partitions (prune-at-the-read scale path); result equals
+    the in-memory IVF (tests/test_ann.py)."""
+    from ..stages.ann import ivf_partitioned_topk
+
+    layout = os.path.join(
+        "/tmp/mkfc_ivf_layouts", os.path.basename(os.path.normpath(sf_dir))
+    )
+    return ivf_partitioned_topk(
+        os.path.join(sf_dir, "embeddings.parquet"), layout, n_queries=5, k=10
+    )
+
+
 def q_ann_lsh_top10(sf_dir: str):
     from ..stages.ann import lsh_topk
 
@@ -545,6 +559,7 @@ MEDIA_QUERIES = {
     "image_embed": q_image_embed,
     "ann_ivf_top10": q_ann_ivf_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
+    "ann_ivf_partitioned_top10": q_ann_ivf_partitioned_top10,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "image_embed_dup_pairs": q_image_embed_dup_pairs,
     "image_visual_clusters": q_image_visual_clusters,

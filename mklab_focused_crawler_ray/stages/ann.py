@@ -204,6 +204,96 @@ def _lose_missing(fin):
     return f
 
 
+def build_ivf_layout(
+    emb_parquet: str, out_dir: str, nlist: int = 16, seed: int = 42
+) -> str:
+    """Materialize the IVF *storage layout*: embeddings written as one
+    parquet partition per coarse centroid (``out_dir/list=K/``). Queries
+    then READ only their ``nprobe`` partitions — the "prune at the read"
+    scale path (at 100 TB this is the difference between scanning
+    nprobe/nlist of the data and scanning all of it). Idempotent via a
+    ``_DONE`` marker."""
+    import os
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cent = train_centroids(emb_parquet, nlist, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = _normalize(_batch_embeddings(batch))
+        lists = np.argmax(emb @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("list", pa.array(lists, pa.int64()))
+
+    rd.read_parquet(emb_parquet, columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["list"])
+    with open(marker, "w") as f:
+        f.write(f"nlist={nlist} seed={seed}\n")
+    return out_dir
+
+
+def ivf_partitioned_topk(
+    emb_parquet: str,
+    layout_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+):
+    """IVF query over the partitioned layout: per query, read ONLY the
+    ``nprobe`` closest centroid partitions and brute-force within them.
+    Returns the same (query_id, vec_id, cos_micro) schema; equals
+    :func:`ivf_topk` with identical centroids (tests/test_ann.py)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    build_ivf_layout(emb_parquet, layout_dir, nlist, seed)
+    qids, qmat = load_queries(emb_parquet, n_queries)
+    cent = train_centroids(emb_parquet, nlist, seed=seed)
+    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    needed = sorted({int(p) for row in probes for p in row})
+    files = [
+        os.path.join(layout_dir, f"list={p}", f)
+        for p in needed
+        for f in os.listdir(os.path.join(layout_dir, f"list={p}"))
+        if f.endswith(".parquet")
+    ]
+    # which queries probe which list → mask applied per batch
+    probe_mask = np.zeros((nlist, len(qids)), bool)
+    for qi in range(len(qids)):
+        probe_mask[probes[qi], qi] = True
+    side_ref = ray.put((qids, qmat, cent, probe_mask))
+
+    def score(batch: pa.Table) -> pa.Table:
+        s_qids, s_qmat, s_cent, s_mask = ray.get(side_ref)
+        emb = _normalize(_batch_embeddings(batch))
+        vids = batch["vec_id"].to_numpy()
+        # hive-partitioned files drop the partition column; the assignment
+        # is a pure function of the vector, so recompute it
+        lists = np.argmax(emb @ s_cent.T, axis=1).astype(np.int64)
+        cos = emb @ s_qmat.T
+        cos = np.where(s_mask[lists], cos, -2.0)
+        return _topk_rows(s_qids, vids, cos, k)
+
+    return (
+        rd.read_parquet(files, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_lose_missing(_final_topk(k)), batch_format="pandas")
+    )
+
+
 def lsh_topk(
     emb_parquet: str,
     n_queries: int = 5,

@@ -104,6 +104,7 @@ def test_rows_only_queries_run(ray_session):
         "image_embed": {"image_id", "embedding"},
         "ann_ivf_top10": {"query_id", "vec_id", "cos_micro"},
         "ann_lsh_top10": {"query_id", "vec_id", "cos_micro"},
+        "ann_ivf_partitioned_top10": {"query_id", "vec_id", "cos_micro"},
         "embedding_dup_pairs": {"doc_a", "doc_b"},
         "image_embed_dup_pairs": {"doc_a", "doc_b"},
         "image_visual_clusters": {"image_id", "cluster_id"},
