@@ -23,6 +23,9 @@ class RobotsCache:
 
     def __init__(self, rules: dict[str, list[str]] | None = None):
         self.rules = {h: list(ps) for h, ps in (rules or {}).items()}
+        # optional richer per-host RobotsRules (Allow overrides, crawl-delay)
+        # populated by robots_cache_from_txt
+        self.full_rules: dict[str, "RobotsRules"] = {}
 
     @classmethod
     def from_table(cls, hosts, prefixes) -> "RobotsCache":
@@ -37,10 +40,111 @@ class RobotsCache:
         except ValueError:
             return False
         host = parts.hostname or ""
+        fr = self.full_rules.get(host)
+        if fr is not None:
+            return fr.allowed(parts.path)
         for prefix in self.rules.get(host, ()):
             if parts.path.startswith(prefix):
                 return False
         return True
+
+
+def parse_robots_txt(text: str, agent: str = "mkfc-ray") -> "RobotsRules":
+    """RFC 9309-flavored robots.txt parser (public spec): groups of
+    ``User-agent`` lines followed by ``Allow``/``Disallow`` rules; the group
+    whose user-agent token is the LONGEST case-insensitive substring match
+    of our agent wins, with ``*`` as fallback; per-URL decision is
+    longest-path-match between the group's allow and disallow rules, allow
+    winning ties; empty ``Disallow:`` means allow-all; ``Crawl-delay`` is
+    captured per group (non-standard but ubiquitous)."""
+    groups: list[dict] = []
+    cur: dict | None = None
+    expecting_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur is None or expecting_rules:
+                cur = {"agents": [], "allow": [], "disallow": [], "crawl_delay": None}
+                groups.append(cur)
+                expecting_rules = False
+            cur["agents"].append(value.lower())
+        elif cur is not None and field in ("allow", "disallow"):
+            expecting_rules = True
+            if field == "disallow" and value == "":
+                continue  # empty Disallow = allow everything
+            cur[field].append(value)
+        elif cur is not None and field == "crawl-delay":
+            expecting_rules = True
+            try:
+                cur["crawl_delay"] = float(value)
+            except ValueError:
+                pass
+    # pick the most specific matching group
+    al = agent.lower()
+    best: dict | None = None
+    best_len = -1
+    for g in groups:
+        for a in g["agents"]:
+            if a == "*":
+                match_len = 0
+            elif a in al:
+                match_len = len(a)
+            else:
+                continue
+            if match_len > best_len:
+                best, best_len = g, match_len
+    if best is None:
+        return RobotsRules([], [], None)
+    return RobotsRules(best["allow"], best["disallow"], best["crawl_delay"])
+
+
+class RobotsRules:
+    """One agent group's rules with longest-path-match evaluation."""
+
+    def __init__(self, allow: list[str], disallow: list[str], crawl_delay: float | None):
+        self.allow = list(allow)
+        self.disallow = list(disallow)
+        self.crawl_delay = crawl_delay
+
+    def allowed(self, path: str) -> bool:
+        if not path:
+            path = "/"
+        best_rule_allow = True  # no match → allowed
+        best_len = -1
+        for rule, is_allow in (
+            [(r, True) for r in self.allow] + [(r, False) for r in self.disallow]
+        ):
+            if path.startswith(rule) and len(rule) >= best_len:
+                # allow wins exact-length ties (RFC 9309 §2.2.2)
+                if len(rule) > best_len or is_allow:
+                    best_rule_allow = is_allow
+                    best_len = len(rule)
+        return best_rule_allow
+
+    def disallow_prefixes(self) -> list[str]:
+        return list(self.disallow)
+
+
+def robots_cache_from_txt(
+    host_to_txt: dict[str, str], agent: str = "mkfc-ray"
+) -> RobotsCache:
+    """Build the frontier's RobotsCache from raw robots.txt bodies. The
+    cache keeps the full rules object so Allow overrides work; hosts with
+    unparsable/empty robots default to allow-all."""
+    cache = RobotsCache()
+    cache.full_rules = {
+        h: parse_robots_txt(t, agent) for h, t in host_to_txt.items()
+    }
+    # keep the prefix table too (fast path for simple fixture rules)
+    cache.rules = {
+        h: r.disallow_prefixes() for h, r in cache.full_rules.items()
+    }
+    return cache
 
 
 def salt_quota(budget: int, n_salts: int, salt: int) -> int:
