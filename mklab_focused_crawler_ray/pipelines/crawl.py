@@ -112,6 +112,7 @@ class RayCrawler:
         cfg: CrawlConfig,
         out_dir: str,
         checkpoint_dir: str | None = None,
+        robots: RobotsCache | None = None,
     ):
         import ray
 
@@ -153,10 +154,11 @@ class RayCrawler:
                 uni["date"].cast(pa.int64()).to_numpy()[order],
             )
         )
-        rob = pq.read_table(os.path.join(fixture_dir, "robots.parquet"))
-        robots = RobotsCache.from_table(
-            rob["host"].to_pylist(), rob["disallow_prefix"].to_pylist()
-        )
+        if robots is None:
+            rob = pq.read_table(os.path.join(fixture_dir, "robots.parquet"))
+            robots = RobotsCache.from_table(
+                rob["host"].to_pylist(), rob["disallow_prefix"].to_pylist()
+            )
         counts: dict[str, int] = {}
         for d in self.seeds["domain"].to_pylist():
             counts[d] = counts.get(d, 0) + 1
@@ -174,6 +176,7 @@ class RayCrawler:
                 seen_ttl_ms=cfg.seen_ttl_ms,
                 seen_capacity=cfg.seen_capacity,
                 robots=robots,
+                round_duration_ms=cfg.round_duration_ms,
             )
             for i in range(cfg.n_shards)
         ]

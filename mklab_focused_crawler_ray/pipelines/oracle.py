@@ -34,7 +34,12 @@ def _score_one(shares: int, date_ms: int, now_ms: int) -> float:
 
 
 class CrawlOracle:
-    def __init__(self, fixture: dict[str, pa.Table], config: CrawlConfig):
+    def __init__(
+        self,
+        fixture: dict[str, pa.Table],
+        config: CrawlConfig,
+        robots: RobotsCache | None = None,
+    ):
         self.cfg = config
         self.seeds = fixture["frontier_seed"]
         self.redirects = dict(
@@ -62,10 +67,13 @@ class CrawlOracle:
                 uni["date"].cast(pa.int64()).to_pylist(),
             )
         }
-        rob = fixture["robots"]
-        self.robots = RobotsCache.from_table(
-            rob["host"].to_pylist(), rob["disallow_prefix"].to_pylist()
-        )
+        if robots is not None:
+            self.robots = robots
+        else:
+            rob = fixture["robots"]
+            self.robots = RobotsCache.from_table(
+                rob["host"].to_pylist(), rob["disallow_prefix"].to_pylist()
+            )
         # static salt map from the seed host distribution (same rule as engine)
         counts: dict[str, int] = {}
         for d in self.seeds["domain"].to_pylist():
@@ -136,8 +144,15 @@ class CrawlOracle:
             for url, (score, host, salt) in order:
                 if len(selected) >= cfg.round_budget:
                     break
+                from ..state.politeness import effective_host_budget
+
+                host_budget = effective_host_budget(
+                    cfg.per_host_budget,
+                    self.robots.crawl_delay(host),
+                    cfg.round_duration_ms,
+                )
                 quota = salt_quota(
-                    cfg.per_host_budget, n_salts_for(host, self.salt_map), salt
+                    host_budget, n_salts_for(host, self.salt_map), salt
                 )
                 key = (host, salt)
                 if host_counts.get(key, 0) >= quota:

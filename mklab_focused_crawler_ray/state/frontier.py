@@ -137,11 +137,13 @@ class FrontierShard:
         seen_ttl_ms: int | None = None,
         seen_capacity: int = 1 << 16,
         robots: RobotsCache | None = None,
+        round_duration_ms: int = 0,
     ):
         self.shard_id = shard_id
         self.n_shards = n_shards
         self.salt_map = dict(salt_map or {})
         self.per_host_budget = per_host_budget
+        self.round_duration_ms = round_duration_ms
         self.seen_ttl_ms = seen_ttl_ms
         self.seen_capacity = seen_capacity
         self.robots = robots or RobotsCache()
@@ -234,10 +236,17 @@ class FrontierShard:
         sorted by (score desc, url asc). Popped rows are parked in
         ``_proposed`` until commit()."""
         assert not self._proposed, "propose() called twice without commit()"
+        from .politeness import effective_host_budget
+
         cands: list[tuple[float, str, str, int]] = []
         for (domain, salt), heap in self.queues.items():
             ns = n_salts_for(domain, self.salt_map)
-            quota = salt_quota(self.per_host_budget, ns, salt)
+            host_budget = effective_host_budget(
+                self.per_host_budget,
+                self.robots.crawl_delay(domain),
+                self.round_duration_ms,
+            )
+            quota = salt_quota(host_budget, ns, salt)
             taken = 0
             while heap and taken < quota:
                 negs, u, payload = heapq.heappop(heap)

@@ -34,6 +34,10 @@ class RobotsCache:
             rules.setdefault(h, []).append(p)
         return cls(rules)
 
+    def crawl_delay(self, host: str) -> float | None:
+        fr = self.full_rules.get(host)
+        return fr.crawl_delay if fr is not None else None
+
     def allowed(self, url: str) -> bool:
         try:
             parts = urlsplit(url)
@@ -128,6 +132,18 @@ class RobotsRules:
 
     def disallow_prefixes(self) -> list[str]:
         return list(self.disallow)
+
+
+def effective_host_budget(
+    base_budget: int, crawl_delay_s: float | None, round_duration_ms: int
+) -> int:
+    """Per-host per-round budget honoring robots crawl-delay: with a
+    round_duration_ms logical clock, a host asking for ``crawl-delay: D``
+    seconds gets at most ``round_duration_ms / (D*1000)`` fetches per round
+    (min 1 so progress is guaranteed), capped by the configured budget."""
+    if not crawl_delay_s or crawl_delay_s <= 0 or round_duration_ms <= 0:
+        return base_budget
+    return min(base_budget, max(1, int(round_duration_ms / (crawl_delay_s * 1000.0))))
 
 
 def robots_cache_from_txt(
