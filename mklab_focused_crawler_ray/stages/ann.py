@@ -42,14 +42,25 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _batch_embeddings(batch: pa.Table) -> np.ndarray:
-    """list<float> column → (B, D) float64 matrix, zero-copy per value."""
+    """list<float> column → (B, D) float64 matrix.
+
+    Uses ``arr.flatten()`` (offset-aware), NOT ``arr.values``: Ray Data hands
+    zero-copy *sliced* tables whenever a block exceeds batch_size, and on a
+    slice ``.values`` covers the whole parent block while ``len(batch)`` is
+    the slice length — deriving D from their ratio then reshapes garbage.
+    """
     col = batch["embedding"]
     if col.num_chunks == 1:
         arr = col.chunk(0)
     else:
         arr = col.combine_chunks()
-    flat = np.asarray(arr.values, dtype=np.float64)
-    d = len(flat) // len(batch)
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    if len(batch) == 0:
+        return flat.reshape(0, 0)
+    widths = np.diff(np.asarray(arr.offsets))
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("ragged embedding column: widths differ within batch")
     return flat.reshape(len(batch), d)
 
 
@@ -62,10 +73,14 @@ def _topk_rows(
         c = cos[:, qi]
         mask = vids != qid
         vv, cc = vids[mask], c[mask]
-        if len(vv) > k:
-            part = np.argpartition(-cc, k)[: k * 2]  # over-take for ties
-            vv, cc = vv[part], cc[part]
         cm = _micro(cc)
+        if len(vv) > k:
+            # keep every row tied with the k-th score so the (cos desc,
+            # vec_id asc) tie-break below sees all candidates — a plain
+            # argpartition over-take can drop a tied smaller vec_id
+            kth_val = np.partition(cm, len(cm) - k)[len(cm) - k]
+            keep = cm >= kth_val
+            vv, cm = vv[keep], cm[keep]
         order = np.lexsort((vv, -cm))[:k]
         out_q.append(np.full(len(order), qid, np.int64))
         out_v.append(vv[order])

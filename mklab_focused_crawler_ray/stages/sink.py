@@ -40,11 +40,34 @@ def _with_bucket(key: str, n_buckets: int):
     return add_bucket
 
 
+def _row_digest(g: pd.DataFrame) -> pd.Series:
+    """Deterministic per-row content hash — the secondary tie-break so rows
+    that tie on the version column resolve the same way in every run
+    (block-arrival order is nondeterministic across distributed runs)."""
+    import hashlib
+
+    return pd.Series(
+        [
+            int.from_bytes(
+                hashlib.md5(
+                    "|".join(str(v) for v in row).encode()
+                ).digest()[:8],
+                "big",
+            )
+            for row in g.itertuples(index=False)
+        ],
+        index=g.index,
+        dtype=np.uint64,
+    )
+
+
 def _latest_per_key(key: str, version_col: str | None):
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        if version_col is not None:
-            g = g.sort_values(version_col, kind="stable")
-        return g.tail(1)
+        order = [version_col] if version_col is not None else []
+        g = g.assign(_digest=_row_digest(g)).sort_values(
+            order + ["_digest"], kind="stable"
+        )
+        return g.tail(1).drop(columns=["_digest"])
 
     return latest
 
@@ -91,7 +114,10 @@ def read_upserted(
     vcol = version_col or "_gen"
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([vcol], kind="stable").tail(1)
+        g = g.assign(_digest=_row_digest(g)).sort_values(
+            [vcol, "_digest"], kind="stable"
+        )
+        return g.tail(1).drop(columns=["_digest"])
 
     return (
         merged.groupby(key)

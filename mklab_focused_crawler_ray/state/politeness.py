@@ -107,30 +107,51 @@ def parse_robots_txt(text: str, agent: str = "mkfc-ray") -> "RobotsRules":
     return RobotsRules(best["allow"], best["disallow"], best["crawl_delay"])
 
 
+def _rule_matcher(rule: str):
+    """RFC 9309 §2.2.3 pattern: ``*`` matches any run of characters and a
+    trailing ``$`` anchors at end-of-path; everything else is literal.
+    Returns a compiled match-from-start regex."""
+    import re
+
+    if rule.endswith("$"):
+        body, anchor = rule[:-1], "$"
+    else:
+        body, anchor = rule, ""
+    pattern = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile(pattern + anchor)
+
+
 class RobotsRules:
-    """One agent group's rules with longest-path-match evaluation."""
+    """One agent group's rules with longest-path-match evaluation.
+
+    ``*`` / ``$`` wildcards are honored per RFC 9309 (rule precedence is
+    still by raw rule-string length, allow winning exact ties)."""
 
     def __init__(self, allow: list[str], disallow: list[str], crawl_delay: float | None):
         self.allow = list(allow)
         self.disallow = list(disallow)
         self.crawl_delay = crawl_delay
+        self._compiled = [
+            (len(r), _rule_matcher(r), True) for r in self.allow
+        ] + [(len(r), _rule_matcher(r), False) for r in self.disallow]
 
     def allowed(self, path: str) -> bool:
         if not path:
             path = "/"
         best_rule_allow = True  # no match → allowed
         best_len = -1
-        for rule, is_allow in (
-            [(r, True) for r in self.allow] + [(r, False) for r in self.disallow]
-        ):
-            if path.startswith(rule) and len(rule) >= best_len:
+        for rule_len, rx, is_allow in self._compiled:
+            if rx.match(path) is not None and rule_len >= best_len:
                 # allow wins exact-length ties (RFC 9309 §2.2.2)
-                if len(rule) > best_len or is_allow:
+                if rule_len > best_len or is_allow:
                     best_rule_allow = is_allow
-                    best_len = len(rule)
+                    best_len = rule_len
         return best_rule_allow
 
     def disallow_prefixes(self) -> list[str]:
+        """Literal disallow values — only a valid prefix fast-path when no
+        rule contains ``*``/``$`` (RobotsCache.allowed prefers the full
+        rules whenever they exist, so this is fixture-table-only)."""
         return list(self.disallow)
 
 
@@ -142,6 +163,14 @@ def effective_host_budget(
     seconds gets at most ``round_duration_ms / (D*1000)`` fetches per round
     (min 1 so progress is guaranteed), capped by the configured budget."""
     if not crawl_delay_s or crawl_delay_s <= 0 or round_duration_ms <= 0:
+        if crawl_delay_s and crawl_delay_s > 0 and round_duration_ms <= 0:
+            import warnings
+
+            warnings.warn(
+                "robots crawl-delay present but round_duration_ms=0: "
+                "delay is a no-op; set CrawlConfig.round_duration_ms",
+                stacklevel=2,
+            )
         return base_budget
     return min(base_budget, max(1, int(round_duration_ms / (crawl_delay_s * 1000.0))))
 

@@ -20,6 +20,14 @@ Ray-native design (SURVEY §2.5, §7.4):
 Each shard holds a normalized float32 matrix and answers cosine top-1 via
 one matmul per query batch — brute force per shard; the ANN variants
 (stages/ann.py) are the scale path for the query side.
+
+Determinism: similarities are computed float32-normalized → float64 dot →
+quantized to integer micro-units (1e-6) BEFORE any comparison, in both the
+sharded engine and the sequential oracle. Without the quantization,
+different BLAS paths (per-shard matmul vs scalar dot) round the same
+mathematical value differently in the last float bits, so "exact ties"
+(duplicate images) silently become unequal and the replay diverges from
+the oracle. Ties then break by smallest id == earliest inserted.
 """
 
 from __future__ import annotations
@@ -28,6 +36,13 @@ import numpy as np
 
 INDEX_THRESHOLD = 0.85  # VisualIndexerBolt.java:167
 CLUSTER_THRESHOLD = 0.75  # ClustererBolt.java:64,135
+
+
+def _micro(x) -> np.ndarray:
+    """Quantize similarity to int64 micro-units — the comparison domain."""
+    return np.floor(np.asarray(x, np.float64) * 1_000_000.0 + 0.5).astype(
+        np.int64
+    )
 
 
 class VisualIndexShard:
@@ -47,19 +62,21 @@ class VisualIndexShard:
         self.ids.extend(ids)
         return len(self.ids)
 
-    def query(self, vecs: list[list[float]]) -> list[tuple[str, float]]:
-        """Best match per query vector among vectors inserted SO FAR.
-        Returns ('', -1.0) rows when the shard is empty."""
+    def query(self, vecs: list[list[float]]) -> list[tuple[str, int]]:
+        """Best match per query vector among vectors inserted SO FAR, as
+        (id, sim_micro). argmax returns the FIRST max index and inserts are
+        id-ascending, so within-shard ties resolve to the smallest id.
+        Returns ('', -2_000_000) rows when the shard is empty."""
         if self.vecs is None or len(self.ids) == 0:
-            return [("", -1.0)] * len(vecs)
+            return [("", -2_000_000)] * len(vecs)
         q = np.asarray(vecs, dtype=np.float32)
         n = np.linalg.norm(q, axis=1, keepdims=True)
         n[n == 0] = 1.0
         q = q / n
-        sims = q @ self.vecs.T  # (nq, n)
+        sims = _micro(q.astype(np.float64) @ self.vecs.astype(np.float64).T)
         best = np.argmax(sims, axis=1)
         return [
-            (self.ids[int(b)], float(sims[i, int(b)])) for i, b in enumerate(best)
+            (self.ids[int(b)], int(sims[i, int(b)])) for i, b in enumerate(best)
         ]
 
     def size(self) -> int:
@@ -101,11 +118,13 @@ def index_and_cluster(
     order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
     nearest: dict[str, tuple[str, float]] = {}
     clusters: dict[str, str] = {}
+    idx_t = int(_micro(index_threshold))
+    clu_t = int(_micro(cluster_threshold))
 
     def _norm(v):
         a = np.asarray(v, dtype=np.float32)
         n = np.linalg.norm(a)
-        return a / n if n > 0 else a
+        return (a / n if n > 0 else a).astype(np.float64)
 
     k = len(shards)
     for start in range(0, len(order), chunk):
@@ -116,21 +135,31 @@ def index_and_cluster(
         per_shard = ray.get([s.query.remote(c_vecs) for s in shards])
         best_prev = []
         for qi in range(len(c_ids)):
-            cands = [per_shard[si][qi] for si in range(k)]
-            best_prev.append(max(cands, key=lambda t: t[1]))
+            # cross-shard pick: max micro-sim, ties broken by SMALLEST id —
+            # replay inserts in id order, so smallest id == earliest
+            # inserted, which is what sequential_oracle keeps on exact ties
+            bid, bsim = "", -2_000_000
+            for cand_id, cand_sim in (per_shard[si][qi] for si in range(k)):
+                if cand_sim > bsim or (
+                    cand_sim == bsim and cand_id and (not bid or cand_id < bid)
+                ):
+                    bid, bsim = cand_id, cand_sim
+            best_prev.append((bid, bsim))
         # in-chunk sequential pass: earlier chunk members are also candidates
+        # (their ids are > every shard-resident id, so strict '>' keeps the
+        # earlier candidate on micro-ties, matching the oracle)
         c_norm = [_norm(v) for v in c_vecs]
         for qi in range(len(c_ids)):
             bid, bsim = best_prev[qi]
             for pj in range(qi):
-                s = float(np.dot(c_norm[qi], c_norm[pj]))
+                s = int(_micro(np.dot(c_norm[qi], c_norm[pj])))
                 if s > bsim:
                     bid, bsim = c_ids[pj], s
-            if bid and bsim >= index_threshold:
-                nearest[c_ids[qi]] = (bid, bsim)
+            if bid and bsim >= idx_t:
+                nearest[c_ids[qi]] = (bid, bsim / 1_000_000.0)
             # clustering decision (ClustererBolt: threshold 0.75 on the
             # nearest neighbor regardless of the 0.85 index gate)
-            if bid and bsim >= cluster_threshold:
+            if bid and bsim >= clu_t:
                 clusters[c_ids[qi]] = clusters.get(bid, bid)
             else:
                 clusters[c_ids[qi]] = c_ids[qi]
@@ -151,24 +180,28 @@ def sequential_oracle(
     index_threshold: float = INDEX_THRESHOLD,
     cluster_threshold: float = CLUSTER_THRESHOLD,
 ):
-    """Pure-python one-at-a-time replay — the conformance oracle."""
+    """Pure-python one-at-a-time replay — the conformance oracle. Uses the
+    same float32-normalize → float64-dot → micro-quantize comparison domain
+    as the sharded engine (see module docstring)."""
     nearest: dict[str, tuple[str, float]] = {}
     clusters: dict[str, str] = {}
     seen_ids: list[str] = []
     seen_vecs: list[np.ndarray] = []
+    idx_t = int(_micro(index_threshold))
+    clu_t = int(_micro(cluster_threshold))
     order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
     for i in order:
         v = np.asarray(vecs[i], dtype=np.float32)
         n = np.linalg.norm(v)
-        v = v / n if n > 0 else v
-        bid, bsim = "", -1.0
+        v = (v / n if n > 0 else v).astype(np.float64)
+        bid, bsim = "", -2_000_000
         for sid, sv in zip(seen_ids, seen_vecs):
-            s = float(np.dot(v, sv))
+            s = int(_micro(np.dot(v, sv)))
             if s > bsim:
                 bid, bsim = sid, s
-        if bid and bsim >= index_threshold:
-            nearest[ids[i]] = (bid, bsim)
-        if bid and bsim >= cluster_threshold:
+        if bid and bsim >= idx_t:
+            nearest[ids[i]] = (bid, bsim / 1_000_000.0)
+        if bid and bsim >= clu_t:
             clusters[ids[i]] = clusters.get(bid, bid)
         else:
             clusters[ids[i]] = ids[i]
