@@ -545,11 +545,13 @@ def q_doc_fingerprints(sf_dir: str):
             rabin_karp_fingerprints(t, k=16, keep=8)
             for t in batch["text"].to_pylist()
         ]
+        # comma-joined string keeps the column flat/hash-comparable (values
+        # are < 2^61-1 so the %2^62 of the old list form was a no-op)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "fingerprint": pa.array(
-                    [[f % (1 << 62) for f in fl] for fl in fps], pa.list_(pa.int64())
+                    [",".join(str(f) for f in fl) for fl in fps], pa.string()
                 ),
             }
         )
@@ -665,3 +667,7 @@ ORACLE_SQL = {
 
 ORACLE_SQL.update(MEDIA_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
+
+from .oracles_ext import build_extended_oracles  # noqa: E402
+
+ORACLE_SQL.update(build_extended_oracles())

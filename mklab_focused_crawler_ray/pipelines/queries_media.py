@@ -408,14 +408,38 @@ def _items(sf_dir: str) -> str:
 
 
 def q_items_entities(sf_dir: str):
-    """EntityExtractionBolt: NER over item titles, deduped (type, name) with
-    counts (deterministic pattern model; actor-pool shape)."""
+    """EntityExtractionBolt: NER over item titles, deduped (type, lowercase
+    name) with mention counts (deterministic pattern model; actor-pool
+    shape). Exploded to one row per (item, entity) with ``ord`` = first-
+    occurrence rank so the nested list<struct> is hash-comparable by the
+    DuckDB oracle; items with no entities emit no rows."""
     import ray.data as rd
 
     from ..stages.nlp import EntityExtractor
 
-    return rd.read_parquet(_items(sf_dir), columns=["id", "title"]).map_batches(
-        EntityExtractor, batch_format="pyarrow", concurrency=(1, 4)
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, names, typs, counts, ords = [], [], [], [], []
+        for iid, ents in zip(batch["id"].to_pylist(), batch["entities"].to_pylist()):
+            for k, e in enumerate(ents):
+                ids.append(iid)
+                names.append(e["name"])
+                typs.append(e["type"])
+                counts.append(int(e["count"]))
+                ords.append(k)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.string()),
+                "name": pa.array(names, pa.string()),
+                "type": pa.array(typs, pa.string()),
+                "count": pa.array(counts, pa.int64()),
+                "ord": pa.array(ords, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_items(sf_dir), columns=["id", "title"])
+        .map_batches(EntityExtractor, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(explode, batch_format="pyarrow")
     )
 
 

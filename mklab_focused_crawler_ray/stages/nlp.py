@@ -144,7 +144,11 @@ def tokens_for_mode(
 
 
 def items_tokens(items_parquet: str, mode: str = "ALL", ngrams: int = 1):
-    """Dataset: (id, tokens) per item under the given tokenization mode."""
+    """Dataset: (id, tokens) per item under the given tokenization mode.
+    ``tokens`` is the space-joined token sequence (tokens never contain
+    spaces — WORD_RE words, '_'-joined shingles, '#'-tag pairs), which keeps
+    the column a flat string the DuckDB oracle can compare hash-exactly;
+    recover the list with ``tokens.split()``."""
     import ray.data as rd
 
     cols = ["id", "title"] if mode != "TAGS" else ["id", "title", "tags"]
@@ -155,9 +159,9 @@ def items_tokens(items_parquet: str, mode: str = "ALL", ngrams: int = 1):
         out = []
         for t, tg in zip(titles, tags):
             ents = extract_entities(t) if mode == "NE" else None
-            out.append(tokens_for_mode(t, ents, tg, mode=mode, ngrams=ngrams))
+            out.append(" ".join(tokens_for_mode(t, ents, tg, mode=mode, ngrams=ngrams)))
         return pa.table(
-            {"id": batch["id"], "tokens": pa.array(out, pa.list_(pa.string()))}
+            {"id": batch["id"], "tokens": pa.array(out, pa.string())}
         )
 
     return rd.read_parquet(items_parquet, columns=cols).map_batches(

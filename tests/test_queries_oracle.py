@@ -58,11 +58,27 @@ def _sql_checked_queries():
     return sorted(oracles.keys())
 
 
+# oracles whose SQL reads the SMALL fixture tier by absolute path — the
+# driver's correctness scale is sf0.01 (tier "small"), so the query side
+# must run there too for the comparison to be meaningful
+FIXTURE_BACKED = {
+    "items_top100",
+    "items_tag_counts",
+    "items_json_roundtrip",
+    "platform_media_extract",
+    "items_bigrams",
+    "items_ne_tokens",
+    "items_entities",
+    "items_pos_tokens",
+}
+
+
 @pytest.mark.parametrize("name", _sql_checked_queries())
 def test_query_matches_duckdb_oracle(ray_session, name):
     import __ray_entry__ as e
 
-    ray_df = _canon(_to_df(e.queries()[name](SF_DIR)))
+    sf = "/root/testdata/sf0.01" if name in FIXTURE_BACKED else SF_DIR
+    ray_df = _canon(_to_df(e.queries()[name](sf)))
     duck_df = _canon(_duck(e.oracle_sql()[name]))
     assert list(ray_df.columns) == list(duck_df.columns), name
     assert len(ray_df) == len(duck_df), name
@@ -84,12 +100,8 @@ def test_rows_only_queries_run(ray_session):
     oracles = set(e.oracle_sql())
     expected_cols = {
         "simhash_docs": {"doc_id", "simhash"},
-        "langid_detect": {"doc_id", "lang_pred"},
-        "minhash_dup_pairs": {"doc_a", "doc_b", "jaccard_micro"},
         "doc_fingerprints": {"doc_id", "fingerprint"},
-        "ngram_jaccard_pairs": {"doc_a", "doc_b", "jaccard_micro"},
         "simhash_dup_pairs": {"doc_a", "doc_b"},
-        "items_pos_tokens": {"id", "tokens"},
         "image_decode_check": {
             "image_id",
             "fmt",
@@ -105,18 +117,10 @@ def test_rows_only_queries_run(ray_session):
         "ann_ivf_top10": {"query_id", "vec_id", "cos_micro"},
         "ann_lsh_top10": {"query_id", "vec_id", "cos_micro"},
         "ann_ivf_partitioned_top10": {"query_id", "vec_id", "cos_micro"},
-        "embedding_dup_pairs": {"doc_a", "doc_b"},
         "image_embed_dup_pairs": {"doc_a", "doc_b"},
         "image_visual_clusters": {"image_id", "cluster_id"},
         "event_candidates": {"window", "token"},
-        "items_entities": {"id", "title", "entities"},
-        "items_ne_tokens": {"id", "tokens"},
-        "items_bigrams": {"id", "tokens"},
-        "items_top100": {"id", "score_micro"},
-        "items_tag_counts": {"tag", "n"},
         "items_event_candidates": {"window", "token"},
-        "platform_media_extract": {"url", "platform", "media_id"},
-        "items_json_roundtrip": {"id", "title", "user_id", "shares"},
         "crawl_trace": {"round", "rank", "url"},
         "crawl_status_counts": {"round", "status", "n"},
     }
