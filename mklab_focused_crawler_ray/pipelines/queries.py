@@ -525,14 +525,29 @@ def q_langid_detect(sf_dir: str):
     )
 
 
+def pairs_to_df(ds, cols: list[str]):
+    """Collect a pair Dataset (output-sized by construction) and normalize
+    to the canonical int64 columns — Ray loses the schema when every block
+    ends up empty, which would break the driver's column comparison."""
+    import pandas as pd
+
+    df = ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
+    if df.empty or list(df.columns) != cols:
+        df = df.reindex(columns=cols)
+    return df.astype({c: np.int64 for c in cols}).reset_index(drop=True)
+
+
 def q_minhash_dup_pairs(sf_dir: str):
     """MinHash + LSH banding near-dup candidate pairs, verified with exact
-    token-set Jaccard ≥ 0.5. Pipeline: signature per doc (map_batches) →
-    explode (band_id, band_key, doc_id) → groupby bands → candidate pairs →
-    verify → distinct pairs. See stages/dedup.py for the engine."""
+    shingle-set Jaccard ≥ 0.5. Fully distributed: signature explode →
+    hot-band filter → map_groups pairing (skew-capped) → cogroup shingle
+    verify. See stages/dedup.py for the engine."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_p(sf_dir, "documents"), threshold=0.5)
+    return pairs_to_df(
+        minhash_lsh_pairs(_p(sf_dir, "documents"), threshold=0.5),
+        ["doc_a", "doc_b", "jaccard_micro"],
+    )
 
 
 def q_doc_fingerprints(sf_dir: str):

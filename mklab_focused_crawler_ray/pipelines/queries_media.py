@@ -107,9 +107,13 @@ def q_embedding_dup_pairs(sf_dir: str):
     table plants no near-duplicates (max off-diagonal cosine < 0.8), so this
     is the plumbing path; image_embed_dup_pairs exercises real positives."""
     from ..stages.dedup import embedding_cosine_pairs
+    from .queries import pairs_to_df
 
-    return embedding_cosine_pairs(
-        os.path.join(sf_dir, "embeddings.parquet"), threshold=0.95
+    return pairs_to_df(
+        embedding_cosine_pairs(
+            os.path.join(sf_dir, "embeddings.parquet"), threshold=0.95
+        ),
+        ["doc_a", "doc_b"],
     )
 
 
@@ -150,18 +154,25 @@ def q_image_visual_clusters(sf_dir: str):
     gate) → incremental clusters (0.75, min-member-id labels). Exactly equal
     to the one-at-a-time oracle (tests/test_visual_index.py)."""
     import ray
+    import ray.data as rd
 
-    from ..state.visual_index import index_and_cluster, make_index_shards
+    from ..stages.ann import _batch_embeddings
+    from ..state.visual_index import index_and_cluster_stream, make_index_shards
 
     emb = fixture_embeddings_parquet(sf_dir)
-    import pyarrow.parquet as pq
+    # stream id-sorted chunks straight off the Dataset — only one chunk of
+    # vectors is driver-resident at a time (vec_id sorts identically to the
+    # zero-padded img id string)
+    ds = rd.read_parquet(emb, columns=["vec_id", "embedding"]).sort("vec_id")
 
-    t = pq.read_table(emb)
-    ids = [f"img{int(v):08d}" for v in t["vec_id"].to_pylist()]
-    vecs = t["embedding"].to_pylist()
+    def chunks():
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=256):
+            ids = [f"img{int(v):08d}" for v in batch["vec_id"].to_pylist()]
+            yield ids, _batch_embeddings(batch)
+
     shards = make_index_shards(4)
     try:
-        _nearest, clusters = index_and_cluster(ids, vecs, shards)
+        _nearest, clusters = index_and_cluster_stream(chunks(), shards)
     finally:
         for s in shards:
             ray.kill(s)
@@ -178,8 +189,12 @@ def q_image_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup over the image fixture's pseudo-embeddings:
     planted duplicates (re-encode / downscale) give genuine cosine≈1 pairs."""
     from ..stages.dedup import embedding_cosine_pairs
+    from .queries import pairs_to_df
 
-    return embedding_cosine_pairs(fixture_embeddings_parquet(sf_dir), threshold=0.995)
+    return pairs_to_df(
+        embedding_cosine_pairs(fixture_embeddings_parquet(sf_dir), threshold=0.995),
+        ["doc_a", "doc_b"],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -191,8 +206,12 @@ def q_simhash_dup_pairs(sf_dir: str):
     """SimHash near-dup pairs: 4×16-bit band blocking (pigeonhole-exact for
     Hamming ≤ 3), exact Hamming verify."""
     from ..stages.dedup import simhash_near_pairs
+    from .queries import pairs_to_df
 
-    return simhash_near_pairs(os.path.join(sf_dir, "documents.parquet"), max_hamming=3)
+    return pairs_to_df(
+        simhash_near_pairs(os.path.join(sf_dir, "documents.parquet"), max_hamming=3),
+        ["doc_a", "doc_b"],
+    )
 
 
 def q_items_pos_tokens(sf_dir: str):
@@ -209,11 +228,15 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     verify. Scale path identical to minhash_dup_pairs but over word
     3-grams instead of char shingles."""
     from ..stages.dedup import minhash_lsh_pairs
+    from .queries import pairs_to_df
 
-    return minhash_lsh_pairs(
-        os.path.join(sf_dir, "documents.parquet"),
-        threshold=0.5,
-        shingle="word3",
+    return pairs_to_df(
+        minhash_lsh_pairs(
+            os.path.join(sf_dir, "documents.parquet"),
+            threshold=0.5,
+            shingle="word3",
+        ),
+        ["doc_a", "doc_b", "jaccard_micro"],
     )
 
 

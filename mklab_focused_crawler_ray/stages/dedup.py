@@ -88,14 +88,6 @@ class MinHashSignatures:
         )
 
 
-def _pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
-
-
 def _token_set(text: str) -> set:
     """Char-shingle set — the MinHash'd feature space (unigram token sets
     are degenerate on small-vocabulary corpora: everything collides)."""
@@ -109,51 +101,43 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-def minhash_lsh_pairs(
-    doc_parquet: str, threshold: float = 0.5, shingle: str = "char5"
-) -> pa.Table:
-    """Near-dup pairs (doc_a < doc_b, exact token-set Jaccard ≥ threshold)
-    found via MinHash-LSH candidates. Candidate pairs are collected to the
-    driver for verification — they are output-sized (bounded by true
-    near-dup density × LSH false-positive rate), not input-sized; at 100 TB
-    the verify step becomes a map_batches over the pair list joined against
-    a doc-id-bucketed token-set store instead of a broadcast dict."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
+GROUP_CAP = 4096  # max distinct ids paired within one hot (band, key) group
+
+
+def _log_overflow(kind: str, key, n: int, cap: int) -> None:
+    """No-silent-caps rule: a capped group is dropped coverage — say so."""
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: hot group %r has %d members > cap %d; pairing only the first "
+        "%d ids (sorted) — %d members' pairs dropped",
+        kind,
+        key,
+        n,
+        cap,
+        cap,
+        n - cap,
+    )
+
+
+def _hot_candidate_rows(sig, group_cols: list[str]):
+    """Shared hot-band machinery: count (band_id, band_key) groups, broadcast
+    the >1-member keys as a sorted uint64 array, and return the vectorized-
+    filtered candidate Dataset (None when no group is hot). A groupby-count
+    is cheap; per-group UDFs over the ~input-sized mostly-singleton groups
+    are NOT (measured 285 s vs 17 s at sf0.1)."""
+    import pyarrow.compute as pc
+    import ray
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
-    # 1) signatures → exploded (band_id, band_key, doc_id); materialize once
-    #    (reused by the hot-key scan and the candidate filter)
-    sig = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"shingle": shingle},
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 8),
-    ).materialize()
-    # 2) hot bands: (band_id, band_key) appearing >1 time. A groupby-count is
-    #    cheap; per-group UDFs are NOT (≈ num_perm × n_docs mostly-singleton
-    #    groups → one UDF call each dominated wall time in the map_groups
-    #    formulation).
-    from ray.data.aggregate import Count as _Count
-
-    import pyarrow.compute as _pc
-
-    hot = sig.groupby(["band_id", "band_key"]).aggregate(_Count(alias_name="n"))
-    hot_pd = hot.map_batches(
-        lambda b: b.filter(_pc.greater(b["n"], 1)), batch_format="pyarrow"
-    ).to_pandas()
+    hot_pd = (
+        sig.groupby(group_cols)
+        .aggregate(Count(alias_name="n"))
+        .map_batches(lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow")
+        .to_pandas()
+    )
     if len(hot_pd) == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_micro": pa.array([], pa.int64()),
-            }
-        )
-    import ray
-
+        return None
     hot_keys = np.unique(
         (hot_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48))
         ^ hot_pd["band_key"].to_numpy().view(np.uint64)
@@ -165,54 +149,190 @@ def minhash_lsh_pairs(
         combo = (
             batch["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
         ) ^ batch["band_key"].to_numpy().view(np.uint64)
-        idx = np.searchsorted(keys, combo)
-        idx_c = np.clip(idx, 0, len(keys) - 1)
-        return batch.filter(pa.array(keys[idx_c] == combo))
+        idx = np.clip(np.searchsorted(keys, combo), 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[idx] == combo))
 
-    # 3) candidate rows are OUTPUT-sized now → collect and pair in pandas
-    cand_pd = sig.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
-    pair_set: set[tuple[int, int]] = set()
-    for (_, _), g in cand_pd.groupby(["band_id", "band_key"], sort=False):
+    return sig.map_batches(keep_hot, batch_format="pyarrow")
+
+
+def _empty_pairs_ds(with_jaccard: bool):
+    import ray.data as rd
+
+    cols = {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }
+    if with_jaccard:
+        cols["jaccard_micro"] = pa.array([], pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def _distinct_pairs(cand, kind: str, group_cap: int = GROUP_CAP):
+    """Distributed candidate pairing: map_groups over the (output-sized) hot
+    (band_id, band_key) groups with a skew cap, then a pair-keyed groupby to
+    dedupe pairs found in multiple bands."""
+    from ray.data.aggregate import Count
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
+        if len(ids) > group_cap:
+            _log_overflow(
+                kind,
+                (int(g["band_id"].iloc[0]), int(g["band_key"].iloc[0])),
+                len(ids),
+                group_cap,
+            )
+            ids = ids[:group_cap]
         if len(ids) < 2:
-            continue
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                }
+            )
         ii, jj = np.triu_indices(len(ids), k=1)
-        pair_set.update(zip(ids[ii].tolist(), ids[jj].tolist()))
-    pairs = pd.DataFrame(
-        sorted(pair_set), columns=["doc_a", "doc_b"]
+        return pd.DataFrame(
+            {"doc_a": ids[ii].astype(np.int64), "doc_b": ids[jj].astype(np.int64)}
+        )
+
+    return (
+        cand.groupby(["band_id", "band_key"])
+        .map_groups(band_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+        .drop_columns(["nb"])
     )
-    if len(pairs) == 0:
-        return pa.table(
+
+
+def minhash_lsh_pairs(
+    doc_parquet: str,
+    threshold: float = 0.5,
+    shingle: str = "char5",
+    group_cap: int = GROUP_CAP,
+):
+    """Near-dup pairs (doc_a < doc_b, exact shingle-set Jaccard ≥ threshold)
+    found via MinHash-LSH candidates. Returns a Dataset
+    (doc_a, doc_b, jaccard_micro).
+
+    Scale shape — every step distributed, no input-sized driver state:
+    1. signatures → exploded (band_id, band_key, doc_id) rows (actor pool);
+    2. hot-band count → broadcast hot keys → vectorized candidate filter;
+    3. pairing as map_groups over the output-sized hot groups with a
+       ``group_cap`` skew guard (overflow logged, never silent);
+    4. exact-Jaccard verify as a doc-id cogroup join: a shingle store
+       (doc_id → shingle set, built only for involved docs via a broadcast
+       id set) unioned with exploded pair-member rows, grouped by doc_id to
+       attach shingles, then grouped by pair to compute Jaccard.
+    The only driver materialization is the distinct pair-id list (the
+    output itself) used to build the involved-id broadcast."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
+    sig = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"shingle": shingle},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    ).materialize()
+    cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
+    if cand is None:
+        return _empty_pairs_ds(with_jaccard=True)
+    pairs_pd = _distinct_pairs(cand, "minhash_lsh_pairs", group_cap).to_pandas()
+    if len(pairs_pd) == 0:
+        return _empty_pairs_ds(with_jaccard=True)
+    doc_a = pairs_pd["doc_a"].to_numpy().astype(np.int64)
+    doc_b = pairs_pd["doc_b"].to_numpy().astype(np.int64)
+    involved = np.unique(np.concatenate([doc_a, doc_b]))
+    inv_ref = ray.put(involved)
+
+    class ShingleStore:
+        """(doc_id, text) → (doc_id, -1, -1, shingles) for involved docs."""
+
+        def __init__(self):
+            self.involved = ray.get(inv_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            idx = np.clip(
+                np.searchsorted(self.involved, ids), 0, len(self.involved) - 1
+            )
+            m = self.involved[idx] == ids
+            sh = [
+                sorted(_features(t, shingle))
+                for t, keep in zip(batch["text"].to_pylist(), m)
+                if keep
+            ]
+            kept = ids[m].astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(kept, pa.int64()),
+                    "doc_a": pa.array(np.full(len(kept), -1), pa.int64()),
+                    "doc_b": pa.array(np.full(len(kept), -1), pa.int64()),
+                    "shingles": pa.array(sh, pa.list_(pa.string())),
+                }
+            )
+
+    store = ds.map_batches(ShingleStore, batch_format="pyarrow", concurrency=(1, 8))
+    members = rd.from_arrow(
+        pa.table(
             {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_micro": pa.array([], pa.int64()),
+                "doc_id": pa.array(np.concatenate([doc_a, doc_b]), pa.int64()),
+                "doc_a": pa.array(np.concatenate([doc_a, doc_a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([doc_b, doc_b]), pa.int64()),
+                "shingles": pa.array([[]] * (2 * len(doc_a)), pa.list_(pa.string())),
             }
         )
-    involved = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
-    import pyarrow.compute as pc
-
-    tbl = pq.read_table(doc_parquet, columns=["doc_id", "text"])
-    tbl = tbl.filter(pc.is_in(tbl["doc_id"], value_set=pa.array(involved)))
-    toks = {
-        int(d): _features(t, shingle)
-        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
-    }
-    jac = np.array(
-        [
-            jaccard(toks[int(a)], toks[int(b)])
-            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
-        ]
     )
-    keep = jac >= threshold
-    return pa.table(
-        {
-            "doc_a": pa.array(pairs["doc_a"].to_numpy()[keep], pa.int64()),
-            "doc_b": pa.array(pairs["doc_b"].to_numpy()[keep], pa.int64()),
-            "jaccard_micro": pa.array(
-                np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64), pa.int64()
-            ),
-        }
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        stores = g[g["doc_a"] < 0]
+        mem = g[g["doc_a"] >= 0]
+        if len(stores) == 0 or len(mem) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                    "shingles": pd.Series(dtype=object),
+                }
+            )
+        sh = stores["shingles"].iloc[0]
+        return pd.DataFrame(
+            {
+                "doc_a": mem["doc_a"].to_numpy(),
+                "doc_b": mem["doc_b"].to_numpy(),
+                "shingles": [sh] * len(mem),
+            }
+        )
+
+    thr_micro = int(np.floor(threshold * 1e6 + 0.5))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        sets = [set(s) for s in g["shingles"]]
+        j = jaccard(sets[0], sets[1]) if len(sets) == 2 else 0.0
+        return pd.DataFrame(
+            {
+                "doc_a": g["doc_a"].iloc[:1].to_numpy(),
+                "doc_b": g["doc_b"].iloc[:1].to_numpy(),
+                "jaccard_micro": np.array(
+                    [int(np.floor(j * 1e6 + 0.5))], np.int64
+                ),
+            }
+        )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["jaccard_micro"], thr_micro))
+
+    return (
+        store.union(members)
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(verify, batch_format="pandas")
+        .map_batches(keep, batch_format="pyarrow")
     )
 
 
@@ -230,10 +350,16 @@ def brute_force_jaccard_pairs(
     return out
 
 
-def simhash_near_pairs(doc_parquet: str, max_hamming: int = 3) -> pa.Table:
-    """SimHash near-dup pairs: bucket by each of 4 16-bit bands (any match →
-    candidate; Hamming ≤ 3 guarantees ≥1 identical band by pigeonhole),
-    verify Hamming ≤ max_hamming."""
+def simhash_near_pairs(
+    doc_parquet: str, max_hamming: int = 3, group_cap: int = GROUP_CAP
+):
+    """SimHash near-dup pairs as a Dataset (doc_a, doc_b): bucket by each of
+    4 16-bit bands (any match → candidate; Hamming ≤ 3 guarantees ≥1
+    identical band by pigeonhole), verify Hamming ≤ max_hamming INSIDE the
+    distributed band-group pairing (rows carry the signature, so no store
+    join is needed), then dedupe pairs across bands with a pair-keyed
+    groupby. Hot groups are skew-capped at ``group_cap`` with logged
+    overflow."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -256,82 +382,67 @@ def simhash_near_pairs(doc_parquet: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    import pyarrow.compute as _pc
-    import ray
-
     ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
     sig = ds.map_batches(
         sigs, batch_format="pyarrow", batch_size=512
     ).materialize()
-    # hot-band design (see minhash_lsh_pairs): per-group UDFs over mostly-
-    # singleton band groups dominate wall time; count → broadcast hot keys →
-    # vectorized filter → output-sized pairing
-    hot_pd = (
-        sig.groupby(["band_id", "band_key"])
-        .aggregate(Count(alias_name="n"))
-        .map_batches(lambda b: b.filter(_pc.greater(b["n"], 1)), batch_format="pyarrow")
-        .to_pandas()
-    )
-    if len(hot_pd) == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    hot_keys = np.unique(
-        (hot_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48))
-        ^ hot_pd["band_key"].to_numpy().view(np.uint64)
-    )
-    hot_ref = ray.put(hot_keys)
+    cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
+    if cand is None:
+        return _empty_pairs_ds(with_jaccard=False)
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        combo = (
-            batch["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
-        ) ^ batch["band_key"].to_numpy().view(np.uint64)
-        idx = np.clip(np.searchsorted(keys, combo), 0, len(keys) - 1)
-        return batch.filter(pa.array(keys[idx] == combo))
-
-    cand = sig.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
-    pair_set: set[tuple[int, int]] = set()
-    sim_by_id: dict[int, int] = dict(
-        zip(cand["doc_id"].astype(int), cand["simhash"].astype(np.int64))
-    )
-    for (_, _), g in cand.groupby(["band_id", "band_key"], sort=False):
-        ids = np.sort(g["doc_id"].unique())
+    def band_pairs_verified(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        if len(ids) > group_cap:
+            _log_overflow(
+                "simhash_near_pairs",
+                (int(g["band_id"].iloc[0]), int(g["band_key"].iloc[0])),
+                len(ids),
+                group_cap,
+            )
+            g = g.iloc[:group_cap]
+            ids = ids[:group_cap]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                }
+            )
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         ii, jj = np.triu_indices(len(ids), k=1)
-        pair_set.update(zip(ids[ii].tolist(), ids[jj].tolist()))
-    if not pair_set:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        keep = hamming64(sims[ii], sims[jj]) <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ii][keep], "doc_b": ids[jj][keep]}
         )
-    pl = sorted(pair_set)
-    a = np.array([p[0] for p in pl], np.int64)
-    b = np.array([p[1] for p in pl], np.int64)
-    ha = np.array([sim_by_id[int(x)] for x in a], np.int64).view(np.uint64)
-    hb = np.array([sim_by_id[int(x)] for x in b], np.int64).view(np.uint64)
-    hd = hamming64(ha, hb)
-    keep = hd <= max_hamming
-    return pa.table(
-        {
-            "doc_a": pa.array(a[keep], pa.int64()),
-            "doc_b": pa.array(b[keep], pa.int64()),
-        }
+
+    return (
+        cand.groupby(["band_id", "band_key"])
+        .map_groups(band_pairs_verified, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+        .drop_columns(["nb"])
     )
 
 
 def embedding_cosine_pairs(
-    emb_parquet: str, threshold: float = 0.9, n_planes: int = 8
-) -> pa.Table:
-    """Embedding near-dup pairs via random-hyperplane LSH buckets + in-bucket
-    exact cosine. Deterministic planes (seeded). Probe the bucket and its
-    single-bit neighbors? No — multi-probe omitted; recall comes from using
-    2 independent plane sets (documented approximation)."""
+    emb_parquet: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    bucket_cap: int = GROUP_CAP,
+):
+    """Embedding near-dup pairs (Dataset: doc_a, doc_b) via random-hyperplane
+    LSH buckets + in-bucket exact cosine. Deterministic planes (seeded);
+    recall comes from 2 independent plane sets (documented approximation —
+    multi-probe omitted). Buckets beyond ``bucket_cap`` members are capped
+    (sorted by vec_id) with logged dropped coverage, so one hot bucket
+    (near-constant embeddings) can no longer become an unbounded O(n²)
+    task."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    rng = np.random.default_rng(1234)
-
     def make_stage(seed_offset: int):
-        planes = np.random.default_rng(1234 + seed_offset).normal(size=(n_planes, 64))
+        plane_cache: dict[int, np.ndarray] = {}
 
         def bucketize(batch: pa.Table) -> pa.Table:
             vids = batch["vec_id"].to_numpy()
@@ -339,6 +450,15 @@ def embedding_cosine_pairs(
                 [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
             )
             emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            d = emb.shape[1]
+            planes = plane_cache.get(d)
+            if planes is None:
+                # deterministic per (seed, dimension) — derived lazily so the
+                # stage works for any embedding width
+                planes = np.random.default_rng(1234 + seed_offset).normal(
+                    size=(n_planes, d)
+                )
+                plane_cache[d] = planes
             bits = (emb @ planes.T) > 0
             key = np.zeros(len(vids), dtype=np.int64)
             for b in range(n_planes):
@@ -359,17 +479,30 @@ def embedding_cosine_pairs(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
+        if len(ids) > bucket_cap:
+            _log_overflow(
+                "embedding_cosine_pairs",
+                int(g["bucket"].iloc[0]),
+                len(ids),
+                bucket_cap,
+            )
+            g = g.iloc[:bucket_cap]
+            ids = ids[:bucket_cap]
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos_micro": []}).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                }
+            )
         m = np.stack([np.asarray(e) for e in g["norm_emb"]])
         cos = m @ m.T
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = cos[ii, jj] >= threshold
         return pd.DataFrame(
             {
-                "doc_a": ids[ii][keep],
-                "doc_b": ids[jj][keep],
-                "cos_micro": np.floor(cos[ii, jj][keep] * 1e6 + 0.5).astype(np.int64),
+                "doc_a": ids[ii][keep].astype(np.int64),
+                "doc_b": ids[jj][keep].astype(np.int64),
             }
         )
 
@@ -378,18 +511,10 @@ def embedding_cosine_pairs(
         ds.map_batches(make_stage(k), batch_format="pyarrow") for k in range(2)
     ]
     un = branches[0].union(branches[1])
-    out = (
+    return (
         un.groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="nb"))
-    )
-    t = out.to_pandas()
-    if "doc_a" not in t.columns:
-        t = pd.DataFrame({"doc_a": [], "doc_b": []})
-    return pa.table(
-        {
-            "doc_a": pa.array(t["doc_a"], pa.int64()),
-            "doc_b": pa.array(t["doc_b"], pa.int64()),
-        }
+        .drop_columns(["nb"])
     )

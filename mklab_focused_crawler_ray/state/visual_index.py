@@ -96,26 +96,29 @@ def _owner(image_id: str, k: int) -> int:
     return int(url_hash64(image_id) % k)
 
 
-def index_and_cluster(
-    ids: list[str],
-    vecs: list[list[float]],
+def index_and_cluster_stream(
+    chunks,
     shards,
     index_threshold: float = INDEX_THRESHOLD,
     cluster_threshold: float = CLUSTER_THRESHOLD,
-    chunk: int = 256,
 ):
-    """Replay the (id, vector) stream in id order through the sharded index:
-    per chunk — query ALL shards (earlier-indexed only), pick global best,
-    then insert the chunk into owner shards. Returns
+    """Replay an (ids, vectors) chunk stream — ALREADY in globally ascending
+    id order — through the sharded index: per chunk, query ALL shards
+    (earlier-indexed only), pick the global best, then insert the chunk into
+    its owner shards. Returns
     (nearest: dict id → (neighbor_id, sim) with sim ≥ index_threshold,
      clusters: dict id → cluster_id min-member-deterministic).
 
     Within a chunk, later ids may also match EARLIER IDS OF THE SAME CHUNK —
     handled with an in-chunk sequential pass so the result equals the pure
-    one-at-a-time replay (order-sensitivity conformance, SURVEY §7.4)."""
+    one-at-a-time replay (order-sensitivity conformance, SURVEY §7.4).
+
+    Streaming shape: only one chunk of vectors is resident on the driver at
+    a time (the index lives in the shard actors); driver state is the
+    output-sized nearest/clusters maps. ``chunks`` yields
+    (list[str] ids, (n, d) array-like vectors)."""
     import ray
 
-    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
     nearest: dict[str, tuple[str, float]] = {}
     clusters: dict[str, str] = {}
     idx_t = int(_micro(index_threshold))
@@ -127,10 +130,16 @@ def index_and_cluster(
         return (a / n if n > 0 else a).astype(np.float64)
 
     k = len(shards)
-    for start in range(0, len(order), chunk):
-        sel = order[start : start + chunk]
-        c_ids = [ids[i] for i in sel]
-        c_vecs = [vecs[i] for i in sel]
+    last_id: str | None = None
+    for c_ids, c_vecs in chunks:
+        if len(c_ids) == 0:
+            continue
+        if last_id is not None and c_ids[0] <= last_id:
+            raise ValueError(
+                "index_and_cluster_stream requires globally id-ascending chunks"
+            )
+        last_id = c_ids[-1]
+        c_vecs = np.asarray(c_vecs, dtype=np.float32)
         # fan-out query against all shards (state = earlier chunks only)
         per_shard = ray.get([s.query.remote(c_vecs) for s in shards])
         best_prev = []
@@ -165,13 +174,42 @@ def index_and_cluster(
                 clusters[c_ids[qi]] = c_ids[qi]
         # insert chunk into owner shards
         per_owner: dict[int, tuple[list, list]] = {}
-        for cid, cv in zip(c_ids, c_vecs):
+        for ci, cid in enumerate(c_ids):
             o = _owner(cid, k)
             dd = per_owner.setdefault(o, ([], []))
             dd[0].append(cid)
-            dd[1].append(cv)
-        ray.get([shards[o].insert.remote(ii, vv) for o, (ii, vv) in per_owner.items()])
+            dd[1].append(ci)
+        ray.get(
+            [
+                shards[o].insert.remote(ii, c_vecs[np.asarray(sel)])
+                for o, (ii, sel) in per_owner.items()
+            ]
+        )
     return nearest, clusters
+
+
+def index_and_cluster(
+    ids: list[str],
+    vecs: list[list[float]],
+    shards,
+    index_threshold: float = INDEX_THRESHOLD,
+    cluster_threshold: float = CLUSTER_THRESHOLD,
+    chunk: int = 256,
+):
+    """In-memory convenience wrapper: sort (id, vector) pairs by id, chunk
+    them, and delegate to :func:`index_and_cluster_stream`."""
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+
+    def chunks():
+        for start in range(0, len(order), chunk):
+            sel = order[start : start + chunk]
+            yield [ids[i] for i in sel], np.asarray(
+                [vecs[i] for i in sel], dtype=np.float32
+            )
+
+    return index_and_cluster_stream(
+        chunks(), shards, index_threshold, cluster_threshold
+    )
 
 
 def sequential_oracle(

@@ -1,0 +1,73 @@
+"""Distributed near-dup pairing: results equal brute force, and planted
+hot-band skew (many docs sharing one band) completes under the group cap
+without driver blowup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mklab_focused_crawler_ray.stages.dedup import (
+    brute_force_jaccard_pairs,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_minhash_pairs_equal_brute_force(ray_session):
+    got_df = minhash_lsh_pairs(DOCS, threshold=0.5).to_pandas()
+    got = {
+        (int(a), int(b)) for a, b in zip(got_df["doc_a"], got_df["doc_b"])
+    }
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    expected = brute_force_jaccard_pairs(texts, 0.5, shingle="char5")
+    assert got == expected
+    assert expected, "fixture must contain near-dups"
+
+
+def test_minhash_hot_band_skew_capped(ray_session, tmp_path):
+    """1000 near-identical docs share every band: with a small group_cap the
+    pipeline must complete and cover exactly the capped id prefix."""
+    n = 1000
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([base for _ in range(n)], pa.string()),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    cap = 64
+    got = minhash_lsh_pairs(p, threshold=0.5, group_cap=cap).to_pandas()
+    # identical docs → every kept pair has jaccard 1.0; coverage = the first
+    # `cap` sorted ids (logged overflow), i.e. cap*(cap-1)/2 pairs
+    assert len(got) == cap * (cap - 1) // 2
+    assert got["jaccard_micro"].min() == 1_000_000
+    assert int(got[["doc_a", "doc_b"]].to_numpy().max()) == cap - 1
+
+
+def test_embedding_bucket_skew_capped(ray_session, tmp_path):
+    """A hot LSH bucket (near-constant embeddings) is capped, not O(n²)."""
+    rng = np.random.default_rng(3)
+    n, d = 500, 16
+    base = rng.standard_normal(d)
+    mat = base[None, :] + 1e-4 * rng.standard_normal((n, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([list(r) for r in mat.astype(np.float32)]),
+        }
+    )
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(t, p)
+    cap = 32
+    got = embedding_cosine_pairs(p, threshold=0.99, bucket_cap=cap).to_pandas()
+    # every vector lands in the same bucket per plane set → coverage is the
+    # capped prefix; pairs are near-identical so all pass the threshold
+    assert 0 < len(got) <= cap * (cap - 1) // 2
+    assert int(got[["doc_a", "doc_b"]].to_numpy().max()) <= cap - 1

@@ -162,7 +162,7 @@ def test_image_embedding_dup_pairs_match_brute_force(ray_session):
         for a, b in zip(ii[keep], jj[keep])
     }
     assert expected, "fixture must plant at least one embedding near-dup"
-    res = q_image_embed_dup_pairs("/root/testdata/sf0.001").to_pandas()
+    res = q_image_embed_dup_pairs("/root/testdata/sf0.001")  # pandas DataFrame
     got = {tuple(sorted((int(a), int(b)))) for a, b in zip(res["doc_a"], res["doc_b"])}
     # LSH with 2 independent plane sets: every brute-force pair at this
     # threshold is near-identical → bucket collision is near-certain

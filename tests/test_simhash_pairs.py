@@ -18,10 +18,10 @@ DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 
 def test_simhash_pairs_equal_brute_force(ray_session):
-    got_tbl = simhash_near_pairs(DOCS, max_hamming=3)
+    got_df = simhash_near_pairs(DOCS, max_hamming=3).to_pandas()
     got = {
         tuple(sorted((int(a), int(b))))
-        for a, b in zip(got_tbl["doc_a"].to_pylist(), got_tbl["doc_b"].to_pylist())
+        for a, b in zip(got_df["doc_a"], got_df["doc_b"])
     }
 
     t = pq.read_table(DOCS, columns=["doc_id", "text"])
