@@ -42,4 +42,10 @@ class CrawlConfig:
     # StatusCheckBolt media-seen gate before the embedder, applied at round
     # granularity (deterministic): ids embedded in earlier rounds are skipped
     media_dedup: bool = False
+    # 'fixture' (offline page/redirect store — the test/bench path) or
+    # 'live' (urllib HTTP fetch/expand + per-host robots.txt fetch;
+    # stages/live.py honors FetcherBolt/URLExpansionBolt timeouts and caps)
+    fetch_mode: str = "fixture"
+    live_fetch_timeout_s: float = 30.0  # FetcherBolt.java:83-95
+    live_expand_timeout_s: float = 2.0  # URLExpansionBolt.java:118
     extra: dict = field(default_factory=dict)

@@ -49,7 +49,28 @@ def _expand_task(expander_fn, tbl_slice: pa.Table) -> pa.Table:
     return expander_fn(tbl_slice)
 
 
-def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms, score_now_ms=None):
+@_ray.remote(num_cpus=0)
+class _MediaIdCollector:
+    """Accumulates newly-embedded media ids pushed from the enqueue stage so
+    the driver never re-reads the round's parquet output. Stages ray.get
+    their add() future, so every id is in the actor before the consuming
+    pipeline completes."""
+
+    def __init__(self):
+        self.ids: set[str] = set()
+
+    def add(self, ids: list[str]) -> None:
+        self.ids.update(ids)
+
+    def drain(self) -> list[str]:
+        out = sorted(self.ids)
+        self.ids = set()
+        return out
+
+
+def make_enqueue_links(
+    shards, meta_ref, salt_map, n_shards, now_ms, score_now_ms=None, media_collector=None
+):
     """Task-based map_batches sink-stage factory: discovered out_links are
     scored (universe metadata via broadcast zero-copy numpy lookup arrays),
     routed by (registered_domain, salt) and enqueued into the frontier shard
@@ -63,6 +84,13 @@ def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms, score_now_m
         import ray
 
         sorted_hashes, meta_shares, meta_dates = ray.get(meta_ref)
+        futs = []
+        if media_collector is not None and "media_image_ids" in batch.column_names:
+            mids: set[str] = set()
+            for cell in batch["media_image_ids"]:
+                mids.update(cell.as_py() or [])
+            if mids:
+                futs.append(media_collector.add.remote(sorted(mids)))
         links: list[str] = []
         for cell in batch["out_links"]:
             links.extend(cell.as_py() or [])
@@ -87,7 +115,6 @@ def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms, score_now_m
             shard_arr, salt_arr, _ = route_many(links, hosts, n_shards, salt_map)
             links_np = np.asarray(links, dtype=object)
             hosts_np = np.asarray(hosts, dtype=object)
-            futs = []
             for s in np.unique(shard_arr):
                 m = shard_arr == s
                 rows = {
@@ -99,6 +126,7 @@ def make_enqueue_links(shards, meta_ref, salt_map, n_shards, now_ms, score_now_m
                     "date_ms": dates[m].tolist(),
                 }
                 futs.append(shards[int(s)].enqueue.remote(rows, now_ms))
+        if futs:
             ray.get(futs)
         return batch
 
@@ -123,10 +151,14 @@ class RayCrawler:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
 
         self.seeds = pq.read_table(os.path.join(fixture_dir, "frontier_seed.parquet"))
-        redirects = pq.read_table(os.path.join(fixture_dir, "redirects.parquet"))
-        self.redirect_map_ref = ray.put(
-            dict(zip(redirects["src"].to_pylist(), redirects["dst"].to_pylist()))
-        )
+        self.live = cfg.fetch_mode == "live"
+        if not self.live:
+            redirects = pq.read_table(os.path.join(fixture_dir, "redirects.parquet"))
+            self.redirect_map_ref = ray.put(
+                dict(zip(redirects["src"].to_pylist(), redirects["dst"].to_pylist()))
+            )
+        else:
+            self.redirect_map_ref = None
         if cfg.embed_media:
             from ..stages.visual import build_image_store
 
@@ -137,28 +169,54 @@ class RayCrawler:
             self.image_store_ref = ray.put(build_image_store(images))
         else:
             self.image_store_ref = None
-        pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
-        # offline page store (broadcast, zero-copy: sorted url-hash numpy
-        # index + Arrow table). At 100 TB this becomes a hash-partitioned
-        # Lance store + bucketed join — see stages/fetch.py.
-        self.page_store_ref = ray.put(build_page_store(pages))
-        uni = pq.read_table(
-            os.path.join(fixture_dir, "urls.parquet"), columns=["url", "shares", "date"]
-        )
-        h = url_hash64_vec(uni["url"].to_pylist())
-        order = np.argsort(h, kind="stable")
-        self.meta_ref = ray.put(
-            (
-                h[order],
-                uni["shares"].to_numpy()[order].astype(np.int64),
-                uni["date"].cast(pa.int64()).to_numpy()[order],
+        if not self.live:
+            pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+            # offline page store (broadcast, zero-copy: sorted url-hash numpy
+            # index + Arrow table). At 100 TB this becomes a hash-partitioned
+            # Lance store + bucketed join — see stages/fetch.py.
+            self.page_store_ref = ray.put(build_page_store(pages))
+        else:
+            self.page_store_ref = None
+        uni_path = os.path.join(fixture_dir, "urls.parquet")
+        if os.path.exists(uni_path):
+            uni = pq.read_table(uni_path, columns=["url", "shares", "date"])
+            h = url_hash64_vec(uni["url"].to_pylist())
+            order = np.argsort(h, kind="stable")
+            self.meta_ref = ray.put(
+                (
+                    h[order],
+                    uni["shares"].to_numpy()[order].astype(np.int64),
+                    uni["date"].cast(pa.int64()).to_numpy()[order],
+                )
             )
-        )
+        else:
+            # live crawl of an unknown universe: discovered links score with
+            # shares=0 and date=score clock
+            self.meta_ref = ray.put(
+                (
+                    np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64),
+                )
+            )
         if robots is None:
-            rob = pq.read_table(os.path.join(fixture_dir, "robots.parquet"))
-            robots = RobotsCache.from_table(
-                rob["host"].to_pylist(), rob["disallow_prefix"].to_pylist()
-            )
+            if self.live:
+                from ..stages.live import fetch_robots
+
+                hosts = list(dict.fromkeys(self.seeds["domain"].to_pylist()))
+                scheme = "http"
+                if len(self.seeds) and str(
+                    self.seeds["url"][0].as_py()
+                ).startswith("https:"):
+                    scheme = "https"
+                robots = fetch_robots(
+                    hosts, scheme=scheme, timeout=cfg.live_expand_timeout_s
+                )
+            else:
+                rob = pq.read_table(os.path.join(fixture_dir, "robots.parquet"))
+                robots = RobotsCache.from_table(
+                    rob["host"].to_pylist(), rob["disallow_prefix"].to_pylist()
+                )
         counts: dict[str, int] = {}
         for d in self.seeds["domain"].to_pylist():
             counts[d] = counts.get(d, 0) + 1
@@ -183,8 +241,14 @@ class RayCrawler:
         self.trace: list[tuple[int, int, str]] = []
         self.start_round = 0
         # media-seen gate state (cfg.media_dedup): sorted uint64 id-hashes
-        # of media embedded in completed rounds
+        # of media embedded in completed rounds, accumulated in-stage via a
+        # collector actor (never re-read from the round output)
         self.media_seen = np.empty(0, dtype=np.uint64)
+        self.media_collector = (
+            _MediaIdCollector.remote()
+            if (cfg.media_dedup and self.image_store_ref is not None)
+            else None
+        )
         # cumulative wall-time per phase (control = propose/commit/merge/
         # expand/dedup barriers; pipeline = fetch+extract+embed+enqueue+write)
         self.phase_times = {"control": 0.0, "pipeline": 0.0}
@@ -250,63 +314,64 @@ class RayCrawler:
         cfg = self.cfg
         now = cfg.now_ms + rnd * cfg.round_duration_ms  # logical clock
         _t0 = _time.time()
+        # columnar propose → one Arrow table straight from shard columns (no
+        # per-row Python tuples anywhere on the driver)
         proposals = ray.get([s.propose.remote(cfg.round_budget) for s in self.shards])
-        # Arrow-native merge of shard proposals (driver-side python sort of
-        # O(budget × shards) tuples was a serial bottleneck at large rounds)
-        p_scores, p_urls, p_shards = [], [], []
-        for si, props in enumerate(proposals):
-            for score, url, domain, salt in props:
-                p_scores.append(score)
-                p_urls.append(url)
-                p_shards.append(si)
         merged_tbl = pa.table(
             {
-                "score": pa.array(p_scores, pa.float64()),
-                "url": pa.array(p_urls, pa.string()),
-                "shard": pa.array(p_shards, pa.int32()),
+                "score": pa.array(
+                    [s for p in proposals for s in p["score"]], pa.float64()
+                ),
+                "url": pa.array(
+                    [u for p in proposals for u in p["url"]], pa.string()
+                ),
+                "shard": pa.array(
+                    np.repeat(
+                        np.arange(len(proposals), dtype=np.int32),
+                        [len(p["url"]) for p in proposals],
+                    ),
+                    pa.int32(),
+                ),
             }
         ).sort_by([("score", "descending"), ("url", "ascending")])
         merged_tbl = merged_tbl.slice(0, cfg.round_budget)
-        selected = list(
-            zip(
-                merged_tbl["score"].to_pylist(),
-                merged_tbl["url"].to_pylist(),
-                merged_tbl["shard"].to_pylist(),
-            )
-        )
-        per_shard_sel: dict[int, list[str]] = {i: [] for i in range(cfg.n_shards)}
-        for score, url, si in selected:
-            per_shard_sel[si].append(url)
+        n_sel = len(merged_tbl)
+        if n_sel == 0:
+            return 0
+        sel_urls = merged_tbl["url"].to_pylist()
+        sel_scores = merged_tbl["score"].to_numpy()
+        sel_shard = merged_tbl["shard"].to_numpy()
+        # commit per shard in global-rank order; committed columns come back
+        # in that same order, so scatter them into rank positions vectorized
+        shard_positions = {
+            int(si): np.nonzero(sel_shard == si)[0] for si in np.unique(sel_shard)
+        }
         committed = ray.get(
             [
-                self.shards[si].commit.remote(urls, now)
-                for si, urls in per_shard_sel.items()
+                self.shards[si].commit.remote(
+                    [sel_urls[i] for i in pos], now
+                )
+                for si, pos in shard_positions.items()
             ]
         )
-        if not selected:
-            return 0
-        # committed shards return columns; index url → (domain, shares, date)
-        rows_by_url = {}
-        for cols in committed:
-            for u, d, sh_, dm in zip(
-                cols["url"], cols["domain"], cols["shares"], cols["date_ms"]
-            ):
-                rows_by_url[u] = (d, sh_, dm)
-        rank_of = {}
-        for rank, (score, url, si) in enumerate(selected):
-            self.trace.append((rnd, rank, url))
-            rank_of[url] = rank
+        hosts_arr = np.empty(n_sel, dtype=object)
+        shares_arr = np.zeros(n_sel, dtype=np.int64)
+        dates_arr = np.zeros(n_sel, dtype=np.int64)
+        for (si, pos), cols in zip(shard_positions.items(), committed):
+            hosts_arr[pos] = np.asarray(cols["domain"], dtype=object)
+            shares_arr[pos] = np.asarray(cols["shares"], dtype=np.int64)
+            dates_arr[pos] = np.asarray(cols["date_ms"], dtype=np.int64)
+        self.trace.extend(zip([rnd] * n_sel, range(n_sel), sel_urls))
 
-        meta = [rows_by_url[u] for _, u, _ in selected]
         tbl = pa.table(
             {
-                "round": pa.array([rnd] * len(selected), pa.int32()),
-                "rank": pa.array([rank_of[u] for _, u, _ in selected], pa.int32()),
-                "url": pa.array([u for _, u, _ in selected], pa.string()),
-                "host": pa.array([m[0] for m in meta], pa.string()),
-                "score": pa.array([s for s, _, _ in selected], pa.float64()),
-                "shares": pa.array([m[1] for m in meta], pa.int64()),
-                "date_ms": pa.array([m[2] for m in meta], pa.int64()),
+                "round": pa.array(np.full(n_sel, rnd, np.int32), pa.int32()),
+                "rank": pa.array(np.arange(n_sel, dtype=np.int32), pa.int32()),
+                "url": merged_tbl["url"],
+                "host": pa.array(hosts_arr, pa.string()),
+                "score": merged_tbl["score"],
+                "shares": pa.array(shares_arr, pa.int64()),
+                "date_ms": pa.array(dates_arr, pa.int64()),
             }
         )
 
@@ -317,69 +382,76 @@ class RayCrawler:
         # (SURVEY §2 note: raw tasks only where the Dataset API genuinely
         # doesn't fit — this barrier is that case).
         n_slices = max(1, min(8, len(tbl) // 4096))
-        expander_fn = make_expander(self.redirect_map_ref)
+        if self.live:
+            from ..stages.live import make_live_expander
+
+            expander_fn = make_live_expander(timeout=cfg.live_expand_timeout_s)
+        else:
+            expander_fn = make_expander(self.redirect_map_ref)
         slice_refs = [
             _expand_task.remote(expander_fn, tbl.slice(i * len(tbl) // n_slices,
                                                        (i + 1) * len(tbl) // n_slices - i * len(tbl) // n_slices))
             for i in range(n_slices)
         ]
-        exp = (
-            pa.concat_tables(ray.get(slice_refs))
-            .select(["rank", "url", "expanded_url", "expanded_host", "route", "status"])
-            .to_pandas()
-            .sort_values("rank")
+        # slices are rank-ordered and expanders preserve row order, so the
+        # concat is already rank-ascending — no sort, no pandas
+        exp = pa.concat_tables(ray.get(slice_refs)).select(
+            ["rank", "url", "expanded_url", "expanded_host", "route", "status"]
         )
 
         # exact order-sensitive dedup of expanded targets (within-round,
-        # against shard seen-state): ask owning shards for membership of the
-        # changed targets, then apply first-wins sequentially in rank order.
-        changed = exp[(exp["status"] == "ok") & (exp["expanded_url"] != exp["url"])]
-        shard_of_target = {}
-        per_shard_check: dict[int, list[str]] = {}
-        for u in changed["expanded_url"]:
-            s, _ = route(u, host_of(u), cfg.n_shards, self.salt_map)
-            shard_of_target[u] = s
-            per_shard_check.setdefault(s, []).append(u)
-        seen_flags: dict[str, bool] = {}
-        if per_shard_check:
-            results = ray.get(
+        # against shard seen-state), fully vectorized: first occurrence of
+        # each changed target wins; anything the shards have seen is a dup.
+        status_np = np.asarray(exp["status"].to_pylist(), dtype=object)
+        url_np = np.asarray(exp["url"].to_pylist(), dtype=object)
+        eurl_np = np.asarray(exp["expanded_url"].to_pylist(), dtype=object)
+        changed_idx = np.nonzero((status_np == "ok") & (eurl_np != url_np))[0]
+        if len(changed_idx):
+            ce = eurl_np[changed_idx]  # rank order
+            ce_hosts = [host_of(u) for u in ce]
+            ce_shard, _, _ = route_many(ce.tolist(), ce_hosts, cfg.n_shards, self.salt_map)
+            seen = np.zeros(len(ce), dtype=bool)
+            shard_sel = {
+                int(s): np.nonzero(ce_shard == s)[0] for s in np.unique(ce_shard)
+            }
+            flags = ray.get(
                 [
-                    self.shards[s].contains_urls.remote(us, now)
-                    for s, us in per_shard_check.items()
+                    self.shards[s].contains_urls.remote(ce[pos].tolist(), now)
+                    for s, pos in shard_sel.items()
                 ]
             )
-            for (s, us), flags in zip(per_shard_check.items(), results):
-                for u, fl in zip(us, flags):
-                    seen_flags[u] = bool(fl)
-        newly: set[str] = set()
-        statuses = exp["status"].tolist()
-        mark_per_shard: dict[int, list[str]] = {}
-        for i, (rank, url, eurl, st) in enumerate(
-            zip(exp["rank"], exp["url"], exp["expanded_url"], exp["status"])
-        ):
-            if st != "ok" or eurl == url:
-                continue
-            if seen_flags.get(eurl, False) or eurl in newly:
-                statuses[i] = "dup_after_expand"
-            else:
-                newly.add(eurl)
-                mark_per_shard.setdefault(shard_of_target[eurl], []).append(eurl)
-        if mark_per_shard:
-            ray.get(
-                [
-                    self.shards[s].mark_seen.remote(us, now)
-                    for s, us in mark_per_shard.items()
-                ]
+            for (s, pos), fl in zip(shard_sel.items(), flags):
+                seen[pos] = np.asarray(fl, dtype=bool)
+            # first occurrence (in rank order) of each target within the round
+            _, first_idx, inv = np.unique(ce, return_index=True, return_inverse=True)
+            is_first = np.arange(len(ce)) == first_idx[inv]
+            # a later occurrence is a dup even when the first was fresh; any
+            # occurrence of a shard-seen target is a dup
+            target_seen = seen[first_idx][inv]  # seen flag is per-target
+            dup = target_seen | ~is_first
+            status_np[changed_idx[dup]] = "dup_after_expand"
+            fresh = is_first & ~target_seen
+            if fresh.any():
+                mark_sel = {
+                    int(s): np.nonzero((ce_shard == s) & fresh)[0]
+                    for s in np.unique(ce_shard[fresh])
+                }
+                ray.get(
+                    [
+                        self.shards[s].mark_seen.remote(ce[pos].tolist(), now)
+                        for s, pos in mark_sel.items()
+                    ]
+                )
+            exp = exp.set_column(
+                exp.schema.get_field_index("status"),
+                "status",
+                pa.array(status_np, pa.string()),
             )
-        exp["status"] = statuses
 
-        tbl2 = pa.Table.from_pandas(
-            exp.merge(
-                tbl.to_pandas()[["rank", "host", "score", "shares", "date_ms", "round"]],
-                on="rank",
-            ),
-            preserve_index=False,
-        )
+        # exp is rank-aligned with tbl — append the metadata columns directly
+        tbl2 = exp
+        for col in ["host", "score", "shares", "date_ms", "round"]:
+            tbl2 = tbl2.append_column(col, tbl[col])
 
         self.phase_times["control"] += _time.time() - _t0
         _t0 = _time.time()
@@ -393,8 +465,14 @@ class RayCrawler:
                 cfg.fetch_concurrency * 4,
             ),
         )
+        if self.live:
+            from ..stages.live import make_live_fetch_extract
+
+            fetch_stage = make_live_fetch_extract(timeout=cfg.live_fetch_timeout_s)
+        else:
+            fetch_stage = make_fetch_extract(self.page_store_ref)
         ds2 = rd.from_arrow(tbl2, override_num_blocks=n_blocks).map_batches(
-            make_fetch_extract(self.page_store_ref),
+            fetch_stage,
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
         )
@@ -415,6 +493,7 @@ class RayCrawler:
                 make_enqueue_links(
                     self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now,
                     score_now_ms=cfg.now_ms,
+                    media_collector=self.media_collector,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
@@ -428,22 +507,18 @@ class RayCrawler:
             shutil.rmtree(tmp_dir)
         ds2.write_parquet(tmp_dir)
         os.rename(tmp_dir, round_dir)
-        if cfg.media_dedup and self.image_store_ref is not None:
-            new_ids: set[str] = set()
-            for f in os.listdir(round_dir):
-                if f.endswith(".parquet"):
-                    t = pq.read_table(
-                        os.path.join(round_dir, f), columns=["media_image_ids"]
-                    )
-                    for cell in t["media_image_ids"]:
-                        new_ids.update(cell.as_py() or [])
+        if self.media_collector is not None:
+            # ids were pushed (and awaited) inside the enqueue stage, so the
+            # collector is complete once the write barrier above returns —
+            # no re-read of the round's parquet output
+            new_ids = ray.get(self.media_collector.drain.remote())
             if new_ids:
-                h = url_hash64_vec(sorted(new_ids))
+                h = url_hash64_vec(new_ids)
                 self.media_seen = np.unique(
                     np.concatenate([self.media_seen, h])
                 )
         self.phase_times["pipeline"] += _time.time() - _t0
-        return len(selected)
+        return n_sel
 
     # -- full crawl -------------------------------------------------------
     def run(self, checkpoint_every: int = 1) -> dict:
@@ -485,3 +560,5 @@ class RayCrawler:
 
         for s in self.shards:
             ray.kill(s)
+        if self.media_collector is not None:
+            ray.kill(self.media_collector)

@@ -60,31 +60,3 @@ def make_expander(redirect_map_ref):
         )
 
     return expander
-
-
-class Expander:
-    """Actor-pool ``map_batches`` stage: adds expanded_url / expanded_host /
-    route / status columns. The redirect map is fetched from the object
-    store ONCE per actor in __init__ (broadcast, not per batch)."""
-
-    def __init__(self, redirect_map_ref):
-        import ray
-
-        self.redirects: dict[str, str] = ray.get(redirect_map_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        expanded, hosts, routes, statuses = [], [], [], []
-        for u in urls:
-            e, st = expand_url(u, self.redirects)
-            h = host_of(e)
-            expanded.append(e)
-            hosts.append(h)
-            routes.append(route_of_host(h))
-            statuses.append(st)
-        return (
-            batch.append_column("expanded_url", pa.array(expanded, pa.string()))
-            .append_column("expanded_host", pa.array(hosts, pa.string()))
-            .append_column("route", pa.array(routes, pa.string()))
-            .append_column("status", pa.array(statuses, pa.string()))
-        )

@@ -16,8 +16,9 @@ Reference semantics preserved exactly (bolts/webpages/ArticleExtractionBolt.java
   * child MediaItem carries page_url/reference/shares/description=title (:455-468)
 
 Implemented as a single ``map_batches`` kernel over Arrow batches: per-row
-compiled-regex parse (HTML here is machine-generated; a live-web deployment
-would swap the parser, the filters stay). Emits ONE pages row per input row
+DOM parse (stages/html_extract — tolerant stdlib html.parser tree + a
+Boilerpipe-ish content-block heuristic; the extraction FILTERS below are
+the reference-exact part and stay here). Emits ONE pages row per input row
 plus exploded media child rows — flat-map-style (more rows out than in), as
 two separate outputs via the 'explode' helpers.
 """
@@ -28,18 +29,13 @@ import re
 from urllib.parse import urljoin
 
 from ..functions.javahash import web_media_id
+from .html_extract import extract_structure
 
 MIN_DIM = 200  # ArticleExtractionBolt.java:68
 MIN_AREA = 200 * 200  # ArticleExtractionBolt.java:69
 MAX_MEDIA_URL = 500  # ArticleExtractionBolt.java:70
 MIN_ARTICLE_WORDS = 40  # low-quality gate stand-in (SimpleEstimator)
 
-_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S | re.I)
-_ARTICLE_RE = re.compile(r'<div class="article">(.*?)</div>', re.S | re.I)
-_P_RE = re.compile(r"<p>(.*?)</p>", re.S | re.I)
-_IMG_RE = re.compile(r"<img\b([^>]*)>", re.S | re.I)
-_ATTR_RE = re.compile(r'(\w+)\s*=\s*"([^"]*)"')
-_A_RE = re.compile(r'<a\s+href="([^"]+)"', re.S | re.I)
 _WORD_RE = re.compile(r"\S+")
 
 
@@ -47,19 +43,16 @@ def parse_page(url: str, html: str) -> dict:
     """Extract one page → dict(title, text, is_article, out_links, media:[...]).
 
     ``media`` rows mirror the reference MediaItem fields built at
-    ArticleExtractionBolt.java:445-468.
+    ArticleExtractionBolt.java:445-468; images are CONTENT-gated (inside the
+    selected article container — utils/ImageExtractor.java:126-144).
     """
-    m = _TITLE_RE.search(html)
-    title = m.group(1).strip() if m else ""
-    am = _ARTICLE_RE.search(html)
-    content = am.group(1) if am else ""
-    paras = [p.strip() for p in _P_RE.findall(content)]
-    text = "\n".join(paras)
+    doc = extract_structure(html)
+    title = doc["title"]
+    text = "\n".join(doc["paras"])
     n_words = len(_WORD_RE.findall(text))
     is_article = n_words >= MIN_ARTICLE_WORDS
     media = []
-    for attrs_raw in _IMG_RE.findall(content):
-        attrs = dict(_ATTR_RE.findall(attrs_raw))
+    for attrs in doc["imgs"]:
         src = attrs.get("src")
         if not src:
             continue
@@ -87,7 +80,7 @@ def parse_page(url: str, html: str) -> dict:
                 "description": title,
             }
         )
-    out_links = [urljoin(url, href) for href in _A_RE.findall(html)]
+    out_links = [urljoin(url, href) for href in doc["hrefs"]]
     return {
         "title": title,
         "text": text,

@@ -165,29 +165,3 @@ def make_fetch_extract(page_store_ref):
         return out
 
     return fetch_extract
-
-
-class FetchExtract:
-    """Actor-pool ``map_batches`` stage (kept for API parity; the round loop
-    now uses :func:`make_fetch_extract` — task pool + zero-copy store —
-    because per-round actor pools pay actor-spawn latency every round)."""
-
-    def __init__(self, page_store_ref):
-        import ray
-
-        # dict url -> (status_code, content_type, html_bytes)
-        self.pages: dict = ray.get(page_store_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["expanded_url"].to_pylist()
-        routes = batch["route"].to_pylist()
-        statuses = batch["status"].to_pylist()
-        cols = {name: [] for name, _ in _EXTRACT_FIELDS}
-        for u, rt, st in zip(urls, routes, statuses):
-            r = fetch_and_extract_row(u, rt, st, self.pages)
-            for name, _ in _EXTRACT_FIELDS:
-                cols[name].append(r[name])
-        out = batch.drop_columns(["status"])
-        for name, typ in _EXTRACT_FIELDS:
-            out = out.append_column(name, pa.array(cols[name], typ))
-        return out

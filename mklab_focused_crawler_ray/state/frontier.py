@@ -169,34 +169,61 @@ class FrontierShard:
         """Add candidate URLs. ``rows`` is a dict of equal-length lists/arrays
         with keys url, domain, salt, score (+ optional passthrough columns
         shares, date_ms, ref). Dedup: pending-skip and seen-skip (first
-        occurrence wins); robots checked here. Returns counter deltas."""
+        occurrence wins); robots checked here. Returns counter deltas.
+
+        Hot-path shape: one vectorized hash + cuckoo pass, one bulk robots
+        pass (hosts without rules skip URL parsing entirely), minimal
+        per-row work in the survivor loop, then BULK heap builds per
+        (domain, salt) key (extend + heapify — O(n+k) C-level — instead of
+        k × heappush)."""
         urls = rows["url"]
+        n = len(urls)
+        if n == 0:
+            return {"added": 0}
         domains = rows["domain"]
-        salts = rows.get("salt") or [0] * len(urls)
+        salts = rows.get("salt") or [0] * n
         scores = rows["score"]
-        shares = rows.get("shares") or [0] * len(urls)
-        dates = rows.get("date_ms") or [0] * len(urls)
+        shares = rows.get("shares") or [0] * n
+        dates = rows.get("date_ms") or [0] * n
         hashes = url_hash64_vec(urls)
-        added = 0
-        cuckoo_hits = self.cuckoo.contains_many(hashes) if len(urls) else np.zeros(0, bool)
-        for i, u in enumerate(urls):
-            h = int(hashes[i])
-            if h in self.pending_hashes:
-                self.counters["dup_pending"] += 1
+        hl = hashes.tolist()
+        cuckoo_hits = self.cuckoo.contains_many(hashes)
+        allowed = self.robots.allowed_many(urls, domains)
+        pend = self.pending_hashes
+        is_seen = self._is_seen
+        dup_p = dup_s = denied = 0
+        by_key: dict[tuple[str, int], list] = {}
+        for i in range(n):
+            h = hl[i]
+            if h in pend:
+                dup_p += 1
                 continue
-            if cuckoo_hits[i] and self._is_seen(h, now_ms):
-                self.counters["dup_seen"] += 1
+            if cuckoo_hits[i] and is_seen(h, now_ms):
+                dup_s += 1
                 continue
-            if not self.robots.allowed(u):
-                self.counters["robots_denied"] += 1
+            if not allowed[i]:
+                denied += 1
                 continue
-            key = (domains[i], int(salts[i]))
-            payload = {"shares": int(shares[i]), "date_ms": int(dates[i])}
-            heapq.heappush(
-                self.queues.setdefault(key, []), (-float(scores[i]), u, payload)
+            by_key.setdefault((domains[i], int(salts[i])), []).append(
+                (-float(scores[i]), urls[i], (int(shares[i]), int(dates[i])))
             )
-            self.pending_hashes.add(h)
-            added += 1
+            pend.add(h)
+        added = 0
+        for key, items in by_key.items():
+            added += len(items)
+            q = self.queues.get(key)
+            if q is None:
+                heapq.heapify(items)
+                self.queues[key] = items
+            elif len(items) > 4:
+                q.extend(items)
+                heapq.heapify(q)
+            else:
+                for it in items:
+                    heapq.heappush(q, it)
+        self.counters["dup_pending"] += dup_p
+        self.counters["dup_seen"] += dup_s
+        self.counters["robots_denied"] += denied
         self.counters["enqueued"] += added
         return {"added": added}
 
@@ -230,11 +257,13 @@ class FrontierShard:
             self.pending_hashes.discard(h)
 
     # -- round protocol ---------------------------------------------------
-    def propose(self, budget: int) -> list[tuple[float, str, str, int]]:
+    def propose(self, budget: int) -> dict:
         """Pop this shard's best candidates subject to per-(domain,salt)
-        quotas; at most ``budget`` rows. Returns (score, url, domain, salt)
-        sorted by (score desc, url asc). Popped rows are parked in
-        ``_proposed`` until commit()."""
+        quotas; at most ``budget`` rows. Returns COLUMNS (score/url/domain/
+        salt equal-length lists) sorted by (score desc, url asc) — columnar
+        so the driver merge builds its Arrow table without touching one
+        Python tuple per row. Popped rows are parked in ``_proposed`` until
+        commit()."""
         assert not self._proposed, "propose() called twice without commit()"
         from .politeness import effective_host_budget
 
@@ -260,7 +289,12 @@ class FrontierShard:
             for s, u, d, sl in cands[budget:]:
                 self._return_to_queue(u)
             cands = cands[:budget]
-        return cands
+        return {
+            "score": [c[0] for c in cands],
+            "url": [c[1] for c in cands],
+            "domain": [c[2] for c in cands],
+            "salt": [c[3] for c in cands],
+        }
 
     def _return_to_queue(self, url: str) -> None:
         key, score, payload = self._proposed.pop(url)
@@ -296,8 +330,8 @@ class FrontierShard:
             out["domain"].append(key[0])
             out["salt"].append(key[1])
             out["score"].append(score)
-            out["shares"].append(payload["shares"])
-            out["date_ms"].append(payload["date_ms"])
+            out["shares"].append(payload[0])
+            out["date_ms"].append(payload[1])
         return out
 
     def end_round(self, round_id: int, extra: dict | None = None) -> None:
@@ -336,8 +370,8 @@ class FrontierShard:
                 rows["domain"].append(domain)
                 rows["salt"].append(salt)
                 rows["score"].append(-negs)
-                rows["shares"].append(payload["shares"])
-                rows["date_ms"].append(payload["date_ms"])
+                rows["shares"].append(payload[0])
+                rows["date_ms"].append(payload[1])
         pq.write_table(
             pa.table(
                 {
@@ -404,7 +438,7 @@ class FrontierShard:
                 (
                     -float(cols["score"][i]),
                     cols["url"][i],
-                    {"shares": int(cols["shares"][i]), "date_ms": int(cols["date_ms"][i])},
+                    (int(cols["shares"][i]), int(cols["date_ms"][i])),
                 ),
             )
             self.pending_hashes.add(int(url_hash64(cols["url"][i])))

@@ -52,6 +52,22 @@ class RobotsCache:
                 return False
         return True
 
+    def allowed_many(self, urls, hosts) -> list[bool]:
+        """Bulk :meth:`allowed` for the frontier hot path. ``hosts`` are the
+        callers' already-known per-URL hosts: URLs whose host has NO rules
+        short-circuit to allowed without any URL parsing."""
+        if not self.rules and not self.full_rules:
+            return [True] * len(urls)
+        out = []
+        has_rules_cache: dict[str, bool] = {}
+        for u, h in zip(urls, hosts):
+            hr = has_rules_cache.get(h)
+            if hr is None:
+                hr = h in self.full_rules or h in self.rules
+                has_rules_cache[h] = hr
+            out.append(self.allowed(u) if hr else True)
+        return out
+
 
 def parse_robots_txt(text: str, agent: str = "mkfc-ray") -> "RobotsRules":
     """RFC 9309-flavored robots.txt parser (public spec): groups of

@@ -103,20 +103,20 @@ def test_shard_first_wins_and_politeness():
     assert s.counters["dup_pending"] == 1
     props = s.propose(10)
     # per-host budget 2 → only top-2 proposed despite 3 pending
-    assert [u for _, u, _, _ in props] == ["u1", "u2"]
+    assert props["url"] == ["u1", "u2"]
     rows = s.commit(["u1", "u2"], now_ms=5)
     assert rows["url"] == ["u1", "u2"]
     # re-enqueue of committed url is dup_seen
     s.enqueue(_rows(["u1"], [0.9]), now_ms=6)
     assert s.counters["dup_seen"] == 1
     props2 = s.propose(10)
-    assert [u for _, u, _, _ in props2] == ["u3"]
+    assert props2["url"] == ["u3"]
 
 
 def test_shard_ttl_recrawl():
     s = _mk_shard(seen_ttl_ms=1000)
     s.enqueue(_rows(["u1"], [0.9]), now_ms=0)
-    s.commit([u for _, u, _, _ in s.propose(10)], now_ms=0)
+    s.commit(s.propose(10)["url"], now_ms=0)
     s.enqueue(_rows(["u1"], [0.9]), now_ms=500)
     assert s.counters["dup_seen"] == 1, "inside TTL → still seen"
     s.enqueue(_rows(["u1"], [0.9]), now_ms=1500)
@@ -128,13 +128,13 @@ def test_shard_mark_seen_cancels_pending():
     s.enqueue(_rows(["u1", "u2"], [0.9, 0.8]))
     s.mark_seen(["u2"], now_ms=1)
     props = s.propose(10)
-    assert [u for _, u, _, _ in props] == ["u1"]
+    assert props["url"] == ["u1"]
 
 
 def test_shard_checkpoint_restore(tmp_path):
     s = _mk_shard(per_host_budget=1)
     s.enqueue(_rows(["u1", "u2", "u3"], [0.9, 0.8, 0.7]))
-    s.commit([u for _, u, _, _ in s.propose(1)], now_ms=7)
+    s.commit(s.propose(1)["url"], now_ms=7)
     s.end_round(0)
     s.checkpoint(str(tmp_path))
 
@@ -144,4 +144,4 @@ def test_shard_checkpoint_restore(tmp_path):
     assert t.seen == s.seen
     assert t.round == 0 and t.lineage
     # scheduling continues identically after restore
-    assert [u for _, u, _, _ in t.propose(1)] == ["u2"]
+    assert t.propose(1)["url"] == ["u2"]
