@@ -38,6 +38,11 @@ class CrawlConfig:
     seen_capacity: int = 1 << 17
     fetch_concurrency: int = 4  # target fetch-stage parallelism (block fan-out)
     fetch_batch_size: int = 256
+    # CPU share requested per map task: >1.0 leaves scheduler slack so the
+    # (num_cpus=0.05) frontier shard actors and the driver aren't starved
+    # when map tasks saturate every core — the measured cause of the
+    # control-phase inflation at high CPU counts
+    map_task_num_cpus: float = 1.0
     embed_media: bool = False  # decode+embed extracted media (vIndexer path)
     # StatusCheckBolt media-seen gate before the embedder, applied at round
     # granularity (deterministic): ids embedded in earlier rounds are skipped

@@ -471,10 +471,12 @@ class RayCrawler:
             fetch_stage = make_live_fetch_extract(timeout=cfg.live_fetch_timeout_s)
         else:
             fetch_stage = make_fetch_extract(self.page_store_ref)
+        rra = {"num_cpus": cfg.map_task_num_cpus}
         ds2 = rd.from_arrow(tbl2, override_num_blocks=n_blocks).map_batches(
             fetch_stage,
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
+            **rra,
         )
         if self.image_store_ref is not None:
             from ..stages.visual import make_media_embed
@@ -486,6 +488,7 @@ class RayCrawler:
                 make_media_embed(self.image_store_ref, media_seen_ref=seen_ref),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
+                **rra,
             )
         ds2 = (
             ds2
@@ -497,6 +500,7 @@ class RayCrawler:
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
+                **rra,
             )
         )
         round_dir = os.path.join(self.out_dir, f"round={rnd}")

@@ -160,6 +160,146 @@ _WORD3_CTE = (
 )
 
 
+_RK_MOD = (1 << 61) - 1  # functions/text.py _RK_MOD
+_DRIVER_SF01 = "/root/testdata/sf0.01"
+
+
+def _fingerprint_sql() -> str:
+    """Rabin-Karp winnowing fingerprint (functions/text.py
+    rabin_karp_fingerprints k=16 keep=8) as pure SQL: per-window polynomial
+    hash folded over HUGEINT char codes mod 2^61-1, keep the 8 smallest
+    sorted ascending, comma-joined. ASCII corpora only (ascii()==byte)."""
+    fold = (
+        "CAST(list_reduce(list_transform(range(1, length(win) + 1), "
+        "j -> CAST(ascii(substring(win, CAST(j AS INT), 1)) AS HUGEINT)), "
+        f"(acc, x) -> (acc * 257 + x) % {_RK_MOD}) AS BIGINT)"
+    )
+    return (
+        "WITH w AS (SELECT doc_id, unnest(CASE "
+        "WHEN length(text) = 0 THEN [] "
+        "WHEN length(text) <= 16 THEN [text] "
+        "ELSE list_transform(range(1, length(text) - 14), "
+        "i -> substring(text, CAST(i AS INT), 16)) END) AS win FROM documents), "
+        f"h AS (SELECT doc_id, {fold} AS hv FROM w), "
+        "agg AS (SELECT doc_id, array_to_string(list_transform("
+        "list_sort(list(hv))[1:8], x -> CAST(x AS VARCHAR)), ',') AS fingerprint "
+        "FROM h GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.fingerprint, '') AS fingerprint "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def _event_candidates_sql(tok_expr_cte: str, windows: int = 5) -> str:
+    """EventDetectionBolt windowed IDF-shift rule (stages/nlp.py
+    candidate_events) with LAG chains: token present in 5 consecutive
+    windows (by dense window index), IDF non-increasing oldest→newest,
+    IDF-shift non-decreasing. ``tok_expr_cte`` must define
+    tok(w, token) [distinct per doc] and nd(w, n)."""
+    return (
+        f"WITH {tok_expr_cte}, "
+        "df AS (SELECT w, token, COUNT(*) AS df FROM tok GROUP BY 1, 2), "
+        "wi AS (SELECT w, DENSE_RANK() OVER (ORDER BY w) AS wi FROM nd), "
+        "idf AS (SELECT df.w, wi.wi, df.token, "
+        "LOG10(CAST(nd.n AS DOUBLE)/df.df) AS idf "
+        "FROM df JOIN nd USING (w) JOIN wi USING (w)), "
+        "lagd AS (SELECT w, wi, token, idf, "
+        "LAG(idf, 1) OVER win AS i1, LAG(idf, 2) OVER win AS i2, "
+        "LAG(idf, 3) OVER win AS i3, LAG(idf, 4) OVER win AS i4, "
+        "LAG(wi, 1) OVER win AS w1, LAG(wi, 2) OVER win AS w2, "
+        "LAG(wi, 3) OVER win AS w3, LAG(wi, 4) OVER win AS w4 "
+        "FROM idf WINDOW win AS (PARTITION BY token ORDER BY wi)) "
+        'SELECT w AS "window", token FROM lagd '
+        "WHERE w1 = wi - 1 AND w2 = wi - 2 AND w3 = wi - 3 AND w4 = wi - 4 "
+        "AND idf <= i1 AND i1 <= i2 AND i2 <= i3 AND i3 <= i4 "
+        "AND (i3 - i2)/i2 >= (i4 - i3)/i3 "
+        "AND (i2 - i1)/i1 >= (i3 - i2)/i2 "
+        "AND (i1 - idf)/idf >= (i2 - i1)/i1"
+    )
+
+
+def _values_list(mat) -> str:
+    """numpy 2-D matrix → SQL VALUES rows of (idx, DOUBLE[])."""
+    rows = []
+    for i, row in enumerate(mat):
+        arr = ",".join(repr(float(x)) for x in row)
+        rows.append(f"({i}, [{arr}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+def _ann_ivf_sql(emb_path: str) -> str:
+    """IVF top-k with the trained codebook INLINED as literals: the k-means
+    training (stages/ann.train_centroids, deterministic seed) is setup, the
+    relational probe/assign/top-k is the query. Mirrors ivf_topk defaults
+    (nlist=16, nprobe=4, n_queries=5, k=10); ivf_partitioned_topk returns
+    the identical result by construction."""
+    from ..stages.ann import train_centroids
+
+    cent = train_centroids(emb_path, nlist=16)
+    return (
+        f"WITH cent(cid, c) AS (SELECT * FROM (VALUES {_values_list(cent)})), "
+        f"v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        f"FROM read_parquet('{emb_path}')), "
+        "q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id < 5), "
+        "assign AS (SELECT vec_id, cid FROM ("
+        "SELECT v.vec_id, cent.cid, list_cosine_similarity(v.e, cent.c) AS cs, "
+        "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY cs DESC, cid ASC) AS rn "
+        "FROM v CROSS JOIN cent) WHERE rn = 1), "
+        "probes AS (SELECT qid, cid FROM ("
+        "SELECT q.qid, cent.cid, list_cosine_similarity(q.e, cent.c) AS cs, "
+        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY cs DESC, cid ASC) AS rn "
+        "FROM q CROSS JOIN cent) WHERE rn <= 4), "
+        "s AS (SELECT q.qid AS query_id, v.vec_id, "
+        "CAST(FLOOR(list_cosine_similarity(q.e, v.e)*1000000 + 0.5) AS BIGINT) AS cos_micro "
+        "FROM q JOIN probes p ON p.qid = q.qid "
+        "JOIN assign a ON a.cid = p.cid JOIN v ON v.vec_id = a.vec_id "
+        "WHERE v.vec_id != q.qid) "
+        "SELECT query_id, vec_id, cos_micro FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos_micro DESC, vec_id ASC) <= 10"
+    )
+
+
+def _ann_lsh_sql(emb_path: str) -> str:
+    """Hyperplane-LSH top-k with the seeded planes INLINED (lsh_topk
+    defaults: n_planes=32, bands=8 → 4 bits/band, seed=42). Candidate iff
+    ≥1 band key equal; sign(dot) is normalization-invariant."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    d = len(pq.read_table(emb_path, columns=["embedding"])["embedding"][0])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((d, 32))  # (d, n_planes) — matches lsh_topk
+    bits = [
+        "(CASE WHEN list_inner_product(e, ["
+        + ",".join(repr(float(x)) for x in planes[:, j])
+        + "]::DOUBLE[]) > 0 THEN 1 ELSE 0 END)"
+        for j in range(32)
+    ]
+    keys = [
+        "(" + " + ".join(f"{1 << jj} * {bits[b * 4 + jj]}" for jj in range(4)) + ")"
+        for b in range(8)
+    ]
+    key_list = "[" + ", ".join(keys) + "]"
+    return (
+        f"WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        f"FROM read_parquet('{emb_path}')), "
+        f"sig AS (SELECT vec_id, e, {key_list} AS ks FROM v), "
+        "bands AS (SELECT vec_id, unnest(ks) AS key, generate_subscripts(ks, 1) AS b FROM sig), "
+        "q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id < 5), "
+        "qb AS (SELECT s.vec_id AS qid, b.key, b.b FROM sig s "
+        "JOIN bands b ON b.vec_id = s.vec_id WHERE s.vec_id < 5), "
+        "cand AS (SELECT DISTINCT qb.qid, bands.vec_id FROM qb "
+        "JOIN bands ON bands.b = qb.b AND bands.key = qb.key "
+        "WHERE bands.vec_id != qb.qid), "
+        "s2 AS (SELECT c.qid AS query_id, c.vec_id, "
+        "CAST(FLOOR(list_cosine_similarity(q.e, v.e)*1000000 + 0.5) AS BIGINT) AS cos_micro "
+        "FROM cand c JOIN q ON q.qid = c.qid JOIN v ON v.vec_id = c.vec_id) "
+        "SELECT query_id, vec_id, cos_micro FROM s2 "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos_micro DESC, vec_id ASC) <= 10"
+    )
+
+
 def build_extended_oracles() -> dict[str, str]:
     fdir = _fixture_small_dir()
     items = os.path.join(fdir, "items.parquet")
@@ -245,11 +385,53 @@ def build_extended_oracles() -> dict[str, str]:
     sql["minhash_dup_pairs"] = _jaccard_pairs_sql(_CHAR5_CTE, 1, 2)
     sql["ngram_jaccard_pairs"] = _jaccard_pairs_sql(_WORD3_CTE, 1, 2)
 
+    # inverted-index postings for the 5 alphabetically-first corpus tokens
+    # (TextIndexerBolt analogue; engine reads only the probed buckets)
+    sql["token_postings"] = (
+        "WITH tok AS (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token FROM documents), "
+        "probes AS (SELECT DISTINCT token FROM tok ORDER BY token LIMIT 5) "
+        "SELECT t.token, t.doc_id FROM tok t JOIN probes p USING (token)"
+    )
+
     # embedding-cosine near-dup brute force (threshold 0.95)
     sql["embedding_dup_pairs"] = (
         "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings) "
         "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM v a JOIN v b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.e, b.e) >= 0.95"
     )
+
+    # Rabin-Karp winnowing fingerprints (pure-SQL polynomial fold)
+    sql["doc_fingerprints"] = _fingerprint_sql()
+
+    # EventDetection IDF-shift candidates — documents (window = doc_id//50)
+    sql["event_candidates"] = _event_candidates_sql(
+        "tok AS (SELECT CAST(FLOOR(doc_id/50.0) AS BIGINT) AS w, "
+        "unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token "
+        "FROM documents), "
+        "nd AS (SELECT CAST(FLOOR(doc_id/50.0) AS BIGINT) AS w, COUNT(*) AS n "
+        "FROM documents GROUP BY 1)"
+    )
+    # EventDetection over fixture items (60 s windows; tokenize = WORD_RE
+    # lower + stopword drop, distinct per title)
+    items_tok = (
+        "tok AS (SELECT w, unnest(list_distinct(tk)) AS token FROM ("
+        "SELECT CAST(FLOOR(epoch_ms(ts)/60000.0) AS BIGINT) AS w, "
+        f"list_filter(list_transform(regexp_extract_all(title, '{_WORD_PAT}'), "
+        f"x -> lower(x)), x -> NOT list_contains({_STOP_SQL}, x)) AS tk "
+        f"FROM {items_rel})), "
+        "nd AS (SELECT CAST(FLOOR(epoch_ms(ts)/60000.0) AS BIGINT) AS w, "
+        f"COUNT(*) AS n FROM {items_rel} GROUP BY 1)"
+    )
+    sql["items_event_candidates"] = _event_candidates_sql(items_tok)
+
+    # ANN oracles with inlined deterministic constants, pinned to the
+    # driver's correctness scale (sf0.01) via absolute path — the codebook /
+    # plane set is a function of that table
+    emb01 = os.path.join(_DRIVER_SF01, "embeddings.parquet")
+    if os.path.exists(emb01):
+        sql["ann_ivf_top10"] = _ann_ivf_sql(emb01)
+        sql["ann_ivf_partitioned_top10"] = sql["ann_ivf_top10"]
+        sql["ann_lsh_top10"] = _ann_lsh_sql(emb01)
 
     return sql

@@ -550,6 +550,28 @@ def q_minhash_dup_pairs(sf_dir: str):
     )
 
 
+def q_token_postings(sf_dir: str):
+    """TextIndexerBolt analogue (bolts/webpages/TextIndexerBolt.java:44-102):
+    build the token-bucketed inverted-index layout once per sf tier (cached
+    under /tmp), then answer a postings query for the 5 alphabetically-first
+    corpus tokens by reading ONLY the bucket partitions those tokens hash to
+    (prune-at-the-read)."""
+    from ..stages.text_index import build_inverted_index, lookup_postings
+
+    index_dir = os.path.join(
+        "/tmp/mkfc_text_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    build_inverted_index(_p(sf_dir, "documents"), index_dir)
+    vocab = (
+        q_token_counts(sf_dir)
+        .to_pandas()["token"]
+        .sort_values()
+        .head(5)
+        .tolist()
+    )
+    return lookup_postings(index_dir, vocab)
+
+
 def q_doc_fingerprints(sf_dir: str):
     import ray.data as rd
 
@@ -595,6 +617,7 @@ QUERIES = {
     "q1_lineitem": q_q1_lineitem,
     "revenue_by_priority": q_revenue_by_priority,
     "embedding_top10": q_embedding_top10,
+    "token_postings": q_token_postings,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,

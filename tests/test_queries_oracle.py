@@ -70,6 +70,11 @@ FIXTURE_BACKED = {
     "items_ne_tokens",
     "items_entities",
     "items_pos_tokens",
+    "items_event_candidates",
+    # ANN oracles inline constants trained on the sf0.01 table
+    "ann_ivf_top10",
+    "ann_ivf_partitioned_top10",
+    "ann_lsh_top10",
 }
 
 
