@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from mklab_focused_crawler_ray.pipelines.oracles_ext import (
+        build_extended_oracles,
         ensure_small_fixture,
     )
     from mklab_focused_crawler_ray.pipelines.queries import ORACLE_SQL
@@ -81,4 +82,6 @@ def oracle_sql() -> dict[str, str]:
     # fixture-backed oracles read {fixture_root}/small/*.parquet by absolute
     # path; make sure it exists regardless of call order (idempotent, cached)
     ensure_small_fixture()
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    out.update(build_extended_oracles())
+    return out

@@ -705,7 +705,7 @@ ORACLE_SQL = {
 
 ORACLE_SQL.update(MEDIA_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
-
-from .oracles_ext import build_extended_oracles  # noqa: E402
-
-ORACLE_SQL.update(build_extended_oracles())
+# NOTE: the extended oracles (oracles_ext.build_extended_oracles — fixture
+# paths, inlined ANN constants trained on sf0.01) are merged LAZILY by
+# __ray_entry__.oracle_sql(), not at import: building them costs ~1 s
+# (k-means training) that query-only consumers like bench.py never need.

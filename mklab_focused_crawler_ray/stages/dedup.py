@@ -25,12 +25,7 @@ import pyarrow as pa
 
 from ..functions.text import char_shingles
 
-from ..functions.hashing import (
-    lsh_band_keys,
-    minhash_seeds,
-    minhash_signatures,
-    token_hashes,
-)
+from ..functions.hashing import lsh_band_keys, token_hashes
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -57,15 +52,24 @@ def _features(text: str, shingle: str) -> set:
 
 class MinHashSignatures:
     """Actor-pool stage: doc → (doc_id, band_id, band_key) exploded rows.
-    Permutation seeds are built once per actor in __init__."""
+
+    Signatures come from ONE-permutation hashing (functions/hashing.
+    oph_signatures — O(n) per doc; the classic K-permutation variant cost
+    O(K·n) and dominated this stage's wall time ~20× at sf0.1). The exact
+    downstream Jaccard verify makes the signature scheme a pure
+    candidate-recall choice."""
 
     def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS, shingle: str = "char5"):
-        self.seeds = minhash_seeds(num_perm)
+        self.num_perm = num_perm
         self.bands = bands
         self.shingle = shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import char_shingle_hashes, word_ngram_hashes
+        from ..functions.hashing import (
+            char_shingle_hashes,
+            oph_signatures,
+            word_ngram_hashes,
+        )
 
         texts = batch["text"].to_pylist()
         doc_ids = batch["doc_id"].to_numpy()
@@ -76,7 +80,7 @@ class MinHashSignatures:
             thl = [word_ngram_hashes(t, 3) for t in texts]
         else:
             thl = [char_shingle_hashes(t, SHINGLE_K) for t in texts]
-        sigs = minhash_signatures(thl, self.seeds)
+        sigs = oph_signatures(thl, self.num_perm)
         keys = lsh_band_keys(sigs, self.bands)  # (n_docs, bands)
         n = len(doc_ids)
         return pa.table(
@@ -167,41 +171,164 @@ def _empty_pairs_ds(with_jaccard: bool):
     return rd.from_arrow(pa.table(cols))
 
 
-def _distinct_pairs(cand, kind: str, group_cap: int = GROUP_CAP):
-    """Distributed candidate pairing: map_groups over the (output-sized) hot
-    (band_id, band_key) groups with a skew cap, then a pair-keyed groupby to
-    dedupe pairs found in multiple bands."""
-    from ray.data.aggregate import Count
+MAX_CAND_PAIRS = 5_000_000  # global candidate-pair budget (logged when hit)
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) > group_cap:
-            _log_overflow(
-                kind,
-                (int(g["band_id"].iloc[0]), int(g["band_key"].iloc[0])),
-                len(ids),
-                group_cap,
+
+def _pairs_from_candidates(
+    cand_pd: pd.DataFrame,
+    kind: str,
+    group_cap: int = GROUP_CAP,
+    max_pairs: int = MAX_CAND_PAIRS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized candidate pairing over the collected hot-band membership
+    rows. The input is output-bounded (only >1-member groups survive the
+    hot filter); per-group work is capped at ``group_cap`` members and the
+    total is capped at ``max_pairs`` candidate pairs — both logged, never
+    silent. Returns distinct (doc_a, doc_b) int64 arrays with doc_a < doc_b.
+
+    Deliberately DRIVER-side numpy, not ``groupby().map_groups``: on
+    shared-template corpora the hot-group count is large and the per-group
+    pandas-UDF overhead dominates by orders of magnitude (measured 565 s vs
+    <2 s at sf0.1 for the same pairing)."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    combo = (
+        cand_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
+    ) ^ cand_pd["band_key"].to_numpy().view(np.uint64)
+    doc = cand_pd["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((doc, combo))
+    combo_s, doc_s = combo[order], doc[order]
+    keep = np.ones(len(doc_s), bool)
+    keep[1:] = (combo_s[1:] != combo_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+    combo_s, doc_s = combo_s[keep], doc_s[keep]
+    starts = np.flatnonzero(np.r_[True, combo_s[1:] != combo_s[:-1]])
+    ends = np.r_[starts[1:], len(combo_s)]
+    triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    total = 0
+    capped = budget_dropped = 0
+    for s, e in zip(starts, ends):
+        n = int(e - s)
+        if n < 2:
+            continue
+        if n > group_cap:
+            capped += 1
+            e = s + group_cap
+            n = group_cap
+        npairs = n * (n - 1) // 2
+        if total + npairs > max_pairs:
+            budget_dropped += 1
+            continue
+        iijj = triu_cache.get(n)
+        if iijj is None:
+            iijj = np.triu_indices(n, k=1)
+            triu_cache[n] = iijj
+        ii, jj = iijj
+        g = doc_s[s:e]
+        out_a.append(g[ii])
+        out_b.append(g[jj])
+        total += npairs
+    if capped:
+        _log_overflow(kind, "<%d groups>" % capped, capped * group_cap, group_cap)
+    if budget_dropped:
+        log.warning(
+            "%s: candidate-pair budget %d reached; %d hot groups' pairs "
+            "dropped (coverage loss — raise max_pairs to include them)",
+            kind,
+            max_pairs,
+            budget_dropped,
+        )
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    uniq = np.ones(len(lo), bool)
+    uniq[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    return lo[uniq], hi[uniq]
+
+
+def _shingle_hash_store(ds, involved: np.ndarray, shingle: str):
+    """Distributed shingle hashing for the involved docs, collected into a
+    broadcastable (sorted_ids, offsets, values) triple. The functions'
+    outputs are np.unique'd, i.e. each doc's hashes arrive sorted —
+    searchsorted-ready. Collected size is bounded by the involved set
+    (output-sized), not the corpus."""
+    import ray
+
+    inv_ref = ray.put(np.asarray(involved, dtype=np.int64))
+
+    class HashStore:
+        def __init__(self):
+            self.involved = ray.get(inv_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import char_shingle_hashes, word_ngram_hashes
+
+            ids = batch["doc_id"].to_numpy()
+            idx = np.clip(
+                np.searchsorted(self.involved, ids), 0, max(0, len(self.involved) - 1)
             )
-            ids = ids[:group_cap]
-        if len(ids) < 2:
-            return pd.DataFrame(
+            m = (
+                (self.involved[idx] == ids)
+                if len(self.involved)
+                else np.zeros(len(ids), bool)
+            )
+            out_ids, out_h = [], []
+            for did, text, k in zip(ids, batch["text"].to_pylist(), m):
+                if not k:
+                    continue
+                h = (
+                    word_ngram_hashes(text, 3)
+                    if shingle == "word3"
+                    else char_shingle_hashes(text, SHINGLE_K)
+                )
+                out_ids.append(int(did))
+                out_h.append(h.view(np.int64))
+            return pa.table(
                 {
-                    "doc_a": pd.Series(dtype=np.int64),
-                    "doc_b": pd.Series(dtype=np.int64),
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "hashes": pa.array(
+                        [x.tolist() for x in out_h], pa.list_(pa.int64())
+                    ),
                 }
             )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"doc_a": ids[ii].astype(np.int64), "doc_b": ids[jj].astype(np.int64)}
-        )
 
-    return (
-        cand.groupby(["band_id", "band_key"])
-        .map_groups(band_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nb"))
-        .drop_columns(["nb"])
-    )
+    parts_ids: list[np.ndarray] = []
+    parts_vals: list[np.ndarray] = []
+    parts_len: list[np.ndarray] = []
+    for b in (
+        ds.map_batches(HashStore, batch_format="pyarrow", concurrency=(1, 8))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        col = b["hashes"].combine_chunks() if b["hashes"].num_chunks > 1 else b["hashes"].chunk(0)
+        parts_ids.append(b["doc_id"].to_numpy())
+        parts_vals.append(np.asarray(col.flatten()).view(np.uint64))
+        parts_len.append(np.diff(np.asarray(col.offsets)))
+    if not parts_ids:
+        return (
+            np.empty(0, np.int64),
+            np.zeros(1, np.int64),
+            np.empty(0, np.uint64),
+        )
+    ids = np.concatenate(parts_ids)
+    lens = np.concatenate(parts_len).astype(np.int64)
+    vals = np.concatenate(parts_vals)
+    order = np.argsort(ids, kind="stable")
+    # reorder the ragged value array by doc order
+    offs = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    new_vals = np.empty_like(vals)
+    new_offs = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(lens[order], out=new_offs[1:])
+    for k, i in enumerate(order):
+        new_vals[new_offs[k] : new_offs[k + 1]] = vals[offs[i] : offs[i + 1]]
+    return ids[order], new_offs, new_vals
 
 
 def minhash_lsh_pairs(
@@ -209,22 +336,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle: str = "char5",
     group_cap: int = GROUP_CAP,
+    max_pairs: int = MAX_CAND_PAIRS,
 ):
-    """Near-dup pairs (doc_a < doc_b, exact shingle-set Jaccard ≥ threshold)
-    found via MinHash-LSH candidates. Returns a Dataset
+    """Near-dup pairs (doc_a < doc_b, exact shingle-Jaccard ≥ threshold)
+    found via one-permutation-MinHash LSH candidates. Returns a Dataset
     (doc_a, doc_b, jaccard_micro).
 
-    Scale shape — every step distributed, no input-sized driver state:
-    1. signatures → exploded (band_id, band_key, doc_id) rows (actor pool);
-    2. hot-band count → broadcast hot keys → vectorized candidate filter;
-    3. pairing as map_groups over the output-sized hot groups with a
-       ``group_cap`` skew guard (overflow logged, never silent);
-    4. exact-Jaccard verify as a doc-id cogroup join: a shingle store
-       (doc_id → shingle set, built only for involved docs via a broadcast
-       id set) unioned with exploded pair-member rows, grouped by doc_id to
-       attach shingles, then grouped by pair to compute Jaccard.
-    The only driver materialization is the distinct pair-id list (the
-    output itself) used to build the involved-id broadcast."""
+    Scale shape:
+    1. signatures → exploded (band_id, band_key, doc_id) rows (actor pool,
+       O(shingles) per doc via OPH);
+    2. hot-band count → broadcast hot keys → vectorized candidate filter —
+       the collected candidate rows are output-bounded (>1-member groups);
+    3. pairing = driver-vectorized numpy with per-group caps + a global
+       pair budget (_pairs_from_candidates — map_groups per hot group was
+       measured 250× slower on shared-template corpora);
+    4. verify = DISTRIBUTED map_batches over pair blocks against a
+       broadcast (sorted ids, offsets, values) shingle-HASH store built
+       only for involved docs; Jaccard on 64-bit shingle hashes equals
+       string-set Jaccard up to hash collisions (~n²/2⁶⁴, negligible and
+       verified exactly against the DuckDB string-shingle oracle at the
+       driver's scales)."""
     import ray
     import ray.data as rd
 
@@ -239,100 +370,57 @@ def minhash_lsh_pairs(
     cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
     if cand is None:
         return _empty_pairs_ds(with_jaccard=True)
-    pairs_pd = _distinct_pairs(cand, "minhash_lsh_pairs", group_cap).to_pandas()
-    if len(pairs_pd) == 0:
-        return _empty_pairs_ds(with_jaccard=True)
-    doc_a = pairs_pd["doc_a"].to_numpy().astype(np.int64)
-    doc_b = pairs_pd["doc_b"].to_numpy().astype(np.int64)
-    involved = np.unique(np.concatenate([doc_a, doc_b]))
-    inv_ref = ray.put(involved)
-
-    class ShingleStore:
-        """(doc_id, text) → (doc_id, -1, -1, shingles) for involved docs."""
-
-        def __init__(self):
-            self.involved = ray.get(inv_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy()
-            idx = np.clip(
-                np.searchsorted(self.involved, ids), 0, len(self.involved) - 1
-            )
-            m = self.involved[idx] == ids
-            sh = [
-                sorted(_features(t, shingle))
-                for t, keep in zip(batch["text"].to_pylist(), m)
-                if keep
-            ]
-            kept = ids[m].astype(np.int64)
-            return pa.table(
-                {
-                    "doc_id": pa.array(kept, pa.int64()),
-                    "doc_a": pa.array(np.full(len(kept), -1), pa.int64()),
-                    "doc_b": pa.array(np.full(len(kept), -1), pa.int64()),
-                    "shingles": pa.array(sh, pa.list_(pa.string())),
-                }
-            )
-
-    store = ds.map_batches(ShingleStore, batch_format="pyarrow", concurrency=(1, 8))
-    members = rd.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(np.concatenate([doc_a, doc_b]), pa.int64()),
-                "doc_a": pa.array(np.concatenate([doc_a, doc_a]), pa.int64()),
-                "doc_b": pa.array(np.concatenate([doc_b, doc_b]), pa.int64()),
-                "shingles": pa.array([[]] * (2 * len(doc_a)), pa.list_(pa.string())),
-            }
-        )
+    doc_a, doc_b = _pairs_from_candidates(
+        cand.to_pandas(), "minhash_lsh_pairs", group_cap, max_pairs
     )
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        stores = g[g["doc_a"] < 0]
-        mem = g[g["doc_a"] >= 0]
-        if len(stores) == 0 or len(mem) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype=np.int64),
-                    "doc_b": pd.Series(dtype=np.int64),
-                    "shingles": pd.Series(dtype=object),
-                }
-            )
-        sh = stores["shingles"].iloc[0]
-        return pd.DataFrame(
-            {
-                "doc_a": mem["doc_a"].to_numpy(),
-                "doc_b": mem["doc_b"].to_numpy(),
-                "shingles": [sh] * len(mem),
-            }
-        )
-
+    if len(doc_a) == 0:
+        return _empty_pairs_ds(with_jaccard=True)
+    involved = np.unique(np.concatenate([doc_a, doc_b]))
+    store_ids, store_offs, store_vals = _shingle_hash_store(ds, involved, shingle)
+    store_ref = ray.put((store_ids, store_offs, store_vals))
     thr_micro = int(np.floor(threshold * 1e6 + 0.5))
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        sets = [set(s) for s in g["shingles"]]
-        j = jaccard(sets[0], sets[1]) if len(sets) == 2 else 0.0
-        return pd.DataFrame(
+    def verify(batch: pa.Table) -> pa.Table:
+        ids, offs, vals = ray.get(store_ref)
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        jm = np.empty(len(a), np.int64)
+        for r in range(len(a)):
+            ha = vals[offs[ia[r]] : offs[ia[r] + 1]]
+            hb = vals[offs[ib[r]] : offs[ib[r] + 1]]
+            if len(ha) == 0 and len(hb) == 0:
+                jm[r] = 1_000_000  # two empty shingle sets: Jaccard 1.0
+                continue
+            # both sides sorted-unique → membership via searchsorted
+            pos = np.searchsorted(ha, hb)
+            posc = np.clip(pos, 0, max(0, len(ha) - 1))
+            inter = int(
+                np.count_nonzero((ha[posc] == hb) if len(ha) else np.zeros(0, bool))
+            )
+            union = len(ha) + len(hb) - inter
+            jm[r] = int(np.floor(inter / union * 1e6 + 0.5)) if union else 1_000_000
+        out = pa.table(
             {
-                "doc_a": g["doc_a"].iloc[:1].to_numpy(),
-                "doc_b": g["doc_b"].iloc[:1].to_numpy(),
-                "jaccard_micro": np.array(
-                    [int(np.floor(j * 1e6 + 0.5))], np.int64
-                ),
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard_micro": pa.array(jm, pa.int64()),
             }
         )
-
-    def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(pc.greater_equal(batch["jaccard_micro"], thr_micro))
+        return out.filter(pc.greater_equal(out["jaccard_micro"], thr_micro))
 
-    return (
-        store.union(members)
-        .groupby("doc_id")
-        .map_groups(attach, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(verify, batch_format="pandas")
-        .map_batches(keep, batch_format="pyarrow")
+    pair_tbl = pa.table(
+        {
+            "doc_a": pa.array(doc_a, pa.int64()),
+            "doc_b": pa.array(doc_b, pa.int64()),
+        }
+    )
+    n_blocks = max(1, min(64, len(doc_a) // 8192))
+    return rd.from_arrow(pair_tbl, override_num_blocks=n_blocks).map_batches(
+        verify, batch_format="pyarrow"
     )
 
 
@@ -355,13 +443,11 @@ def simhash_near_pairs(
 ):
     """SimHash near-dup pairs as a Dataset (doc_a, doc_b): bucket by each of
     4 16-bit bands (any match → candidate; Hamming ≤ 3 guarantees ≥1
-    identical band by pigeonhole), verify Hamming ≤ max_hamming INSIDE the
-    distributed band-group pairing (rows carry the signature, so no store
-    join is needed), then dedupe pairs across bands with a pair-keyed
-    groupby. Hot groups are skew-capped at ``group_cap`` with logged
-    overflow."""
+    identical band by pigeonhole), candidates paired driver-vectorized with
+    skew caps (_pairs_from_candidates), verified with one vectorized
+    Hamming pass over the per-doc signatures the candidate rows already
+    carry (output-bounded driver work)."""
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     from ..functions.hashing import hamming64, simhash64
 
@@ -389,39 +475,25 @@ def simhash_near_pairs(
     cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
     if cand is None:
         return _empty_pairs_ds(with_jaccard=False)
-
-    def band_pairs_verified(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        if len(ids) > group_cap:
-            _log_overflow(
-                "simhash_near_pairs",
-                (int(g["band_id"].iloc[0]), int(g["band_key"].iloc[0])),
-                len(ids),
-                group_cap,
-            )
-            g = g.iloc[:group_cap]
-            ids = ids[:group_cap]
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype=np.int64),
-                    "doc_b": pd.Series(dtype=np.int64),
-                }
-            )
-        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = hamming64(sims[ii], sims[jj]) <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ii][keep], "doc_b": ids[jj][keep]}
+    cand_pd = cand.to_pandas()
+    doc_a, doc_b = _pairs_from_candidates(cand_pd, "simhash_near_pairs", group_cap)
+    if len(doc_a) == 0:
+        return _empty_pairs_ds(with_jaccard=False)
+    # doc → simhash map from the candidate rows themselves (vectorized)
+    ids = cand_pd["doc_id"].to_numpy().astype(np.int64)
+    sims = cand_pd["simhash"].to_numpy().astype(np.int64)
+    uniq_ids, first_idx = np.unique(ids, return_index=True)
+    sim_sorted = sims[first_idx].view(np.uint64)
+    ha = sim_sorted[np.searchsorted(uniq_ids, doc_a)]
+    hb = sim_sorted[np.searchsorted(uniq_ids, doc_b)]
+    keep = hamming64(ha, hb) <= max_hamming
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(doc_a[keep], pa.int64()),
+                "doc_b": pa.array(doc_b[keep], pa.int64()),
+            }
         )
-
-    return (
-        cand.groupby(["band_id", "band_key"])
-        .map_groups(band_pairs_verified, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nb"))
-        .drop_columns(["nb"])
     )
 
 

@@ -15,9 +15,9 @@ over the deterministic items fixture (``fixtures/generate.gen_items``).
   (model state in ``__init__``) is preserved so a real model drops in.
 - :func:`tokens_for_mode` — TokenizationBolt's four modes
   (``bolts/items/TokenizationBolt.java:70-119``): ALL (title tokens),
-  NE (entity names), TAGS (item.tags); POS is unimplemented in this build
-  (the PosTaggingBolt output is terminal in the reference topology —
-  ``SocialMediaMonitor.java:123`` declares no consumer).
+  NE (entity names), TAGS (item.tags), POS ('word#tag' pairs via the
+  deterministic suffix-rule tagger :func:`pos_tag`, standing in for the
+  Stanford MaxentTagger of ``bolts/items/PosTaggingBolt.java:37-71``).
 - :func:`items_event_candidates` — EventDetectionBolt semantics: tumbling
   ``window_s`` windows by ingest time, per-window token document
   frequencies → Vocabulary IDF snapshots (bounded FIFO of ``windows``) →

@@ -29,6 +29,29 @@ def test_minhash_pairs_equal_brute_force(ray_session):
     assert expected, "fixture must contain near-dups"
 
 
+def test_pair_budget_logged_and_bounded(ray_session, tmp_path, caplog):
+    """The global candidate-pair budget drops whole groups with a logged
+    warning instead of unbounded driver work."""
+    import logging
+
+    import pyarrow as pa
+
+    n = 200
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([base] * n, pa.string()),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    with caplog.at_level(logging.WARNING):
+        got = minhash_lsh_pairs(p, threshold=0.5, max_pairs=100).to_pandas()
+    assert len(got) <= 100
+    assert any("budget" in r.message for r in caplog.records)
+
+
 def test_minhash_hot_band_skew_capped(ray_session, tmp_path):
     """1000 near-identical docs share every band: with a small group_cap the
     pipeline must complete and cover exactly the capped id prefix."""
