@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "items_tag_counts",
     "items_event_candidates",
     "platform_media_extract",
+    # round-2 additions (oracle-checked operators)
+    "doc_quality",
+    "doc_fingerprints",
+    "token_postings",
+    "simhash_dup_pairs",
+    "items_entities",
 ]
 
 

@@ -64,3 +64,28 @@ def extract_platform_batch(urls: list[str]) -> tuple[list[str], list[str]]:
             plats.append(m[0])
             ids.append(m[1])
     return plats, ids
+
+
+class Retriever:
+    """Per-platform media/user enrichment hook — the interface
+    ``MediaExtractionBolt.java:172-197`` dispatches to (every registration
+    is commented out at reference HEAD, ``:60-76``, so the default registry
+    is empty and extraction passes items through unchanged).
+
+    A deployment registers callables keyed by platform name; each receives
+    ``(platform, media_id, url)`` and returns an enrichment dict (merged
+    into the row) or None (pass-through). Designed to be held INSIDE an
+    actor-pool stage: construct once in ``__init__`` (API clients live
+    there), call per batch."""
+
+    def __init__(self, registry: dict | None = None):
+        self.registry = dict(registry or {})  # platform → callable
+
+    def enrich(self, platform: str, media_id: str, url: str) -> dict | None:
+        fn = self.registry.get(platform)
+        if fn is None:
+            return None  # null-retriever pass-through (reference HEAD)
+        return fn(platform, media_id, url)
+
+    def enrich_batch(self, plats: list[str], ids: list[str], urls: list[str]):
+        return [self.enrich(p, m, u) for p, m, u in zip(plats, ids, urls)]

@@ -385,6 +385,29 @@ def build_extended_oracles() -> dict[str, str]:
     sql["minhash_dup_pairs"] = _jaccard_pairs_sql(_CHAR5_CTE, 1, 2)
     sql["ngram_jaccard_pairs"] = _jaccard_pairs_sql(_WORD3_CTE, 1, 2)
 
+    # quality-score gate (functions/text.quality_features mirrored exactly:
+    # integer counts, exact double ratios, multiplicative CASE chain)
+    sql["doc_quality"] = (
+        f"WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '{_WORD_PAT}') AS words "
+        "FROM documents), "
+        "f AS (SELECT doc_id, len(words) AS n_words, length(text) AS n_chars, "
+        "CASE WHEN len(words) = 0 THEN 0.0 "
+        "ELSE CAST(length(array_to_string(words, '')) AS DOUBLE)/len(words) END AS mean_wl, "
+        "CAST(length(text) - length(regexp_replace(text, "
+        "'[.,;:!?\"''()\\[\\]{}]', '', 'g')) AS DOUBLE)/greatest(1, length(text)) AS punct_ratio, "
+        "CAST(len(list_filter(list_transform(words, x -> lower(x)), "
+        f"x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)/greatest(1, len(words)) AS stop_ratio, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        "/greatest(1, length(text)) AS alpha_ratio FROM w), "
+        "s AS (SELECT doc_id, n_words, 1.0 "
+        "* (CASE WHEN n_words < 10 THEN n_words/10.0 ELSE 1.0 END) "
+        "* (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END) "
+        "* (CASE WHEN stop_ratio < 0.05 THEN 0.5 ELSE 1.0 END) "
+        "* (CASE WHEN alpha_ratio < 0.5 THEN 0.5 ELSE 1.0 END) "
+        "* (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END) AS score FROM f) "
+        "SELECT doc_id, n_words, CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS quality_micro FROM s"
+    )
+
     # inverted-index postings for the 5 alphabetically-first corpus tokens
     # (TextIndexerBolt analogue; engine reads only the probed buckets)
     sql["token_postings"] = (

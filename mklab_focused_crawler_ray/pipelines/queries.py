@@ -308,6 +308,33 @@ def q_lang_counts(sf_dir: str):
     return _count_by(sf_dir, "documents", "lang")
 
 
+def q_doc_quality(sf_dir: str):
+    """Quality-score gate (the SimpleEstimator.isLowQuality spirit,
+    ArticleExtractionBolt.java:296-322, generalized to the training-data
+    quality-scoring heuristic of functions/text.quality_features). Emits
+    (doc_id, n_words, quality_micro) — every factor is exact integer/ratio
+    arithmetic so the DuckDB oracle reproduces it bit-for-bit."""
+    import ray.data as rd
+
+    from ..functions.text import quality_features
+
+    def qf(batch: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array([f["n_words"] for f in feats], pa.int64()),
+                "quality_micro": pa.array(
+                    _micro(np.array([f["quality"] for f in feats])), pa.int64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        qf, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------------
 # relational aggregates / joins
 # --------------------------------------------------------------------------
@@ -614,6 +641,7 @@ QUERIES = {
     "tokenset_dedup_groups": q_tokenset_dedup_groups,
     "doc_stats": q_doc_stats,
     "lang_counts": q_lang_counts,
+    "doc_quality": q_doc_quality,
     "q1_lineitem": q_q1_lineitem,
     "revenue_by_priority": q_revenue_by_priority,
     "embedding_top10": q_embedding_top10,

@@ -164,3 +164,26 @@ def test_builder_resolves_dotted_paths():
 )
 def test_platform_patterns(url, expected):
     assert match_platform(url) == expected
+
+
+def test_retriever_hook_dispatch():
+    """MediaExtractionBolt retriever interface: empty registry = reference
+    HEAD pass-through; a registered platform callable receives the match."""
+    from mklab_focused_crawler_ray.functions.platforms import (
+        Retriever,
+        extract_platform_batch,
+    )
+
+    urls = [
+        "https://instagram.com/p/abc_1/",
+        "https://example.com/page",
+    ]
+    plats, ids = extract_platform_batch(urls)
+    assert plats == ["instagram", ""] and ids == ["abc_1", ""]
+    # HEAD behavior: nothing registered → all None (pass-through)
+    assert Retriever().enrich_batch(plats, ids, urls) == [None, None]
+    seen = []
+    r = Retriever({"instagram": lambda p, m, u: seen.append((p, m)) or {"user": "u1"}})
+    out = r.enrich_batch(plats, ids, urls)
+    assert out == [{"user": "u1"}, None]
+    assert seen == [("instagram", "abc_1")]
