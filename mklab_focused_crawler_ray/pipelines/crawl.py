@@ -153,12 +153,18 @@ class RayCrawler:
         self.seeds = pq.read_table(os.path.join(fixture_dir, "frontier_seed.parquet"))
         self.live = cfg.fetch_mode == "live"
         if not self.live:
+            from ..stages.expand import build_redirect_store
+
             redirects = pq.read_table(os.path.join(fixture_dir, "redirects.parquet"))
-            self.redirect_map_ref = ray.put(
-                dict(zip(redirects["src"].to_pylist(), redirects["dst"].to_pylist()))
+            # zero-copy (hash index + Arrow strings) — per-task ray.get maps
+            # plasma buffers; a pickled dict cost ~0.5 s per expand task
+            self.redirect_store_ref = ray.put(
+                build_redirect_store(
+                    redirects["src"].to_pylist(), redirects["dst"].to_pylist()
+                )
             )
         else:
-            self.redirect_map_ref = None
+            self.redirect_store_ref = None
         if cfg.embed_media:
             from ..stages.visual import build_image_store
 
@@ -387,7 +393,7 @@ class RayCrawler:
 
             expander_fn = make_live_expander(timeout=cfg.live_expand_timeout_s)
         else:
-            expander_fn = make_expander(self.redirect_map_ref)
+            expander_fn = make_expander(self.redirect_store_ref)
         slice_refs = [
             _expand_task.remote(expander_fn, tbl.slice(i * len(tbl) // n_slices,
                                                        (i + 1) * len(tbl) // n_slices - i * len(tbl) // n_slices))

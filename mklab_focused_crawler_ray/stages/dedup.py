@@ -92,12 +92,6 @@ class MinHashSignatures:
         )
 
 
-def _token_set(text: str) -> set:
-    """Char-shingle set — the MinHash'd feature space (unigram token sets
-    are degenerate on small-vocabulary corpora: everything collides)."""
-    return set(char_shingles(text, SHINGLE_K))
-
-
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -310,29 +310,23 @@ class FrontierShard:
             if u not in selected:
                 self._return_to_queue(u)
                 self.counters["deferred"] += 1
-        sel_hashes = url_hash64_vec(selected_urls)
-        out = {
-            "url": list(selected_urls),
-            "domain": [],
-            "salt": [],
-            "score": [],
-            "shares": [],
-            "date_ms": [],
-        }
-        for u, h_np in zip(selected_urls, sel_hashes):
-            key, score, payload = self._proposed.pop(u)
-            h = int(h_np)
-            self.pending_hashes.discard(h)
-            if h not in self.seen:
+        sel_hashes = url_hash64_vec(selected_urls).tolist()
+        popped = [self._proposed.pop(u) for u in selected_urls]
+        seen = self.seen
+        for h in sel_hashes:
+            if h not in seen:
                 self.cuckoo.add(h)
-            self.seen[h] = now_ms
-            self.counters["scheduled"] += 1
-            out["domain"].append(key[0])
-            out["salt"].append(key[1])
-            out["score"].append(score)
-            out["shares"].append(payload[0])
-            out["date_ms"].append(payload[1])
-        return out
+        seen.update((h, now_ms) for h in sel_hashes)
+        self.pending_hashes.difference_update(sel_hashes)
+        self.counters["scheduled"] += len(selected_urls)
+        return {
+            "url": list(selected_urls),
+            "domain": [p[0][0] for p in popped],
+            "salt": [p[0][1] for p in popped],
+            "score": [p[1] for p in popped],
+            "shares": [p[2][0] for p in popped],
+            "date_ms": [p[2][1] for p in popped],
+        }
 
     def end_round(self, round_id: int, extra: dict | None = None) -> None:
         self.round = round_id
