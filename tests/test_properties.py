@@ -144,3 +144,58 @@ def test_codec_roundtrips_random_images(w, h, seed):
     rt = q6_decode(q6_encode(rgb))
     assert rt.shape == rgb.shape  # lossy: shape-exact; PSNR checked on
     # photo-like fixtures (random noise is the worst case for a DCT codec)
+
+
+def test_oph_signature_permutation_invariant():
+    """One-permutation MinHash is a function of the SET: order must not
+    matter, and identical sets give identical signatures."""
+    import numpy as np
+
+    from mklab_focused_crawler_ray.functions.hashing import (
+        oph_signatures,
+        token_hashes,
+    )
+
+    h = token_hashes([f"tok{i}" for i in range(300)])
+    s1 = oph_signatures([h], 128)
+    s2 = oph_signatures([np.random.default_rng(0).permutation(h)], 128)
+    assert np.array_equal(s1, s2)
+
+
+def test_oph_bin_agreement_tracks_jaccard():
+    """Bin-agreement fraction estimates Jaccard (loose check: high-overlap
+    pair scores far above low-overlap pair)."""
+    import numpy as np
+
+    from mklab_focused_crawler_ray.functions.hashing import (
+        oph_signatures,
+        token_hashes,
+    )
+
+    base = [f"t{i}" for i in range(400)]
+    near = base[:360] + [f"x{i}" for i in range(40)]   # J ≈ 0.82/1.18 ≈ 0.7
+    far = [f"y{i}" for i in range(400)]                # J = 0
+    hb, hn, hf = (token_hashes(x) for x in (base, near, far))
+    sb, sn, sf = oph_signatures([hb, hn, hf], 128)
+    agree_near = float(np.mean(sb == sn))
+    agree_far = float(np.mean(sb == sf))
+    assert agree_near > 0.5
+    assert agree_far < 0.1
+
+
+def test_oph_empty_and_sparse_sets():
+    import numpy as np
+
+    from mklab_focused_crawler_ray.functions.hashing import oph_signatures
+
+    sent = np.iinfo(np.uint64).max
+    s = oph_signatures([np.empty(0, np.uint64)], 128)
+    assert (s == sent).all(), "empty set must match nothing"
+    # a 1-element set densifies every bin deterministically, without the
+    # raw value aliasing into all 128 bins
+    one = np.array([12345678901234567], np.uint64)
+    s1 = oph_signatures([one], 128)
+    s2 = oph_signatures([one], 128)
+    assert np.array_equal(s1, s2)
+    assert (s1 != sent).all()
+    assert len(np.unique(s1)) > 100, "densified bins must differ by index"
