@@ -152,7 +152,19 @@ def q_image_visual_clusters(sf_dir: str):
     """Full visual-indexing path (Crawler topology §3.2): pseudo-embed every
     image → replay through the sharded combined query+insert index (0.85
     gate) → incremental clusters (0.75, min-member-id labels). Exactly equal
-    to the one-at-a-time oracle (tests/test_visual_index.py)."""
+    to the one-at-a-time oracle (tests/test_visual_index.py).
+
+    Scale posture: the combined query+insert is ORDER-SENSITIVE by the
+    reference's semantics (an image may only match earlier-indexed images),
+    so the replay is inherently a sequential chunk stream — parallelism
+    lives inside each chunk (shard fan-out matmuls) and in the embed stage,
+    not across chunks. The round-2 form streams id-sorted Arrow batches
+    (one chunk driver-resident). At 100 TB one would either (a) shard the
+    replay by independent key ranges when the application tolerates
+    per-partition order (clusters then merge via min-label union-find), or
+    (b) drop order sensitivity and use the batch ANN path (stages/ann.py)
+    + connected components, which IS embarrassingly parallel — both change
+    semantics, so this query keeps the faithful sequential replay."""
     import ray
     import ray.data as rd
 
