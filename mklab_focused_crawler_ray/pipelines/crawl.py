@@ -491,7 +491,11 @@ class RayCrawler:
                 ray.put(self.media_seen) if cfg.media_dedup else None
             )
             ds2 = ds2.map_batches(
-                make_media_embed(self.image_store_ref, media_seen_ref=seen_ref),
+                make_media_embed(
+                    self.image_store_ref,
+                    media_seen_ref=seen_ref,
+                    use_cache=cfg.embed_cache,
+                ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 **rra,

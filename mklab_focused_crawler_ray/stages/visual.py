@@ -32,13 +32,25 @@ def build_image_store(images: pa.Table):
     return h[order], tbl
 
 
+# Worker-process-local memo of (phash, embedding) per image id. Decode +
+# embed is a pure function of the image bytes, and crawled pages reference
+# the same images repeatedly (the medium bench tier averages ~8 live refs
+# per page over 8k distinct images → ~99% redundant embeds without this).
+# Bounded by a clear-on-full cap; outputs are bit-identical with or
+# without the cache.
+_EMBED_CACHE: dict[str, tuple[int, list]] = {}
+_EMBED_CACHE_MAX = 65_536
+
+
 def image_id_of_src(src: str) -> str:
     """Fixture convention: the image id is the last path segment of the
     <img> src (https://img.<host>/<image_id>)."""
     return src.rsplit("/", 1)[-1]
 
 
-def make_media_embed(image_store_ref, embed_dim: int = 64, media_seen_ref=None):
+def make_media_embed(
+    image_store_ref, embed_dim: int = 64, media_seen_ref=None, use_cache: bool = True
+):
     """Task-based map_batches stage: for each row's media list, look up the
     image bytes, decode, pseudo-embed and re-hash. Appends aligned list
     columns media_image_ids / media_phash / media_vec (empty lists when the
@@ -80,15 +92,23 @@ def make_media_embed(image_store_ref, embed_dim: int = 64, media_seen_ref=None):
                     j = int(np.searchsorted(seen, h))
                     if j < len(seen) and seen[j] == h:
                         continue  # media-seen gate: already indexed
-                blob, fmt = lookup(image_id)
-                if blob is None:
-                    continue  # unknown image — reference drops silently
-                rgb = decode(blob, fmt)
+                cached = _EMBED_CACHE.get(image_id) if use_cache else None
+                if cached is None:
+                    blob, fmt = lookup(image_id)
+                    if blob is None:
+                        continue  # unknown image — reference drops silently
+                    rgb = decode(blob, fmt)
+                    cached = (
+                        phash64(rgb),
+                        pseudo_embed_rgb(rgb).astype(np.float32)[:embed_dim].tolist(),
+                    )
+                    if use_cache:
+                        if len(_EMBED_CACHE) >= _EMBED_CACHE_MAX:
+                            _EMBED_CACHE.clear()  # simple bound; refill is cheap
+                        _EMBED_CACHE[image_id] = cached
                 ids_row.append(image_id)
-                ph_row.append(phash64(rgb))
-                vec_row.append(
-                    pseudo_embed_rgb(rgb).astype(np.float32)[:embed_dim].tolist()
-                )
+                ph_row.append(cached[0])
+                vec_row.append(cached[1])
             out_ids.append(ids_row)
             out_ph.append(ph_row)
             out_vec.append(vec_row)

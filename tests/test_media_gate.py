@@ -78,3 +78,46 @@ def test_media_gate_no_reembed_across_rounds(ray_session, tiny_fixture, tmp_path
             refired = True
         p_seen |= p[rnd]
     assert refired, "fixture must contain cross-round media repeats"
+
+
+def test_embed_cache_outputs_bit_identical(ray_session, tmp_path):
+    """The worker-local embed memo must not change any output: run the same
+    tiny crawl with the cache on and off and compare the media columns."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.fixtures.generate import generate_tier
+    from mklab_focused_crawler_ray.pipelines.config import CrawlConfig
+    from mklab_focused_crawler_ray.pipelines.crawl import RayCrawler
+
+    fdir = generate_tier("tiny", "/tmp/mkfc_fixtures/tiny")
+    outs = {}
+    for cache in (True, False):
+        out = str(tmp_path / f"c{cache}")
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(
+            n_shards=2,
+            per_host_budget=5,
+            round_budget=40,
+            max_rounds=2,
+            embed_media=True,
+            embed_cache=cache,
+        )
+        eng = RayCrawler(fdir, cfg, out_dir=out)
+        try:
+            eng.run(checkpoint_every=0)
+        finally:
+            eng.shutdown()
+        import glob
+
+        import pyarrow as pa
+
+        parts = [
+            pq.read_table(
+                f, columns=["url", "media_image_ids", "media_phash", "media_vec"]
+            )
+            for f in sorted(glob.glob(f"{out}/round=*/*.parquet"))
+        ]
+        outs[cache] = pa.concat_tables(parts).sort_by("url")
+    assert outs[True].equals(outs[False])
