@@ -8,10 +8,11 @@ over $GRAFT_SF_DIR (default /root/testdata/sf0.1), and prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N,
      "crawl": {"fetched_pages_per_sec": ..., "frontier_ops_per_sec": ...}}
 
---scaling: runs the headline crawl twice in FRESH processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs plus
-scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
-cluster sizes).
+--scaling: 3 PAIRED samples, each running the same medium-tier crawl in
+FRESH processes at RAY_GRAFT_CPUS=8 then =32 back-to-back; reports the
+MEDIAN pair's throughputs and scaling efficiency with all pairs printed
+(the sandbox stand-in for the north rule's N vs 4N cluster sizes; paired
+sampling controls for the shared host's time-varying contention).
 """
 
 from __future__ import annotations

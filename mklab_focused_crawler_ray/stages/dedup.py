@@ -359,7 +359,7 @@ def minhash_lsh_pairs(
         fn_constructor_kwargs={"shingle": shingle},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 8),
+        concurrency=(1, 16),
     ).materialize()
     cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
     if cand is None:
