@@ -33,6 +33,7 @@ def entry() -> Any:
 
     from mklab_focused_crawler_ray.functions.hashing import simhash64, token_hashes
     from mklab_focused_crawler_ray.functions.text import (
+        count_tokens_bpeish,
         count_tokens_ws,
         detect_language,
         quality_features,
@@ -41,7 +42,7 @@ def entry() -> Any:
 
     def enrich(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        langs, quals, nwords, nws, sims = [], [], [], [], []
+        langs, quals, nwords, nws, nbpe = [], [], [], [], []
         thl = []
         for t in texts:
             langs.append(detect_language(t))
@@ -49,6 +50,7 @@ def entry() -> Any:
             quals.append(q["quality"])
             nwords.append(q["n_words"])
             nws.append(count_tokens_ws(t))
+            nbpe.append(count_tokens_bpeish(t))
             thl.append(token_hashes(TOKEN_RE.findall(t.lower())))
         sims = simhash64(thl).view(np.int64)
         return (
@@ -56,6 +58,7 @@ def entry() -> Any:
             .append_column("quality", pa.array(quals, pa.float64()))
             .append_column("n_words", pa.array(nwords, pa.int64()))
             .append_column("n_ws_tokens", pa.array(nws, pa.int64()))
+            .append_column("n_bpe_tokens", pa.array(nbpe, pa.int64()))
             .append_column("simhash", pa.array(sims, pa.int64()))
         )
 

@@ -199,3 +199,16 @@ def test_oph_empty_and_sparse_sets():
     assert np.array_equal(s1, s2)
     assert (s1 != sent).all()
     assert len(np.unique(s1)) > 100, "densified bins must differ by index"
+
+
+def test_bpeish_token_count_sane():
+    from mklab_focused_crawler_ray.functions.text import (
+        count_tokens_bpeish,
+        count_tokens_ws,
+    )
+
+    t = "The quick brown fox can't stop, won't stop (42 times)."
+    assert count_tokens_bpeish(t) >= count_tokens_ws(t)
+    assert count_tokens_bpeish("") == 0
+    # contractions split into word + suffix pieces, GPT-2-style
+    assert count_tokens_bpeish("can't") == 2
