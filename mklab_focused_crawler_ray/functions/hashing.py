@@ -17,10 +17,6 @@ _M2 = np.uint64(0x94D049BB133111EB)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-def sha256_hex(texts) -> list[str]:
-    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
-
-
 def stable_hash64(token: str) -> int:
     """Deterministic unsigned 64-bit token hash (blake2b-8)."""
     return int.from_bytes(
@@ -112,14 +108,6 @@ def minhash_signature(base_hashes: np.ndarray, seeds: np.ndarray) -> np.ndarray:
         return np.full(seeds.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
     h = mix64(base_hashes[None, :] ^ seeds[:, None])  # (num_perm, n_tokens)
     return h.min(axis=1)
-
-
-def minhash_signatures(token_hash_lists, seeds: np.ndarray) -> np.ndarray:
-    """Batch MinHash: list of per-doc uint64 arrays → (n_docs, num_perm)."""
-    out = np.empty((len(token_hash_lists), seeds.shape[0]), dtype=np.uint64)
-    for i, th in enumerate(token_hash_lists):
-        out[i] = minhash_signature(np.asarray(th, dtype=np.uint64), seeds)
-    return out
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
