@@ -384,6 +384,9 @@ def build_extended_oracles() -> dict[str, str]:
     # verified by tests/test_queries_oracle.py at the driver's scale)
     sql["minhash_dup_pairs"] = _jaccard_pairs_sql(_CHAR5_CTE, 1, 2)
     sql["ngram_jaccard_pairs"] = _jaccard_pairs_sql(_WORD3_CTE, 1, 2)
+    # AllPairs prefix-filter join: candidates provably complete, so the
+    # brute-force truth is the oracle at every scale
+    sql["allpairs_jaccard"] = _jaccard_pairs_sql(_WORD3_CTE, 1, 2)
 
     # quality-score gate (functions/text.quality_features mirrored exactly:
     # integer counts, exact double ratios, multiplicative CASE chain)

@@ -577,6 +577,22 @@ def q_minhash_dup_pairs(sf_dir: str):
     )
 
 
+def q_allpairs_jaccard(sf_dir: str):
+    """EXACT set-similarity self-join (AllPairs prefix filtering — complete
+    candidates with no LSH recall caveat): word-3-gram Jaccard ≥ 0.5 pairs.
+    The oracle is the same brute-force SQL as ngram_jaccard_pairs; unlike
+    the LSH variant, equality is guaranteed at EVERY scale by the prefix-
+    filter theorem, not just observed on the corpus."""
+    from ..stages.dedup import allpairs_jaccard_pairs
+
+    return pairs_to_df(
+        allpairs_jaccard_pairs(
+            _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
+        ),
+        ["doc_a", "doc_b", "jaccard_micro"],
+    )
+
+
 def q_token_postings(sf_dir: str):
     """TextIndexerBolt analogue (bolts/webpages/TextIndexerBolt.java:44-102):
     build the token-bucketed inverted-index layout once per sf tier (cached
@@ -646,6 +662,7 @@ QUERIES = {
     "revenue_by_priority": q_revenue_by_priority,
     "embedding_top10": q_embedding_top10,
     "token_postings": q_token_postings,
+    "allpairs_jaccard": q_allpairs_jaccard,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,

@@ -584,3 +584,126 @@ def embedding_cosine_pairs(
         .aggregate(Count(alias_name="nb"))
         .drop_columns(["nb"])
     )
+
+
+def allpairs_jaccard_pairs(
+    doc_parquet: str,
+    threshold: float = 0.5,
+    shingle: str = "word3",
+    group_cap: int = GROUP_CAP,
+    max_pairs: int = MAX_CAND_PAIRS,
+):
+    """EXACT set-similarity self-join via prefix filtering (AllPairs —
+    Bayardo/Ma/Srikant, WWW 2007): unlike the MinHash/SimHash pipelines,
+    candidate generation is provably COMPLETE — for any fixed total order
+    on tokens, two sets with Jaccard ≥ t must share at least one token
+    among their size-(|x| − ⌈t·|x|⌉ + 1) prefixes. We use the shingle-hash
+    value itself as the canonical order, which needs NO global frequency
+    pass (any consistent order preserves exactness; frequency ordering is
+    only a candidate-count optimization).
+
+    Pipeline shape (shares the dedup machinery): doc → sorted shingle
+    hashes → prefix explode (band_id=0, band_key=prefix hash) →
+    hot-token count/filter → vectorized pairing with caps → distributed
+    exact hash-Jaccard verify. Returns a Dataset
+    (doc_a, doc_b, jaccard_micro)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import char_shingle_hashes, word_ngram_hashes
+
+        out_h: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for did, text in zip(
+            batch["doc_id"].to_numpy(), batch["text"].to_pylist()
+        ):
+            h = (
+                word_ngram_hashes(text, 3)
+                if shingle == "word3"
+                else char_shingle_hashes(text, SHINGLE_K)
+            )  # sorted unique
+            n = len(h)
+            if n == 0:
+                continue
+            import math
+
+            plen = n - math.ceil(threshold * n) + 1
+            out_h.append(h[:plen].view(np.int64))
+            out_d.append(np.full(plen, did, np.int64))
+        if not out_h:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                }
+            )
+        hh = np.concatenate(out_h)
+        dd = np.concatenate(out_d)
+        return pa.table(
+            {
+                "doc_id": pa.array(dd, pa.int64()),
+                "band_id": pa.array(np.zeros(len(hh), np.int32), pa.int32()),
+                "band_key": pa.array(hh, pa.int64()),
+            }
+        )
+
+    sig = ds.map_batches(
+        prefixes, batch_format="pyarrow", batch_size=256
+    ).materialize()
+    cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
+    if cand is None:
+        return _empty_pairs_ds(with_jaccard=True)
+    doc_a, doc_b = _pairs_from_candidates(
+        cand.to_pandas(), "allpairs_jaccard_pairs", group_cap, max_pairs
+    )
+    if len(doc_a) == 0:
+        return _empty_pairs_ds(with_jaccard=True)
+    involved = np.unique(np.concatenate([doc_a, doc_b]))
+    store_ids, store_offs, store_vals = _shingle_hash_store(ds, involved, shingle)
+    store_ref = ray.put((store_ids, store_offs, store_vals))
+    thr_micro = int(np.floor(threshold * 1e6 + 0.5))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids, offs, vals = ray.get(store_ref)
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        jm = np.empty(len(a), np.int64)
+        for r in range(len(a)):
+            ha = vals[offs[ia[r]] : offs[ia[r] + 1]]
+            hb = vals[offs[ib[r]] : offs[ib[r] + 1]]
+            if len(ha) == 0 and len(hb) == 0:
+                jm[r] = 1_000_000
+                continue
+            pos = np.clip(np.searchsorted(ha, hb), 0, max(0, len(ha) - 1))
+            inter = int(
+                np.count_nonzero((ha[pos] == hb) if len(ha) else np.zeros(0, bool))
+            )
+            union = len(ha) + len(hb) - inter
+            jm[r] = int(np.floor(inter / union * 1e6 + 0.5)) if union else 1_000_000
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard_micro": pa.array(jm, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard_micro"], thr_micro))
+
+    pair_tbl = pa.table(
+        {
+            "doc_a": pa.array(doc_a, pa.int64()),
+            "doc_b": pa.array(doc_b, pa.int64()),
+        }
+    )
+    n_blocks = max(1, min(64, len(doc_a) // 8192))
+    return rd.from_arrow(pair_tbl, override_num_blocks=n_blocks).map_batches(
+        verify, batch_format="pyarrow"
+    )

@@ -94,3 +94,45 @@ def test_embedding_bucket_skew_capped(ray_session, tmp_path):
     # capped prefix; pairs are near-identical so all pass the threshold
     assert 0 < len(got) <= cap * (cap - 1) // 2
     assert int(got[["doc_a", "doc_b"]].to_numpy().max()) <= cap - 1
+
+
+def test_allpairs_exact_join_equals_brute_force(ray_session):
+    from mklab_focused_crawler_ray.stages.dedup import allpairs_jaccard_pairs
+
+    got_df = allpairs_jaccard_pairs(DOCS, threshold=0.5, shingle="word3").to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_df["doc_a"], got_df["doc_b"])}
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    expected = brute_force_jaccard_pairs(texts, 0.5, shingle="word3")
+    assert got == expected
+
+
+def test_allpairs_catches_borderline_pairs(ray_session, tmp_path):
+    """Planted pairs straddling the threshold: the prefix filter must keep
+    every J >= t pair (completeness), unlike probabilistic LSH banding."""
+    from mklab_focused_crawler_ray.stages.dedup import allpairs_jaccard_pairs
+
+    import pyarrow as pa
+
+    base = [f"w{i}" for i in range(30)]
+    rows = {
+        0: " ".join(base),
+        # shares a long prefix of the token stream -> many common 3-grams
+        1: " ".join(base[:21] + [f"x{i}" for i in range(9)]),   # J just above 0.5
+        2: " ".join(base[:16] + [f"y{i}" for i in range(14)]),  # J below 0.5
+        3: " ".join(f"z{i}" for i in range(30)),                # disjoint
+    }
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values()), pa.string()),
+            }
+        ),
+        p,
+    )
+    got_df = allpairs_jaccard_pairs(p, threshold=0.5, shingle="word3").to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_df["doc_a"], got_df["doc_b"])}
+    expected = brute_force_jaccard_pairs(rows, 0.5, shingle="word3")
+    assert got == expected
