@@ -348,9 +348,15 @@ class RayCrawler:
         sel_scores = merged_tbl["score"].to_numpy()
         sel_shard = merged_tbl["shard"].to_numpy()
         # commit per shard in global-rank order; committed columns come back
-        # in that same order, so scatter them into rank positions vectorized
+        # in that same order, so scatter them into rank positions vectorized.
+        # EVERY shard that proposed must receive commit() — a shard whose
+        # proposals were all cut by the global round_budget slice still has
+        # rows parked in _proposed; an empty commit returns them to its
+        # queues (ADVICE r2, high).
         shard_positions = {
-            int(si): np.nonzero(sel_shard == si)[0] for si in np.unique(sel_shard)
+            si: np.nonzero(sel_shard == si)[0]
+            for si in range(len(proposals))
+            if proposals[si]["url"]
         }
         committed = ray.get(
             [

@@ -122,3 +122,28 @@ def test_sink_version_tie_deterministic(ray_session, tmp_path):
         )
         survivors.append(list(df["payload"]))
     assert survivors[0] == survivors[1]
+
+
+def test_budget_cut_shard_still_commits(
+    ray_session, tiny_fixture, tiny_tables, tmp_path
+):
+    """ADVICE r2 (high, crawl.py run_round): with round_budget=1 at most ONE
+    shard receives a selection per round; every other shard that proposed
+    must still get an (empty) commit so its parked candidates return to the
+    queues. Pre-fix this crashed round 2 with 'propose() called twice
+    without commit()' and silently lost the parked URLs."""
+    from mklab_focused_crawler_ray.pipelines.config import CrawlConfig
+    from mklab_focused_crawler_ray.pipelines.crawl import RayCrawler
+    from mklab_focused_crawler_ray.pipelines.oracle import CrawlOracle
+
+    cfg = CrawlConfig(
+        n_shards=3, per_host_budget=4, round_budget=1, max_rounds=5
+    )
+    oracle = CrawlOracle(tiny_tables, cfg).run()
+    assert len(oracle["trace"]) == 5
+    eng = RayCrawler(tiny_fixture, cfg, out_dir=str(tmp_path / "out"))
+    try:
+        res = eng.run(checkpoint_every=0)
+    finally:
+        eng.shutdown()
+    assert res["trace"] == oracle["trace"]
