@@ -32,6 +32,7 @@ Operator lineage (reference parity, SURVEY.md §2):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -581,8 +582,9 @@ def q_allpairs_jaccard(sf_dir: str):
     """EXACT set-similarity self-join (AllPairs prefix filtering — complete
     candidates with no LSH recall caveat): word-3-gram Jaccard ≥ 0.5 pairs.
     The oracle is the same brute-force SQL as ngram_jaccard_pairs; unlike
-    the LSH variant, equality is guaranteed at EVERY scale by the prefix-
-    filter theorem, not just observed on the corpus."""
+    the LSH variant the candidate set is complete by the prefix-filter
+    theorem, and the skew caps are disabled on this path (exact join), so
+    the result equals brute force on any corpus."""
     from ..stages.dedup import allpairs_jaccard_pairs
 
     return pairs_to_df(
@@ -590,6 +592,23 @@ def q_allpairs_jaccard(sf_dir: str):
             _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
         ),
         ["doc_a", "doc_b", "jaccard_micro"],
+    )
+
+
+def _index_cache_dir(sf_dir: str) -> str:
+    """Inverted-index cache directory for an sf tier. Keyed by a content
+    fingerprint of the SOURCE (abs path + size + mtime), not the sf_dir
+    basename: two corpora both named 'sf0.01', or a regenerated fixture at
+    the same path, must not reuse stale postings (ADVICE r2, medium)."""
+    src = _p(sf_dir, "documents")
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    return os.path.join(
+        "/tmp/mkfc_text_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}",
     )
 
 
@@ -601,9 +620,7 @@ def q_token_postings(sf_dir: str):
     (prune-at-the-read)."""
     from ..stages.text_index import build_inverted_index, lookup_postings
 
-    index_dir = os.path.join(
-        "/tmp/mkfc_text_index", os.path.basename(os.path.normpath(sf_dir))
-    )
+    index_dir = _index_cache_dir(sf_dir)
     build_inverted_index(_p(sf_dir, "documents"), index_dir)
     vocab = (
         q_token_counts(sf_dir)

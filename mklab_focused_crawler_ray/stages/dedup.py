@@ -121,7 +121,8 @@ def _log_overflow(kind: str, key, n: int, cap: int) -> None:
 def _hot_candidate_rows(sig, group_cols: list[str]):
     """Shared hot-band machinery: count (band_id, band_key) groups, broadcast
     the >1-member keys as a sorted uint64 array, and return the vectorized-
-    filtered candidate Dataset (None when no group is hot). A groupby-count
+    filtered candidate Dataset plus the (small, one row per hot group)
+    count frame — (None, None) when no group is hot. A groupby-count
     is cheap; per-group UDFs over the ~input-sized mostly-singleton groups
     are NOT (measured 285 s vs 17 s at sf0.1)."""
     import pyarrow.compute as pc
@@ -135,7 +136,7 @@ def _hot_candidate_rows(sig, group_cols: list[str]):
         .to_pandas()
     )
     if len(hot_pd) == 0:
-        return None
+        return None, None
     hot_keys = np.unique(
         (hot_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48))
         ^ hot_pd["band_key"].to_numpy().view(np.uint64)
@@ -150,7 +151,7 @@ def _hot_candidate_rows(sig, group_cols: list[str]):
         idx = np.clip(np.searchsorted(keys, combo), 0, len(keys) - 1)
         return batch.filter(pa.array(keys[idx] == combo))
 
-    return sig.map_batches(keep_hot, batch_format="pyarrow")
+    return sig.map_batches(keep_hot, batch_format="pyarrow"), hot_pd
 
 
 def _empty_pairs_ds(with_jaccard: bool):
@@ -171,22 +172,28 @@ MAX_CAND_PAIRS = 5_000_000  # global candidate-pair budget (logged when hit)
 def _pairs_from_candidates(
     cand_pd: pd.DataFrame,
     kind: str,
-    group_cap: int = GROUP_CAP,
-    max_pairs: int = MAX_CAND_PAIRS,
+    group_cap: int | None = GROUP_CAP,
+    max_pairs: int | None = MAX_CAND_PAIRS,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized candidate pairing over the collected hot-band membership
-    rows. The input is output-bounded (only >1-member groups survive the
-    hot filter); per-group work is capped at ``group_cap`` members and the
-    total is capped at ``max_pairs`` candidate pairs — both logged, never
-    silent. Returns distinct (doc_a, doc_b) int64 arrays with doc_a < doc_b.
+    """Vectorized candidate pairing over hot-band membership rows (one
+    group-contiguous partition at a time — see :func:`_pairs_distributed`).
+    Per-group work is capped at ``group_cap`` members and the total at
+    ``max_pairs`` candidate pairs — both logged, never silent; ``None``
+    disables a cap (the exact-join path). Returns distinct
+    (doc_a, doc_b) int64 arrays with doc_a < doc_b.
 
-    Deliberately DRIVER-side numpy, not ``groupby().map_groups``: on
-    shared-template corpora the hot-group count is large and the per-group
-    pandas-UDF overhead dominates by orders of magnitude (measured 565 s vs
-    <2 s at sf0.1 for the same pairing)."""
+    Deliberately a flat numpy kernel over many groups at once, not
+    ``groupby().map_groups`` per band group: on shared-template corpora the
+    hot-group count is large and the per-group pandas-UDF overhead dominates
+    by orders of magnitude (measured 565 s vs <2 s at sf0.1 for the same
+    pairing)."""
     import logging
 
     log = logging.getLogger(__name__)
+    if group_cap is None:
+        group_cap = 1 << 62
+    if max_pairs is None:
+        max_pairs = 1 << 62
     combo = (
         cand_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
     ) ^ cand_pd["band_key"].to_numpy().view(np.uint64)
@@ -240,6 +247,127 @@ def _pairs_from_candidates(
     b = np.concatenate(out_b)
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    uniq = np.ones(len(lo), bool)
+    uniq[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    return lo[uniq], hi[uniq]
+
+
+def _part_of_combo(combo: np.ndarray, n_parts: int) -> np.ndarray:
+    from ..functions.hashing import mix64
+
+    return (mix64(combo) % np.uint64(n_parts)).astype(np.int32)
+
+
+def _log_cap_stats(
+    hot_pd: pd.DataFrame,
+    kind: str,
+    group_cap: int | None,
+    max_pairs: int | None,
+    n_parts: int,
+) -> None:
+    """Driver-side replay of the partition kernels' cap/budget accounting
+    from the (tiny) hot-group count frame, so dropped coverage is logged in
+    the DRIVER process (the kernels also log, but inside Ray workers). The
+    replay is exact: each kernel caps groups at ``group_cap`` members and
+    applies ``max_pairs`` in ascending-combo order within its partition."""
+    import logging
+
+    if group_cap is None and max_pairs is None:
+        return
+    combo = (
+        hot_pd["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
+    ) ^ hot_pd["band_key"].to_numpy().view(np.uint64)
+    sizes = hot_pd["n"].to_numpy().astype(np.int64)
+    part = _part_of_combo(combo, n_parts)
+    order = np.lexsort((combo, part))
+    part_s, sizes_s = part[order], sizes[order]
+    capped = int(np.count_nonzero(sizes_s > group_cap)) if group_cap else 0
+    budget_dropped = 0
+    if max_pairs is not None:
+        for p in np.unique(part_s):
+            total = 0
+            for n in sizes_s[part_s == p]:
+                n = min(int(n), group_cap) if group_cap else int(n)
+                npairs = n * (n - 1) // 2
+                if total + npairs > max_pairs:
+                    budget_dropped += 1
+                else:
+                    total += npairs
+    if capped:
+        _log_overflow(kind, "<%d groups>" % capped, capped * group_cap, group_cap)
+    if budget_dropped:
+        logging.getLogger(__name__).warning(
+            "%s: candidate-pair budget %d reached; %d hot groups' pairs "
+            "dropped (coverage loss — raise max_pairs to include them)",
+            kind,
+            max_pairs,
+            budget_dropped,
+        )
+
+
+def _pairs_distributed(
+    cand,
+    kind: str,
+    group_cap: int | None = GROUP_CAP,
+    max_pairs: int | None = MAX_CAND_PAIRS,
+    sig_col: str | None = None,
+    max_hamming: int | None = None,
+    n_parts: int = 32,
+    hot_counts: pd.DataFrame | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed candidate pairing: hot-band membership rows are routed by
+    (band_id, band_key)-hash into ``n_parts`` group-contiguous partitions (a
+    band group never straddles partitions), and the vectorized
+    :func:`_pairs_from_candidates` numpy kernel runs once per partition
+    inside ``groupby(part).map_groups`` — the driver never collects
+    membership rows, only the resulting PAIRS (output-bounded; at most
+    ``n_parts × max_pairs`` pre-dedup when a budget is set).
+
+    With ``sig_col``/``max_hamming``, pairs are additionally verified by
+    64-bit Hamming distance inside the partition (both members' signature
+    rows are co-partitioned with the pair). Returns distinct sorted
+    (doc_a, doc_b) int64 arrays."""
+    if hot_counts is not None:
+        _log_cap_stats(hot_counts, kind, group_cap, max_pairs, n_parts)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        combo = (
+            batch["band_id"].to_numpy().astype(np.uint64) << np.uint64(48)
+        ) ^ batch["band_key"].to_numpy().view(np.uint64)
+        part = _part_of_combo(combo, n_parts)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def part_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = _pairs_from_candidates(df, kind, group_cap, max_pairs)
+        if sig_col is not None and len(a):
+            from ..functions.hashing import hamming64
+
+            ids = df["doc_id"].to_numpy().astype(np.int64)
+            sigs = df[sig_col].to_numpy().astype(np.int64)
+            uniq_ids, first_idx = np.unique(ids, return_index=True)
+            sig_sorted = sigs[first_idx].view(np.uint64)
+            ha = sig_sorted[np.searchsorted(uniq_ids, a)]
+            hb = sig_sorted[np.searchsorted(uniq_ids, b)]
+            keep = hamming64(ha, hb) <= max_hamming
+            a, b = a[keep], b[keep]
+        return pd.DataFrame(
+            {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64)}
+        )
+
+    pairs_pd = (
+        cand.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs_pd) == 0 or "doc_a" not in pairs_pd.columns:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # distinct across partitions (the same pair can surface from different
+    # bands routed to different parts); pair volume is output-bounded
+    lo = pairs_pd["doc_a"].to_numpy().astype(np.int64)
+    hi = pairs_pd["doc_b"].to_numpy().astype(np.int64)
     order = np.lexsort((hi, lo))
     lo, hi = lo[order], hi[order]
     uniq = np.ones(len(lo), bool)
@@ -361,11 +489,11 @@ def minhash_lsh_pairs(
         batch_size=256,
         concurrency=(1, 16),
     ).materialize()
-    cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
+    cand, hot_pd = _hot_candidate_rows(sig, ["band_id", "band_key"])
     if cand is None:
         return _empty_pairs_ds(with_jaccard=True)
-    doc_a, doc_b = _pairs_from_candidates(
-        cand.to_pandas(), "minhash_lsh_pairs", group_cap, max_pairs
+    doc_a, doc_b = _pairs_distributed(
+        cand, "minhash_lsh_pairs", group_cap, max_pairs, hot_counts=hot_pd
     )
     if len(doc_a) == 0:
         return _empty_pairs_ds(with_jaccard=True)
@@ -443,7 +571,7 @@ def simhash_near_pairs(
     carry (output-bounded driver work)."""
     import ray.data as rd
 
-    from ..functions.hashing import hamming64, simhash64
+    from ..functions.hashing import simhash64
 
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -466,26 +594,26 @@ def simhash_near_pairs(
     sig = ds.map_batches(
         sigs, batch_format="pyarrow", batch_size=512
     ).materialize()
-    cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
+    cand, hot_pd = _hot_candidate_rows(sig, ["band_id", "band_key"])
     if cand is None:
         return _empty_pairs_ds(with_jaccard=False)
-    cand_pd = cand.to_pandas()
-    doc_a, doc_b = _pairs_from_candidates(cand_pd, "simhash_near_pairs", group_cap)
+    # pairing + Hamming verify both run inside the group-contiguous
+    # partitions (each pair's two signature rows co-partition with it)
+    doc_a, doc_b = _pairs_distributed(
+        cand,
+        "simhash_near_pairs",
+        group_cap,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        hot_counts=hot_pd,
+    )
     if len(doc_a) == 0:
         return _empty_pairs_ds(with_jaccard=False)
-    # doc → simhash map from the candidate rows themselves (vectorized)
-    ids = cand_pd["doc_id"].to_numpy().astype(np.int64)
-    sims = cand_pd["simhash"].to_numpy().astype(np.int64)
-    uniq_ids, first_idx = np.unique(ids, return_index=True)
-    sim_sorted = sims[first_idx].view(np.uint64)
-    ha = sim_sorted[np.searchsorted(uniq_ids, doc_a)]
-    hb = sim_sorted[np.searchsorted(uniq_ids, doc_b)]
-    keep = hamming64(ha, hb) <= max_hamming
     return rd.from_arrow(
         pa.table(
             {
-                "doc_a": pa.array(doc_a[keep], pa.int64()),
-                "doc_b": pa.array(doc_b[keep], pa.int64()),
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
             }
         )
     )
@@ -590,8 +718,8 @@ def allpairs_jaccard_pairs(
     doc_parquet: str,
     threshold: float = 0.5,
     shingle: str = "word3",
-    group_cap: int = GROUP_CAP,
-    max_pairs: int = MAX_CAND_PAIRS,
+    group_cap: int | None = None,
+    max_pairs: int | None = None,
 ):
     """EXACT set-similarity self-join via prefix filtering (AllPairs —
     Bayardo/Ma/Srikant, WWW 2007): unlike the MinHash/SimHash pipelines,
@@ -601,6 +729,13 @@ def allpairs_jaccard_pairs(
     value itself as the canonical order, which needs NO global frequency
     pass (any consistent order preserves exactness; frequency ordering is
     only a candidate-count optimization).
+
+    Exactness requires the skew caps OFF, so they default to ``None`` here:
+    a prefix token shared by more than ``group_cap`` docs, or a corpus whose
+    true pair volume exceeds ``max_pairs``, would silently lose result pairs
+    (ADVICE r2). Passing explicit caps turns this into a best-effort
+    bounded-work join (dropped coverage is logged, as in the recall-only
+    MinHash/SimHash candidate paths).
 
     Pipeline shape (shares the dedup machinery): doc → sorted shingle
     hashes → prefix explode (band_id=0, band_key=prefix hash) →
@@ -654,11 +789,11 @@ def allpairs_jaccard_pairs(
     sig = ds.map_batches(
         prefixes, batch_format="pyarrow", batch_size=256
     ).materialize()
-    cand = _hot_candidate_rows(sig, ["band_id", "band_key"])
+    cand, hot_pd = _hot_candidate_rows(sig, ["band_id", "band_key"])
     if cand is None:
         return _empty_pairs_ds(with_jaccard=True)
-    doc_a, doc_b = _pairs_from_candidates(
-        cand.to_pandas(), "allpairs_jaccard_pairs", group_cap, max_pairs
+    doc_a, doc_b = _pairs_distributed(
+        cand, "allpairs_jaccard_pairs", group_cap, max_pairs, hot_counts=hot_pd
     )
     if len(doc_a) == 0:
         return _empty_pairs_ds(with_jaccard=True)

@@ -54,15 +54,12 @@ class TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root", {}, None)
         self.cur = self.root
-        self._skip_text = 0  # inside script/style
 
     def handle_starttag(self, tag, attrs):
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.cur)
         self.cur.children.append(node)
         if tag in _VOID:
             return
-        if tag in ("script", "style"):
-            self._skip_text += 1
         self.cur = node
 
     def handle_startendtag(self, tag, attrs):
@@ -78,12 +75,21 @@ class TreeBuilder(HTMLParser):
             node = node.parent
         if node is self.root:
             return  # stray end tag — ignore
-        if tag in ("script", "style") and self._skip_text > 0:
-            self._skip_text -= 1
         self.cur = node.parent or self.root
 
+    def _in_skip(self) -> bool:
+        # skip state derives from the OPEN-ANCESTOR chain, not a counter: a
+        # mismatched end tag that pops past an unclosed <script> must not
+        # leave text suppression stuck on (ADVICE r2, low)
+        n = self.cur
+        while n is not None:
+            if n.tag in ("script", "style"):
+                return True
+            n = n.parent
+        return False
+
     def handle_data(self, data):
-        if self._skip_text == 0 and data:
+        if data and not self._in_skip():
             self.cur.children.append(data)
 
 

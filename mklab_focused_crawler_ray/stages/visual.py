@@ -38,7 +38,10 @@ def build_image_store(images: pa.Table):
 # per page over 8k distinct images → ~99% redundant embeds without this).
 # Bounded by a clear-on-full cap; outputs are bit-identical with or
 # without the cache.
-_EMBED_CACHE: dict[str, tuple[int, list]] = {}
+# keyed by (image_id, embed_dim, store_token): two embed stages with
+# different dims or image stores sharing a worker process must not
+# serve each other's vectors (ADVICE r2, low)
+_EMBED_CACHE: dict[tuple, tuple[int, list]] = {}
 _EMBED_CACHE_MAX = 65_536
 
 
@@ -62,6 +65,11 @@ def make_media_embed(
     (``bolts/media/StatusCheckBolt.java:59-68``), applied at round
     granularity so the outcome is deterministic (within-round duplicates
     all process; Storm's arrival-order gate is nondeterministic)."""
+    store_token = (
+        image_store_ref.hex()
+        if hasattr(image_store_ref, "hex")
+        else str(id(image_store_ref))
+    )
 
     def media_embed(batch: pa.Table) -> pa.Table:
         import ray
@@ -92,7 +100,8 @@ def make_media_embed(
                     j = int(np.searchsorted(seen, h))
                     if j < len(seen) and seen[j] == h:
                         continue  # media-seen gate: already indexed
-                cached = _EMBED_CACHE.get(image_id) if use_cache else None
+                ck = (image_id, embed_dim, store_token)
+                cached = _EMBED_CACHE.get(ck) if use_cache else None
                 if cached is None:
                     blob, fmt = lookup(image_id)
                     if blob is None:
@@ -105,7 +114,7 @@ def make_media_embed(
                     if use_cache:
                         if len(_EMBED_CACHE) >= _EMBED_CACHE_MAX:
                             _EMBED_CACHE.clear()  # simple bound; refill is cheap
-                        _EMBED_CACHE[image_id] = cached
+                        _EMBED_CACHE[ck] = cached
                 ids_row.append(image_id)
                 ph_row.append(cached[0])
                 vec_row.append(cached[1])

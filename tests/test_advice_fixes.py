@@ -147,3 +147,63 @@ def test_budget_cut_shard_still_commits(
     finally:
         eng.shutdown()
     assert res["trace"] == oracle["trace"]
+
+
+def test_mismatched_end_tag_inside_script_keeps_later_text():
+    """ADVICE r2 (low): '</div>' encountered while inside an unclosed
+    <script> pops past the script node; text after it must NOT stay
+    suppressed (skip state derives from the open-ancestor chain)."""
+    from mklab_focused_crawler_ray.stages.html_extract import (
+        TreeBuilder,
+        node_text,
+    )
+
+    # drive the TreeBuilder contract directly: html.parser's CDATA mode
+    # cannot emit this sequence for <script>, but any tolerant tokenizer
+    # (or <style>-adjacent recovery path) can
+    tb = TreeBuilder()
+    tb.handle_starttag("div", [])
+    tb.handle_starttag("script", [])
+    tb.handle_data("var x = 1;")
+    tb.handle_endtag("div")  # mismatched: pops past the open <script>
+    tb.handle_starttag("p", [])
+    tb.handle_data("visible text")
+    text = node_text(tb.root)
+    assert "visible text" in text
+    assert "var x" not in text
+
+
+def test_embed_cache_keyed_by_dim_and_store():
+    """ADVICE r2 (low): the worker-local embed memo must not serve a vector
+    cached under a different embed_dim or image store."""
+    from mklab_focused_crawler_ray.stages import visual
+
+    visual._EMBED_CACHE.clear()
+    visual._EMBED_CACHE[("img1", 64, "storeA")] = (123, [0.0] * 64)
+    assert visual._EMBED_CACHE.get(("img1", 32, "storeA")) is None
+    assert visual._EMBED_CACHE.get(("img1", 64, "storeB")) is None
+
+
+def test_token_postings_cache_invalidates_on_rewrite(tmp_path):
+    """ADVICE r2 (medium): the inverted-index cache dir must change when the
+    source documents file is rewritten (same path, new content/mtime)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries import _index_cache_dir
+
+    sf = tmp_path / "sf0.01"
+    sf.mkdir()
+    p = sf / "documents.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": ["alpha beta"]}), str(p)
+    )
+    d1 = _index_cache_dir(str(sf))
+    time.sleep(0.01)
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": ["gamma delta"]}), str(p)
+    )
+    d2 = _index_cache_dir(str(sf))
+    assert d1 != d2

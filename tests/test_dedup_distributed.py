@@ -136,3 +136,25 @@ def test_allpairs_catches_borderline_pairs(ray_session, tmp_path):
     got = {(int(a), int(b)) for a, b in zip(got_df["doc_a"], got_df["doc_b"])}
     expected = brute_force_jaccard_pairs(rows, 0.5, shingle="word3")
     assert got == expected
+
+
+def test_pairing_never_collects_membership_rows(ray_session, monkeypatch):
+    """The candidate MEMBERSHIP rows (doc_id × band) must never land on the
+    driver — only the hot-group counts and the resulting pairs do
+    (VERDICT r2 'What's wrong' #3)."""
+    import ray.data
+
+    collected: list[set] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        collected.append(set(df.columns))
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    minhash_lsh_pairs(DOCS, threshold=0.5).to_pandas()
+    assert collected, "spy must have observed the driver collects"
+    assert all(not {"doc_id", "band_key"} <= s for s in collected), (
+        f"membership rows were collected to the driver: {collected}"
+    )
