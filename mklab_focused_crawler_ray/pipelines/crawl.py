@@ -51,10 +51,12 @@ def _expand_task(expander_fn, tbl_slice: pa.Table) -> pa.Table:
 
 @_ray.remote(num_cpus=0)
 class _MediaIdCollector:
-    """Accumulates newly-embedded media ids pushed from the enqueue stage so
-    the driver never re-reads the round's parquet output. Stages ray.get
-    their add() future, so every id is in the actor before the consuming
-    pipeline completes."""
+    """One shard of the media-id collector pool: accumulates newly-embedded
+    media ids pushed from the post-embed stage so the driver never re-reads
+    the round's parquet output. Ids are routed by id-hash across the pool
+    (a single global actor was one serialization point + one unbounded set
+    at the north rule's scale); stages ray.get their add() futures, so
+    every id is in its actor before the consuming pipeline completes."""
 
     def __init__(self):
         self.ids: set[str] = set()
@@ -66,6 +68,19 @@ class _MediaIdCollector:
         out = sorted(self.ids)
         self.ids = set()
         return out
+
+
+def _route_media_ids(mids: list[str], collectors) -> list:
+    """Push media ids to their hash-routed collector shards; returns the
+    add() futures (caller awaits them with the batch's other futures)."""
+    k = len(collectors)
+    h = url_hash64_vec(mids) % np.uint64(k)
+    futs = []
+    for s in range(k):
+        part = [m for m, hs in zip(mids, h) if int(hs) == s]
+        if part:
+            futs.append(collectors[s].add.remote(part))
+    return futs
 
 
 def make_enqueue_links(
@@ -90,7 +105,7 @@ def make_enqueue_links(
             for cell in batch["media_image_ids"]:
                 mids.update(cell.as_py() or [])
             if mids:
-                futs.append(media_collector.add.remote(sorted(mids)))
+                futs.extend(_route_media_ids(sorted(mids), media_collector))
         links: list[str] = []
         for cell in batch["out_links"]:
             links.extend(cell.as_py() or [])
@@ -244,14 +259,18 @@ class RayCrawler:
             )
             for i in range(cfg.n_shards)
         ]
-        self.trace: list[tuple[int, int, str]] = []
+        # trace rows stream to out_dir/trace/round_NNNNNN.parquet (one tiny
+        # file per round, written at commit time) — the driver holds at most
+        # one round's rows; the manifest carries only counters + next_round
+        self.trace_dir = os.path.join(out_dir, "trace")
+        os.makedirs(self.trace_dir, exist_ok=True)
         self.start_round = 0
         # media-seen gate state (cfg.media_dedup): sorted uint64 id-hashes
         # of media embedded in completed rounds, accumulated in-stage via a
         # collector actor (never re-read from the round output)
         self.media_seen = np.empty(0, dtype=np.uint64)
-        self.media_collector = (
-            _MediaIdCollector.remote()
+        self.media_collectors = (
+            [_MediaIdCollector.remote() for _ in range(min(4, cfg.n_shards))]
             if (cfg.media_dedup and self.image_store_ref is not None)
             else None
         )
@@ -277,7 +296,6 @@ class RayCrawler:
         if not all(ok):
             return False
         self.start_round = m["next_round"]
-        self.trace = [tuple(t) for t in m.get("trace", [])]
         ms_path = os.path.join(self.checkpoint_dir, "media_seen.npy")
         if os.path.exists(ms_path):
             self.media_seen = np.load(ms_path)
@@ -373,7 +391,7 @@ class RayCrawler:
             hosts_arr[pos] = np.asarray(cols["domain"], dtype=object)
             shares_arr[pos] = np.asarray(cols["shares"], dtype=np.int64)
             dates_arr[pos] = np.asarray(cols["date_ms"], dtype=np.int64)
-        self.trace.extend(zip([rnd] * n_sel, range(n_sel), sel_urls))
+        self._write_trace(rnd, sel_urls)
 
         tbl = pa.table(
             {
@@ -512,7 +530,7 @@ class RayCrawler:
                 make_enqueue_links(
                     self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now,
                     score_now_ms=cfg.now_ms,
-                    media_collector=self.media_collector,
+                    media_collector=self.media_collectors,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
@@ -527,11 +545,12 @@ class RayCrawler:
             shutil.rmtree(tmp_dir)
         ds2.write_parquet(tmp_dir)
         os.rename(tmp_dir, round_dir)
-        if self.media_collector is not None:
+        if self.media_collectors is not None:
             # ids were pushed (and awaited) inside the enqueue stage, so the
-            # collector is complete once the write barrier above returns —
-            # no re-read of the round's parquet output
-            new_ids = ray.get(self.media_collector.drain.remote())
+            # collector shards are complete once the write barrier above
+            # returns — no re-read of the round's parquet output
+            parts = ray.get([c.drain.remote() for c in self.media_collectors])
+            new_ids = [i for part in parts for i in part]
             if new_ids:
                 h = url_hash64_vec(new_ids)
                 self.media_seen = np.unique(
@@ -564,21 +583,62 @@ class RayCrawler:
         np.save(ms_path + ".tmp.npy", self.media_seen)
         os.replace(ms_path + ".tmp.npy", ms_path)
         with open(self._manifest_path() + ".tmp", "w") as f:
-            json.dump({"next_round": next_round, "trace": self.trace}, f)
+            json.dump({"next_round": next_round}, f)
         os.replace(self._manifest_path() + ".tmp", self._manifest_path())
 
+    def _write_trace(self, rnd: int, sel_urls: list[str]) -> None:
+        n = len(sel_urls)
+        t = pa.table(
+            {
+                "round": pa.array(np.full(n, rnd, np.int32), pa.int32()),
+                "rank": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+                "url": pa.array(sel_urls, pa.string()),
+            }
+        )
+        path = os.path.join(self.trace_dir, f"round_{rnd:06d}.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    def trace_dataset(self):
+        """The full crawl trace as a streaming ray Dataset (round, rank,
+        url) — the scale-safe consumer; ``result()['trace']`` materializes
+        it as a Python list for tests/diagnostics."""
+        import ray.data as rd
+
+        return rd.read_parquet(self.trace_dir)
+
+    def _read_trace(self) -> list[tuple[int, int, str]]:
+        files = sorted(
+            f for f in os.listdir(self.trace_dir) if f.endswith(".parquet")
+        )
+        rows: list[tuple[int, int, str]] = []
+        for f in files:
+            t = pq.read_table(os.path.join(self.trace_dir, f))
+            rows.extend(
+                zip(
+                    t["round"].to_pylist(),
+                    t["rank"].to_pylist(),
+                    t["url"].to_pylist(),
+                )
+            )
+        return rows
+
     def result(self) -> dict:
+        """Final state summary. ``trace`` is materialized from the per-round
+        trace parquet (O(total crawled) on the driver — a test/diagnostic
+        convenience; at-scale consumers stream :meth:`trace_dataset`)."""
         import ray
 
         seen_parts = ray.get([s.seen_hashes.remote() for s in self.shards])
         seen = np.sort(np.concatenate(seen_parts)) if seen_parts else np.array([], np.uint64)
         stats = ray.get([s.stats.remote() for s in self.shards])
-        return {"trace": self.trace, "seen_hashes": seen, "shard_stats": stats}
+        return {"trace": self._read_trace(), "seen_hashes": seen, "shard_stats": stats}
 
     def shutdown(self) -> None:
         import ray
 
         for s in self.shards:
             ray.kill(s)
-        if self.media_collector is not None:
-            ray.kill(self.media_collector)
+        if self.media_collectors is not None:
+            for c in self.media_collectors:
+                ray.kill(c)

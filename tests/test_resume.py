@@ -88,3 +88,25 @@ def test_resume_no_refetch_and_identical_final_state(ray_session, tiny_fixture, 
     ckpt = os.path.join(out, "checkpoints")
     manifests = [f for f in os.listdir(ckpt) if f.startswith("shard_")]
     assert len(manifests) >= CFG["n_shards"]
+
+
+def test_manifest_contains_no_trace(ray_session, tiny_fixture, tmp_path):
+    """The checkpoint manifest stays O(1) — counters + next_round only;
+    trace rows stream to per-round parquet (VERDICT r2 'What's wrong' #1)."""
+    import json
+
+    from mklab_focused_crawler_ray.pipelines.crawl import RayCrawler
+
+    out = str(tmp_path / "o")
+    eng = RayCrawler(tiny_fixture, CrawlConfig(**CFG), out_dir=out)
+    try:
+        res = eng.run(checkpoint_every=1)
+    finally:
+        eng.shutdown()
+    with open(os.path.join(out, "checkpoints", "crawl_manifest.json")) as f:
+        m = json.load(f)
+    assert "trace" not in m
+    tdir = os.path.join(out, "trace")
+    trace_files = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert trace_files, "per-round trace parquet must exist"
+    assert res["trace"], "result() reads the trace back from parquet"
