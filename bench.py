@@ -129,10 +129,15 @@ def run_crawl(num_cpus: int, tier: str | None = None, warm: bool = False) -> dic
         "pages": n_fetched,
         "fetched_pages_per_sec": round(n_fetched / dt, 1),
         "frontier_ops_per_sec": round(ops / dt, 1),
-        "pipeline_sec": round(phases["pipeline"], 2),
+        # pipeline = sync fetch/enqueue; tail = embed/write (overlapped with
+        # the next round's control+fetch, so pipeline+tail can exceed wall)
+        "pipeline_sec": round(phases["pipeline"] + phases.get("tail", 0.0), 2),
         "control_sec": round(phases["control"], 2),
-        "pipeline_pages_per_sec": round(n_fetched / phases["pipeline"], 1)
-        if phases["pipeline"]
+        "tail_sec": round(phases.get("tail", 0.0), 2),
+        "pipeline_pages_per_sec": round(
+            n_fetched / (phases["pipeline"] + phases.get("tail", 0.0)), 1
+        )
+        if phases["pipeline"] + phases.get("tail", 0.0)
         else None,
     }
 

@@ -84,7 +84,7 @@ def _route_media_ids(mids: list[str], collectors) -> list:
 
 
 def make_enqueue_links(
-    shards, meta_ref, salt_map, n_shards, now_ms, score_now_ms=None, media_collector=None
+    shards, meta_ref, salt_map, n_shards, now_ms, score_now_ms=None
 ):
     """Task-based map_batches sink-stage factory: discovered out_links are
     scored (universe metadata via broadcast zero-copy numpy lookup arrays),
@@ -100,12 +100,6 @@ def make_enqueue_links(
 
         sorted_hashes, meta_shares, meta_dates = ray.get(meta_ref)
         futs = []
-        if media_collector is not None and "media_image_ids" in batch.column_names:
-            mids: set[str] = set()
-            for cell in batch["media_image_ids"]:
-                mids.update(cell.as_py() or [])
-            if mids:
-                futs.extend(_route_media_ids(sorted(mids), media_collector))
         links: list[str] = []
         for cell in batch["out_links"]:
             links.extend(cell.as_py() or [])
@@ -146,6 +140,27 @@ def make_enqueue_links(
         return batch
 
     return enqueue_links
+
+
+def make_media_collect(collectors):
+    """Tail-stage factory: push each batch's embedded media ids (the
+    post-gate ``media_image_ids`` column the embed stage appends) to the
+    hash-routed collector shards. The per-batch ray.get makes every id
+    durable in its actor before the round's write barrier returns."""
+
+    def media_collect(batch: pa.Table) -> pa.Table:
+        import ray
+
+        if "media_image_ids" not in batch.column_names:
+            return batch
+        mids: set[str] = set()
+        for cell in batch["media_image_ids"]:
+            mids.update(cell.as_py() or [])
+        if mids:
+            ray.get(_route_media_ids(sorted(mids), collectors))
+        return batch
+
+    return media_collect
 
 
 class RayCrawler:
@@ -276,7 +291,7 @@ class RayCrawler:
         )
         # cumulative wall-time per phase (control = propose/commit/merge/
         # expand/dedup barriers; pipeline = fetch+extract+embed+enqueue+write)
-        self.phase_times = {"control": 0.0, "pipeline": 0.0}
+        self.phase_times = {"control": 0.0, "pipeline": 0.0, "tail": 0.0}
 
     # -- seed / resume ----------------------------------------------------
     def _manifest_path(self) -> str:
@@ -292,7 +307,12 @@ class RayCrawler:
             return False
         with open(mp) as f:
             m = json.load(f)
-        ok = ray.get([s.restore.remote(self.checkpoint_dir) for s in self.shards])
+        ok = ray.get(
+            [
+                s.restore.remote(self.checkpoint_dir, m["next_round"])
+                for s in self.shards
+            ]
+        )
         if not all(ok):
             return False
         self.start_round = m["next_round"]
@@ -329,7 +349,7 @@ class RayCrawler:
         ray.get(futs)
 
     # -- one round --------------------------------------------------------
-    def run_round(self, rnd: int) -> int:
+    def _round_sync(self, rnd: int):
         import time as _time
 
         import ray
@@ -361,7 +381,7 @@ class RayCrawler:
         merged_tbl = merged_tbl.slice(0, cfg.round_budget)
         n_sel = len(merged_tbl)
         if n_sel == 0:
-            return 0
+            return 0, None
         sel_urls = merged_tbl["url"].to_pylist()
         sel_scores = merged_tbl["score"].to_numpy()
         sel_shard = merged_tbl["shard"].to_numpy()
@@ -485,7 +505,11 @@ class RayCrawler:
 
         self.phase_times["control"] += _time.time() - _t0
         _t0 = _time.time()
-        # fetch + extract + enqueue discovered links + write round output
+        # fetch + extract + enqueue discovered links. The materialize() is
+        # the ENQUEUE BARRIER: round N+1's propose() may only run once every
+        # link discovered in round N has reached its frontier shard. Embed +
+        # round-output write move to _round_tail, which run() overlaps with
+        # the next round's control+fetch (the tail touches no shard state).
         # from_arrow yields ONE block — split it so the fetch stage fans out
         # (tasks are per block; batch_size alone does not create parallelism)
         n_blocks = max(
@@ -502,18 +526,48 @@ class RayCrawler:
         else:
             fetch_stage = make_fetch_extract(self.page_store_ref)
         rra = {"num_cpus": cfg.map_task_num_cpus}
-        ds2 = rd.from_arrow(tbl2, override_num_blocks=n_blocks).map_batches(
-            fetch_stage,
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            **rra,
+        mat = (
+            rd.from_arrow(tbl2, override_num_blocks=n_blocks)
+            .map_batches(
+                fetch_stage,
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                **rra,
+            )
+            .map_batches(
+                make_enqueue_links(
+                    self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now,
+                    score_now_ms=cfg.now_ms,
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                **rra,
+            )
+            .materialize()
         )
+        self.phase_times["pipeline"] += _time.time() - _t0
+        return n_sel, mat
+
+    def _round_tail(self, rnd: int, mat, finalize_ckpt_round: int | None = None) -> None:
+        """Embed + media-collect + round-output write for a completed sync
+        phase. Tails are SERIALIZED across rounds (run() waits for the
+        previous tail before submitting the next), so the media-seen gate
+        consumes strictly-earlier-round state; a tail runs CONCURRENTLY
+        with the next round's control+fetch — it touches no frontier shard
+        state. When ``finalize_ckpt_round`` is set, the checkpoint manifest
+        advances only after this round's output + media state are durable."""
+        import time as _time
+
+        import ray
+
+        cfg = self.cfg
+        _t0 = _time.time()
+        ds2 = mat
+        rra = {"num_cpus": cfg.map_task_num_cpus}
         if self.image_store_ref is not None:
             from ..stages.visual import make_media_embed
 
-            seen_ref = (
-                ray.put(self.media_seen) if cfg.media_dedup else None
-            )
+            seen_ref = ray.put(self.media_seen) if cfg.media_dedup else None
             ds2 = ds2.map_batches(
                 make_media_embed(
                     self.image_store_ref,
@@ -524,19 +578,13 @@ class RayCrawler:
                 batch_size=cfg.fetch_batch_size,
                 **rra,
             )
-        ds2 = (
-            ds2
-            .map_batches(
-                make_enqueue_links(
-                    self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now,
-                    score_now_ms=cfg.now_ms,
-                    media_collector=self.media_collectors,
-                ),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-                **rra,
-            )
-        )
+            if self.media_collectors is not None:
+                ds2 = ds2.map_batches(
+                    make_media_collect(self.media_collectors),
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                    **rra,
+                )
         round_dir = os.path.join(self.out_dir, f"round={rnd}")
         tmp_dir = round_dir + ".tmp"
         if os.path.exists(tmp_dir):
@@ -546,7 +594,7 @@ class RayCrawler:
         ds2.write_parquet(tmp_dir)
         os.rename(tmp_dir, round_dir)
         if self.media_collectors is not None:
-            # ids were pushed (and awaited) inside the enqueue stage, so the
+            # ids were pushed (and awaited) inside the collect stage, so the
             # collector shards are complete once the write barrier above
             # returns — no re-read of the round's parquet output
             parts = ray.get([c.drain.remote() for c in self.media_collectors])
@@ -556,35 +604,81 @@ class RayCrawler:
                 self.media_seen = np.unique(
                     np.concatenate([self.media_seen, h])
                 )
-        self.phase_times["pipeline"] += _time.time() - _t0
+        if finalize_ckpt_round is not None:
+            self._finalize_checkpoint(finalize_ckpt_round)
+        self.phase_times["tail"] += _time.time() - _t0
+
+    def run_round(self, rnd: int) -> int:
+        """One full crawl round, synchronously (control → fetch/enqueue →
+        embed/write). run() instead overlaps each round's tail with the
+        next round; this path exists for manual round driving (tests,
+        oracles) and produces identical state."""
+        n_sel, mat = self._round_sync(rnd)
+        if n_sel:
+            self._round_tail(rnd, mat)
         return n_sel
 
     # -- full crawl -------------------------------------------------------
     def run(self, checkpoint_every: int = 1) -> dict:
+        """The overlapped round loop. Dependency structure per round R:
+
+        - control(R+1) needs enqueue(R)  → _round_sync is the barrier
+        - tail(R+1) needs media_seen(R)  → tails serialize on one worker
+        - tail(R) touches NO shard state → it overlaps control+fetch(R+1)
+
+        Checkpointing under overlap: shard state for "start of round R+1"
+        is snapshotted right after sync(R) (before control(R+1) can mutate
+        it) into a VERSIONED per-shard directory; the manifest — the commit
+        point a resume trusts — advances inside tail(R), once round R's
+        output and media state are durable."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import ray
 
         resumed = self.maybe_resume()
         if not resumed:
             self.enqueue_seeds()
-        for rnd in range(self.start_round, self.cfg.max_rounds):
-            n = self.run_round(rnd)
-            ray.get([s.end_round.remote(rnd) for s in self.shards])
-            if checkpoint_every and (rnd % checkpoint_every == 0):
-                self.checkpoint(rnd + 1)
-            if n == 0:
-                break
+        tail_fut = None
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for rnd in range(self.start_round, self.cfg.max_rounds):
+                n, mat = self._round_sync(rnd)
+                ray.get([s.end_round.remote(rnd) for s in self.shards])
+                do_ckpt = bool(checkpoint_every) and (rnd % checkpoint_every == 0)
+                if do_ckpt:
+                    self._checkpoint_shards(rnd + 1)
+                if tail_fut is not None:
+                    tail_fut.result()  # bound tail lag to one round
+                    tail_fut = None
+                if n == 0:
+                    if do_ckpt:
+                        self._finalize_checkpoint(rnd + 1)
+                    break
+                tail_fut = pool.submit(
+                    self._round_tail, rnd, mat, rnd + 1 if do_ckpt else None
+                )
+            if tail_fut is not None:
+                tail_fut.result()
         return self.result()
 
-    def checkpoint(self, next_round: int) -> None:
+    def _checkpoint_shards(self, tag: int) -> None:
         import ray
 
-        ray.get([s.checkpoint.remote(self.checkpoint_dir) for s in self.shards])
+        ray.get(
+            [s.checkpoint.remote(self.checkpoint_dir, tag) for s in self.shards]
+        )
+
+    def _finalize_checkpoint(self, next_round: int) -> None:
         ms_path = os.path.join(self.checkpoint_dir, "media_seen.npy")
         np.save(ms_path + ".tmp.npy", self.media_seen)
         os.replace(ms_path + ".tmp.npy", ms_path)
         with open(self._manifest_path() + ".tmp", "w") as f:
             json.dump({"next_round": next_round}, f)
         os.replace(self._manifest_path() + ".tmp", self._manifest_path())
+
+    def checkpoint(self, next_round: int) -> None:
+        """Synchronous full checkpoint (manual round-driving path)."""
+        self._checkpoint_shards(next_round)
+        self._finalize_checkpoint(next_round)
 
     def _write_trace(self, rnd: int, sel_urls: list[str]) -> None:
         n = len(sel_urls)

@@ -87,8 +87,17 @@ def q_ann_ivf_partitioned_top10(sf_dir: str):
     the in-memory IVF (tests/test_ann.py)."""
     from ..stages.ann import ivf_partitioned_topk
 
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
     layout = os.path.join(
-        "/tmp/mkfc_ivf_layouts", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/mkfc_ivf_layouts",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}",
     )
     return ivf_partitioned_topk(
         os.path.join(sf_dir, "embeddings.parquet"), layout, n_queries=5, k=10

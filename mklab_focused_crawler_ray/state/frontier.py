@@ -349,8 +349,17 @@ class FrontierShard:
         }
 
     # -- checkpoint -------------------------------------------------------
-    def checkpoint(self, root: str) -> str:
-        d = os.path.join(root, f"shard_{self.shard_id:04d}")
+    def checkpoint(self, root: str, tag: int = 0) -> str:
+        """Write this shard's state under a VERSIONED directory
+        ``shard_NNNN/rTTTTTT``. Versioning is what lets the overlapped round
+        loop snapshot 'state for starting round T' while the previous
+        round's tail is still making the matching manifest durable: the
+        manifest names the tag a resume trusts, and the 3 newest tags are
+        kept so a crash between shard snapshot and manifest advance always
+        finds the manifest's tag on disk."""
+        base = os.path.join(root, f"shard_{self.shard_id:04d}")
+        os.makedirs(base, exist_ok=True)
+        d = os.path.join(base, f"r{tag:06d}")
         tmp = d + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -400,10 +409,23 @@ class FrontierShard:
         if os.path.exists(d):
             shutil.rmtree(d)
         os.rename(tmp, d)
+        # prune old versions (keep the 3 newest tags)
+        vers = sorted(v for v in os.listdir(base) if v.startswith("r") and not v.endswith(".tmp"))
+        for v in vers[:-3]:
+            shutil.rmtree(os.path.join(base, v), ignore_errors=True)
         return d
 
-    def restore(self, root: str) -> bool:
-        d = os.path.join(root, f"shard_{self.shard_id:04d}")
+    def restore(self, root: str, tag: int | None = None) -> bool:
+        base = os.path.join(root, f"shard_{self.shard_id:04d}")
+        if tag is None:
+            if not os.path.isdir(base):
+                return False
+            vers = sorted(v for v in os.listdir(base) if v.startswith("r") and not v.endswith(".tmp"))
+            if not vers:
+                return False
+            d = os.path.join(base, vers[-1])
+        else:
+            d = os.path.join(base, f"r{tag:06d}")
         if not os.path.exists(os.path.join(d, "manifest.json")):
             return False
         with open(os.path.join(d, "manifest.json")) as f:
