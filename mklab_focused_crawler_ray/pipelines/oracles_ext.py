@@ -304,9 +304,36 @@ def build_extended_oracles() -> dict[str, str]:
     fdir = _fixture_small_dir()
     items = os.path.join(fdir, "items.parquet")
     urls = os.path.join(fdir, "urls.parquet")
+    images = os.path.join(fdir, "images.parquet")
     items_rel = f"read_parquet('{items}')"
 
     sql: dict[str, str] = {}
+
+    # pHash near-dup pairs — EXACT band semantics in SQL: candidate iff some
+    # 16-bit band is equal (stages/image.phash_band_pairs N_BANDS=4,
+    # BAND_BITS=16), kept iff full 64-bit Hamming ≤ 8. Arithmetic >> then
+    # & 65535 extracts each band correctly for negative int64 phashes.
+    _band_eq = " OR ".join(
+        f"((a.phash >> {s}) & 65535) = ((b.phash >> {s}) & 65535)"
+        for s in (0, 16, 32, 48)
+    )
+    sql["image_phash_pairs"] = (
+        f"WITH im AS (SELECT image_id, phash FROM read_parquet('{images}')) "
+        "SELECT a.image_id AS id_a, b.image_id AS id_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming "
+        "FROM im a JOIN im b ON a.image_id < b.image_id "
+        f"WHERE ({_band_eq}) AND bit_count(xor(a.phash, b.phash)) <= 8"
+    )
+
+    # decode-invariant check: the fixture guarantees every image decodes,
+    # matches its metadata (w/h/phash) and survives a lossy round-trip at
+    # ≥ 40 dB — so the oracle is the all-TRUE relation; any Ray-side
+    # decode/phash/codec drift flips a boolean and fails the hash compare
+    sql["image_decode_check"] = (
+        "SELECT image_id, fmt, TRUE AS decode_ok, TRUE AS w_ok, "
+        "TRUE AS h_ok, TRUE AS phash_ok, TRUE AS psnr_ok "
+        f"FROM read_parquet('{images}')"
+    )
 
     # ItemsRankerBolt shares-score + bounded top-k (stages/nlp.items_ranked)
     sql["items_top100"] = (

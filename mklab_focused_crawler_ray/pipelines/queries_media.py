@@ -39,11 +39,35 @@ def _images(sf_dir: str) -> str:
 
 
 def q_image_decode_check(sf_dir: str):
-    """Per-row invariant columns: decode_ok / w_ok / h_ok / phash_ok /
-    psnr_db_x100 (BASELINE input_hint invariant as a dataset)."""
+    """Per-row invariant booleans: decode_ok / w_ok / h_ok / phash_ok /
+    psnr_ok (PSNR ≥ 40 dB; BASELINE input_hint invariant as a dataset).
+
+    SQL-oracled: DuckDB cannot decode pixels, but the INVARIANT (every
+    fixture image decodes, matches its metadata, and survives a lossy
+    round-trip at ≥ 40 dB) is an all-TRUE relation over the fixture table —
+    any decode/phash/codec drift on the Ray side flips a boolean and fails
+    the driver's hash compare. The raw psnr_db_x100 stays available from
+    stages.image.decode_validate (tests/test_image_stages.py)."""
     from ..stages.image import decode_validate
 
-    return decode_validate(_images(sf_dir))
+    def booleanize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "decode_ok": batch["decode_ok"],
+                "w_ok": batch["w_ok"],
+                "h_ok": batch["h_ok"],
+                "phash_ok": batch["phash_ok"],
+                "psnr_ok": pc.greater_equal(batch["psnr_db_x100"], 4000),
+            }
+        )
+
+    return decode_validate(_images(sf_dir)).map_batches(
+        booleanize, batch_format="pyarrow"
+    )
 
 
 def q_image_phash_pairs(sf_dir: str):

@@ -75,6 +75,9 @@ FIXTURE_BACKED = {
     "ann_ivf_top10",
     "ann_ivf_partitioned_top10",
     "ann_lsh_top10",
+    # image oracles read the small fixture's images table by absolute path
+    "image_phash_pairs",
+    "image_decode_check",
 }
 
 
@@ -107,16 +110,6 @@ def test_rows_only_queries_run(ray_session):
         "simhash_docs": {"doc_id", "simhash"},
         "doc_fingerprints": {"doc_id", "fingerprint"},
         "simhash_dup_pairs": {"doc_a", "doc_b"},
-        "image_decode_check": {
-            "image_id",
-            "fmt",
-            "decode_ok",
-            "w_ok",
-            "h_ok",
-            "phash_ok",
-            "psnr_db_x100",
-        },
-        "image_phash_pairs": {"id_a", "id_b", "hamming"},
         "image_clusters": {"image_id", "cluster_id"},
         "image_embed": {"image_id", "embedding"},
         "ann_ivf_top10": {"query_id", "vec_id", "cos_micro"},
