@@ -129,15 +129,16 @@ def run_crawl(num_cpus: int, tier: str | None = None, warm: bool = False) -> dic
         "pages": n_fetched,
         "fetched_pages_per_sec": round(n_fetched / dt, 1),
         "frontier_ops_per_sec": round(ops / dt, 1),
-        # pipeline = sync fetch/enqueue; tail = embed/write (overlapped with
-        # the next round's control+fetch, so pipeline+tail can exceed wall)
-        "pipeline_sec": round(phases["pipeline"] + phases.get("tail", 0.0), 2),
+        # pipeline = full fused fetch→enqueue→embed→write wall per round
+        # (background thread); control overlaps the previous round's write
+        # tail, so control+pipeline can exceed wall. enqueue_wait/tail are
+        # main-thread blocked time (the NON-overlapped control-plane cost).
+        "pipeline_sec": round(phases["pipeline"], 2),
         "control_sec": round(phases["control"], 2),
         "tail_sec": round(phases.get("tail", 0.0), 2),
-        "pipeline_pages_per_sec": round(
-            n_fetched / (phases["pipeline"] + phases.get("tail", 0.0)), 1
-        )
-        if phases["pipeline"] + phases.get("tail", 0.0)
+        "enqueue_wait_sec": round(phases.get("enqueue_wait", 0.0), 2),
+        "pipeline_pages_per_sec": round(n_fetched / phases["pipeline"], 1)
+        if phases["pipeline"]
         else None,
     }
 

@@ -70,6 +70,27 @@ class _MediaIdCollector:
         return out
 
 
+@_ray.remote(num_cpus=0)
+class _EnqueueCounter:
+    """Counts rows that have COMPLETED the enqueue stage, keyed by round.
+    The enqueue stage fires add() only after its batch's shard enqueues are
+    acked, so total(rnd) reaching the round's selection count proves every
+    link discovered in that round is durable in its frontier shard — this is
+    the overlapped round loop's control barrier, replacing a full pipeline
+    materialize() that would also wait for the embed/write tail. A retried
+    task can only over-count (its first attempt already acked the enqueues),
+    so the waiter compares with >=."""
+
+    def __init__(self):
+        self.counts: dict[int, int] = {}
+
+    def add(self, rnd: int, k: int) -> None:
+        self.counts[rnd] = self.counts.get(rnd, 0) + k
+
+    def total(self, rnd: int) -> int:
+        return self.counts.get(rnd, 0)
+
+
 def _route_media_ids(mids: list[str], collectors) -> list:
     """Push media ids to their hash-routed collector shards; returns the
     add() futures (caller awaits them with the batch's other futures)."""
@@ -84,7 +105,8 @@ def _route_media_ids(mids: list[str], collectors) -> list:
 
 
 def make_enqueue_links(
-    shards, meta_ref, salt_map, n_shards, now_ms, score_now_ms=None
+    shards, meta_ref, salt_map, n_shards, now_ms, score_now_ms=None,
+    counter=None, rnd=None,
 ):
     """Task-based map_batches sink-stage factory: discovered out_links are
     scored (universe metadata via broadcast zero-copy numpy lookup arrays),
@@ -137,6 +159,10 @@ def make_enqueue_links(
                 futs.append(shards[int(s)].enqueue.remote(rows, now_ms))
         if futs:
             ray.get(futs)
+        if counter is not None:
+            # fired AFTER the acks above: actor ordering means total(rnd)
+            # covering the round's rows implies all its enqueues completed
+            counter.add.remote(rnd, batch.num_rows)
         return batch
 
     return enqueue_links
@@ -289,9 +315,16 @@ class RayCrawler:
             if (cfg.media_dedup and self.image_store_ref is not None)
             else None
         )
-        # cumulative wall-time per phase (control = propose/commit/merge/
-        # expand/dedup barriers; pipeline = fetch+extract+embed+enqueue+write)
-        self.phase_times = {"control": 0.0, "pipeline": 0.0, "tail": 0.0}
+        self.enq_counter = _EnqueueCounter.remote()
+        # cumulative wall-time per phase. control = propose/commit/merge/
+        # expand/dedup barriers (main thread); pipeline = full fused
+        # fetch→enqueue→embed→write wall per round (background thread, so
+        # control+pipeline can exceed the crawl's wall time under overlap);
+        # enqueue_wait = main thread blocked on the enqueue barrier;
+        # tail = main thread blocked joining the previous round's write.
+        self.phase_times = {
+            "control": 0.0, "pipeline": 0.0, "tail": 0.0, "enqueue_wait": 0.0
+        }
 
     # -- seed / resume ----------------------------------------------------
     def _manifest_path(self) -> str:
@@ -349,11 +382,16 @@ class RayCrawler:
         ray.get(futs)
 
     # -- one round --------------------------------------------------------
-    def _round_sync(self, rnd: int):
+    def _round_control(self, rnd: int):
+        """The round's control plane: propose/commit against the frontier
+        shards, trace write, redirect expansion + order-sensitive dedup.
+        Returns ``(n_sel, tbl2)`` where tbl2 is the selected-and-expanded
+        Arrow table the data plane consumes. Touches ONLY shard state +
+        driver-local state — never media_seen — so it may overlap the
+        previous round's embed/write tail."""
         import time as _time
 
         import ray
-        import ray.data as rd
 
         cfg = self.cfg
         now = cfg.now_ms + rnd * cfg.round_duration_ms  # logical clock
@@ -504,12 +542,22 @@ class RayCrawler:
             tbl2 = tbl2.append_column(col, tbl[col])
 
         self.phase_times["control"] += _time.time() - _t0
-        _t0 = _time.time()
-        # fetch + extract + enqueue discovered links. The materialize() is
-        # the ENQUEUE BARRIER: round N+1's propose() may only run once every
-        # link discovered in round N has reached its frontier shard. Embed +
-        # round-output write move to _round_tail, which run() overlaps with
-        # the next round's control+fetch (the tail touches no shard state).
+        return n_sel, tbl2
+
+    def _build_pipeline(self, rnd: int, tbl2: pa.Table):
+        """Construct the round's FUSED lazy dataset: fetch/extract →
+        enqueue discovered links (+ completion counter) → embed →
+        media-collect. One streaming pipeline per round keeps fetch∥embed
+        overlapped WITHIN the round (splitting them with a materialize()
+        barrier cost ~15% at 32 CPUs); the enqueue counter gives the round
+        loop its control barrier without waiting for the embed tail.
+        Must be called AFTER the previous round's tail is joined — the
+        embed stage snapshots media_seen at construction time."""
+        import ray
+        import ray.data as rd
+
+        cfg = self.cfg
+        now = cfg.now_ms + rnd * cfg.round_duration_ms
         # from_arrow yields ONE block — split it so the fetch stage fans out
         # (tasks are per block; batch_size alone does not create parallelism)
         n_blocks = max(
@@ -526,7 +574,7 @@ class RayCrawler:
         else:
             fetch_stage = make_fetch_extract(self.page_store_ref)
         rra = {"num_cpus": cfg.map_task_num_cpus}
-        mat = (
+        ds2 = (
             rd.from_arrow(tbl2, override_num_blocks=n_blocks)
             .map_batches(
                 fetch_stage,
@@ -538,32 +586,13 @@ class RayCrawler:
                 make_enqueue_links(
                     self.shards, self.meta_ref, self.salt_map, cfg.n_shards, now,
                     score_now_ms=cfg.now_ms,
+                    counter=self.enq_counter, rnd=rnd,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 **rra,
             )
-            .materialize()
         )
-        self.phase_times["pipeline"] += _time.time() - _t0
-        return n_sel, mat
-
-    def _round_tail(self, rnd: int, mat, finalize_ckpt_round: int | None = None) -> None:
-        """Embed + media-collect + round-output write for a completed sync
-        phase. Tails are SERIALIZED across rounds (run() waits for the
-        previous tail before submitting the next), so the media-seen gate
-        consumes strictly-earlier-round state; a tail runs CONCURRENTLY
-        with the next round's control+fetch — it touches no frontier shard
-        state. When ``finalize_ckpt_round`` is set, the checkpoint manifest
-        advances only after this round's output + media state are durable."""
-        import time as _time
-
-        import ray
-
-        cfg = self.cfg
-        _t0 = _time.time()
-        ds2 = mat
-        rra = {"num_cpus": cfg.map_task_num_cpus}
         if self.image_store_ref is not None:
             from ..stages.visual import make_media_embed
 
@@ -585,6 +614,16 @@ class RayCrawler:
                     batch_size=cfg.fetch_batch_size,
                     **rra,
                 )
+        return ds2
+
+    def _write_round(self, rnd: int, ds2) -> None:
+        """Drive the round's fused pipeline to its parquet output (the
+        write IS the executor — everything upstream streams through it).
+        Runs on the overlap thread in run(); touches no crawler state
+        except the pipeline phase timer."""
+        import time as _time
+
+        _t0 = _time.time()
         round_dir = os.path.join(self.out_dir, f"round={rnd}")
         tmp_dir = round_dir + ".tmp"
         if os.path.exists(tmp_dir):
@@ -593,6 +632,34 @@ class RayCrawler:
             shutil.rmtree(tmp_dir)
         ds2.write_parquet(tmp_dir)
         os.rename(tmp_dir, round_dir)
+        self.phase_times["pipeline"] += _time.time() - _t0
+
+    def _wait_enqueue(self, rnd: int, n_sel: int) -> None:
+        """Block until every selected row has cleared the enqueue stage —
+        the point after which round rnd+1's propose() sees all of round
+        rnd's discovered links. >= because a retried enqueue task re-counts."""
+        import time as _time
+
+        import ray
+
+        _t0 = _time.time()
+        while ray.get(self.enq_counter.total.remote(rnd)) < n_sel:
+            _time.sleep(0.02)
+        self.phase_times["enqueue_wait"] += _time.time() - _t0
+
+    def _tail_join(self, rnd: int, fut=None, finalize_ckpt_round: int | None = None) -> None:
+        """Complete round ``rnd``: wait for its write barrier, fold the
+        media collectors into media_seen, and (when asked) advance the
+        checkpoint manifest — the commit point a resume trusts — now that
+        the round's output and media state are durable. Runs on the MAIN
+        thread so all crawler state mutation stays single-threaded."""
+        import time as _time
+
+        import ray
+
+        _t0 = _time.time()
+        if fut is not None:
+            fut.result()
         if self.media_collectors is not None:
             # ids were pushed (and awaited) inside the collect stage, so the
             # collector shards are complete once the write barrier above
@@ -609,28 +676,35 @@ class RayCrawler:
         self.phase_times["tail"] += _time.time() - _t0
 
     def run_round(self, rnd: int) -> int:
-        """One full crawl round, synchronously (control → fetch/enqueue →
-        embed/write). run() instead overlaps each round's tail with the
-        next round; this path exists for manual round driving (tests,
-        oracles) and produces identical state."""
-        n_sel, mat = self._round_sync(rnd)
+        """One full crawl round, synchronously (control → fused
+        fetch/enqueue/embed/write → media fold). run() instead overlaps
+        rounds; this path exists for manual round driving (tests, oracles)
+        and produces identical state."""
+        n_sel, tbl2 = self._round_control(rnd)
         if n_sel:
-            self._round_tail(rnd, mat)
+            self._write_round(rnd, self._build_pipeline(rnd, tbl2))
+            self._tail_join(rnd)
         return n_sel
 
     # -- full crawl -------------------------------------------------------
     def run(self, checkpoint_every: int = 1) -> dict:
-        """The overlapped round loop. Dependency structure per round R:
+        """The overlapped round loop. Per round R the data plane runs as
+        ONE fused streaming dataset (fetch→enqueue→embed→write) driven by a
+        background thread; the main thread only needs the ENQUEUE stage
+        complete (counter barrier) before starting round R+1's control.
+        Dependency structure:
 
-        - control(R+1) needs enqueue(R)  → _round_sync is the barrier
-        - tail(R+1) needs media_seen(R)  → tails serialize on one worker
-        - tail(R) touches NO shard state → it overlaps control+fetch(R+1)
+        - control(R+1) needs enqueue(R)   → _wait_enqueue is the barrier
+        - pipeline(R+1) needs media_seen(R) → _tail_join(R) runs before
+          _build_pipeline(R+1), so writes serialize and the media-seen
+          gate consumes strictly-earlier-round state
+        - write tail(R) touches NO shard state → it overlaps control(R+1)
 
         Checkpointing under overlap: shard state for "start of round R+1"
-        is snapshotted right after sync(R) (before control(R+1) can mutate
-        it) into a VERSIONED per-shard directory; the manifest — the commit
-        point a resume trusts — advances inside tail(R), once round R's
-        output and media state are durable."""
+        is snapshotted right after the enqueue barrier (before control(R+1)
+        can mutate it) into a VERSIONED per-shard directory; the manifest
+        advances in _tail_join(R), once round R's output and media state
+        are durable."""
         from concurrent.futures import ThreadPoolExecutor
 
         import ray
@@ -638,26 +712,29 @@ class RayCrawler:
         resumed = self.maybe_resume()
         if not resumed:
             self.enqueue_seeds()
-        tail_fut = None
+        tail_ctx = None  # (rnd, fut, finalize_ckpt_round)
         with ThreadPoolExecutor(max_workers=1) as pool:
             for rnd in range(self.start_round, self.cfg.max_rounds):
-                n, mat = self._round_sync(rnd)
-                ray.get([s.end_round.remote(rnd) for s in self.shards])
+                n, tbl2 = self._round_control(rnd)  # overlaps prev write tail
                 do_ckpt = bool(checkpoint_every) and (rnd % checkpoint_every == 0)
-                if do_ckpt:
-                    self._checkpoint_shards(rnd + 1)
-                if tail_fut is not None:
-                    tail_fut.result()  # bound tail lag to one round
-                    tail_fut = None
+                if tail_ctx is not None:
+                    self._tail_join(*tail_ctx)
+                    tail_ctx = None
                 if n == 0:
+                    ray.get([s.end_round.remote(rnd) for s in self.shards])
                     if do_ckpt:
+                        self._checkpoint_shards(rnd + 1)
                         self._finalize_checkpoint(rnd + 1)
                     break
-                tail_fut = pool.submit(
-                    self._round_tail, rnd, mat, rnd + 1 if do_ckpt else None
-                )
-            if tail_fut is not None:
-                tail_fut.result()
+                ds2 = self._build_pipeline(rnd, tbl2)
+                fut = pool.submit(self._write_round, rnd, ds2)
+                self._wait_enqueue(rnd, n)
+                ray.get([s.end_round.remote(rnd) for s in self.shards])
+                if do_ckpt:
+                    self._checkpoint_shards(rnd + 1)
+                tail_ctx = (rnd, fut, rnd + 1 if do_ckpt else None)
+            if tail_ctx is not None:
+                self._tail_join(*tail_ctx)
         return self.result()
 
     def _checkpoint_shards(self, tag: int) -> None:
