@@ -3,8 +3,10 @@
 Reference semantics preserved exactly (bolts/webpages/ArticleExtractionBolt.java):
 - main-content extraction + low-quality gate → ``is_article``
   (:296-322; Boilerpipe ARTICLE_EXTRACTOR + SimpleEstimator.isLowQuality —
-  here a deterministic block heuristic: content = <p> blocks inside the
-  article container, low-quality = fewer than MIN_ARTICLE_WORDS words)
+  content = <p> blocks inside the selected article container; the gate is
+  SimpleEstimator parity: before/after word-count + words-per-block
+  thresholds over whole-document vs extracted text blocks, see
+  ``is_low_quality``)
 - content-image rules (:392-472):
   * images must carry parseable width+height (:405-416)
   * size filter w≥200 && h≥200 && w·h≥40000 (minDim/minArea, :68-69,419-420)
@@ -34,9 +36,34 @@ from .html_extract import extract_structure
 MIN_DIM = 200  # ArticleExtractionBolt.java:68
 MIN_AREA = 200 * 200  # ArticleExtractionBolt.java:69
 MAX_MEDIA_URL = 500  # ArticleExtractionBolt.java:70
-MIN_ARTICLE_WORDS = 40  # low-quality gate stand-in (SimpleEstimator)
+# SimpleEstimator.isLowQuality thresholds (boilerpipe
+# estimators/SimpleEstimator.java, public source): low quality iff
+#   words(before) < 90  OR  words(after) < 70  OR  avgWordsPerBlock(after) < 25
+# where "before" is the whole raw document's text blocks and "after" is the
+# extracted article content (ArticleExtractionBolt.java:296-322 computes
+# TextDocumentStatistics on both sides of the extractor).
+MIN_WORDS_BEFORE = 90
+MIN_WORDS_AFTER = 70
+MIN_AVG_WORDS_PER_BLOCK = 25
 
 _WORD_RE = re.compile(r"\S+")
+
+
+def is_low_quality(blocks_before: list[str], blocks_after: list[str]) -> bool:
+    """Boilerpipe SimpleEstimator parity over our DOM text blocks:
+    ``blocks_before`` = every text block of the raw document (Boilerpipe's
+    dsBefore with contentOnly=false), ``blocks_after`` = the content
+    container's paragraphs (what survives the extractor)."""
+    words_before = sum(len(_WORD_RE.findall(b)) for b in blocks_before)
+    if words_before < MIN_WORDS_BEFORE:
+        return True
+    after_counts = [len(_WORD_RE.findall(b)) for b in blocks_after if b]
+    words_after = sum(after_counts)
+    if words_after < MIN_WORDS_AFTER:
+        return True
+    if words_after / max(1, len(after_counts)) < MIN_AVG_WORDS_PER_BLOCK:
+        return True
+    return False
 
 
 def parse_page(url: str, html: str) -> dict:
@@ -49,8 +76,7 @@ def parse_page(url: str, html: str) -> dict:
     doc = extract_structure(html)
     title = doc["title"]
     text = "\n".join(doc["paras"])
-    n_words = len(_WORD_RE.findall(text))
-    is_article = n_words >= MIN_ARTICLE_WORDS
+    is_article = not is_low_quality(doc["blocks"], doc["paras"])
     media = []
     for attrs in doc["imgs"]:
         src = attrs.get("src")

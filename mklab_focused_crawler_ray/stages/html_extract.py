@@ -182,10 +182,50 @@ def select_content_node(root: Node) -> Node | None:
     return node
 
 
+_SEGMENT_TAGS = _BLOCK_TAGS | frozenset(
+    ["p", "li", "ul", "ol", "table", "tr", "blockquote", "pre",
+     "h1", "h2", "h3", "h4", "h5", "h6", "br", "header", "footer",
+     "nav", "aside", "form"]
+)
+
+
+def text_blocks(root: Node) -> list[str]:
+    """Segment the WHOLE document into text blocks the way Boilerpipe's SAX
+    input does: a block is a maximal text run not crossing a block-level tag
+    boundary (inline tags like <a>/<b>/<span> do not split). These are the
+    'before' blocks for the quality estimator — computed on the raw DOM,
+    independent of content-container selection."""
+    blocks: list[str] = []
+    buf: list[str] = []
+
+    def flush():
+        if buf:
+            t = " ".join("".join(buf).split())
+            if t:
+                blocks.append(t)
+            buf.clear()
+
+    def walk(n: Node):
+        for c in n.children:
+            if isinstance(c, Node):
+                if c.tag in _SEGMENT_TAGS:
+                    flush()
+                    walk(c)
+                    flush()
+                else:
+                    walk(c)
+            else:
+                buf.append(c)
+
+    walk(root)
+    flush()
+    return blocks
+
+
 def extract_structure(html: str) -> dict:
     """One-pass DOM extraction: title, paragraph texts of the content
-    container, content-gated <img> attr dicts, all out-link hrefs
-    (document order)."""
+    container, whole-document text blocks (for the quality estimator),
+    content-gated <img> attr dicts, all out-link hrefs (document order)."""
     root = parse_dom(html)
     tnode = first_tag(root, "title")
     title = node_text(tnode).strip() if tnode is not None else ""
@@ -208,4 +248,10 @@ def extract_structure(html: str) -> dict:
         for n in iter_nodes(root)
         if n.tag == "a" and n.attrs.get("href")
     ]
-    return {"title": title, "paras": paras, "imgs": imgs, "hrefs": hrefs}
+    return {
+        "title": title,
+        "paras": paras,
+        "blocks": text_blocks(root),
+        "imgs": imgs,
+        "hrefs": hrefs,
+    }

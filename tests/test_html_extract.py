@@ -17,9 +17,15 @@ MESSY = """<HTML><head><TITLE> Messy &amp; Proud </TITLE>
 <div class="wrapper outer">
   <div class="article body">
     <p>First paragraph with enough words to talk about the weather and the
-    news of the day in a long rambling fashion that clears the gate.</p>
+    news of the day in a long rambling fashion that clears the gate, since
+    the estimator now demands ninety words across the page, seventy in the
+    extracted article and twenty five per block on average before it will
+    call anything an article at all.</p>
     <p>Second <b>bold</b> paragraph continues the article body text here
-    with more words to pad the count beyond the low quality cutoff.</p>
+    with more words to pad the count beyond the low quality cutoff, going
+    on at considerable length about nothing in particular purely so that
+    this block also averages comfortably past the per block word floor the
+    quality estimator enforces.</p>
     <img src=/imgs/big.jpg width=300 height=250 alt="hero image">
     <img src="/imgs/tiny.png" width=10 height=10>
     <img src="/imgs/anim.gif" width=400 height=400>
