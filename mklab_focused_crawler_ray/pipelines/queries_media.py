@@ -230,6 +230,103 @@ def q_image_visual_clusters(sf_dir: str):
     )
 
 
+def visual_clusters_parallel(emb_parquet: str, n_parts: int = 4):
+    """Partition-parallel visual clustering (the 100-TB option (a) from
+    q_image_visual_clusters' docstring), as its own opt-in operator:
+
+    1. hash-partition image ids into ``n_parts`` independent groups;
+    2. run the ORDER-SENSITIVE replay per partition, in parallel, inside
+       ``groupby(part).map_groups`` (each group is one task; the replay is
+       the same sequential_oracle comparison domain as the sharded engine);
+    3. recover CROSS-partition merges symmetrically: hyperplane-LSH
+       near-pair join at the cluster threshold (stages/dedup), keep pairs
+       whose endpoints live in different partitions, min-label union-find
+       over the per-partition cluster labels
+       (state/visual_index.merge_partition_clusters).
+
+    SEMANTICS: equals the faithful sequential replay EXACTLY whenever no
+    near-neighbor pair (cosine ≥ 0.75) crosses partitions
+    (tests/test_visual_parallel.py). When pairs DO cross, the result is a
+    COARSENING of the sequential clustering (given LSH recall): sequential
+    components are the forest of nearest-earlier attachments at ≥ 0.75,
+    every such edge is either a within-partition replay edge or a
+    cross-partition ≥ 0.75 pair, so each sequential cluster lands inside
+    one parallel cluster — but the symmetric cross-merge may also fuse
+    clusters that order-sensitive replay kept apart. On the dup-heavy
+    fixture the coarsening is large (sf0.001: 30 sequential clusters vs 32
+    parallel with one fused mega-component; sf0.01: 47 vs 4) because dup
+    chains make ≥ 0.75 components much coarser than nearest-earlier
+    forests. That one-directional approximation is why the faithful
+    sequential query stays the default: this variant's semantics are
+    "connected components at the cluster threshold across partitions",
+    i.e. docstring option (a)+(b) hybrid, exact only on
+    partition-independent inputs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.urls import url_hash64_vec
+    from ..stages.dedup import embedding_cosine_pairs
+    from ..state.visual_index import (
+        CLUSTER_THRESHOLD,
+        merge_partition_clusters,
+        sequential_oracle,
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = [f"img{int(v):08d}" for v in batch["vec_id"].to_pylist()]
+        part = (url_hash64_vec(ids) % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def replay_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = [f"img{int(v):08d}" for v in df["vec_id"]]
+        vecs = np.stack([np.asarray(e, np.float32) for e in df["embedding"]])
+        _nearest, clusters = sequential_oracle(ids, vecs)
+        items = sorted(clusters.items())
+        return pd.DataFrame(
+            {
+                "image_id": [k for k, _ in items],
+                "cluster_id": [v for _, v in items],
+            }
+        )
+
+    part_labels = (
+        rd.read_parquet(emb_parquet, columns=["vec_id", "embedding"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(replay_group, batch_format="pandas")
+        .to_pandas()  # output-sized: one (id, label) row per image
+    )
+    labels = dict(zip(part_labels["image_id"], part_labels["cluster_id"]))
+    # cross-partition near pairs at the CLUSTER threshold (distributed LSH
+    # blocking + exact in-bucket cosine; pair volume is output-shaped)
+    pairs = embedding_cosine_pairs(
+        emb_parquet, threshold=CLUSTER_THRESHOLD
+    ).to_pandas()
+    edges = []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ia, ib = f"img{int(a):08d}", f"img{int(b):08d}"
+        pa_, pb_ = (
+            url_hash64_vec([ia, ib]) % np.uint64(n_parts)
+        ).astype(np.int64)
+        if pa_ != pb_:
+            edges.append((ia, ib))
+    merged = merge_partition_clusters(labels, edges)
+    items = sorted(merged.items())
+    return pa.table(
+        {
+            "image_id": pa.array([k for k, _ in items], pa.string()),
+            "cluster_id": pa.array([v for _, v in items], pa.string()),
+        }
+    )
+
+
+def q_image_visual_clusters_parallel(sf_dir: str):
+    """Opt-in partition-parallel variant of q_image_visual_clusters — see
+    :func:`visual_clusters_parallel` for semantics and the exact-equality
+    condition vs the faithful sequential replay."""
+    return visual_clusters_parallel(fixture_embeddings_parquet(sf_dir))
+
+
 def q_image_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup over the image fixture's pseudo-embeddings:
     planted duplicates (re-encode / downscale) give genuine cosine≈1 pairs."""
@@ -655,6 +752,7 @@ MEDIA_QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "image_embed_dup_pairs": q_image_embed_dup_pairs,
     "image_visual_clusters": q_image_visual_clusters,
+    "image_visual_clusters_parallel": q_image_visual_clusters_parallel,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "items_pos_tokens": q_items_pos_tokens,

@@ -212,6 +212,42 @@ def index_and_cluster(
     )
 
 
+def merge_partition_clusters(
+    labels: dict[str, str], edges
+) -> dict[str, str]:
+    """Min-label union-find merge for the PARTITION-PARALLEL clustering
+    variant: ``labels`` maps image id → per-partition replay cluster label;
+    ``edges`` is an iterable of (id_a, id_b) cross-partition near-neighbor
+    pairs (cosine ≥ cluster threshold). Components of the graph formed by
+    per-partition clusters + cross edges are relabeled to their minimum
+    member id — the same label rule the replay itself uses, so the merge is
+    a no-op (bit-equal labels) whenever there are no cross edges."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        # min label wins as the root
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    for iid, lab in labels.items():
+        union(iid, lab)
+    for a, b in edges:
+        union(labels[a], labels[b])
+    return {iid: find(iid) for iid in labels}
+
+
 def sequential_oracle(
     ids: list[str],
     vecs: list[list[float]],

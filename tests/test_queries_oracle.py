@@ -117,6 +117,7 @@ def test_rows_only_queries_run(ray_session):
         "ann_ivf_partitioned_top10": {"query_id", "vec_id", "cos_micro"},
         "image_embed_dup_pairs": {"doc_a", "doc_b"},
         "image_visual_clusters": {"image_id", "cluster_id"},
+        "image_visual_clusters_parallel": {"image_id", "cluster_id"},
         "event_candidates": {"window", "token"},
         "items_event_candidates": {"window", "token"},
         "crawl_trace": {"round", "rank", "url"},
