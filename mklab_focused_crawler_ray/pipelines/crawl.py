@@ -469,7 +469,10 @@ class RayCrawler:
         # executor spin-up (~0.5 s) dominated the stage's actual work
         # (SURVEY §2 note: raw tasks only where the Dataset API genuinely
         # doesn't fit — this barrier is that case).
-        n_slices = max(1, min(8, len(tbl) // 4096))
+        # slice count scales with the session's fetch concurrency (round-0
+        # control is the one control phase nothing overlaps, so its wall
+        # time is paid in full at the high-CPU point)
+        n_slices = max(1, min(max(8, cfg.fetch_concurrency), len(tbl) // 4096))
         if self.live:
             from ..stages.live import make_live_expander
 
