@@ -325,6 +325,70 @@ def build_extended_oracles() -> dict[str, str]:
         f"WHERE ({_band_eq}) AND bit_count(xor(a.phash, b.phash)) <= 8"
     )
 
+    # connected-component clusters over the SAME band-blocked edge set as
+    # image_phash_pairs, min-member-id labels (stages/image.cluster_images):
+    # recursive min-label propagation — a (node, label) pair enters cc iff
+    # label is a smaller-id node reachable from it, so MIN(label) per node
+    # is the component minimum; singletons keep their own id via the seed
+    # row. UNION (distinct) bounds the recursion to finite pairs.
+    sql["image_clusters"] = (
+        "WITH RECURSIVE "
+        f"im AS (SELECT image_id, phash FROM read_parquet('{images}')), "
+        "edges AS (SELECT a.image_id AS a, b.image_id AS b "
+        "FROM im a JOIN im b ON a.image_id < b.image_id "
+        f"WHERE ({_band_eq}) AND bit_count(xor(a.phash, b.phash)) <= 8), "
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), "
+        "cc AS (SELECT image_id AS node, image_id AS label FROM im "
+        "UNION "
+        "SELECT s.b AS node, cc.label FROM cc JOIN sym s ON s.a = cc.node "
+        "WHERE cc.label < s.b) "
+        "SELECT node AS image_id, MIN(label) AS cluster_id FROM cc GROUP BY node"
+    )
+
+    # pseudo-embedding near-dup pairs: BRUTE-FORCE cosine over the engine's
+    # materialized pseudo-embedding table (same shape as the
+    # embedding_dup_pairs oracle on the driver table). The embedding VALUES
+    # are engine-produced (pixel codec → pseudo_embed, not SQL-expressible;
+    # independently covered by image_decode_check + the brute-force pytest),
+    # so this oracle checks the LSH-blocked pairing kernel end-to-end: any
+    # recall loss or threshold drift diverges from the exhaustive join.
+    from .queries_media import pseudo_embeddings_for_fixture
+
+    pseudo = pseudo_embeddings_for_fixture(fdir)
+    sql["image_embed_dup_pairs"] = (
+        f"WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        f"FROM read_parquet('{pseudo}')) "
+        "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.e, b.e) >= 0.995"
+    )
+
+    # order-sensitive visual clustering AS SQL: the sequential replay's
+    # semantics reduce to a nearest-EARLIER forest (each image attaches to
+    # its best predecessor by micro-quantized cosine, ties → smallest id,
+    # iff sim ≥ 0.75), then labels are the forest roots — expressible with
+    # one QUALIFY top-1 over the id< self-join plus a recursive root walk.
+    # Comparison domain caveat: DuckDB cosines are all-double while the
+    # engine float32-normalizes first (visual_index module docstring); both
+    # are micro-quantized before any decision, and the fixture verifies the
+    # domains agree at every decision point (tests + this oracle's hash).
+    sql["image_visual_clusters"] = (
+        "WITH RECURSIVE "
+        f"v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        f"FROM read_parquet('{pseudo}')), "
+        "s AS (SELECT a.vec_id AS id, b.vec_id AS prev, "
+        "CAST(FLOOR(list_cosine_similarity(a.e, b.e)*1000000 + 0.5) AS BIGINT) AS sm "
+        "FROM v a JOIN v b ON b.vec_id < a.vec_id), "
+        "best AS (SELECT id, prev, sm FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY sm DESC, prev ASC) = 1), "
+        "par AS (SELECT id, prev FROM best WHERE sm >= 750000), "
+        "lab AS (SELECT vec_id AS id, vec_id AS label FROM v "
+        "WHERE vec_id NOT IN (SELECT id FROM par) "
+        "UNION ALL "
+        "SELECT p.id, lab.label FROM par p JOIN lab ON lab.id = p.prev) "
+        "SELECT 'img' || lpad(CAST(id AS VARCHAR), 8, '0') AS image_id, "
+        "'img' || lpad(CAST(label AS VARCHAR), 8, '0') AS cluster_id FROM lab"
+    )
+
     # decode-invariant check: the fixture guarantees every image decodes,
     # matches its metadata (w/h/phash) and survives a lossy round-trip at
     # ≥ 40 dB — so the oracle is the all-TRUE relation; any Ray-side

@@ -153,10 +153,15 @@ def q_embedding_dup_pairs(sf_dir: str):
 def fixture_embeddings_parquet(sf_dir: str) -> str:
     """Materialize pseudo-embeddings of the image fixture once per tier
     (deterministic; cached next to the fixture) as (vec_id, embedding)."""
+    return pseudo_embeddings_for_fixture(fixture_dir_for(sf_dir))
+
+
+def pseudo_embeddings_for_fixture(fdir: str) -> str:
+    """fixture-dir variant of :func:`fixture_embeddings_parquet` (shared by
+    the oracle builder, which addresses the small fixture dir directly)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    fdir = fixture_dir_for(sf_dir)
     out = os.path.join(fdir, "pseudo_embeddings.parquet")
     if os.path.exists(out):
         return out

@@ -78,6 +78,11 @@ FIXTURE_BACKED = {
     # image oracles read the small fixture's images table by absolute path
     "image_phash_pairs",
     "image_decode_check",
+    "image_clusters",
+    # these two read the engine-materialized small-fixture pseudo-embedding
+    # table (values engine-produced; pairing/replay logic oracle-checked)
+    "image_embed_dup_pairs",
+    "image_visual_clusters",
 }
 
 
