@@ -2,9 +2,11 @@
 'live'``; the offline fixture store stays the test/bench default).
 
 Reference semantics honored:
-- ``bolts/FetcherBolt.java:83-95``: pooled HTTP GET, 30 s socket/connect
-  timeouts, User-Agent set; per-route connection cap is our politeness
-  budget (state/politeness.py).
+- ``bolts/FetcherBolt.java:83-95``: pooled keep-alive HTTP client
+  (``PoolingHttpClientConnectionManager`` maxTotal=24, maxPerRoute=10),
+  30 s socket/connect timeouts, User-Agent set; the per-route connection
+  cap doubles as a politeness mechanism (state/politeness.py carries the
+  budget side).
 - ``bolts/webpages/URLExpansionBolt.java:30,110-134``: ≤ 4 redirect hops,
   2 s timeout per hop, Location-header walk WITHOUT auto-redirect; more
   hops → expansion failure.
@@ -14,46 +16,162 @@ Reference semantics honored:
   dict-like per-batch store facade so offline and live modes share one
   extraction path (trace parity by construction).
 
-Implementation is stdlib-only (``urllib`` — aiohttp is not available in
-this environment) with a per-batch thread pool for the IO fan-out; the
-stage factories mirror the offline factories' (input columns → output
-columns) contract exactly.
+Implementation is stdlib-only (``http.client`` — aiohttp is not available
+in this environment). Connections and fetch threads are WORKER-PROCESS
+GLOBAL (module-level pool + lazily-built executors), so they persist
+across ``map_batches`` calls and crawl rounds exactly like the reference's
+long-lived per-bolt client — the stage functions stay stateless tasks
+(worker reuse across rounds) while the expensive network state lives for
+the life of the worker process. A server that closes per response
+(HTTP/1.0, ``Connection: close``) degrades gracefully to one connection
+per request; a stale kept-alive connection is retried once on a fresh
+socket before the fetch is reported failed.
 """
 
 from __future__ import annotations
+
+import http.client
+import threading
+import urllib.parse
 
 import pyarrow as pa
 
 from ..functions.urls import MAX_REDIRECTS, host_of, route_of_host
 
-FETCH_TIMEOUT_S = 30.0  # FetcherBolt.java:83-95
+FETCH_TIMEOUT_S = 30.0  # FetcherBolt.java:91-94
 EXPAND_TIMEOUT_S = 2.0  # URLExpansionBolt.java:118
 USER_AGENT = "mkfc-ray"
 _MAX_BODY = 4 << 20  # 4 MiB body cap — bound worker memory per fetch
+_EXPAND_BODY_CAP = 16 << 10  # expansion only needs headers; small drain keeps reuse
+POOL_MAX_TOTAL = 24  # FetcherBolt.java:83-85 cm.setMaxTotal(24)
+POOL_MAX_PER_ROUTE = 10  # cm.setDefaultMaxPerRoute(10)
 
 
-class _NoRedirect(Exception):
-    def __init__(self, location: str, code: int):
-        self.location = location
-        self.code = code
+class _ConnPool:
+    """Keep-alive connection pool, keyed by (scheme, host, port), with the
+    reference client's idle caps. Thread-safe; holds only IDLE connections
+    (in-flight ones belong to their fetch thread), so max_total bounds the
+    parked-socket footprint the way the reference's manager bounds leases."""
+
+    def __init__(self, max_total: int = POOL_MAX_TOTAL, max_per_route: int = POOL_MAX_PER_ROUTE):
+        self._lock = threading.Lock()
+        self._idle: dict[tuple, list] = {}
+        self._n_idle = 0
+        self.max_total = max_total
+        self.max_per_route = max_per_route
+        self.reused = 0  # diagnostic counters (tested)
+        self.opened = 0
+
+    def acquire(self, scheme: str, host: str, port: int, timeout: float):
+        """→ (connection, was_reused)."""
+        key = (scheme, host, port)
+        with self._lock:
+            lst = self._idle.get(key)
+            if lst:
+                self._n_idle -= 1
+                self.reused += 1
+                conn = lst.pop()
+                conn.timeout = timeout
+                if conn.sock is not None:
+                    conn.sock.settimeout(timeout)
+                return conn, True
+            self.opened += 1
+        cls = (
+            http.client.HTTPSConnection if scheme == "https" else http.client.HTTPConnection
+        )
+        return cls(host, port, timeout=timeout), False
+
+    def release(self, scheme: str, host: str, port: int, conn, reusable: bool) -> None:
+        if reusable:
+            key = (scheme, host, port)
+            with self._lock:
+                lst = self._idle.setdefault(key, [])
+                if len(lst) < self.max_per_route and self._n_idle < self.max_total:
+                    lst.append(conn)
+                    self._n_idle += 1
+                    return
+        try:
+            conn.close()
+        except Exception:
+            pass
+
+
+_POOL = _ConnPool()
+
+_EXECUTORS: dict[int, object] = {}
+_EXEC_LOCK = threading.Lock()
+
+
+def _executor(max_workers: int):
+    """Worker-process-global fetch thread pool (the reference keeps 24
+    fetcher threads alive per bolt — FetcherBolt.java:83-95); building one
+    per batch would churn threads and drop keep-alive warm starts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with _EXEC_LOCK:
+        ex = _EXECUTORS.get(max_workers)
+        if ex is None:
+            ex = ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="mkfc-fetch")
+            _EXECUTORS[max_workers] = ex
+        return ex
+
+
+def _single_request(url: str, timeout: float, body_cap: int = _MAX_BODY):
+    """One pooled GET, redirects NOT followed →
+    (status, content_type, body, location). (0, '', b'', None) on network
+    failure. A reused connection that fails mid-request (stale keep-alive)
+    is retried once on a fresh socket."""
+    sp = urllib.parse.urlsplit(url)
+    scheme = sp.scheme or "http"
+    host = sp.hostname
+    if not host:
+        return 0, "", b"", None
+    port = sp.port or (443 if scheme == "https" else 80)
+    path = sp.path or "/"
+    if sp.query:
+        path += "?" + sp.query
+    for _attempt in (0, 1):
+        conn, reused = _POOL.acquire(scheme, host, port, timeout)
+        try:
+            conn.request(
+                "GET", path, headers={"User-Agent": USER_AGENT, "Connection": "keep-alive"}
+            )
+            resp = conn.getresponse()
+            body = resp.read(body_cap)
+            overflow = resp.read(1)  # undrained tail → socket can't be reused
+            ctype = resp.headers.get_content_type() if resp.headers else ""
+            loc = resp.headers.get("Location") if resp.headers else None
+            _POOL.release(
+                scheme, host, port, conn, reusable=not overflow and not resp.will_close
+            )
+            return resp.status, ctype, body, loc
+        except Exception:
+            try:
+                conn.close()
+            except Exception:
+                pass
+            if not reused:  # a FRESH connection failed: real network error
+                return 0, "", b"", None
+            # else fall through: retry once on a fresh socket
+    return 0, "", b"", None
 
 
 def http_fetch(url: str, timeout: float = FETCH_TIMEOUT_S):
-    """GET one URL → (status_code, content_type, body_bytes). Network/DNS
+    """GET one URL → (status_code, content_type, body_bytes), following up
+    to ``MAX_REDIRECTS`` Location hops (parity with the reference client's
+    auto-redirect — by fetch time the expansion stage has already resolved
+    redirects, so this only fires on residual/race redirects). Network/DNS
     failures → (0, '', b''); the caller maps non-200 to fetch_failed."""
-    import urllib.error
-    import urllib.request
-
-    req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            ctype = resp.headers.get_content_type()
-            body = resp.read(_MAX_BODY)
-            return resp.status, ctype, body
-    except urllib.error.HTTPError as e:
-        return e.code, "", b""
-    except Exception:
-        return 0, "", b""
+    cur = url
+    for _ in range(MAX_REDIRECTS + 1):
+        status, ctype, body, loc = _single_request(cur, timeout)
+        if 300 <= status < 400 and loc:
+            cur = urllib.parse.urljoin(cur, loc)
+            continue
+        if status == 200:
+            return status, ctype, body
+        return status, "", b""
+    return 0, "", b""
 
 
 def live_expand_url(
@@ -61,52 +179,34 @@ def live_expand_url(
 ) -> tuple[str, str]:
     """Walk Location headers ≤ ``max_redirects`` hops (redirects NOT auto-
     followed). Returns (final_url, 'ok'|'expand_failed') — the same contract
-    as the offline ``expand_url``."""
-    import urllib.parse
-    import urllib.request
-
-    class Handler(urllib.request.HTTPRedirectHandler):
-        def redirect_request(self, req, fp, code, msg, headers, newurl):
-            raise _NoRedirect(newurl, code)
-
-    opener = urllib.request.build_opener(Handler)
+    as the offline ``expand_url``. Network failure mid-walk keeps the
+    current URL (reference drops silently, we keep auditability — see
+    stages/expand.py docstring); only exceeding the hop budget while the
+    server is STILL redirecting is an expansion failure
+    (URLExpansionBolt.java:110-134)."""
     cur = url
     for _ in range(max_redirects):
-        req = urllib.request.Request(cur, headers={"User-Agent": USER_AGENT})
-        try:
-            with opener.open(req, timeout=timeout) as resp:
-                resp.read(0)
-                return cur, "ok"  # non-redirect response → done
-        except _NoRedirect as r:
-            cur = urllib.parse.urljoin(cur, r.location)
-        except Exception:
-            # network failure during expansion: keep the current URL; the
-            # fetch stage will record the failure (reference drops silently,
-            # we keep auditability — stages/expand.py docstring)
-            return cur, "ok"
-    # still redirecting after max hops?
-    req = urllib.request.Request(cur, headers={"User-Agent": USER_AGENT})
-    try:
-        with opener.open(req, timeout=timeout) as resp:
-            resp.read(0)
-            return cur, "ok"
-    except _NoRedirect:
-        return cur, "expand_failed"
-    except Exception:
-        return cur, "ok"
+        status, _, _, loc = _single_request(cur, timeout, body_cap=_EXPAND_BODY_CAP)
+        if 300 <= status < 400 and loc:
+            cur = urllib.parse.urljoin(cur, loc)
+        else:
+            return cur, "ok"  # terminal response or network failure → done
+    status, _, _, loc = _single_request(cur, timeout, body_cap=_EXPAND_BODY_CAP)
+    if 300 <= status < 400 and loc:
+        return cur, "expand_failed"  # still redirecting after max hops
+    return cur, "ok"
 
 
 def make_live_expander(max_redirects: int = MAX_REDIRECTS, timeout: float = EXPAND_TIMEOUT_S, max_workers: int = 16):
     """Live counterpart of ``make_expander`` — identical output columns."""
 
     def expander(batch: pa.Table) -> pa.Table:
-        from concurrent.futures import ThreadPoolExecutor
-
         urls = batch["url"].to_pylist()
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            results = list(
-                ex.map(lambda u: live_expand_url(u, max_redirects, timeout), urls)
+        results = list(
+            _executor(max_workers).map(
+                lambda u: live_expand_url(u, max_redirects, timeout), urls
             )
+        )
         expanded = [r[0] for r in results]
         statuses = [r[1] for r in results]
         hosts = [host_of(e) for e in expanded]
@@ -141,8 +241,6 @@ def make_live_fetch_extract(timeout: float = FETCH_TIMEOUT_S, max_workers: int =
     from .fetch import _EXTRACT_FIELDS, fetch_and_extract_row
 
     def fetch_extract(batch: pa.Table) -> pa.Table:
-        from concurrent.futures import ThreadPoolExecutor
-
         urls = batch["expanded_url"].to_pylist()
         routes = batch["route"].to_pylist()
         statuses = batch["status"].to_pylist()
@@ -153,8 +251,9 @@ def make_live_fetch_extract(timeout: float = FETCH_TIMEOUT_S, max_workers: int =
                 if st == "ok" and rt != "media" and len(u) <= MAX_FETCH_URL_LEN
             }
         )
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            fetched = list(ex.map(lambda u: http_fetch(u, timeout), eligible))
+        fetched = list(
+            _executor(max_workers).map(lambda u: http_fetch(u, timeout), eligible)
+        )
         store = _LiveStore(dict(zip(eligible, fetched)))
         cols = {name: [] for name, _ in _EXTRACT_FIELDS}
         for u, rt, st in zip(urls, routes, statuses):
