@@ -78,8 +78,9 @@ class Retriever:
     actor-pool stage: construct once in ``__init__`` (API clients live
     there), call per batch."""
 
-    def __init__(self, registry: dict | None = None):
-        self.registry = dict(registry or {})  # platform → callable
+    def __init__(self, registry: dict | None = None, user_registry: dict | None = None):
+        self.registry = dict(registry or {})  # platform → media callable
+        self.user_registry = dict(user_registry or {})  # platform → user callable
 
     def enrich(self, platform: str, media_id: str, url: str) -> dict | None:
         fn = self.registry.get(platform)
@@ -89,3 +90,28 @@ class Retriever:
 
     def enrich_batch(self, plats: list[str], ids: list[str], urls: list[str]):
         return [self.enrich(p, m, u) for p, m, u in zip(plats, ids, urls)]
+
+    def get_stream_user(self, platform: str, user_id) -> dict | None:
+        """``retriever.getStreamUser(userid)`` — per-platform user lookup
+        (``MediaExtractionBolt.java:183``)."""
+        fn = self.user_registry.get(platform)
+        return None if fn is None else fn(user_id)
+
+    def resolve_user(self, platform: str, item: dict) -> dict | None:
+        """``MediaExtractionBolt.java:181-190``: a media item that already
+        carries both ``user`` and ``user_id`` passes through; otherwise the
+        user is looked up via :meth:`get_stream_user`, and an item whose
+        user cannot be resolved is DROPPED (the reference throws → null).
+        The surviving item's (user, user_id) are set from the lookup —
+        ``MediaUpdaterBolt`` then first-wins-inserts that user into the
+        StreamUsers side table (pipelines/queries_media.py
+        ``q_media_stream_users``)."""
+        if item.get("user") is not None and item.get("user_id") is not None:
+            return item
+        user = self.get_stream_user(platform, item.get("user_id"))
+        if user is None:
+            return None
+        out = dict(item)
+        out["user"] = user
+        out["user_id"] = user.get("id")
+        return out

@@ -746,7 +746,84 @@ def q_platform_media_extract(sf_dir: str):
     ).map_batches(ext, batch_format="pyarrow")
 
 
+MEDIA_ARRIVAL_MOD = 4096  # synthetic re-arrival rate: distinct media ids
+
+
+def q_media_stream_users(sf_dir: str):
+    """StreamUsers side-table insert set — ``MediaUpdaterBolt.java:94-125``:
+    on a NEW media item's insert, the contributing user is stored iff not
+    already present (first wins, ``lastUpdated`` stamped); an UPDATE to
+    existing media never touches the users table. Each event row is a
+    media-item arrival (media_id = event_id % 4096, a deterministic
+    synthetic re-arrival pattern); a media item is NEW iff no earlier
+    arrival — order (ts, event_id) — shares its media_id. A user's row
+    therefore records their first NEW-media contribution, which is NOT
+    necessarily their first event (an arrival of already-stored media
+    inserts nothing). The user object itself rides on the item
+    (``MediaExtractionBolt.java:172-197`` — see
+    functions/platforms.py ``Retriever.resolve_user``).
+
+    Scale shape: per-batch vectorized partial argmin (sort +
+    drop_duplicates) shrinks each block to ≤1 row per key BEFORE the
+    shuffle, so both groupbys move ≤ blocks×keys rows; the map_groups
+    bodies are vectorized pandas picks (the sink.py latest-per-key
+    pattern)."""
+    import ray.data as rd
+
+    from .queries import _p
+
+    def arrivals(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "media_id": eid % MEDIA_ARRIVAL_MOD,
+                "ts_us": batch["ts"].cast(pa.int64()).to_numpy(),
+                "event_id": eid,
+                "user_id": batch["user_id"].to_numpy(),
+            }
+        )
+        df = df.sort_values(["ts_us", "event_id"], kind="stable").drop_duplicates(
+            "media_id"
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def first_arrival(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts_us", "event_id"], kind="stable").head(1)
+
+    new_media = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+        .map_batches(arrivals, batch_format="pyarrow")
+        .groupby("media_id")
+        .map_groups(first_arrival, batch_format="pandas")
+    )
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["ts_us", "event_id"], kind="stable").drop_duplicates(
+            "user_id"
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    users = (
+        new_media.map_batches(user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(first_arrival, batch_format="pandas")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "inserted_ts_us": batch["ts_us"],
+                "first_media_id": batch["media_id"],
+            }
+        )
+
+    return users.map_batches(final, batch_format="pyarrow")
+
+
 MEDIA_QUERIES = {
+    "media_stream_users": q_media_stream_users,
     "image_decode_check": q_image_decode_check,
     "image_phash_pairs": q_image_phash_pairs,
     "image_clusters": q_image_clusters,
@@ -778,6 +855,16 @@ MEDIA_QUERIES = {
 }
 
 MEDIA_ORACLE_SQL = {
+    "media_stream_users": (
+        "WITH arr AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, "
+        f"event_id % {MEDIA_ARRIVAL_MOD} AS media_id FROM events), "
+        "nm AS (SELECT media_id, ts_us, event_id, user_id FROM "
+        "(SELECT arr.*, ROW_NUMBER() OVER (PARTITION BY media_id "
+        "ORDER BY ts_us, event_id) AS rn FROM arr) WHERE rn = 1) "
+        "SELECT user_id, ts_us AS inserted_ts_us, media_id AS first_media_id "
+        "FROM (SELECT nm.*, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id) AS urn FROM nm) WHERE urn = 1"
+    ),
     "windowed_token_df": (
         'WITH tok AS (SELECT CAST(FLOOR(doc_id / {dpw}.0) AS BIGINT) AS "window", '
         "unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token "
