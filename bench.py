@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "top3_docs_per_lang",
     "user_rolling_counts",
     "ngram_jaccard_pairs",
+    "doc_repetition",
+    "decontam_8gram_hits",
     "ann_ivf_top10",
     "ann_lsh_top10",
     "items_top100",

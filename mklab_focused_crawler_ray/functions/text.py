@@ -134,6 +134,25 @@ def count_tokens_ws(text: str) -> int:
     return len(text.split())
 
 
+# RE2's \s is ASCII-only, but str.split() splits on CPython's Unicode
+# whitespace set — spell that set out explicitly so the Arrow kernel counts
+# exactly the same runs (verified exhaustively over every codepoint
+# < 0x20000 plus a hypothesis property test).
+_NONWS_RUN_RE2 = (
+    r"[^\t-\r\x1c-\x1f \x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
+
+def count_tokens_ws_arrow(col) -> "pa.Array":
+    """Vectorized ``count_tokens_ws`` over a pyarrow string array: count
+    non-whitespace runs, which equals ``len(text.split())`` exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.count_substring_regex(col, _NONWS_RUN_RE2), pa.int64())
+
+
 def count_tokens_bpeish(text: str) -> int:
     """GPT-2-style pre-tokenizer regex piece count (BPE-ish proxy)."""
     return len(_BPEISH_RE.findall(text))

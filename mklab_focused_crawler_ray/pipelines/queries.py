@@ -659,6 +659,165 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# training-data quality: repetition signals + benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def _ngram_fold_hashes(th: np.ndarray, n: int) -> np.ndarray:
+    """Order-sensitive uint64 hashes of all word n-grams, folded from the
+    per-token base hashes (h ← mix64(h) ^ next) — vectorized over every
+    gram position at once, no per-gram Python objects."""
+    from ..functions.hashing import mix64
+
+    if len(th) < n:
+        return np.empty(0, np.uint64)
+    m = len(th) - n + 1
+    h = th[:m].copy()
+    for j in range(1, n):
+        h = mix64(h) ^ th[j : m + j]
+    return h
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition-quality signals per document (Rae et al.
+    2021, 'Scaling Language Models', App. A1.1 repetition filters):
+
+    - ``top2_frac_micro``  — occurrences of the most frequent word bigram /
+      total bigram occurrences (micro units)
+    - ``dup3_frac_micro``  — trigram occurrences whose gram appears more
+      than once in the doc / total trigram occurrences
+
+    Pure map-side (one row per doc, no shuffle): per-batch the (doc, gram)
+    counting is a single np.unique over folded gram hashes + bincount /
+    maximum.at per doc — a 64-bit gram-hash collision inside one doc is the
+    only way this can diverge from the string-keyed oracle (P ≈ n²/2⁶⁵ per
+    doc, negligible)."""
+    import ray.data as rd
+
+    from ..functions.hashing import mix64, token_hashes
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        nd = len(ids)
+        n_tokens = np.zeros(nd, np.int64)
+        d2, g2, d3, g3 = [], [], [], []
+        for i, t in enumerate(texts):
+            th = token_hashes(TOKEN_RE.findall(t.lower()))
+            n_tokens[i] = len(th)
+            b = _ngram_fold_hashes(th, 2)
+            d2.append(np.full(len(b), i, np.int64))
+            g2.append(b)
+            c = _ngram_fold_hashes(th, 3)
+            d3.append(np.full(len(c), i, np.int64))
+            g3.append(c)
+
+        def per_doc(doc: np.ndarray, g: np.ndarray):
+            """(max gram count, dup-gram occurrences, total) per doc."""
+            tot = np.bincount(doc, minlength=nd)
+            if len(g) == 0:
+                z = np.zeros(nd, np.int64)
+                return z, z, tot
+            key = mix64(g ^ mix64(doc.astype(np.uint64) + np.uint64(1)))
+            _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+            occ = cnt[inv]
+            top = np.zeros(nd, np.int64)
+            np.maximum.at(top, doc, occ)
+            dup = np.bincount(doc, weights=(occ > 1).astype(np.float64), minlength=nd)
+            return top, dup.astype(np.int64), tot
+
+        top2, _, tot2 = per_doc(np.concatenate(d2), np.concatenate(g2))
+        _, dup3, tot3 = per_doc(np.concatenate(d3), np.concatenate(g3))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f2 = np.where(tot2 > 0, _micro(top2 / np.maximum(tot2, 1)), 0)
+            f3 = np.where(tot3 > 0, _micro(dup3 / np.maximum(tot3, 1)), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "top2_frac_micro": pa.array(f2, pa.int64()),
+                "dup3_frac_micro": pa.array(f3, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow"
+    )
+
+
+DECONTAM_BENCH_MOD = 31  # doc_id % 31 == 0 → deterministic "benchmark" set
+
+
+def q_decontam_8gram_hits(sf_dir: str):
+    """Benchmark decontamination by word-8-gram overlap (the GPT-3 /
+    RealNews standard): docs sharing any 8-gram with the held-out benchmark
+    set (here ``doc_id % 31 == 0``, a deterministic in-corpus stand-in) are
+    flagged with their distinct-overlapping-gram count.
+
+    Scale shape: the benchmark side is small BY DEFINITION (eval suites are
+    a few thousand docs), so its distinct gram hashes collect to the driver
+    once and broadcast via ray.put; the corpus side streams through one
+    map_batches doing a vectorized sorted-array membership test — no
+    shuffle, output bounded by contaminated docs only."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import token_hashes
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out = [np.empty(0, np.uint64)]
+        for i in np.flatnonzero(ids % DECONTAM_BENCH_MOD == 0):
+            th = token_hashes(TOKEN_RE.findall(batch["text"][i].as_py().lower()))
+            out.append(_ngram_fold_hashes(th, 8))
+        g = np.unique(np.concatenate(out))
+        return pa.table({"g": pa.array(g.view(np.int64), pa.int64())})
+
+    parts = [
+        b["g"].to_numpy().view(np.uint64)
+        for b in rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    bench_ref = ray.put(bench)
+
+    class CountHits:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            nd = len(ids)
+            didx, grams = [], []
+            for i in np.flatnonzero(ids % DECONTAM_BENCH_MOD != 0):
+                th = token_hashes(TOKEN_RE.findall(batch["text"][i].as_py().lower()))
+                g = np.unique(_ngram_fold_hashes(th, 8))  # distinct per doc
+                didx.append(np.full(len(g), i, np.int64))
+                grams.append(g)
+            if not grams or len(self.bench) == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+                )
+            d = np.concatenate(didx)
+            g = np.concatenate(grams)
+            pos = np.searchsorted(self.bench, g).clip(max=len(self.bench) - 1)
+            member = self.bench[pos] == g
+            hits = np.bincount(d[member], minlength=nd)
+            keep = np.flatnonzero(hits > 0)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep], pa.int64()),
+                    "n_hits": pa.array(hits[keep], pa.int64()),
+                }
+            )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        CountHits, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+# --------------------------------------------------------------------------
 # registry + SQL oracles
 # --------------------------------------------------------------------------
 
@@ -680,6 +839,8 @@ QUERIES = {
     "embedding_top10": q_embedding_top10,
     "token_postings": q_token_postings,
     "allpairs_jaccard": q_allpairs_jaccard,
+    "doc_repetition": q_doc_repetition,
+    "decontam_8gram_hits": q_decontam_8gram_hits,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,
@@ -762,6 +923,34 @@ ORACLE_SQL = {
         "FROM q CROSS JOIN v WHERE v.vec_id != q.query_id) "
         "SELECT query_id, vec_id, cos_micro FROM s "
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, vec_id ASC) <= {TOP_K}"
+    ),
+    "doc_repetition": (
+        f"WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> "
+        "tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1])) AS g FROM toks WHERE len(tk) >= 2), "
+        "bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+        "bstat AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS tot FROM bgc GROUP BY 1), "
+        "tg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> "
+        "tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2])) AS g "
+        "FROM toks WHERE len(tk) >= 3), "
+        "tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2), "
+        "tstat AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, "
+        "SUM(c) AS tot3 FROM tgc GROUP BY 1) "
+        "SELECT t.doc_id, len(t.tk) AS n_tokens, "
+        "COALESCE(CAST(FLOOR(CAST(b.maxc AS DOUBLE) / b.tot * 1000000 + 0.5) AS BIGINT), 0) AS top2_frac_micro, "
+        "COALESCE(CAST(FLOOR(CAST(ts.dup AS DOUBLE) / ts.tot3 * 1000000 + 0.5) AS BIGINT), 0) AS dup3_frac_micro "
+        "FROM toks t LEFT JOIN bstat b ON t.doc_id = b.doc_id "
+        "LEFT JOIN tstat ts ON ts.doc_id = t.doc_id"
+    ),
+    "decontam_8gram_hits": (
+        f"WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6), i -> "
+        "array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+7], ' '))) AS g8 "
+        "FROM toks WHERE len(tk) >= 8), "
+        f"bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % {DECONTAM_BENCH_MOD} = 0), "
+        "hits AS (SELECT DISTINCT d.doc_id, d.g8 FROM g d JOIN bench b USING (g8) "
+        f"WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0) "
+        "SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id"
     ),
 }
 

@@ -108,17 +108,17 @@ def load_queries(
 ) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(emb_parquet, columns=["vec_id", "embedding"])
-    vids = t["vec_id"].to_numpy()
-    mask = vids < n_queries
-    mat = np.stack(
-        [
-            np.asarray(e, dtype=np.float64)
-            for e, m in zip(t["embedding"].to_pylist(), mask)
-            if m
-        ]
+    # Predicate pushdown: only row groups whose vec_id stats overlap
+    # [0, n_queries) are read — the driver never holds the full embedding
+    # table, only the (tiny) query side that gets ray.put-broadcast.
+    t = pq.read_table(
+        emb_parquet,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
-    return vids[mask], _normalize(mat)
+    vids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    return vids, _normalize(mat)
 
 
 def brute_force_topk(emb_parquet: str, n_queries: int = 5, k: int = 10):

@@ -212,3 +212,28 @@ def test_bpeish_token_count_sane():
     assert count_tokens_bpeish("") == 0
     # contractions split into word + suffix pieces, GPT-2-style
     assert count_tokens_bpeish("can't") == 2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+                whitelist_characters=" \t\n\r  ",
+            ),
+            max_size=80,
+        ),
+        max_size=32,
+    )
+)
+def test_ws_token_count_arrow_matches_scalar(texts):
+    import pyarrow as pa
+
+    from mklab_focused_crawler_ray.functions.text import (
+        count_tokens_ws,
+        count_tokens_ws_arrow,
+    )
+
+    got = count_tokens_ws_arrow(pa.array(texts, pa.string())).to_pylist()
+    assert got == [count_tokens_ws(t) for t in texts]
