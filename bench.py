@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "doc_repetition",
     "decontam_8gram_hits",
+    "doc_chunks",
+    "user_sessions",
+    "dup_clusters",
     "ann_ivf_top10",
     "ann_lsh_top10",
     "items_top100",

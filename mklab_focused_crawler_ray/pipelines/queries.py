@@ -817,6 +817,167 @@ def q_decontam_8gram_hits(sf_dir: str):
     )
 
 
+CHUNK_W = 32  # tokens per training-sequence chunk (small so the fixture's
+# ≤99-token docs exercise multi-chunk splits; a real corpus uses 1k–8k)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking: split every document's token stream into
+    non-overlapping ``CHUNK_W``-token windows (the map-side precursor to
+    sequence packing / embedding-window pipelines). One output row per
+    chunk: (doc_id, chunk_idx, n_chunk_tokens, chunk).
+
+    Pure map-side flat-map — no shuffle; output bytes ≈ input bytes by
+    construction (every token appears in exactly one chunk), so the stage
+    streams at any corpus size."""
+    import ray.data as rd
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out_id: list[int] = []
+        out_ci: list[int] = []
+        out_n: list[int] = []
+        out_s: list[str] = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            tk = TOKEN_RE.findall(t.lower())
+            for ci in range((len(tk) + CHUNK_W - 1) // CHUNK_W):
+                seg = tk[ci * CHUNK_W : (ci + 1) * CHUNK_W]
+                out_id.append(int(d))
+                out_ci.append(ci)
+                out_n.append(len(seg))
+                out_s.append(" ".join(seg))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_ci, pa.int64()),
+                "n_chunk_tokens": pa.array(out_n, pa.int64()),
+                "chunk": pa.array(out_s, pa.string()),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow"
+    )
+
+
+SESSION_GAP_MS = 1_800_000  # 30-minute inactivity gap closes a session
+SESSION_BUCKETS = 32  # groupby key cardinality (raise for bigger clusters)
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization: per user, events ordered by (ts, event_id) are cut
+    into sessions at inactivity gaps > 30 min; one row per session with
+    (user_id, session_idx, n_events, start_ms, end_ms).
+
+    Scale shape: users are hash-bucketed into ``SESSION_BUCKETS`` groups so
+    the shuffle has fixed key cardinality (no per-user groups — the measured
+    per-group-UDF trap); each bucket is sessionized in ONE vectorized numpy
+    pass (lexsort + diff + boundary slicing) over all its users at once. At
+    cluster scale raise SESSION_BUCKETS so a bucket fits a worker's heap."""
+    import ray.data as rd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = batch["user_id"].to_numpy()
+        # fixture ts is µs-grain; truncate to an EXPLICIT ms unit (floor for
+        # post-epoch values) — exactly DuckDB's epoch_ms(ts) on the oracle
+        # side, and unit mismatch is a known trap on these tables
+        ms = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("ms"), safe=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(uid % SESSION_BUCKETS, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ms": ms,
+            }
+        )
+
+    def sessionize(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ms, uid))
+        uid, ms = uid[order], ms[order]
+        new_user = np.empty(len(uid), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(ms), np.int64)
+        gap[0] = 0
+        gap[1:] = ms[1:] - ms[:-1]
+        brk = new_user | (gap > SESSION_GAP_MS)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(uid)]
+        s_user = uid[starts]
+        # session_idx = rank of the session among its user's sessions
+        ufirst = np.flatnonzero(np.r_[True, s_user[1:] != s_user[:-1]])
+        sidx = np.arange(len(starts)) - np.repeat(
+            ufirst, np.diff(np.r_[ufirst, len(starts)])
+        )
+        return pd.DataFrame(
+            {
+                "user_id": s_user,
+                "session_idx": sidx.astype(np.int64),
+                "n_events": (ends - starts).astype(np.int64),
+                "start_ms": ms[starts],
+                "end_ms": ms[ends - 1],
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+def q_dup_clusters(sf_dir: str):
+    """Fuzzy-dedup canonicalization: connected components over the verified
+    near-dup pair graph (char-5-shingle Jaccard ≥ 0.5, the same pair
+    relation as ``minhash_dup_pairs``). One row per doc that participates
+    in at least one pair: (doc_id, cluster_rep) with rep = the component's
+    min doc_id — 'keep rep, drop the rest' is the standard fuzzy-dedup
+    final step.
+
+    Scale shape: pair discovery is the fully distributed LSH pipeline; the
+    pair list itself is output-bounded (global pair budget in
+    stages/dedup.py), so component labelling runs as vectorized min-label
+    propagation with pointer jumping over the bounded edge list — O(pairs)
+    memory, O(log diameter) rounds. Beyond the pair budget the same kernel
+    shards by alternating large-star/small-star rounds (documented path)."""
+    import pandas as pd
+
+    from ..stages.dedup import minhash_lsh_pairs
+
+    pairs = pairs_to_df(
+        minhash_lsh_pairs(_p(sf_dir, "documents"), threshold=0.5),
+        ["doc_a", "doc_b", "jaccard_micro"],
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64), "cluster_rep": pd.Series(dtype=np.int64)}
+        )
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes))
+    for _ in range(max(4, len(nodes))):
+        new = label.copy()
+        np.minimum.at(new, ea, label[eb])
+        np.minimum.at(new, eb, label[ea])
+        new = new[new]  # pointer jumping halves tree depth each round
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pd.DataFrame({"doc_id": nodes, "cluster_rep": nodes[label]})
+
+
 # --------------------------------------------------------------------------
 # registry + SQL oracles
 # --------------------------------------------------------------------------
@@ -841,6 +1002,9 @@ QUERIES = {
     "allpairs_jaccard": q_allpairs_jaccard,
     "doc_repetition": q_doc_repetition,
     "decontam_8gram_hits": q_decontam_8gram_hits,
+    "doc_chunks": q_doc_chunks,
+    "user_sessions": q_user_sessions,
+    "dup_clusters": q_dup_clusters,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,
@@ -859,6 +1023,8 @@ _SCORE_SQL = (
     f"(EXP(-(({NOW_MS} - epoch_ms(ts))/{AVG_TIME_DIFF_MS})) + 1)/2"
 )
 _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+from .oracles_ext import _CHAR5_CTE as _ORACLE_CHAR5_CTE  # noqa: E402
 
 ORACLE_SQL = {
     "ranker_scores": (
@@ -951,6 +1117,44 @@ ORACLE_SQL = {
         "hits AS (SELECT DISTINCT d.doc_id, d.g8 FROM g d JOIN bench b USING (g8) "
         f"WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0) "
         "SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id"
+    ),
+    "doc_chunks": (
+        f"WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents), "
+        "c AS (SELECT doc_id, len(tk) AS n, unnest(list_transform("
+        f"range(0, CAST(CEIL(len(tk)/{CHUNK_W}.0) AS BIGINT)), i -> struct_pack(ci := i, "
+        f"ch := array_to_string(tk[CAST(i*{CHUNK_W}+1 AS INT):CAST(i*{CHUNK_W}+{CHUNK_W} AS INT)], ' ')))) AS u "
+        "FROM toks WHERE len(tk) > 0) "
+        "SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, "
+        f"CAST(LEAST({CHUNK_W}, n - u.ci*{CHUNK_W}) AS BIGINT) AS n_chunk_tokens, "
+        "u.ch AS chunk FROM c"
+    ),
+    "user_sessions": (
+        "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events), "
+        "o AS (SELECT user_id, event_id, ms, CASE WHEN LAG(ms) OVER w IS NULL "
+        f"OR ms - LAG(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS brk "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), "
+        "s AS (SELECT user_id, ms, CAST(SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM o) "
+        "SELECT user_id, session_idx, COUNT(*) AS n_events, "
+        "MIN(ms) AS start_ms, MAX(ms) AS end_ms FROM s GROUP BY 1, 2"
+    ),
+    # connected components via recursive transitive closure over the same
+    # brute-force char5-Jaccard pair relation that oracles minhash_dup_pairs
+    # (tiny pair graph at oracle scale; the engine side is the budgeted
+    # distributed LSH pipeline + min-label propagation)
+    "dup_clusters": (
+        f"WITH RECURSIVE {_ORACLE_CHAR5_CTE}, "
+        "dd AS (SELECT DISTINCT doc_id, s FROM sh), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM dd GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "FROM dd a JOIN dd b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "p AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+        "WHERE i * 2 >= (sa.n + sb.n - i)), "
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p), "
+        "reach AS (SELECT a AS src, b AS dst FROM e "
+        "UNION SELECT r.src, e2.b FROM reach r JOIN e e2 ON e2.a = r.dst) "
+        "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep FROM reach GROUP BY src"
     ),
 }
 

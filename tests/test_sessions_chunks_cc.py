@@ -1,0 +1,109 @@
+"""Edge-semantics tests for the round-3 training-data operators:
+sessionization boundaries (gap strictly > 30 min splits; ties ordered by
+event_id), chunking window arithmetic, and connected-component transitivity
+of the fuzzy-dedup canonicalizer. The full-query oracle equivalence runs in
+tests/test_queries_oracle.py; these pin the hand-reasoned corner cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _sessionize_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Run the query's per-bucket kernel directly on one frame."""
+    from mklab_focused_crawler_ray.pipelines.queries import (
+        SESSION_GAP_MS,
+        q_user_sessions,
+    )
+
+    # reach the inner kernel through the module-level constants it uses
+    assert SESSION_GAP_MS == 1_800_000
+    # re-implementation shortcut: call the query over a temp parquet
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table(
+            {
+                "event_id": pa.array(df["event_id"], pa.int64()),
+                "ts": pa.array(df["ms"].astype("int64"), pa.int64()).cast(
+                    pa.timestamp("ms")
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "event_type": pa.array(["x"] * len(df), pa.string()),
+                "value": pa.array([0.0] * len(df), pa.float64()),
+                "props": pa.array(["{}"] * len(df), pa.string()),
+            }
+        )
+        pq.write_table(t, f"{d}/events.parquet")
+        res = q_user_sessions(d)
+        out = res.to_pandas() if isinstance(res, ray.data.Dataset) else res
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def test_session_gap_boundary(ray_session):
+    G = 1_800_000
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [7, 7, 7, 7],
+            # gaps: exactly G (same session), G+1 (split), 1 (same)
+            "ms": [1_000, 1_000 + G, 1_000 + 2 * G + 1, 1_000 + 2 * G + 2],
+        }
+    )
+    out = _sessionize_frame(df)
+    assert out["session_idx"].tolist() == [0, 1]
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["start_ms"].tolist() == [1_000, 1_000 + 2 * G + 1]
+    assert out["end_ms"].tolist() == [1_000 + G, 1_000 + 2 * G + 2]
+
+
+def test_session_users_independent(ray_session):
+    # interleaved users never share sessions even at identical timestamps
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [1, 2, 1, 2],
+            "ms": [5_000, 5_000, 6_000, 6_000],
+        }
+    )
+    out = _sessionize_frame(df)
+    assert len(out) == 2
+    assert set(out["user_id"]) == {1, 2}
+    assert out["n_events"].tolist() == [2, 2]
+
+
+def test_chunk_window_arithmetic():
+    from mklab_focused_crawler_ray.pipelines.queries import CHUNK_W
+
+    # n = 2*W + 1 tokens → 3 chunks sized (W, W, 1)
+    n = 2 * CHUNK_W + 1
+    sizes = [
+        min(CHUNK_W, n - i * CHUNK_W) for i in range((n + CHUNK_W - 1) // CHUNK_W)
+    ]
+    assert sizes == [CHUNK_W, CHUNK_W, 1]
+
+
+def test_cc_min_label_transitive():
+    """The min-label kernel must assign one rep per connected component:
+    chain, star, and two disjoint comps, regardless of edge order."""
+    a = np.array([10, 20, 50, 41, 40], np.int64)  # edges: 10-20,20-30,50-40,41-42,40-41
+    b = np.array([20, 30, 40, 42, 41], np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes))
+    for _ in range(max(4, len(nodes))):
+        new = label.copy()
+        np.minimum.at(new, ea, label[eb])
+        np.minimum.at(new, eb, label[ea])
+        new = new[new]
+        if np.array_equal(new, label):
+            break
+        label = new
+    rep = dict(zip(nodes.tolist(), nodes[label].tolist()))
+    assert rep[10] == rep[20] == rep[30] == 10
+    assert rep[40] == rep[41] == rep[42] == rep[50] == 40
