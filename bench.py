@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "user_sessions",
     "dup_clusters",
+    "corpus_filter_kept",
     "ann_ivf_top10",
     "ann_lsh_top10",
     "items_top100",

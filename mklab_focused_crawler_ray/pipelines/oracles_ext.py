@@ -551,4 +551,23 @@ def build_extended_oracles() -> dict[str, str]:
         sql["ann_ivf_partitioned_top10"] = sql["ann_ivf_top10"]
         sql["ann_lsh_top10"] = _ann_lsh_sql(emb01)
 
+    # end-to-end corpus-curation keep decision, composed from the same
+    # oracle fragments the individual queries are checked against: quality
+    # gate + near-dup-cluster rep keep + 8-gram decontamination. The dup /
+    # contam subqueries carry their own (recursive) WITH scopes.
+    from .queries import ORACLE_SQL as _base_sql
+    from .queries import QUALITY_KEEP_MICRO as _qk
+
+    sql["corpus_filter_kept"] = (
+        f"WITH q AS ({sql['doc_quality']}), l AS ({_langid_sql()}), "
+        f"dropn AS (SELECT doc_id FROM ({_base_sql['dup_clusters']}) "
+        "WHERE doc_id <> cluster_rep), "
+        f"cont AS (SELECT doc_id FROM ({_base_sql['decontam_8gram_hits']})) "
+        "SELECT q.doc_id, l.lang_pred, q.quality_micro "
+        "FROM q JOIN l ON l.doc_id = q.doc_id "
+        f"WHERE q.quality_micro >= {_qk} "
+        "AND q.doc_id NOT IN (SELECT doc_id FROM dropn) "
+        "AND q.doc_id NOT IN (SELECT doc_id FROM cont)"
+    )
+
     return sql

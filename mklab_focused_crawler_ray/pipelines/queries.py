@@ -978,6 +978,71 @@ def q_dup_clusters(sf_dir: str):
     return pd.DataFrame({"doc_id": nodes, "cluster_rep": nodes[label]})
 
 
+QUALITY_KEEP_MICRO = 500_000  # keep docs scoring ≥ 0.5
+
+
+def q_corpus_filter_kept(sf_dir: str):
+    """End-to-end corpus curation (the C4/Gopher-style keep decision),
+    composed from this engine's own operators:
+
+      keep ⟺ quality_micro ≥ 500000                (map-side score)
+           ∧ doc is its near-dup cluster's rep      (bounded drop set)
+           ∧ doc shares no word-8-gram with the benchmark set
+                                                    (bounded contam set)
+
+    Scale shape: the near-dup drop set (cluster members minus reps) and the
+    contaminated-id set are output-bounded by construction (global pair
+    budget / eval-suite size), so both broadcast via ray.put as ONE sorted
+    id array and the corpus streams through a single vectorized map_batches
+    filter — no shuffle in this stage. Exact-hash dedup composes upstream
+    as its own groupby stage (exact_dedup_docs); it is deliberately not
+    folded in here because its drop set is corpus-sized."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import detect_language, quality_features
+
+    cl = q_dup_clusters(sf_dir)
+    drop_near = cl.loc[cl["doc_id"] != cl["cluster_rep"], "doc_id"].to_numpy(np.int64)
+    cont = (
+        q_decontam_8gram_hits(sf_dir).to_pandas()["doc_id"].to_numpy(np.int64)
+    )
+    drop_ref = ray.put(np.unique(np.concatenate([drop_near, cont])))
+
+    class Filt:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            qm = _micro(
+                np.fromiter(
+                    (quality_features(t)["quality"] for t in texts),
+                    np.float64,
+                    len(texts),
+                )
+            )
+            keep = qm >= QUALITY_KEEP_MICRO
+            if len(self.drop):
+                pos = np.searchsorted(self.drop, ids).clip(max=len(self.drop) - 1)
+                keep &= self.drop[pos] != ids
+            k = np.flatnonzero(keep)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[k], pa.int64()),
+                    "lang_pred": pa.array(
+                        [detect_language(texts[i]) for i in k], pa.string()
+                    ),
+                    "quality_micro": pa.array(qm[k], pa.int64()),
+                }
+            )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        Filt, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + SQL oracles
 # --------------------------------------------------------------------------
@@ -1005,6 +1070,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "user_sessions": q_user_sessions,
     "dup_clusters": q_dup_clusters,
+    "corpus_filter_kept": q_corpus_filter_kept,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,
