@@ -565,17 +565,38 @@ def pairs_to_df(ds, cols: list[str]):
     return df.astype({c: np.int64 for c in cols}).reset_index(drop=True)
 
 
+# in-process memo of verified char5 near-dup pairs, shared by
+# minhash_dup_pairs / dup_clusters / corpus_filter_kept so one driver
+# process pays the LSH pipeline once per corpus. Keyed by a content
+# fingerprint (abs path + size + mtime — the token_postings cache-key
+# lesson from ADVICE r2), never by directory name. Consumers treat the
+# frame as read-only.
+_MINHASH_PAIR_MEMO: dict[tuple, "pd.DataFrame"] = {}
+
+
+def _minhash_pairs_cached(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    src = _p(sf_dir, "documents")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    df = _MINHASH_PAIR_MEMO.get(key)
+    if df is None:
+        df = pairs_to_df(
+            minhash_lsh_pairs(src, threshold=0.5),
+            ["doc_a", "doc_b", "jaccard_micro"],
+        )
+        _MINHASH_PAIR_MEMO.clear()  # hold at most one corpus
+        _MINHASH_PAIR_MEMO[key] = df
+    return df
+
+
 def q_minhash_dup_pairs(sf_dir: str):
     """MinHash + LSH banding near-dup candidate pairs, verified with exact
     shingle-set Jaccard ≥ 0.5. Fully distributed: signature explode →
     hot-band filter → map_groups pairing (skew-capped) → cogroup shingle
     verify. See stages/dedup.py for the engine."""
-    from ..stages.dedup import minhash_lsh_pairs
-
-    return pairs_to_df(
-        minhash_lsh_pairs(_p(sf_dir, "documents"), threshold=0.5),
-        ["doc_a", "doc_b", "jaccard_micro"],
-    )
+    return _minhash_pairs_cached(sf_dir).copy()
 
 
 def q_allpairs_jaccard(sf_dir: str):
@@ -952,12 +973,7 @@ def q_dup_clusters(sf_dir: str):
     shards by alternating large-star/small-star rounds (documented path)."""
     import pandas as pd
 
-    from ..stages.dedup import minhash_lsh_pairs
-
-    pairs = pairs_to_df(
-        minhash_lsh_pairs(_p(sf_dir, "documents"), threshold=0.5),
-        ["doc_a", "doc_b", "jaccard_micro"],
-    )
+    pairs = _minhash_pairs_cached(sf_dir)
     if pairs.empty:
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype=np.int64), "cluster_rep": pd.Series(dtype=np.int64)}

@@ -51,13 +51,18 @@ def _features(text: str, shingle: str) -> set:
 
 
 class MinHashSignatures:
-    """Actor-pool stage: doc → (doc_id, band_id, band_key) exploded rows.
+    """Signature stage: doc → (doc_id, band_id, band_key) exploded rows.
 
     Signatures come from ONE-permutation hashing (functions/hashing.
     oph_signatures — O(n) per doc; the classic K-permutation variant cost
     O(K·n) and dominated this stage's wall time ~20× at sf0.1). The exact
     downstream Jaccard verify makes the signature scheme a pure
-    candidate-recall choice."""
+    candidate-recall choice.
+
+    This is deliberately NOT an actor pool: it holds no heavy state (three
+    scalars), so running it as plain map_batches TASKS reuses warm workers
+    instead of paying a per-pipeline actor-pool spawn (~1-2 s at sf0.1,
+    measured)."""
 
     def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS, shingle: str = "char5"):
         self.num_perm = num_perm
@@ -385,47 +390,47 @@ def _shingle_hash_store(ds, involved: np.ndarray, shingle: str):
 
     inv_ref = ray.put(np.asarray(involved, dtype=np.int64))
 
-    class HashStore:
-        def __init__(self):
-            self.involved = ray.get(inv_ref)
+    def hash_store(batch: pa.Table) -> pa.Table:
+        # task-based on purpose: the only state is the broadcast involved-id
+        # array, and ray.get of a numpy ObjectRef is a zero-copy plasma read
+        # per task — cheaper than paying an actor-pool spawn per pipeline
+        from ..functions.hashing import char_shingle_hashes, word_ngram_hashes
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..functions.hashing import char_shingle_hashes, word_ngram_hashes
-
-            ids = batch["doc_id"].to_numpy()
-            idx = np.clip(
-                np.searchsorted(self.involved, ids), 0, max(0, len(self.involved) - 1)
+        involved_ids = ray.get(inv_ref)
+        ids = batch["doc_id"].to_numpy()
+        idx = np.clip(
+            np.searchsorted(involved_ids, ids), 0, max(0, len(involved_ids) - 1)
+        )
+        m = (
+            (involved_ids[idx] == ids)
+            if len(involved_ids)
+            else np.zeros(len(ids), bool)
+        )
+        out_ids, out_h = [], []
+        for did, text, k in zip(ids, batch["text"].to_pylist(), m):
+            if not k:
+                continue
+            h = (
+                word_ngram_hashes(text, 3)
+                if shingle == "word3"
+                else char_shingle_hashes(text, SHINGLE_K)
             )
-            m = (
-                (self.involved[idx] == ids)
-                if len(self.involved)
-                else np.zeros(len(ids), bool)
-            )
-            out_ids, out_h = [], []
-            for did, text, k in zip(ids, batch["text"].to_pylist(), m):
-                if not k:
-                    continue
-                h = (
-                    word_ngram_hashes(text, 3)
-                    if shingle == "word3"
-                    else char_shingle_hashes(text, SHINGLE_K)
-                )
-                out_ids.append(int(did))
-                out_h.append(h.view(np.int64))
-            return pa.table(
-                {
-                    "doc_id": pa.array(out_ids, pa.int64()),
-                    "hashes": pa.array(
-                        [x.tolist() for x in out_h], pa.list_(pa.int64())
-                    ),
-                }
-            )
+            out_ids.append(int(did))
+            out_h.append(h.view(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "hashes": pa.array(
+                    [x.tolist() for x in out_h], pa.list_(pa.int64())
+                ),
+            }
+        )
 
     parts_ids: list[np.ndarray] = []
     parts_vals: list[np.ndarray] = []
     parts_len: list[np.ndarray] = []
     for b in (
-        ds.map_batches(HashStore, batch_format="pyarrow", concurrency=(1, 8))
+        ds.map_batches(hash_store, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     ):
         col = b["hashes"].combine_chunks() if b["hashes"].num_chunks > 1 else b["hashes"].chunk(0)
@@ -483,11 +488,9 @@ def minhash_lsh_pairs(
 
     ds = rd.read_parquet(doc_parquet, columns=["doc_id", "text"])
     sig = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"shingle": shingle},
+        MinHashSignatures(shingle=shingle),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 16),
     ).materialize()
     cand, hot_pd = _hot_candidate_rows(sig, ["band_id", "band_key"])
     if cand is None:
