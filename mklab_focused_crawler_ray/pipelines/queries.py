@@ -455,46 +455,48 @@ def q_embedding_top10(sf_dir: str):
     import ray
     import ray.data as rd
 
-    qt = pq.read_table(_p(sf_dir, "embeddings"))
-    mask = np.array([v < N_QUERIES for v in qt["vec_id"].to_numpy()])
-    qids = qt["vec_id"].to_numpy()[mask]
-    qmat = np.stack(
-        [np.asarray(e, dtype=np.float64) for e, m in zip(qt["embedding"].to_pylist(), mask) if m]
+    # predicate pushdown: only row groups overlapping [0, N_QUERIES) reach
+    # the driver — never the full embedding table
+    qt = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
+    qids = qt["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(e, dtype=np.float64) for e in qt["embedding"].to_pylist()])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     q_ref = ray.put((qids, qmat))
 
-    class Sims:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = batch["vec_id"].to_numpy()
-            emb = np.stack(
-                [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-            )
-            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            cos = emb @ self.qmat.T  # (B, nq)
-            cm = _micro(cos)  # integer scores — total order (cos desc, vec_id asc)
-            out_q, out_v, out_c = [], [], []
-            for qi, qid in enumerate(self.qids):
-                # per-batch partial top-k under the SAME total order as the
-                # final selection (self-match excluded here too) → global
-                # result provably identical while the shuffle sees
-                # k × nq × #blocks rows, not B × nq
-                mask = vids != qid
-                vv, cc = vids[mask], cm[mask, qi]
-                order = np.lexsort((vv, -cc))[:TOP_K]
-                out_q.append(np.full(len(order), qid, np.int64))
-                out_v.append(vv[order])
-                out_c.append(cc[order])
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                    "cos_micro": pa.array(np.concatenate(out_c), pa.int64()),
-                }
-            )
+    # task-based: the only state is the broadcast query matrix (zero-copy
+    # ray.get per task); parallelism follows the block count
+    def sims(batch: pa.Table) -> pa.Table:
+        bqids, bqmat = ray.get(q_ref)
+        vids = batch["vec_id"].to_numpy()
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = emb @ bqmat.T  # (B, nq)
+        cm = _micro(cos)  # integer scores — total order (cos desc, vec_id asc)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(bqids):
+            # per-batch partial top-k under the SAME total order as the
+            # final selection (self-match excluded here too) → global
+            # result provably identical while the shuffle sees
+            # k × nq × #blocks rows, not B × nq
+            mask = vids != qid
+            vv, cc = vids[mask], cm[mask, qi]
+            order = np.lexsort((vv, -cc))[:TOP_K]
+            out_q.append(np.full(len(order), qid, np.int64))
+            out_v.append(vv[order])
+            out_c.append(cc[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos_micro": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["vec_id"] != g["query_id"]]
@@ -502,7 +504,7 @@ def q_embedding_top10(sf_dir: str):
 
     return (
         rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-        .map_batches(Sims, batch_format="pyarrow", concurrency=2)
+        .map_batches(sims, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(topk, batch_format="pandas")
     )
@@ -803,38 +805,37 @@ def q_decontam_8gram_hits(sf_dir: str):
     bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
     bench_ref = ray.put(bench)
 
-    class CountHits:
-        def __init__(self):
-            self.bench = ray.get(bench_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy()
-            nd = len(ids)
-            didx, grams = [], []
-            for i in np.flatnonzero(ids % DECONTAM_BENCH_MOD != 0):
-                th = token_hashes(TOKEN_RE.findall(batch["text"][i].as_py().lower()))
-                g = np.unique(_ngram_fold_hashes(th, 8))  # distinct per doc
-                didx.append(np.full(len(g), i, np.int64))
-                grams.append(g)
-            if not grams or len(self.bench) == 0:
-                return pa.table(
-                    {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
-                )
-            d = np.concatenate(didx)
-            g = np.concatenate(grams)
-            pos = np.searchsorted(self.bench, g).clip(max=len(self.bench) - 1)
-            member = self.bench[pos] == g
-            hits = np.bincount(d[member], minlength=nd)
-            keep = np.flatnonzero(hits > 0)
+    # task-based: the state is one broadcast sorted gram array — zero-copy
+    # ray.get per task beats paying an actor-pool spawn per pipeline
+    def count_hits(batch: pa.Table) -> pa.Table:
+        bench_g = ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy()
+        nd = len(ids)
+        didx, grams = [], []
+        for i in np.flatnonzero(ids % DECONTAM_BENCH_MOD != 0):
+            th = token_hashes(TOKEN_RE.findall(batch["text"][i].as_py().lower()))
+            g = np.unique(_ngram_fold_hashes(th, 8))  # distinct per doc
+            didx.append(np.full(len(g), i, np.int64))
+            grams.append(g)
+        if not grams or len(bench_g) == 0:
             return pa.table(
-                {
-                    "doc_id": pa.array(ids[keep], pa.int64()),
-                    "n_hits": pa.array(hits[keep], pa.int64()),
-                }
+                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
             )
+        d = np.concatenate(didx)
+        g = np.concatenate(grams)
+        pos = np.searchsorted(bench_g, g).clip(max=len(bench_g) - 1)
+        member = bench_g[pos] == g
+        hits = np.bincount(d[member], minlength=nd)
+        keep = np.flatnonzero(hits > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            }
+        )
 
     return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
-        CountHits, batch_format="pyarrow", concurrency=(1, 4)
+        count_hits, batch_format="pyarrow"
     )
 
 
@@ -1025,37 +1026,36 @@ def q_corpus_filter_kept(sf_dir: str):
     )
     drop_ref = ray.put(np.unique(np.concatenate([drop_near, cont])))
 
-    class Filt:
-        def __init__(self):
-            self.drop = ray.get(drop_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy()
-            texts = batch["text"].to_pylist()
-            qm = _micro(
-                np.fromiter(
-                    (quality_features(t)["quality"] for t in texts),
-                    np.float64,
-                    len(texts),
-                )
+    # task-based: state is one broadcast sorted drop-id array (zero-copy
+    # ray.get per task)
+    def filt(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        qm = _micro(
+            np.fromiter(
+                (quality_features(t)["quality"] for t in texts),
+                np.float64,
+                len(texts),
             )
-            keep = qm >= QUALITY_KEEP_MICRO
-            if len(self.drop):
-                pos = np.searchsorted(self.drop, ids).clip(max=len(self.drop) - 1)
-                keep &= self.drop[pos] != ids
-            k = np.flatnonzero(keep)
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids[k], pa.int64()),
-                    "lang_pred": pa.array(
-                        [detect_language(texts[i]) for i in k], pa.string()
-                    ),
-                    "quality_micro": pa.array(qm[k], pa.int64()),
-                }
-            )
+        )
+        keep = qm >= QUALITY_KEEP_MICRO
+        if len(drop):
+            pos = np.searchsorted(drop, ids).clip(max=len(drop) - 1)
+            keep &= drop[pos] != ids
+        k = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[k], pa.int64()),
+                "lang_pred": pa.array(
+                    [detect_language(texts[i]) for i in k], pa.string()
+                ),
+                "quality_micro": pa.array(qm[k], pa.int64()),
+            }
+        )
 
     return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
-        Filt, batch_format="pyarrow", concurrency=(1, 4)
+        filt, batch_format="pyarrow"
     )
 
 

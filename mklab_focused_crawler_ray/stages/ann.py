@@ -128,18 +128,19 @@ def brute_force_topk(emb_parquet: str, n_queries: int = 5, k: int = 10):
 
     q_ref = ray.put(load_queries(emb_parquet, n_queries))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _normalize(_batch_embeddings(batch))
-            cos = emb @ self.qmat.T
-            return _topk_rows(self.qids, batch["vec_id"].to_numpy(), cos, k)
+    # task-based: the only state is the broadcast query matrix, and ray.get
+    # of a numpy ObjectRef is a zero-copy plasma read per task — cheaper
+    # than an actor-pool spawn, and parallelism follows the block count
+    # instead of a fixed 2-actor cap
+    def score(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        emb = _normalize(_batch_embeddings(batch))
+        cos = emb @ qmat.T
+        return _topk_rows(qids, batch["vec_id"].to_numpy(), cos, k)
 
     return (
         rd.read_parquet(emb_parquet, columns=["vec_id", "embedding"])
-        .map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .map_batches(score, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(_final_topk(k), batch_format="pandas")
     )
@@ -217,30 +218,27 @@ def ivf_topk(
     qids, qmat = load_queries(emb_parquet, n_queries)
     cent = train_centroids(emb_parquet, nlist)
     probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    side_ref = ray.put((qids, qmat, cent, probes))
+    # probe_mask[c, qi] = does query qi probe centroid c (tiny: nlist × nq,
+    # built once here and broadcast — tasks zero-copy ray.get it per batch)
+    probe_mask = np.zeros((len(cent), len(qids)), bool)
+    for qi in range(len(qids)):
+        probe_mask[probes[qi], qi] = True
+    side_ref = ray.put((qids, qmat, cent, probe_mask))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qmat, self.cent, self.probes = ray.get(side_ref)
-            # probe_mask[c, qi] = does query qi probe centroid c
-            nq = len(self.qids)
-            self.probe_mask = np.zeros((len(self.cent), nq), bool)
-            for qi in range(nq):
-                self.probe_mask[self.probes[qi], qi] = True
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _normalize(_batch_embeddings(batch))
-            vids = batch["vec_id"].to_numpy()
-            assign = np.argmax(emb @ self.cent.T, axis=1)  # (B,)
-            cos = emb @ self.qmat.T  # (B, nq)
-            # mask out rows whose centroid the query does not probe
-            allowed = self.probe_mask[assign]  # (B, nq)
-            cos = np.where(allowed, cos, -2.0)
-            return _topk_rows(self.qids, vids, cos, k)
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, cent_, probe_mask_ = ray.get(side_ref)
+        emb = _normalize(_batch_embeddings(batch))
+        vids = batch["vec_id"].to_numpy()
+        assign = np.argmax(emb @ cent_.T, axis=1)  # (B,)
+        cos = emb @ qmat_.T  # (B, nq)
+        # mask out rows whose centroid the query does not probe
+        allowed = probe_mask_[assign]  # (B, nq)
+        cos = np.where(allowed, cos, -2.0)
+        return _topk_rows(qids_, vids, cos, k)
 
     return (
         rd.read_parquet(emb_parquet, columns=["vec_id", "embedding"])
-        .map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .map_batches(score, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(_lose_missing(_final_topk(k)), batch_format="pandas")
     )
@@ -382,22 +380,19 @@ def lsh_topk(
     q_sigs = band_sigs(qmat)  # (nq, bands)
     side_ref = ray.put((qids, qmat, q_sigs))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qmat, self.q_sigs = ray.get(side_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _normalize(_batch_embeddings(batch))
-            vids = batch["vec_id"].to_numpy()
-            sigs = band_sigs(emb)  # (B, bands)
-            # candidate[i, qi] = any band equal
-            cand = (sigs[:, None, :] == self.q_sigs[None, :, :]).any(axis=2)
-            cos = np.where(cand, emb @ self.qmat.T, -2.0)
-            return _topk_rows(self.qids, vids, cos, k)
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, q_sigs_ = ray.get(side_ref)
+        emb = _normalize(_batch_embeddings(batch))
+        vids = batch["vec_id"].to_numpy()
+        sigs = band_sigs(emb)  # (B, bands)
+        # candidate[i, qi] = any band equal
+        cand = (sigs[:, None, :] == q_sigs_[None, :, :]).any(axis=2)
+        cos = np.where(cand, emb @ qmat_.T, -2.0)
+        return _topk_rows(qids_, vids, cos, k)
 
     return (
         rd.read_parquet(emb_parquet, columns=["vec_id", "embedding"])
-        .map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .map_batches(score, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(_lose_missing(_final_topk(k)), batch_format="pandas")
     )
