@@ -107,3 +107,115 @@ def test_cc_min_label_transitive():
     rep = dict(zip(nodes.tolist(), nodes[label].tolist()))
     assert rep[10] == rep[20] == rep[30] == 10
     assert rep[40] == rep[41] == rep[42] == rep[50] == 40
+
+
+# ---------------------------------------------------------------------------
+# property tests vs pure-python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _sessions_reference(rows, gap):
+    """Dict-of-lists reference sessionizer: per user sort by (ms, event_id),
+    split at gaps > gap."""
+    by_user = {}
+    for eid, uid, ms in rows:
+        by_user.setdefault(uid, []).append((ms, eid))
+    out = []
+    for uid in sorted(by_user):
+        evs = sorted(by_user[uid])
+        sess, sidx = [evs[0]], 0
+        for prev, cur in zip(evs, evs[1:]):
+            if cur[0] - prev[0] > gap:
+                out.append((uid, sidx, len(sess), sess[0][0], sess[-1][0]))
+                sess, sidx = [], sidx + 1
+            sess.append(cur)
+        out.append((uid, sidx, len(sess), sess[0][0], sess[-1][0]))
+    return sorted(out)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 7),  # user_id
+            st.integers(0, 10_000_000),  # ms
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionize_matches_reference(ray_session, pairs):
+    import pandas as pd
+
+    rows = [(i, uid, ms) for i, (uid, ms) in enumerate(pairs)]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ms"])
+    out = _sessionize_frame(df)
+    got = sorted(
+        zip(
+            out["user_id"], out["session_idx"], out["n_events"],
+            out["start_ms"], out["end_ms"],
+        )
+    )
+    assert got == _sessions_reference(rows, 1_800_000)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=40))
+def test_cc_matches_bfs(edges):
+    """min-label + pointer jumping == BFS component minima on random graphs."""
+    if not edges:
+        return
+    a = np.array([e[0] for e in edges], np.int64)
+    b = np.array([e[1] for e in edges], np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes))
+    for _ in range(max(4, len(nodes))):
+        new = label.copy()
+        np.minimum.at(new, ea, label[eb])
+        np.minimum.at(new, eb, label[ea])
+        new = new[new]
+        if np.array_equal(new, label):
+            break
+        label = new
+    # BFS reference
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    ref = {}
+    for start in sorted(adj):
+        if start in ref:
+            continue
+        comp, todo = set(), [start]
+        while todo:
+            v = todo.pop()
+            if v in comp:
+                continue
+            comp.add(v)
+            todo.extend(adj[v] - comp)
+        m = min(comp)
+        for v in comp:
+            ref[v] = m
+    got = dict(zip(nodes.tolist(), nodes[label].tolist()))
+    assert got == ref
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(max_size=400))
+def test_chunks_reassemble_token_stream(text):
+    """Concatenating a doc's chunks in chunk_idx order reproduces its
+    token stream exactly — no token lost or duplicated."""
+    from mklab_focused_crawler_ray.pipelines.queries import CHUNK_W, TOKEN_RE
+
+    tk = TOKEN_RE.findall(text.lower())
+    chunks = [
+        tk[i * CHUNK_W : (i + 1) * CHUNK_W]
+        for i in range((len(tk) + CHUNK_W - 1) // CHUNK_W)
+    ]
+    flat = [t for c in chunks for t in c]
+    assert flat == tk
+    assert all(0 < len(c) <= CHUNK_W for c in chunks)
