@@ -171,8 +171,8 @@ def run_queries(sf_dir: str) -> dict:
     import ray
 
     from mklab_focused_crawler_ray.pipelines.queries import (
-        _MINHASH_PAIR_MEMO,
         QUERIES,
+        clear_query_memos,
     )
 
     out = {}
@@ -180,10 +180,10 @@ def run_queries(sf_dir: str) -> dict:
         fn = QUERIES[name]
         best = None
         for _ in range(2):
-            # the near-dup pair memo is a real cross-query win in a driver
-            # process, but benchmarking it would report a dict lookup as the
-            # operator's cost — clear it so every repeat pays its own work
-            _MINHASH_PAIR_MEMO.clear()
+            # per-corpus memos are a real cross-query win in a driver
+            # process, but benchmarking them would report a dict lookup as
+            # the operator's cost — clear so every repeat pays its own work
+            clear_query_memos()
             t0 = time.time()
             res = fn(sf_dir)
             if isinstance(res, ray.data.Dataset):

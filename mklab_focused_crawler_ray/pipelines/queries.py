@@ -451,21 +451,14 @@ def q_embedding_top10(sf_dir: str):
     float64 matmul against a broadcast query matrix, then per-query top-k via
     groupby.map_groups). IVF/LSH variants live in stages/ann.py."""
     import pandas as pd
-    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    # predicate pushdown: only row groups overlapping [0, N_QUERIES) reach
-    # the driver — never the full embedding table
-    qt = pq.read_table(
-        _p(sf_dir, "embeddings"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", N_QUERIES)],
-    )
-    qids = qt["vec_id"].to_numpy()
-    qmat = np.stack([np.asarray(e, dtype=np.float64) for e in qt["embedding"].to_pylist()])
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    q_ref = ray.put((qids, qmat))
+    # one query-side loader shared with the ANN stages (predicate pushdown:
+    # only row groups overlapping [0, N_QUERIES) reach the driver)
+    from ..stages.ann import load_queries
+
+    q_ref = ray.put(load_queries(_p(sf_dir, "embeddings"), N_QUERIES))
 
     # task-based: the only state is the broadcast query matrix (zero-copy
     # ray.get per task); parallelism follows the block count
@@ -574,6 +567,14 @@ def pairs_to_df(ds, cols: list[str]):
 # lesson from ADVICE r2), never by directory name. Consumers treat the
 # frame as read-only.
 _MINHASH_PAIR_MEMO: dict[tuple, "pd.DataFrame"] = {}
+
+
+def clear_query_memos() -> None:
+    """Drop every in-process per-corpus memo. Benchmarks call this before
+    each timed repeat so reported numbers are self-contained work, not
+    cache hits; any future memo added to this module must be cleared here
+    too (that is the function's contract)."""
+    _MINHASH_PAIR_MEMO.clear()
 
 
 def _minhash_pairs_cached(sf_dir: str):
@@ -981,6 +982,16 @@ def q_dup_clusters(sf_dir: str):
         )
     a = pairs["doc_a"].to_numpy(np.int64)
     b = pairs["doc_b"].to_numpy(np.int64)
+    nodes, rep = cc_min_label(a, b)
+    return pd.DataFrame({"doc_id": nodes, "cluster_rep": rep})
+
+
+def cc_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components over an (a, b) edge list: returns (nodes,
+    component-min label per node) via vectorized min-label propagation with
+    pointer jumping — O(edges) memory, O(log diameter) rounds. Shared by
+    q_dup_clusters and the property tests (tests/test_sessions_chunks_cc.py
+    check it against BFS minima on random graphs)."""
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ea, eb = inv[: len(a)], inv[len(a) :]
     label = np.arange(len(nodes))
@@ -992,7 +1003,7 @@ def q_dup_clusters(sf_dir: str):
         if np.array_equal(new, label):
             break
         label = new
-    return pd.DataFrame({"doc_id": nodes, "cluster_rep": nodes[label]})
+    return nodes, nodes[label]
 
 
 QUALITY_KEEP_MICRO = 500_000  # keep docs scoring ≥ 0.5

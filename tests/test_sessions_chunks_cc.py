@@ -89,22 +89,14 @@ def test_chunk_window_arithmetic():
 
 
 def test_cc_min_label_transitive():
-    """The min-label kernel must assign one rep per connected component:
+    """The production CC kernel must assign one rep per connected component:
     chain, star, and two disjoint comps, regardless of edge order."""
+    from mklab_focused_crawler_ray.pipelines.queries import cc_min_label
+
     a = np.array([10, 20, 50, 41, 40], np.int64)  # edges: 10-20,20-30,50-40,41-42,40-41
     b = np.array([20, 30, 40, 42, 41], np.int64)
-    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    ea, eb = inv[: len(a)], inv[len(a) :]
-    label = np.arange(len(nodes))
-    for _ in range(max(4, len(nodes))):
-        new = label.copy()
-        np.minimum.at(new, ea, label[eb])
-        np.minimum.at(new, eb, label[ea])
-        new = new[new]
-        if np.array_equal(new, label):
-            break
-        label = new
-    rep = dict(zip(nodes.tolist(), nodes[label].tolist()))
+    nodes, labels = cc_min_label(a, b)
+    rep = dict(zip(nodes.tolist(), labels.tolist()))
     assert rep[10] == rep[20] == rep[30] == 10
     assert rep[40] == rep[41] == rep[42] == rep[50] == 40
 
@@ -165,22 +157,14 @@ def test_sessionize_matches_reference(ray_session, pairs):
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=40))
 def test_cc_matches_bfs(edges):
-    """min-label + pointer jumping == BFS component minima on random graphs."""
+    """The production CC kernel == BFS component minima on random graphs."""
+    from mklab_focused_crawler_ray.pipelines.queries import cc_min_label
+
     if not edges:
         return
     a = np.array([e[0] for e in edges], np.int64)
     b = np.array([e[1] for e in edges], np.int64)
-    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    ea, eb = inv[: len(a)], inv[len(a) :]
-    label = np.arange(len(nodes))
-    for _ in range(max(4, len(nodes))):
-        new = label.copy()
-        np.minimum.at(new, ea, label[eb])
-        np.minimum.at(new, eb, label[ea])
-        new = new[new]
-        if np.array_equal(new, label):
-            break
-        label = new
+    nodes, labels = cc_min_label(a, b)
     # BFS reference
     adj = {}
     for x, y in edges:
@@ -200,7 +184,7 @@ def test_cc_matches_bfs(edges):
         m = min(comp)
         for v in comp:
             ref[v] = m
-    got = dict(zip(nodes.tolist(), nodes[label].tolist()))
+    got = dict(zip(nodes.tolist(), labels.tolist()))
     assert got == ref
 
 
