@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "user_sessions",
     "dup_clusters",
     "corpus_filter_kept",
+    "lang_sample_topk",
     "ann_ivf_top10",
     "ann_lsh_top10",
     "items_top100",

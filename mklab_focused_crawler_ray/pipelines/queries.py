@@ -1006,6 +1006,51 @@ def cc_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return nodes, nodes[label]
 
 
+SAMPLE_K = 64  # docs kept per stratum
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 / φ)
+
+
+def q_lang_sample_topk(sf_dir: str):
+    """Deterministic stratified sampling (the data-mixing primitive): per
+    language, keep the ``SAMPLE_K`` docs with the smallest multiplicative
+    hash ``(doc_id * 2654435761) mod 2^32`` — a uniform, seedable,
+    SQL-expressible sample that is identical on any block split or cluster
+    size. Output (lang, doc_id, h, sample_rank).
+
+    Scale shape: each batch prunes to its own per-language bottom-k (the
+    shuffle then moves at most k × n_langs × n_blocks rows, not the
+    corpus), and a tiny per-language map_groups finisher re-ranks. The
+    hash is order-free, so partial bottom-k before the shuffle is exact."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        h = ((ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(1 << 32)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pylist(), "doc_id": ids, "h": h}
+        )
+        df = df.sort_values(["lang", "h", "doc_id"], kind="stable")
+        keep = df.groupby("lang", sort=False).cumcount() < SAMPLE_K
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    def finish(g) -> "pd.DataFrame":
+        g = g.sort_values(["h", "doc_id"], kind="stable").head(SAMPLE_K)
+        g = g.reset_index(drop=True)
+        g["sample_rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["lang", "doc_id", "h", "sample_rank"]]
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 QUALITY_KEEP_MICRO = 500_000  # keep docs scoring ≥ 0.5
 
 
@@ -1098,6 +1143,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "dup_clusters": q_dup_clusters,
     "corpus_filter_kept": q_corpus_filter_kept,
+    "lang_sample_topk": q_lang_sample_topk,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,
@@ -1230,6 +1276,15 @@ ORACLE_SQL = {
         "ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM o) "
         "SELECT user_id, session_idx, COUNT(*) AS n_events, "
         "MIN(ms) AS start_ms, MAX(ms) AS end_ms FROM s GROUP BY 1, 2"
+    ),
+    "lang_sample_topk": (
+        "WITH h AS (SELECT lang, doc_id, "
+        f"CAST((CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296 AS BIGINT) AS h "
+        "FROM documents) "
+        "SELECT lang, doc_id, h, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1 AS BIGINT) "
+        "AS sample_rank FROM h "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {SAMPLE_K}"
     ),
     # connected components via recursive transitive closure over the same
     # brute-force char5-Jaccard pair relation that oracles minhash_dup_pairs
