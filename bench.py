@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dup_clusters",
     "corpus_filter_kept",
     "lang_sample_topk",
+    "events_asof_click",
     "ann_ivf_top10",
     "ann_lsh_top10",
     "items_top100",

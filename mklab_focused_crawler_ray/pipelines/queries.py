@@ -959,6 +959,81 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+ASOF_TYPE = "click"  # the right-side event type the as-of join looks back to
+
+
+def q_events_asof_click(sf_dir: str):
+    """AS-OF (point-in-time) join, the temporal-join primitive Ray Data has
+    no native operator for: for every event, the same user's most recent
+    STRICTLY-PRIOR '{click}' event under the total order (ts, event_id);
+    one output row per event that has one: (event_id, user_id,
+    prior_click_id, gap_ms).
+
+    Scale shape: users hash-bucket into SESSION_BUCKETS groups (fixed
+    shuffle cardinality); inside each bucket the join is ONE vectorized
+    carry-forward pass over the (user, ts, event_id)-sorted rows —
+    np.maximum.accumulate of click positions, shifted one row for
+    strictness, masked at user-segment starts. The same partitioning key
+    as user_sessions, so a real pipeline co-locates both."""
+    import ray.data as rd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = batch["user_id"].to_numpy()
+        ms = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("ms"), safe=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(uid % SESSION_BUCKETS, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ms": ms,
+            }
+        )
+
+    def asof(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ms, uid))
+        uid, ms, eid, et = uid[order], ms[order], eid[order], et[order]
+        n = len(uid)
+        idx = np.arange(n)
+        val = np.where(et == ASOF_TYPE, idx, -1)
+        carry = np.maximum.accumulate(val)
+        shifted = np.r_[-1, carry[:-1]]  # strictly prior row
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        keep = np.flatnonzero(shifted >= seg_start)  # prior click in SAME user
+        prior = shifted[keep]
+        return pd.DataFrame(
+            {
+                "event_id": eid[keep],
+                "user_id": uid[keep],
+                "prior_click_id": eid[prior],
+                "gap_ms": ms[keep] - ms[prior],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "events"), columns=["user_id", "event_id", "event_type", "ts"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
 def q_dup_clusters(sf_dir: str):
     """Fuzzy-dedup canonicalization: connected components over the verified
     near-dup pair graph (char-5-shingle Jaccard ≥ 0.5, the same pair
@@ -1144,6 +1219,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "corpus_filter_kept": q_corpus_filter_kept,
     "lang_sample_topk": q_lang_sample_topk,
+    "events_asof_click": q_events_asof_click,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,
@@ -1276,6 +1352,18 @@ ORACLE_SQL = {
         "ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM o) "
         "SELECT user_id, session_idx, COUNT(*) AS n_events, "
         "MIN(ms) AS start_ms, MAX(ms) AS end_ms FROM s GROUP BY 1, 2"
+    ),
+    "events_asof_click": (
+        "WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events), "
+        "w AS (SELECT event_id, user_id, ms, "
+        f"LAST_VALUE(CASE WHEN event_type = '{ASOF_TYPE}' THEN event_id END IGNORE NULLS) "
+        "OVER win AS prior_click_id, "
+        f"LAST_VALUE(CASE WHEN event_type = '{ASOF_TYPE}' THEN ms END IGNORE NULLS) "
+        "OVER win AS prior_ms FROM e "
+        "WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_id, user_id, prior_click_id, ms - prior_ms AS gap_ms "
+        "FROM w WHERE prior_click_id IS NOT NULL"
     ),
     "lang_sample_topk": (
         "WITH h AS (SELECT lang, doc_id, "

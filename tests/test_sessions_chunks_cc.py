@@ -203,3 +203,82 @@ def test_chunks_reassemble_token_stream(text):
     flat = [t for c in chunks for t in c]
     assert flat == tk
     assert all(0 < len(c) <= CHUNK_W for c in chunks)
+
+
+def _asof_frame(df):
+    """Run the as-of query over a temp events parquet, mirroring
+    _sessionize_frame."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from mklab_focused_crawler_ray.pipelines.queries import q_events_asof_click
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table(
+            {
+                "event_id": pa.array(df["event_id"], pa.int64()),
+                "ts": pa.array(df["ms"].astype("int64"), pa.int64()).cast(
+                    pa.timestamp("ms")
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "value": pa.array([0.0] * len(df), pa.float64()),
+                "props": pa.array(["{}"] * len(df), pa.string()),
+            }
+        )
+        pq.write_table(t, f"{d}/events.parquet")
+        res = q_events_asof_click(d)
+        out = res.to_pandas() if isinstance(res, ray.data.Dataset) else res
+    cols = ["event_id", "user_id", "prior_click_id", "gap_ms"]
+    if out.empty:  # Ray drops the schema when every group's output is empty
+        out = out.reindex(columns=cols)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user_id
+            st.integers(0, 1_000),  # ms (small range → many ties)
+            st.booleans(),  # is the row a 'click'?
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_asof_matches_reference(ray_session, rows):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "ms": [r[1] for r in rows],
+            "event_type": ["click" if r[2] else "view" for r in rows],
+        }
+    )
+    out = _asof_frame(df)
+    got = sorted(
+        zip(out["event_id"], out["user_id"], out["prior_click_id"], out["gap_ms"])
+    )
+    # reference: per user, walk rows in (ms, event_id) order tracking the
+    # last click seen strictly before the current row
+    ref = []
+    for uid in sorted(set(df["user_id"])):
+        sub = sorted(
+            (ms, eid, et)
+            for eid, u, ms, et in zip(
+                df["event_id"], df["user_id"], df["ms"], df["event_type"]
+            )
+            if u == uid
+        )
+        last = None
+        for ms, eid, et in sub:
+            if last is not None:
+                ref.append((eid, uid, last[1], ms - last[0]))
+            if et == "click":
+                last = (ms, eid)
+    assert got == sorted(ref)
