@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "corpus_filter_kept",
     "lang_sample_topk",
     "events_asof_click",
+    "event_value_quantiles",
     "ann_ivf_top10",
     "ann_lsh_top10",
     "items_top100",

@@ -959,6 +959,57 @@ def q_user_sessions(sf_dir: str):
     )
 
 
+QUANTILES = (50, 90, 99)  # reported per event_type, in percent
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """EXACT distributed quantiles by counting, not sampling: per
+    event_type, the P50/P90/P99 of cents = round(value*100) under the rule
+    "smallest v whose cumulative count ≥ ceil(q·n)" (a total, sketch-free
+    definition both sides implement verbatim).
+
+    Scale shape: each batch collapses to a (event_type, cents) count
+    partial via np.unique — the shuffle then moves the HISTOGRAM (bounded
+    by distinct values), never the rows; a per-type map_groups finisher
+    cumsums the sorted histogram and picks the quantile ranks. This is the
+    standard exact-quantile pattern for bounded-cardinality domains; for
+    unbounded floats the same pipeline takes a sketch finisher instead."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(), "cents": cents})
+        g = df.groupby(["event_type", "cents"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values("cents", kind="stable")
+        c = g["cnt"].to_numpy(np.int64)
+        v = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        row = {"event_type": g["event_type"].iloc[0], "n": np.int64(n)}
+        for q in QUANTILES:
+            rank = -(-q * n // 100)  # ceil(q*n/100) in integers
+            row[f"p{q}_cents"] = v[np.searchsorted(cum, rank)]
+        return pd.DataFrame([row])
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 ASOF_TYPE = "click"  # the right-side event type the as-of join looks back to
 
 
@@ -1220,6 +1271,7 @@ QUERIES = {
     "corpus_filter_kept": q_corpus_filter_kept,
     "lang_sample_topk": q_lang_sample_topk,
     "events_asof_click": q_events_asof_click,
+    "event_value_quantiles": q_event_value_quantiles,
     # rows-only (non-SQL-expressible):
     "simhash_docs": q_simhash_docs,
     "langid_detect": q_langid_detect,
@@ -1352,6 +1404,21 @@ ORACLE_SQL = {
         "ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM o) "
         "SELECT user_id, session_idx, COUNT(*) AS n_events, "
         "MIN(ms) AS start_ms, MAX(ms) AS end_ms FROM s GROUP BY 1, 2"
+    ),
+    "event_value_quantiles": (
+        "WITH c AS (SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents "
+        "FROM events), "
+        "n AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1), "
+        "r AS (SELECT event_type, cents, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rk FROM c) "
+        "SELECT r.event_type, ANY_VALUE(n.n) AS n, "
+        + ", ".join(
+            # integer ceil: (q*n + 99) // 100 — no float rounding at any n
+            f"MIN(CASE WHEN rk >= ({q} * n.n + 99) // 100 "
+            f"THEN cents END) AS p{q}_cents"
+            for q in QUANTILES
+        )
+        + " FROM r JOIN n ON n.event_type = r.event_type GROUP BY r.event_type"
     ),
     "events_asof_click": (
         "WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events), "
