@@ -1280,10 +1280,12 @@ QUERIES = {
 }
 
 from .queries_media import MEDIA_ORACLE_SQL, MEDIA_QUERIES  # noqa: E402
+from .queries_ml import ML_ORACLE_SQL, ML_QUERIES  # noqa: E402
 from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 
 QUERIES.update(MEDIA_QUERIES)
 QUERIES.update(REL_QUERIES)
+QUERIES.update(ML_QUERIES)
 
 _SCORE_SQL = (
     "(1 - EXP(-0.05*value) + 1)/2 * "
@@ -1463,6 +1465,7 @@ ORACLE_SQL = {
 
 ORACLE_SQL.update(MEDIA_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
+ORACLE_SQL.update(ML_ORACLE_SQL)
 # NOTE: the extended oracles (oracles_ext.build_extended_oracles — fixture
 # paths, inlined ANN constants trained on sf0.01) are merged LAZILY by
 # __ray_entry__.oracle_sql(), not at import: building them costs ~1 s
