@@ -85,6 +85,13 @@ BENCH_QUERIES = [
     "token_postings",
     "simhash_dup_pairs",
     "items_entities",
+    # round-3 curation set (pipelines/queries_ml.py, all oracle-checked)
+    "customers_without_urgent",
+    "daily_active_users",
+    "user_value_rolling3",
+    "kmeans_assign",
+    "tfidf_top_terms",
+    "embedding_norm_stats",
 ]
 
 

@@ -18,10 +18,16 @@ so Ray and DuckDB agree bit-for-bit, column names identical on both sides.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
-from .queries import _p
+
+def _p(sf_dir: str, table: str) -> str:
+    # local copy of queries._p — a top-level import would be circular
+    # (queries imports this module to register ML_QUERIES)
+    return os.path.join(sf_dir, f"{table}.parquet")
 
 JOIN_BUCKETS = 64  # hash-join shuffle cardinality (raise for bigger clusters)
 KMEANS_K = 8  # centroids = embeddings with vec_id < K (deterministic init)
@@ -69,25 +75,21 @@ def q_customers_without_urgent(sf_dir: str):
             }
         )
 
-    def anti(g) -> "pd.DataFrame":
-        import pandas as pd
-
+    def anti(g) -> pa.Table:
+        # Arrow output with an explicit schema: a pandas return would carry
+        # object-dtype string columns (size-estimation noise, and the empty
+        # block would lose the schema — known empty-map_groups trap)
         side = g["side"].to_numpy()
         probe = g[side == 0]
         build = np.unique(g["key"].to_numpy()[side == 1])
         keep = probe[~np.isin(probe["key"].to_numpy(), build)]
         part = keep.groupby("seg", sort=False).size().reset_index(name="pn")
-        if len(part) == 0:
-            # dtype-stable empty block: an object-empty column would poison
-            # the downstream union schema (known empty-map_groups trap)
-            return pd.DataFrame(
-                {
-                    "c_mktsegment": pd.Series([], dtype=str),
-                    "pn": pd.Series([], dtype=np.int64),
-                }
-            )
-        part["pn"] = part["pn"].astype(np.int64)
-        return part.rename(columns={"seg": "c_mktsegment"})
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(part["seg"].tolist(), pa.string()),
+                "pn": pa.array(part["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
 
     cust = rd.read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
