@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "items_entities",
     # round-3 curation set (pipelines/queries_ml.py, all oracle-checked)
     "customers_without_urgent",
+    "orders_join_nation",
+    "hopping_counts",
     "daily_active_users",
     "user_value_rolling3",
     "kmeans_assign",

@@ -106,6 +106,138 @@ def q_customers_without_urgent(sf_dir: str):
     )
 
 
+def q_orders_join_nation(sf_dir: str):
+    """Distributed SHUFFLE HASH JOIN (no broadcast side): orders ⋈ customer
+    co-partitioned by hash(custkey) into ``JOIN_BUCKETS`` groups, each
+    bucket joined in one vectorized searchsorted pass, partial-aggregated
+    to per-nation sufficient statistics before the tiny final groupby.
+    The §2.10 broadcast joins assume the build side fits one worker; this
+    is the complementary shape for two large sides (both stream through
+    the same fixed-cardinality shuffle — never per-key groups). The nation
+    id → name map IS tiny, so it rides along as a broadcast lookup."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nk, kind="stable")
+    nat_ref = ray.put(
+        (nk[norder], [nat["n_name"].to_pylist()[i] for i in norder])
+    )
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "nat": pa.array(
+                    batch["c_nationkey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy()
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "nat": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def join(g) -> pa.Table:
+        nk, names = ray.get(nat_ref)
+        side = g["side"].to_numpy()
+        bk = g["key"].to_numpy(np.int64)[side == 0]
+        bn = g["nat"].to_numpy(np.int64)[side == 0]
+        order = np.argsort(bk, kind="stable")
+        bk, bn = bk[order], bn[order]
+        pk = g["key"].to_numpy(np.int64)[side == 1]
+        pc = g["cents"].to_numpy(np.int64)[side == 1]
+        idx = np.clip(np.searchsorted(bk, pk), 0, max(len(bk) - 1, 0))
+        found = (bk[idx] == pk) if len(bk) else np.zeros(len(pk), bool)
+        # nation key → position in the (sorted) broadcast map — keys need
+        # not be consecutive
+        pos = np.searchsorted(nk, bn[idx[found]])
+        cnt = np.bincount(pos, minlength=len(nk))
+        sums = np.bincount(pos, weights=pc[found], minlength=len(nk))
+        keep = cnt > 0
+        return pa.table(
+            {
+                "n_name": pa.array([names[i] for i in np.flatnonzero(keep)], pa.string()),
+                "pn": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+                "ps": pa.array(sums[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("pn", alias_name="n_orders"), Sum("ps", alias_name="total_cents"))
+    )
+
+
+HOP_WINDOWS = 5  # each 1-minute slot contributes to this many hopping windows
+
+
+def q_hopping_counts(sf_dir: str):
+    """Hopping-window counts (5-minute windows advancing by 1 minute): the
+    overlapping-window generalization of ``windowed_counts``'s tumbling
+    windows and the reference counter bolts' sliding slots. Each event
+    explodes to its ``HOP_WINDOWS`` member windows VECTORIZED (repeat/tile,
+    no per-row Python), partially counted per batch, then one bounded
+    groupby — shuffle volume is O(distinct (window, type)), not rows×5."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        ms = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("ms"), safe=False), pa.int64()
+        ).to_numpy()
+        m = ms // 60_000
+        w = np.repeat(m, HOP_WINDOWS) - np.tile(
+            np.arange(HOP_WINDOWS, dtype=np.int64), len(m)
+        )
+        et = np.repeat(np.asarray(batch["event_type"].to_pylist(), object), HOP_WINDOWS)
+        g = (
+            pd.DataFrame({"w": w, "event_type": et})
+            .groupby(["w", "event_type"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["w", "event_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
 def q_daily_active_users(sf_dir: str):
     """Exact distinct-user counts per (day, event_type) with dedup BEFORE
     the shuffle: each batch collapses to its distinct (day, type, user)
@@ -384,6 +516,8 @@ def q_embedding_norm_stats(sf_dir: str):
 
 ML_QUERIES = {
     "customers_without_urgent": q_customers_without_urgent,
+    "orders_join_nation": q_orders_join_nation,
+    "hopping_counts": q_hopping_counts,
     "daily_active_users": q_daily_active_users,
     "user_value_rolling3": q_user_value_rolling3,
     "kmeans_assign": q_kmeans_assign,
@@ -394,6 +528,19 @@ ML_QUERIES = {
 _TOK_SQL_ML = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 ML_ORACLE_SQL = {
+    "orders_join_nation": (
+        "SELECT n_name, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "hopping_counts": (
+        "WITH e AS (SELECT CAST(FLOOR(epoch_ms(ts)/60000.0) AS BIGINT) AS m, event_type "
+        "FROM events), "
+        f"h AS (SELECT m - CAST(k AS BIGINT) AS w, event_type FROM e "
+        f"CROSS JOIN range({HOP_WINDOWS}) r(k)) "
+        "SELECT w, event_type, COUNT(*) AS n FROM h GROUP BY 1, 2"
+    ),
     "customers_without_urgent": (
         "SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c "
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
