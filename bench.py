@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "kmeans_assign",
     "tfidf_top_terms",
     "embedding_norm_stats",
+    "value_quartile_counts",
+    "doc_unigram_logprob",
 ]
 
 

@@ -479,6 +479,154 @@ def q_tfidf_top_terms(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+QUARTILE_QS = (25, 50, 75)  # equi-depth edges per event_type
+
+
+def q_value_quartile_counts(sf_dir: str):
+    """Equi-depth (quantile) bucketing: each event lands in its per-type
+    value QUARTILE, where the edges are the EXACT p25/p50/p75 under the
+    same integer-ceil rank rule as ``q_event_value_quantiles``; quartile =
+    number of edges strictly below the value. Two bounded passes: the
+    histogram shuffle that computes edges (driver holds one tiny row per
+    event_type — an aggregate, never the data), then a broadcast-edge
+    assignment with per-batch partial counts. This is the scale recipe for
+    NTILE-style bucketing without a global sort."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"].to_pylist(), "cents": cents})
+            .groupby(["event_type", "cents"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def edges_of(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values("cents", kind="stable")
+        c = g["cnt"].to_numpy(np.int64)
+        v = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q in QUARTILE_QS:
+            rank = -(-q * n // 100)
+            row[f"e{q}"] = v[np.searchsorted(cum, rank)]
+        return pd.DataFrame([row])
+
+    edges = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(edges_of, batch_format="pandas")
+        .to_pandas()
+    )
+    emap = {
+        r["event_type"]: np.array([r[f"e{q}"] for q in QUARTILE_QS], np.int64)
+        for _, r in edges.iterrows()
+    }
+    emap_ref = ray.put(emap)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        em = ray.get(emap_ref)
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        types = np.asarray(batch["event_type"].to_pylist(), object)
+        quart = np.zeros(len(cents), np.int64)
+        for t in np.unique(types):
+            m = types == t
+            e = em[t]
+            quart[m] = (cents[m][:, None] > e[None, :]).sum(axis=1)
+        g = (
+            pd.DataFrame({"event_type": types, "quartile": quart})
+            .groupby(["event_type", "quartile"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "quartile"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_doc_unigram_logprob(sf_dir: str):
+    """Unigram language-model scoring: per document, the summed corpus
+    log10-probability of its token stream (micro-int units) — the
+    perplexity-proxy quality signal LLM curation pipelines run next to the
+    heuristic quality score. Same broadcast-vocabulary shape as
+    ``q_tfidf_top_terms``: one vocabulary-bounded count shuffle builds the
+    LM, then scoring streams embarrassingly parallel."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(TOKEN_RE.findall(t.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "pc": pa.array(np.fromiter(c.values(), np.int64, len(c)), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()
+    )
+    total = float(counts["c"].sum())
+    lp = {
+        t: int(np.floor(np.log10(float(c) / total) * 1_000_000 + 0.5))
+        for t, c in zip(counts["token"], counts["c"])
+    }
+    lp_ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lpm = ray.get(lp_ref)
+        ids, ntok, lps = [], [], []
+        for did, txt in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist()):
+            toks = TOKEN_RE.findall(txt.lower())
+            if not toks:
+                continue
+            ids.append(did)
+            ntok.append(len(toks))
+            lps.append(sum(lpm[t] for t in toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "logprob_micro": pa.array(lps, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def q_embedding_norm_stats(sf_dir: str):
     """Per-label vector-norm statistics in EXACT integer arithmetic: each
     float is micro-quantized to int64 first, then the squared-norm sum is
@@ -521,6 +669,8 @@ ML_QUERIES = {
     "daily_active_users": q_daily_active_users,
     "user_value_rolling3": q_user_value_rolling3,
     "kmeans_assign": q_kmeans_assign,
+    "value_quartile_counts": q_value_quartile_counts,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_norm_stats": q_embedding_norm_stats,
 }
@@ -556,6 +706,33 @@ ML_ORACLE_SQL = {
         "SELECT event_id, user_id, CAST(SUM(cents) OVER (PARTITION BY user_id "
         "ORDER BY ms, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS roll3_cents FROM e"
+    ),
+    "value_quartile_counts": (
+        "WITH c AS (SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents "
+        "FROM events), "
+        "n AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1), "
+        "r AS (SELECT event_type, cents, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rk FROM c), "
+        "e AS (SELECT r.event_type, "
+        + ", ".join(
+            f"MIN(CASE WHEN rk >= ({q} * n.n + 99) // 100 THEN cents END) AS e{q}"
+            for q in QUARTILE_QS
+        )
+        + " FROM r JOIN n USING (event_type) GROUP BY r.event_type) "
+        "SELECT c.event_type, CAST(("
+        + " + ".join(f"CASE WHEN cents > e{q} THEN 1 ELSE 0 END" for q in QUARTILE_QS)
+        + ") AS BIGINT) AS quartile, COUNT(*) AS n "
+        "FROM c JOIN e USING (event_type) GROUP BY 1, 2"
+    ),
+    "doc_unigram_logprob": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK_SQL_ML}) AS token FROM documents), "
+        "tot AS (SELECT COUNT(*) AS t FROM tok), "
+        "uc AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1), "
+        "lp AS (SELECT token, "
+        "CAST(FLOOR(LOG10(CAST(c AS DOUBLE)/t.t)*1000000 + 0.5) AS BIGINT) AS lp "
+        "FROM uc CROSS JOIN tot t) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lp.lp) AS BIGINT) AS logprob_micro "
+        "FROM tok JOIN lp USING (token) GROUP BY doc_id"
     ),
     "kmeans_assign": (
         "WITH c AS (SELECT vec_id AS centroid_id, "
