@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "embedding_norm_stats",
     "value_quartile_counts",
     "doc_unigram_logprob",
+    "event_rollup_counts",
+    "custs_urgent_no_low",
 ]
 
 

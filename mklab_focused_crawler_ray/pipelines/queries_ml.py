@@ -479,6 +479,107 @@ def q_tfidf_top_terms(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+ROLLUP_ALL_DAY = -1  # sentinel for the day-rollup level
+ROLLUP_ALL_TYPE = "ALL"  # sentinel for the type-rollup level
+
+
+def q_event_rollup_counts(sf_dir: str):
+    """Multi-level ROLLUP aggregation in ONE shuffle: counts at
+    (day, type), (day, ALL) and (ALL, ALL) granularity, with every rollup
+    level expanded map-side in the combiner — each batch emits its partial
+    rows for all three levels, so the shuffle sees the same bounded key
+    space as a single-level groupby and no second pass over the data is
+    needed. Sentinels (-1 / 'ALL') stand in for SQL ROLLUP's NULLs."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        ms = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("ms"), safe=False), pa.int64()
+        ).to_numpy()
+        base = (
+            pd.DataFrame(
+                {"day": ms // DAY_MS, "event_type": batch["event_type"].to_pylist()}
+            )
+            .groupby(["day", "event_type"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        day_lvl = base.groupby("day", sort=False, as_index=False)["pn"].sum()
+        day_lvl["event_type"] = ROLLUP_ALL_TYPE
+        all_lvl = pd.DataFrame(
+            {
+                "day": [ROLLUP_ALL_DAY],
+                "event_type": [ROLLUP_ALL_TYPE],
+                "pn": [base["pn"].sum()],
+            }
+        )
+        out = pd.concat([base, day_lvl, all_lvl], ignore_index=True)
+        out["pn"] = out["pn"].astype(np.int64)
+        out["day"] = out["day"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out[["day", "event_type", "pn"]], preserve_index=False
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+SET_A_PRIO = "1-URGENT"  # set difference: customers with an A-priority order ...
+SET_B_PRIO = "5-LOW"  # ... and no B-priority order
+
+
+def q_custs_urgent_no_low(sf_dir: str):
+    """Distributed SET DIFFERENCE (EXCEPT): customers who placed at least
+    one URGENT order and no LOW order. Per-batch dedup collapses rows to
+    one (custkey, saw_a, saw_b) partial, the groupby shuffle is bounded by
+    distinct keys, and the difference is a vectorized filter over the
+    aggregate — the same first-wins/seen-gate algebra as the frontier's
+    StatusCheck anti-join, expressed over the driver tables."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = np.asarray(batch["o_orderpriority"].to_pylist(), object)
+        keep = (et == SET_A_PRIO) | (et == SET_B_PRIO)
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy()[keep],
+                "a": (et[keep] == SET_A_PRIO).astype(np.int64),
+                "b": (et[keep] == SET_B_PRIO).astype(np.int64),
+            }
+        )
+        g = df.groupby("o_custkey", sort=False, as_index=False).max()
+        g["a"] = g["a"].astype(np.int64)
+        g["b"] = g["b"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def diff(batch: pa.Table) -> pa.Table:
+        a = batch["saw_a"].to_numpy()
+        b = batch["saw_b"].to_numpy()
+        k = np.flatnonzero((a > 0) & (b == 0))
+        return pa.table(
+            {"o_custkey": pa.array(batch["o_custkey"].to_numpy()[k], pa.int64())}
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("a", alias_name="saw_a"), Max("b", alias_name="saw_b"))
+        .map_batches(diff, batch_format="pyarrow")
+    )
+
+
 QUARTILE_QS = (25, 50, 75)  # equi-depth edges per event_type
 
 
@@ -670,6 +771,8 @@ ML_QUERIES = {
     "user_value_rolling3": q_user_value_rolling3,
     "kmeans_assign": q_kmeans_assign,
     "value_quartile_counts": q_value_quartile_counts,
+    "event_rollup_counts": q_event_rollup_counts,
+    "custs_urgent_no_low": q_custs_urgent_no_low,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_norm_stats": q_embedding_norm_stats,
@@ -706,6 +809,18 @@ ML_ORACLE_SQL = {
         "SELECT event_id, user_id, CAST(SUM(cents) OVER (PARTITION BY user_id "
         "ORDER BY ms, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS roll3_cents FROM e"
+    ),
+    "event_rollup_counts": (
+        f"WITH e AS (SELECT CAST(FLOOR(epoch_ms(ts)/{DAY_MS}.0) AS BIGINT) AS day, "
+        "event_type FROM events) "
+        f"SELECT COALESCE(day, {ROLLUP_ALL_DAY}) AS day, "
+        f"COALESCE(event_type, '{ROLLUP_ALL_TYPE}') AS event_type, COUNT(*) AS n "
+        "FROM e GROUP BY ROLLUP (day, event_type)"
+    ),
+    "custs_urgent_no_low": (
+        f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{SET_A_PRIO}' "
+        "EXCEPT "
+        f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{SET_B_PRIO}'"
     ),
     "value_quartile_counts": (
         "WITH c AS (SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents "
