@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "doc_unigram_logprob",
     "event_rollup_counts",
     "custs_urgent_no_low",
+    "orders_above_cust_avg",
+    "latest_event_per_user",
 ]
 
 

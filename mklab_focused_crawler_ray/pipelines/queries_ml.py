@@ -479,6 +479,164 @@ def q_tfidf_top_terms(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-aggregate join, EXACT without division: orders priced
+    above their own customer's average order value, counted per priority.
+    The comparison ``cents_i × count > sum_cents`` is pure int64 algebra,
+    so Ray and the oracle agree bit-for-bit (no float mean).
+
+    Scale shape: pass 1 is a bounded per-customer aggregate (partial sums
+    per batch first); pass 2 re-joins orders to their own aggregate with
+    the same co-partitioned bucket shuffle as ``q_orders_join_nation`` —
+    the windowed ``AVG OVER (PARTITION BY)`` pattern without a per-key
+    group or a broadcast of a customer-sized side."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        key = batch["o_custkey"].to_numpy()
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({"o_custkey": key, "cents": cents, "one": 1})
+            .groupby("o_custkey", sort=False, as_index=False)
+            .agg(pc=("one", "sum"), ps=("cents", "sum"))
+        )
+        g["pc"] = g["pc"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(prep_orders, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("pc", alias_name="cnt"), Sum("ps", alias_name="s"))
+    )
+
+    def prep_agg(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "cnt": batch["cnt"],
+                "s": batch["s"],
+                "cents": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "prio": pa.array([""] * len(key), pa.string()),
+                "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_probe(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy()
+        z = np.zeros(len(key), np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "cnt": pa.array(z, pa.int64()),
+                "s": pa.array(z, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "prio": batch["o_orderpriority"],
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def above(g) -> pa.Table:
+        side = g["side"].to_numpy()
+        bk = g["key"].to_numpy(np.int64)[side == 0]
+        order = np.argsort(bk, kind="stable")
+        bk = bk[order]
+        bc = g["cnt"].to_numpy(np.int64)[side == 0][order]
+        bs = g["s"].to_numpy(np.int64)[side == 0][order]
+        probe = g[side == 1]
+        pk = probe["key"].to_numpy(np.int64)
+        idx = np.searchsorted(bk, pk)  # aggregate row exists for every order
+        keep = probe["cents"].to_numpy(np.int64) * bc[idx] > bs[idx]
+        part = (
+            probe[keep]
+            .groupby("prio", sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(part["prio"].tolist(), pa.string()),
+                "pn": pa.array(part["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    probe = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(prep_probe, batch_format="pyarrow")
+    return (
+        agg.map_batches(prep_agg, batch_format="pyarrow")
+        .union(probe)
+        .groupby("bucket")
+        .map_groups(above, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("pn", alias_name="n_above"))
+    )
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """ARGMAX per key: each user's latest event (greatest (ms, event_id)),
+    the MongoDbSpout ``sort(desc).limit(1)``-per-key pattern. Per-batch
+    partials keep ONE candidate row per user (vectorized lexsort +
+    take-last), users hash-bucket into ``JOIN_BUCKETS`` groups, and each
+    bucket resolves all its users in one vectorized pass — shuffle volume
+    is O(users × blocks-containing-them), never the event stream."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = batch["user_id"].to_numpy()
+        ms = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("ms"), safe=False), pa.int64()
+        ).to_numpy()
+        eid = batch["event_id"].to_numpy()
+        order = np.lexsort((eid, ms, uid))
+        uid, ms, eid = uid[order], ms[order], eid[order]
+        last = np.r_[uid[1:] != uid[:-1], True]  # last row of each user run
+        return pa.table(
+            {
+                "bucket": pa.array(uid[last] % JOIN_BUCKETS, pa.int64()),
+                "user_id": pa.array(uid[last], pa.int64()),
+                "event_id": pa.array(eid[last], pa.int64()),
+                "ms": pa.array(ms[last], pa.int64()),
+            }
+        )
+
+    def resolve(g) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ms, uid))
+        uid, ms, eid = uid[order], ms[order], eid[order]
+        last = np.r_[uid[1:] != uid[:-1], True]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[last], pa.int64()),
+                "event_id": pa.array(eid[last], pa.int64()),
+                "ms": pa.array(ms[last], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 ROLLUP_ALL_DAY = -1  # sentinel for the day-rollup level
 ROLLUP_ALL_TYPE = "ALL"  # sentinel for the type-rollup level
 
@@ -772,6 +930,8 @@ ML_QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "value_quartile_counts": q_value_quartile_counts,
     "event_rollup_counts": q_event_rollup_counts,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "latest_event_per_user": q_latest_event_per_user,
     "custs_urgent_no_low": q_custs_urgent_no_low,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -809,6 +969,21 @@ ML_ORACLE_SQL = {
         "SELECT event_id, user_id, CAST(SUM(cents) OVER (PARTITION BY user_id "
         "ORDER BY ms, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS roll3_cents FROM e"
+    ),
+    "orders_above_cust_avg": (
+        "WITH a AS (SELECT o_custkey, COUNT(*) AS cnt, "
+        "SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS s "
+        "FROM orders GROUP BY 1) "
+        "SELECT o_orderpriority, COUNT(*) AS n_above FROM orders "
+        "JOIN a USING (o_custkey) "
+        "WHERE CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) * cnt > s "
+        "GROUP BY 1"
+    ),
+    "latest_event_per_user": (
+        "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events) "
+        "SELECT user_id, event_id, ms FROM e "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ms DESC, event_id DESC) = 1"
     ),
     "event_rollup_counts": (
         f"WITH e AS (SELECT CAST(FLOOR(epoch_ms(ts)/{DAY_MS}.0) AS BIGINT) AS day, "
