@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "custs_urgent_no_low",
     "orders_above_cust_avg",
     "latest_event_per_user",
+    "image_topk_similar",
+    "caption_token_counts",
 ]
 
 

@@ -355,6 +355,24 @@ def build_extended_oracles() -> dict[str, str]:
     from .queries_media import pseudo_embeddings_for_fixture
 
     pseudo = pseudo_embeddings_for_fixture(fdir)
+    sql["image_topk_similar"] = (
+        # exact cosine top-5 over the engine-materialized pseudo-embedding
+        # table — same micro-quantized QUALIFY shape as embedding_top10
+        f"WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe "
+        f"FROM read_parquet('{pseudo}') WHERE vec_id < 5), "
+        f"v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve "
+        f"FROM read_parquet('{pseudo}')), "
+        "s AS (SELECT q.query_id, v.vec_id, "
+        "CAST(FLOOR(list_cosine_similarity(q.qe, v.ve)*1000000 + 0.5) AS BIGINT) AS cos_micro "
+        "FROM q CROSS JOIN v WHERE v.vec_id != q.query_id) "
+        "SELECT query_id, vec_id, cos_micro FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, vec_id ASC) <= 5"
+    )
+    sql["caption_token_counts"] = (
+        f"WITH tok AS (SELECT image_id, unnest(regexp_extract_all(lower(caption), '[a-z0-9]+')) AS token "
+        f"FROM read_parquet('{images}')) "
+        "SELECT token, COUNT(*) AS tf, COUNT(DISTINCT image_id) AS df FROM tok GROUP BY token"
+    )
     sql["image_embed_dup_pairs"] = (
         f"WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
         f"FROM read_parquet('{pseudo}')) "

@@ -94,6 +94,55 @@ def q_image_embed(sf_dir: str):
     return embed_images(_images(sf_dir))
 
 
+def q_image_topk_similar(sf_dir: str):
+    """Similarity search over the IMAGE tier: exact cosine top-5 neighbors
+    for the first 5 images, over the engine-materialized pseudo-embedding
+    table — the query side of ``VisualIndexerBolt``'s
+    getSimilarImages service as a batch pipeline (same partial-top-k
+    broadcast-matmul shape as ``embedding_top10``, applied to the
+    multimodal fixture). Oracle: brute-force ``list_cosine_similarity``
+    over the same engine-produced table (fixture-backed)."""
+    from ..stages.ann import brute_force_topk
+
+    return brute_force_topk(fixture_embeddings_parquet(sf_dir), n_queries=5, k=5)
+
+
+def q_caption_token_counts(sf_dir: str):
+    """Text analytics over the multimodal table's CAPTION column (the
+    input_hint pairs every image with a caption): global token tf + df,
+    partial-counted per batch before one vocabulary-bounded shuffle —
+    the token_counts pipeline pointed at image+caption data."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for cap in batch["caption"].to_pylist():
+            toks = TOKEN_RE.findall(cap.lower())
+            tf.update(toks)
+            df.update(set(toks))
+        keys = list(tf.keys())
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "ptf": pa.array([tf[k] for k in keys], pa.int64()),
+                "pdf": pa.array([df[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_images(sf_dir), columns=["image_id", "caption"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("ptf", alias_name="tf"), Sum("pdf", alias_name="df"))
+    )
+
+
 # --------------------------------------------------------------------------
 # ANN over the driver's embeddings table
 # --------------------------------------------------------------------------
@@ -828,6 +877,8 @@ MEDIA_QUERIES = {
     "image_phash_pairs": q_image_phash_pairs,
     "image_clusters": q_image_clusters,
     "image_embed": q_image_embed,
+    "image_topk_similar": q_image_topk_similar,
+    "caption_token_counts": q_caption_token_counts,
     "ann_ivf_top10": q_ann_ivf_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
     "ann_ivf_partitioned_top10": q_ann_ivf_partitioned_top10,

@@ -83,6 +83,8 @@ FIXTURE_BACKED = {
     # table (values engine-produced; pairing/replay logic oracle-checked)
     "image_embed_dup_pairs",
     "image_visual_clusters",
+    "image_topk_similar",
+    "caption_token_counts",
 }
 
 
