@@ -185,3 +185,55 @@ def test_anti_join_keeps_customers_without_any_orders(ray_session):
         _orders_parquet(d, rows)
         out = _to_df(q_customers_without_urgent(d))
     assert dict(zip(out["c_mktsegment"], out["n_customers"])) == {"S1": 1, "S2": 1}
+
+
+def test_bucketed_kernels_survive_block_fragmentation(ray_session):
+    """Shrinking target_max_block_size fragments every read into many tiny
+    blocks — partial kernels then see single-digit-row batches and every
+    bucket spans many blocks. Results must still equal the DuckDB oracle
+    (catches carry/boundary bugs the default block layout never exercises)."""
+    import duckdb
+    import ray
+    from ray.data import DataContext
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs, osql = e.queries(), e.oracle_sql()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        for name in (
+            "user_value_rolling3",
+            "latest_event_per_user",
+            "orders_above_cust_avg",
+            "daily_active_users",
+            "event_rollup_counts",
+        ):
+            res = qs[name](sf)
+            if isinstance(res, ray.data.Dataset):
+                res = res.to_pandas()
+            con = duckdb.connect()
+            for t in ("events", "orders"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            ora = con.execute(osql[name]).fetchdf()
+            a = res[sorted(res.columns)].sort_values(
+                sorted(res.columns), kind="stable"
+            ).reset_index(drop=True)
+            b = ora[sorted(ora.columns)].sort_values(
+                sorted(ora.columns), kind="stable"
+            ).reset_index(drop=True)
+            assert len(a) == len(b), name
+            for c in a.columns:
+                x, y = a[c].to_numpy(), b[c].to_numpy()
+                if x.dtype.kind in "iuf" or y.dtype.kind in "iuf":
+                    assert np.array_equal(
+                        x.astype(np.int64), y.astype(np.int64)
+                    ), f"{name}.{c}"
+                else:
+                    assert (x.astype(str) == y.astype(str)).all(), f"{name}.{c}"
+    finally:
+        ctx.target_max_block_size = old
