@@ -569,6 +569,21 @@ def build_extended_oracles() -> dict[str, str]:
         sql["ann_ivf_partitioned_top10"] = sql["ann_ivf_top10"]
         sql["ann_lsh_top10"] = _ann_lsh_sql(emb01)
 
+    # SimHash pairing oracle over the engine-materialized signature table at
+    # the driver scale (blake2b is not SQL-expressible; the 4×16-bit band
+    # blocking + Hamming≤3 verify IS — pigeonhole makes banding lossless, so
+    # the exhaustive self-join is the exact expected output)
+    if os.path.exists(os.path.join(_DRIVER_SF01, "documents.parquet")):
+        from .queries import simhash_parquet_for
+
+        sp = simhash_parquet_for(_DRIVER_SF01)
+        sql["simhash_dup_pairs"] = (
+            f"WITH s AS (SELECT doc_id, simhash FROM read_parquet('{sp}')) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        )
+
     # end-to-end corpus-curation keep decision, composed from the same
     # oracle fragments the individual queries are checked against: quality
     # gate + near-dup-cluster rep keep + 8-gram decontamination. The dup /

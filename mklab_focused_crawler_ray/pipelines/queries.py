@@ -528,6 +528,38 @@ def q_simhash_docs(sf_dir: str):
     )
 
 
+def simhash_parquet_for(sf_dir: str) -> str:
+    """Materialize (doc_id, simhash) for ``sf_dir``'s documents once, cached
+    under /tmp keyed by a CONTENT fingerprint (abs path + size + mtime — the
+    stale-cache rule from the round-2 ADVICE token-index fix). Lets the
+    fixture-backed oracle check the simhash PAIRING kernel end-to-end over
+    engine-produced values, the image_embed_dup_pairs precedent (blake2b
+    itself is not SQL-expressible)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = _p(sf_dir, "documents")
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    out = os.path.join(
+        "/tmp/mkfc_simhash",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tbl = pa.concat_tables(
+        list(q_simhash_docs(sf_dir).iter_batches(batch_format="pyarrow"))
+    )
+    pq.write_table(tbl, out + ".tmp")
+    os.replace(out + ".tmp", out)
+    return out
+
+
 def q_langid_detect(sf_dir: str):
     import ray.data as rd
 

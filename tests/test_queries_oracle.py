@@ -85,6 +85,9 @@ FIXTURE_BACKED = {
     "image_visual_clusters",
     "image_topk_similar",
     "caption_token_counts",
+    # simhash pairing oracle reads the engine-materialized signature table
+    # at the driver scale (sf0.01)
+    "simhash_dup_pairs",
 }
 
 
