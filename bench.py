@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "image_topk_similar",
     "caption_token_counts",
+    "decontam_neardup_hits",
 ]
 
 

@@ -872,6 +872,87 @@ def q_decontam_8gram_hits(sf_dir: str):
     )
 
 
+def q_decontam_neardup_hits(sf_dir: str):
+    """Benchmark decontamination by NEAR-duplicate overlap (the fuzzy
+    complement of ``q_decontam_8gram_hits``): a corpus doc is flagged with
+    the number of benchmark docs whose char-5-shingle Jaccard with it is
+    ≥ 0.5, tested in pure integers (2·|A∩B| ≥ |A|+|B|−|A∩B| — no float
+    division).
+
+    Scale shape: the benchmark side is eval-suite-sized, so its shingle
+    POSTINGS (sorted hash array + parallel bench-row array + per-bench
+    sizes) broadcast once via ray.put; each corpus doc then resolves ALL
+    its bench intersections in one searchsorted + bincount pass — no
+    shuffle, output bounded by contaminated docs."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import char_shingle_hashes
+
+    def bench_postings(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out_id, out_h = [np.empty(0, np.int64)], [np.empty(0, np.uint64)]
+        for i in np.flatnonzero(ids % DECONTAM_BENCH_MOD == 0):
+            h = char_shingle_hashes(batch["text"][i].as_py(), 5)
+            out_id.append(np.full(len(h), ids[i], np.int64))
+            out_h.append(h)
+        return pa.table(
+            {
+                "bench_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "h": pa.array(np.concatenate(out_h).view(np.int64), pa.int64()),
+            }
+        )
+
+    parts = list(
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(bench_postings, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    bid = np.concatenate([b["bench_id"].to_numpy() for b in parts])
+    bh = np.concatenate([b["h"].to_numpy().view(np.uint64) for b in parts])
+    order = np.argsort(bh, kind="stable")
+    bh, bid = bh[order], bid[order]
+    # dense bench-row ids + per-bench shingle-set sizes for the union test
+    bulist, brow = np.unique(bid, return_inverse=True)
+    bsizes = np.bincount(brow)
+    bench_ref = ray.put((bh, brow.astype(np.int64), bulist, bsizes.astype(np.int64)))
+
+    def count_hits(batch: pa.Table) -> pa.Table:
+        bh_g, brow_g, bulist_g, bsizes_g = ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy()
+        out_d, out_n = [], []
+        for i in np.flatnonzero(ids % DECONTAM_BENCH_MOD != 0):
+            h = char_shingle_hashes(batch["text"][i].as_py(), 5)
+            if len(h) == 0 or len(bh_g) == 0:
+                continue
+            lo = np.searchsorted(bh_g, h, side="left")
+            hi = np.searchsorted(bh_g, h, side="right")
+            m = hi > lo  # shingles present in some bench doc
+            if not m.any():
+                continue
+            # multi-range gather, vectorized: expand [lo, hi) posting runs
+            c = hi[m] - lo[m]
+            ends = np.cumsum(c)
+            offs = np.arange(ends[-1]) - np.repeat(ends - c, c)
+            rows = brow_g[np.repeat(lo[m], c) + offs]
+            inter = np.bincount(rows, minlength=len(bulist_g))
+            na = len(h)
+            hits = int((2 * inter >= na + bsizes_g - inter)[inter > 0].sum())
+            if hits:
+                out_d.append(ids[i])
+                out_n.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_bench_hits": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        count_hits, batch_format="pyarrow"
+    )
+
+
 CHUNK_W = 32  # tokens per training-sequence chunk (small so the fixture's
 # ≤99-token docs exercise multi-chunk splits; a real corpus uses 1k–8k)
 
@@ -1297,6 +1378,7 @@ QUERIES = {
     "allpairs_jaccard": q_allpairs_jaccard,
     "doc_repetition": q_doc_repetition,
     "decontam_8gram_hits": q_decontam_8gram_hits,
+    "decontam_neardup_hits": q_decontam_neardup_hits,
     "doc_chunks": q_doc_chunks,
     "user_sessions": q_user_sessions,
     "dup_clusters": q_dup_clusters,
@@ -1418,6 +1500,18 @@ ORACLE_SQL = {
         "hits AS (SELECT DISTINCT d.doc_id, d.g8 FROM g d JOIN bench b USING (g8) "
         f"WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0) "
         "SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id"
+    ),
+    "decontam_neardup_hits": (
+        f"WITH {_ORACLE_CHAR5_CTE}, "
+        "dd AS (SELECT DISTINCT doc_id, s FROM sh), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM dd GROUP BY 1), "
+        "inter AS (SELECT b.doc_id AS bench_id, d.doc_id AS did, COUNT(*) AS i "
+        "FROM dd b JOIN dd d ON b.s = d.s "
+        f"WHERE b.doc_id % {DECONTAM_BENCH_MOD} = 0 AND d.doc_id % {DECONTAM_BENCH_MOD} <> 0 "
+        "GROUP BY 1, 2) "
+        "SELECT did AS doc_id, COUNT(*) AS n_bench_hits FROM inter "
+        "JOIN sz sb ON sb.doc_id = bench_id JOIN sz sd ON sd.doc_id = did "
+        "WHERE i*2 >= sb.n + sd.n - i GROUP BY did"
     ),
     "doc_chunks": (
         f"WITH toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents), "
