@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "image_topk_similar",
     "caption_token_counts",
     "decontam_neardup_hits",
+    "approx_distinct_users",
 ]
 
 

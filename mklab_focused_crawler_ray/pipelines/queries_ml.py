@@ -738,6 +738,74 @@ def q_custs_urgent_no_low(sf_dir: str):
     )
 
 
+HLL_P = 12  # 2^12 registers; 64-12=52 rho bits — exact in float64 log2
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate per event_type — the mergeable
+    sketch for distinct counts too large for ``q_daily_active_users``'s
+    exact path (where the distinct-triple shuffle itself is the cost).
+
+    Deterministic (splitmix64-mixed ids, fixed registers) but not
+    SQL-expressible, so rows-only: accuracy and exactness-at-small-n are
+    pinned by pytest against COUNT(DISTINCT). Scale shape: each batch
+    emits its non-zero (type, register, rho) cells, the shuffle moves at
+    most 2^{p} cells per (type, block), Max-merges them (register-wise max
+    IS the HLL merge), and a per-type finisher applies the standard
+    bias-corrected estimate with the linear-counting small range."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import mix64
+
+    m = 1 << HLL_P
+    rho_bits = 64 - HLL_P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = mix64(batch["user_id"].to_numpy().astype(np.uint64))
+        idx = (h >> np.uint64(rho_bits)).astype(np.int64)
+        w = (h & np.uint64((1 << rho_bits) - 1)).astype(np.float64)
+        rho = np.where(
+            w > 0, rho_bits - np.floor(np.log2(np.maximum(w, 1.0))), rho_bits + 1
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pylist(), "reg": idx, "rho": rho}
+            )
+            .groupby(["event_type", "reg"], sort=False, as_index=False)["rho"]
+            .max()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def estimate(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        regs = np.zeros(m, np.int64)
+        regs[g["reg"].to_numpy(np.int64)] = g["rho"].to_numpy(np.int64)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "est_users": [np.int64(np.floor(e + 0.5))],
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .groupby("event_type")
+        .map_groups(estimate, batch_format="pandas")
+    )
+
+
 QUARTILE_QS = (25, 50, 75)  # equi-depth edges per event_type
 
 
@@ -926,6 +994,7 @@ ML_QUERIES = {
     "orders_join_nation": q_orders_join_nation,
     "hopping_counts": q_hopping_counts,
     "daily_active_users": q_daily_active_users,
+    "approx_distinct_users": q_approx_distinct_users,
     "user_value_rolling3": q_user_value_rolling3,
     "kmeans_assign": q_kmeans_assign,
     "value_quartile_counts": q_value_quartile_counts,

@@ -237,3 +237,32 @@ def test_bucketed_kernels_survive_block_fragmentation(ray_session):
                     assert (x.astype(str) == y.astype(str)).all(), f"{name}.{c}"
     finally:
         ctx.target_max_block_size = old
+
+
+def test_hll_exact_at_small_n_and_close_at_large_n(ray_session):
+    """HLL with 2^12 registers: linear counting makes small cardinalities
+    exact; a 10k-distinct synthetic stream must estimate within 3%."""
+    import duckdb
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml import q_approx_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    out = _to_df(q_approx_distinct_users(sf))
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).fetchdf()
+    ex = dict(zip(exact["event_type"], exact["n"]))
+    for t, est in zip(out["event_type"], out["est_users"]):
+        assert est == ex[t], (t, est, ex[t])  # linear-counting regime: exact
+
+    rows = [(i, 1000 + i, i * 7 + (i % 3), "x", 0.0) for i in range(30000)]
+    # 10k distinct users (i*7+(i%3) collides: compute exact below)
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_approx_distinct_users(d))
+        n_exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{d}/events.parquet')"
+        ).fetchone()[0]
+    est = int(out["est_users"].iloc[0])
+    assert abs(est - n_exact) / n_exact < 0.03, (est, n_exact)

@@ -132,6 +132,7 @@ def test_rows_only_queries_run(ray_session):
         "items_event_candidates": {"window", "token"},
         "crawl_trace": {"round", "rank", "url"},
         "crawl_status_counts": {"round", "status", "n"},
+        "approx_distinct_users": {"event_type", "est_users"},
     }
     for name, fn in e.queries().items():
         if name in oracles:
