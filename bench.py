@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "caption_token_counts",
     "decontam_neardup_hits",
     "approx_distinct_users",
+    "session_overlap_pairs",
 ]
 
 

@@ -1592,6 +1592,18 @@ ORACLE_SQL = {
 ORACLE_SQL.update(MEDIA_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(ML_ORACLE_SQL)
+
+# interval-overlap join oracle, composed from the registered sessionization
+# oracle (defined here because ML_ORACLE_SQL is built before this dict)
+ORACLE_SQL["session_overlap_pairs"] = (
+    "WITH sess AS (" + ORACLE_SQL["user_sessions"] + ") "
+    "SELECT a.user_id AS user_a, a.session_idx AS sidx_a, "
+    "b.user_id AS user_b, b.session_idx AS sidx_b, "
+    "CAST(LEAST(a.end_ms, b.end_ms) - GREATEST(a.start_ms, b.start_ms) AS BIGINT) "
+    "AS overlap_ms "
+    "FROM sess a JOIN sess b ON a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms "
+    "AND (a.user_id < b.user_id OR (a.user_id = b.user_id AND a.session_idx < b.session_idx))"
+)
 # NOTE: the extended oracles (oracles_ext.build_extended_oracles — fixture
 # paths, inlined ANN constants trained on sf0.01) are merged LAZILY by
 # __ray_entry__.oracle_sql(), not at import: building them costs ~1 s

@@ -12,8 +12,10 @@ Reference lineage (semantics, not code): grouped counting mirrors
 form of the IVF coarse quantizer in ``stages/ann.py`` (itself modeled on
 ``bolts/media/VisualIndexerBolt.java``'s nearest-neighbor service).
 
-Every query here is SQL-checked: integer units end-to-end (cents / micro)
-so Ray and DuckDB agree bit-for-bit, column names identical on both sides.
+Every query here except the HyperLogLog sketch is SQL-checked: integer
+units end-to-end (cents / micro) so Ray and DuckDB agree bit-for-bit,
+column names identical on both sides. The sketch is deterministic but not
+SQL-expressible; its accuracy is pinned by pytest instead.
 """
 
 from __future__ import annotations
@@ -738,6 +740,110 @@ def q_custs_urgent_no_low(sf_dir: str):
     )
 
 
+OVERLAP_BUCKET_MS = 4 * 3_600_000  # time-range partition for the interval join
+
+
+def q_session_overlap_pairs(sf_dir: str):
+    """Distributed INTERVAL (range-overlap) JOIN: all pairs of user
+    sessions that overlap in time, with their exact overlap length — the
+    "range join" custom operator from the build brief, self-joined over
+    the sessionization operator's own output.
+
+    Scale recipe: sessions explode to every fixed time-range bucket they
+    touch; each bucket sort-sweeps its intervals in one vectorized pass
+    (sorted starts + searchsorted ends + multi-range gather); a pair is
+    emitted ONLY in the bucket containing the later interval's start, so
+    cross-bucket duplicates never exist and no dedup shuffle is needed.
+    Shuffle volume is O(intervals × buckets-touched + pairs)."""
+    import ray.data as rd
+
+    sessions = q_user_sessions_sessions(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        st = batch["start_ms"].to_numpy(zero_copy_only=False)
+        en = batch["end_ms"].to_numpy(zero_copy_only=False)
+        b0 = st // OVERLAP_BUCKET_MS
+        c = (en // OVERLAP_BUCKET_MS - b0 + 1).astype(np.int64)
+        ends = np.cumsum(c)
+        offs = np.arange(ends[-1] if len(c) else 0) - np.repeat(ends - c, c)
+        rep = np.repeat(np.arange(len(st)), c)
+        return pa.table(
+            {
+                "bucket": pa.array(b0[rep] + offs, pa.int64()),
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(zero_copy_only=False)[rep], pa.int64()
+                ),
+                "session_idx": pa.array(
+                    batch["session_idx"].to_numpy(zero_copy_only=False)[rep],
+                    pa.int64(),
+                ),
+                "st": pa.array(st[rep], pa.int64()),
+                "en": pa.array(en[rep], pa.int64()),
+            }
+        )
+
+    def sweep(g) -> pa.Table:
+        bucket = np.int64(g["bucket"].iloc[0])
+        st = g["st"].to_numpy(np.int64)
+        en = g["en"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        sx = g["session_idx"].to_numpy(np.int64)
+        order = np.lexsort((sx, uid, st))
+        st, en, uid, sx = st[order], en[order], uid[order], sx[order]
+        n = len(st)
+        hi = np.searchsorted(st, en, side="right")  # last j with st_j <= en_i
+        c = np.maximum(hi - np.arange(n) - 1, 0)
+        ends = np.cumsum(c)
+        total = int(ends[-1]) if n else 0
+        offs = np.arange(total) - np.repeat(ends - c, c)
+        i = np.repeat(np.arange(n), c)
+        j = i + 1 + offs
+        # attribute each pair to the later start's bucket (exactly once
+        # globally); overlap is guaranteed by st_j <= en_i given st_j >= st_i
+        keep = st[j] // OVERLAP_BUCKET_MS == bucket
+        i, j = i[keep], j[keep]
+        return pa.table(
+            {
+                "user_a": pa.array(uid[i], pa.int64()),
+                "sidx_a": pa.array(sx[i], pa.int64()),
+                "user_b": pa.array(uid[j], pa.int64()),
+                "sidx_b": pa.array(sx[j], pa.int64()),
+                "overlap_ms": pa.array(np.minimum(en[i], en[j]) - st[j], pa.int64()),
+            }
+        )
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        # (user, sidx)-lexicographic pair order, independent of start-time
+        # tie-breaks inside the sweep
+        ua, sa = batch["user_a"].to_numpy(), batch["sidx_a"].to_numpy()
+        ub, sb = batch["user_b"].to_numpy(), batch["sidx_b"].to_numpy()
+        swap = (ua > ub) | ((ua == ub) & (sa > sb))
+        return pa.table(
+            {
+                "user_a": pa.array(np.where(swap, ub, ua), pa.int64()),
+                "sidx_a": pa.array(np.where(swap, sb, sa), pa.int64()),
+                "user_b": pa.array(np.where(swap, ua, ub), pa.int64()),
+                "sidx_b": pa.array(np.where(swap, sa, sb), pa.int64()),
+                "overlap_ms": batch["overlap_ms"],
+            }
+        )
+
+    return (
+        sessions.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pandas")
+        .map_batches(canonical, batch_format="pyarrow")
+    )
+
+
+def q_user_sessions_sessions(sf_dir: str):
+    """The sessionization operator's output as the interval-join input
+    (thin alias so q_session_overlap_pairs composes the registered op)."""
+    from .queries import q_user_sessions
+
+    return q_user_sessions(sf_dir)
+
+
 HLL_P = 12  # 2^12 registers; 64-12=52 rho bits — exact in float64 log2
 
 
@@ -995,6 +1101,7 @@ ML_QUERIES = {
     "hopping_counts": q_hopping_counts,
     "daily_active_users": q_daily_active_users,
     "approx_distinct_users": q_approx_distinct_users,
+    "session_overlap_pairs": q_session_overlap_pairs,
     "user_value_rolling3": q_user_value_rolling3,
     "kmeans_assign": q_kmeans_assign,
     "value_quartile_counts": q_value_quartile_counts,
