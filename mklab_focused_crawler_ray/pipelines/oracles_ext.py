@@ -123,6 +123,32 @@ def _langid_sql() -> str:
     )
 
 
+def _quality_sql(rel: str, id_col: str, text_col: str) -> str:
+    """functions/text.quality_features mirrored exactly over any
+    (id, text) relation: integer counts, exact double ratios,
+    multiplicative CASE chain, micro-unit output."""
+    return (
+        f"WITH w AS (SELECT {id_col}, {text_col} AS text, "
+        f"regexp_extract_all({text_col}, '{_WORD_PAT}') AS words FROM {rel}), "
+        f"f AS (SELECT {id_col}, len(words) AS n_words, length(text) AS n_chars, "
+        "CASE WHEN len(words) = 0 THEN 0.0 "
+        "ELSE CAST(length(array_to_string(words, '')) AS DOUBLE)/len(words) END AS mean_wl, "
+        "CAST(length(text) - length(regexp_replace(text, "
+        "'[.,;:!?\"''()\\[\\]{}]', '', 'g')) AS DOUBLE)/greatest(1, length(text)) AS punct_ratio, "
+        "CAST(len(list_filter(list_transform(words, x -> lower(x)), "
+        f"x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)/greatest(1, len(words)) AS stop_ratio, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        "/greatest(1, length(text)) AS alpha_ratio FROM w), "
+        f"s AS (SELECT {id_col}, n_words, 1.0 "
+        "* (CASE WHEN n_words < 10 THEN n_words/10.0 ELSE 1.0 END) "
+        "* (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END) "
+        "* (CASE WHEN stop_ratio < 0.05 THEN 0.5 ELSE 1.0 END) "
+        "* (CASE WHEN alpha_ratio < 0.5 THEN 0.5 ELSE 1.0 END) "
+        "* (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END) AS score FROM f) "
+        f"SELECT {id_col}, n_words, CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS quality_micro FROM s"
+    )
+
+
 def _jaccard_pairs_sql(shingle_cte: str, threshold_num: int, threshold_den: int) -> str:
     """Brute-force set-Jaccard self-join over a distinct (doc_id, s) shingle
     relation. Threshold check in exact integer arithmetic:
@@ -499,26 +525,37 @@ def build_extended_oracles() -> dict[str, str]:
 
     # quality-score gate (functions/text.quality_features mirrored exactly:
     # integer counts, exact double ratios, multiplicative CASE chain)
-    sql["doc_quality"] = (
-        f"WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '{_WORD_PAT}') AS words "
-        "FROM documents), "
-        "f AS (SELECT doc_id, len(words) AS n_words, length(text) AS n_chars, "
-        "CASE WHEN len(words) = 0 THEN 0.0 "
-        "ELSE CAST(length(array_to_string(words, '')) AS DOUBLE)/len(words) END AS mean_wl, "
-        "CAST(length(text) - length(regexp_replace(text, "
-        "'[.,;:!?\"''()\\[\\]{}]', '', 'g')) AS DOUBLE)/greatest(1, length(text)) AS punct_ratio, "
-        "CAST(len(list_filter(list_transform(words, x -> lower(x)), "
-        f"x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)/greatest(1, len(words)) AS stop_ratio, "
-        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
-        "/greatest(1, length(text)) AS alpha_ratio FROM w), "
-        "s AS (SELECT doc_id, n_words, 1.0 "
-        "* (CASE WHEN n_words < 10 THEN n_words/10.0 ELSE 1.0 END) "
-        "* (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END) "
-        "* (CASE WHEN stop_ratio < 0.05 THEN 0.5 ELSE 1.0 END) "
-        "* (CASE WHEN alpha_ratio < 0.5 THEN 0.5 ELSE 1.0 END) "
-        "* (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END) AS score FROM f) "
-        "SELECT doc_id, n_words, CAST(FLOOR(score*1000000 + 0.5) AS BIGINT) AS quality_micro FROM s"
+    sql["doc_quality"] = _quality_sql("documents", "doc_id", "text")
+    # the same gate over the multimodal table's caption column
+    sql["caption_quality"] = _quality_sql(
+        f"read_parquet('{images}')", "image_id", "caption"
     )
+
+    # storage-format corpus profile over the input_hint table
+    sql["image_format_stats"] = (
+        "SELECT fmt, COUNT(*) AS n_images, "
+        "CAST(SUM(octet_length(bytes)) AS BIGINT) AS total_bytes, "
+        "CAST(SUM(CAST(w AS BIGINT)*h) AS BIGINT) AS total_pixels, "
+        "CAST(SUM(length(caption)) AS BIGINT) AS caption_chars, "
+        "CAST(MIN(w) AS BIGINT) AS min_w, CAST(MAX(w) AS BIGINT) AS max_w "
+        f"FROM read_parquet('{images}') GROUP BY fmt"
+    )
+
+    # aspect-class × format histogram (4:3 gates, integer cross-multiply)
+    sql["image_aspect_stats"] = (
+        "SELECT CASE WHEN 3*CAST(w AS BIGINT) > 4*h THEN 'wide' "
+        "WHEN 3*CAST(h AS BIGINT) > 4*w THEN 'tall' ELSE 'boxy' END AS aspect, "
+        "fmt, COUNT(*) AS n_images, "
+        "CAST(SUM(CAST(w AS BIGINT)*h) AS BIGINT) AS total_pixels "
+        f"FROM read_parquet('{images}') GROUP BY 1, 2"
+    )
+
+    # exact-phash first-wins dedup groups (image-tier StatusCheckBolt gate)
+    sql["image_phash_dup_groups"] = (
+        "SELECT phash, COUNT(*) AS n_copies, MIN(image_id) AS keeper "
+        f"FROM read_parquet('{images}') GROUP BY phash HAVING COUNT(*) > 1"
+    )
+
 
     # inverted-index postings for the 5 alphabetically-first corpus tokens
     # (TextIndexerBolt analogue; engine reads only the probed buckets)

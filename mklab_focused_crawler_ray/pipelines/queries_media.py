@@ -871,12 +871,177 @@ def q_media_stream_users(sf_dir: str):
     return users.map_batches(final, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------------------
+# multimodal corpus profiling (the input_hint image+caption table)
+# --------------------------------------------------------------------------
+
+
+def q_image_format_stats(sf_dir: str):
+    """Storage-format profile of the multimodal corpus: per ``fmt`` row
+    count, total encoded bytes, total decoded pixels, caption character
+    volume and width range. Everything is combined INSIDE each batch with
+    an Arrow ``group_by`` (one partial row per fmt per block), so the only
+    shuffle is #fmts × #blocks tiny rows — the profile shape that holds at
+    100 TB of image shards."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "fmt": batch["fmt"],
+                "pn": pa.array(np.ones(len(batch), np.int64)),
+                "pbytes": pc.binary_length(batch["bytes"]).cast(pa.int64()),
+                "ppix": pc.multiply(
+                    batch["w"].cast(pa.int64()), batch["h"].cast(pa.int64())
+                ),
+                "pcap": pc.utf8_length(batch["caption"]).cast(pa.int64()),
+                "pw": batch["w"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by("fmt").aggregate(
+            [("pn", "sum"), ("pbytes", "sum"), ("ppix", "sum"),
+             ("pcap", "sum"), ("pw", "min"), ("pw", "max")]
+        )
+        return g.select(
+            ["fmt", "pn_sum", "pbytes_sum", "ppix_sum", "pcap_sum",
+             "pw_min", "pw_max"]
+        ).rename_columns(["fmt", "pn", "pbytes", "ppix", "pcap", "pminw", "pmaxw"])
+
+    return (
+        rd.read_parquet(_images(sf_dir))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("pn", alias_name="n_images"),
+            Sum("pbytes", alias_name="total_bytes"),
+            Sum("ppix", alias_name="total_pixels"),
+            Sum("pcap", alias_name="caption_chars"),
+            Min("pminw", alias_name="min_w"),
+            Max("pmaxw", alias_name="max_w"),
+        )
+    )
+
+
+def q_image_aspect_stats(sf_dir: str):
+    """Aspect-class × format histogram (wide = w:h beyond 4:3, tall = the
+    transpose, boxy otherwise) with pixel volume — the size/aspect gate a
+    caption-pair curation pipeline applies before decode. Same
+    batch-combine partial-agg shape as ``image_format_stats``."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        aspect = np.where(3 * w > 4 * h, "wide", np.where(3 * h > 4 * w, "tall", "boxy"))
+        t = pa.table(
+            {
+                "aspect": pa.array(aspect.astype(object), pa.string()),
+                "fmt": batch["fmt"],
+                "pn": pa.array(np.ones(len(batch), np.int64)),
+                "ppix": pa.array(w * h, pa.int64()),
+            }
+        )
+        g = t.group_by(["aspect", "fmt"]).aggregate([("pn", "sum"), ("ppix", "sum")])
+        return g.select(["aspect", "fmt", "pn_sum", "ppix_sum"]).rename_columns(
+            ["aspect", "fmt", "pn", "ppix"]
+        )
+
+    return (
+        rd.read_parquet(_images(sf_dir), columns=["w", "h", "fmt"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["aspect", "fmt"])
+        .aggregate(Sum("pn", alias_name="n_images"), Sum("ppix", alias_name="total_pixels"))
+    )
+
+
+def q_image_phash_dup_groups(sf_dir: str):
+    """Exact perceptual-hash dedup groups, first-wins: every ``phash``
+    carried by more than one image, with copy count and the kept (minimum)
+    image_id — the StatusCheckBolt first-wins gate applied to the image
+    tier. Partial (count, min-id) per phash inside each batch, one shuffle
+    of the pre-combined rows, filter n>1 after the merge; keeper ids travel
+    as int64 (the fixture's ``img%08d`` key) so the merge needs no string
+    kernels."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idnum = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64())
+        t = pa.table(
+            {
+                "phash": batch["phash"],
+                "pn": pa.array(np.ones(len(batch), np.int64)),
+                "pid": idnum,
+            }
+        )
+        g = t.group_by("phash").aggregate([("pn", "sum"), ("pid", "min")])
+        return g.select(["phash", "pn_sum", "pid_min"]).rename_columns(
+            ["phash", "pn", "pid"]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["n_copies"], 1)
+        b = batch.filter(keep)
+        keeper = pa.array(
+            ["img%08d" % v for v in b["keeper_num"].to_pylist()], pa.string()
+        )
+        return pa.table(
+            {"phash": b["phash"], "n_copies": b["n_copies"], "keeper": keeper}
+        )
+
+    return (
+        rd.read_parquet(_images(sf_dir), columns=["image_id", "phash"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("phash")
+        .aggregate(Sum("pn", alias_name="n_copies"), Min("pid", alias_name="keeper_num"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def q_caption_quality(sf_dir: str):
+    """Quality-score gate over the CAPTION side of the multimodal pairs —
+    ``functions/text.quality_features`` (the SimpleEstimator.isLowQuality
+    analogue, ArticleExtractionBolt.java:296-322) applied to caption text,
+    emitting (image_id, n_words, quality_micro) with exact integer
+    arithmetic so DuckDB reproduces it bit-for-bit."""
+    import ray.data as rd
+
+    from ..functions.text import quality_features
+
+    def qf(batch: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in batch["caption"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "n_words": pa.array([f["n_words"] for f in feats], pa.int64()),
+                "quality_micro": pa.array(
+                    np.floor(
+                        np.array([f["quality"] for f in feats]) * 1_000_000.0 + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return rd.read_parquet(_images(sf_dir), columns=["image_id", "caption"]).map_batches(
+        qf, batch_format="pyarrow"
+    )
+
+
 MEDIA_QUERIES = {
     "media_stream_users": q_media_stream_users,
     "image_decode_check": q_image_decode_check,
     "image_phash_pairs": q_image_phash_pairs,
     "image_clusters": q_image_clusters,
     "image_embed": q_image_embed,
+    "image_format_stats": q_image_format_stats,
+    "image_aspect_stats": q_image_aspect_stats,
+    "image_phash_dup_groups": q_image_phash_dup_groups,
+    "caption_quality": q_caption_quality,
     "image_topk_similar": q_image_topk_similar,
     "caption_token_counts": q_caption_token_counts,
     "ann_ivf_top10": q_ann_ivf_top10,

@@ -79,6 +79,10 @@ FIXTURE_BACKED = {
     "image_phash_pairs",
     "image_decode_check",
     "image_clusters",
+    "image_format_stats",
+    "image_aspect_stats",
+    "image_phash_dup_groups",
+    "caption_quality",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
     "image_embed_dup_pairs",
