@@ -1095,6 +1095,233 @@ def q_embedding_norm_stats(sf_dir: str):
     )
 
 
+SIG_VALUE_GATE = 90.0  # signature gate: high-value events only (non-degenerate)
+SIG_BUCKETS = 64  # fixed shuffle cardinality for the signature finisher
+
+
+def q_revenue_running_by_date(sf_dir: str):
+    """GLOBAL running (cumulative) revenue by order day — the prefix-sum
+    window ``SUM(...) OVER (ORDER BY day)`` Ray Data has no native operator
+    for.
+
+    Scale shape: the rows collapse map-side into a per-day cents histogram
+    (one partial row per day per block), the shuffle moves only the
+    histogram, and the prefix sum runs over the aggregated per-day table —
+    whose cardinality is bounded by the calendar (a few thousand rows for
+    decades of data), so one vectorized cumsum task is the right plan at
+    any corpus size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        ).astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "pc": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("day").aggregate([("pc", "sum")])
+        return g.select(["day", "pc_sum"]).rename_columns(["day", "pc"])
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column("g", pa.array(np.zeros(len(batch), np.int64)))
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values("day", kind="stable")
+        return pd.DataFrame(
+            {
+                "day": g["day"].to_numpy(np.int64),
+                "revenue_cents": g["revenue_cents"].to_numpy(np.int64),
+                "running_cents": np.cumsum(g["revenue_cents"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("pc", alias_name="revenue_cents"))
+        .map_batches(add_g, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+        .select_columns(["day", "revenue_cents", "running_cents"])
+    )
+
+
+def q_urgent_lineitem_semijoin(sf_dir: str):
+    """Fact-table SEMI-JOIN via a broadcast key set: lineitem rows whose
+    order is '1-URGENT', counted and summed (cents) per return flag.
+
+    Scale shape: the build side is the FILTERED order-key column only —
+    read once with column+predicate pushdown, sorted, ``ray.put`` once,
+    probed zero-copy in every task with one ``searchsorted`` pass (the
+    §2.10 broadcast-lookup discipline). At 100 TB the sorted-key array
+    swaps for a bloom filter with identical pipeline shape — the probe
+    side never shuffles either way."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    orders = pq.read_table(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filters=[("o_orderpriority", "=", ANTI_PRIORITY)],
+    )
+    keys = np.sort(orders["o_orderkey"].to_numpy())
+    side = ray.put(keys)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        k = ray.get(side)
+        ok = batch["l_orderkey"].to_numpy()
+        idx = np.clip(np.searchsorted(k, ok), 0, max(len(k) - 1, 0))
+        found = (k[idx] == ok) if len(k) else np.zeros(len(ok), bool)
+        b = batch.filter(pa.array(found))
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "pn": pa.array(np.ones(len(b), np.int64)),
+                "pc": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate([("pn", "sum"), ("pc", "sum")])
+        return g.select(["l_returnflag", "pn_sum", "pc_sum"]).rename_columns(
+            ["l_returnflag", "pn", "pc"]
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_returnflag"]
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("pn", alias_name="n_items"), Sum("pc", alias_name="revenue_cents"))
+    )
+
+
+def q_user_event_signature(sf_dir: str):
+    """SET-VALUED aggregate: each user's sorted distinct high-value event
+    types joined with '|' (plus the type count) — the string_agg(DISTINCT
+    ... ORDER BY ...) shape used for behavioral cohort keys.
+
+    Scale shape: batches pre-dedupe (user, type) pairs map-side, the
+    distinct-pair relation (bounded by |users| × |event types|) shuffles
+    once into ``SIG_BUCKETS`` hash buckets — fixed cardinality, never a
+    per-user group — and each bucket builds its signatures in one
+    vectorized pandas groupby-join pass."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = batch["value"].to_numpy() >= SIG_VALUE_GATE
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy()[keep],
+                "event_type": np.asarray(batch["event_type"].to_pylist(), object)[
+                    keep
+                ],
+            }
+        ).drop_duplicates()
+        # typed Arrow output even when the gate empties the batch — an
+        # inferred-null schema from one empty block poisons the union
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+            }
+        )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(u % SIG_BUCKETS, pa.int64()),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "event_type"], kind="stable")
+        out = g.groupby("user_id", sort=True)["event_type"].agg(
+            signature="|".join, n_types="size"
+        )
+        out = out.reset_index()
+        out["n_types"] = out["n_types"].astype(np.int64)
+        return out
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+        .select_columns(["user_id", "signature", "n_types"])
+    )
+
+
+def q_event_weekday_pivot(sf_dir: str):
+    """PIVOT (long → wide crosstab): one row per event type with seven
+    day-of-week count columns (wd0..wd6, day = epoch-day mod 7 — a pure
+    function both engines compute identically).
+
+    Scale shape: counts collapse map-side per (type, wd); the pivot runs
+    over the aggregated histogram (|types| × 7 rows), one tiny task."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wd = (
+            batch["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000 % 7
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "wd": pa.array(wd, pa.int64()),
+                "pn": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "wd"]).aggregate([("pn", "sum")])
+        return g.select(["event_type", "wd", "pn_sum"]).rename_columns(
+            ["event_type", "wd", "pn"]
+        )
+
+    def widen(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        row = {"event_type": g["event_type"].iloc[0]}
+        cnt = dict(zip(g["wd"].to_numpy(np.int64), g["n"].to_numpy(np.int64)))
+        for d in range(7):
+            row[f"wd{d}"] = np.int64(cnt.get(d, 0))
+        return pd.DataFrame([row])
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "wd"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(widen, batch_format="pandas")
+    )
+
+
 ML_QUERIES = {
     "customers_without_urgent": q_customers_without_urgent,
     "orders_join_nation": q_orders_join_nation,
@@ -1112,6 +1339,10 @@ ML_QUERIES = {
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_norm_stats": q_embedding_norm_stats,
+    "revenue_running_by_date": q_revenue_running_by_date,
+    "urgent_lineitem_semijoin": q_urgent_lineitem_semijoin,
+    "user_event_signature": q_user_event_signature,
+    "event_weekday_pivot": q_event_weekday_pivot,
 }
 
 _TOK_SQL_ML = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1234,5 +1465,34 @@ ML_ORACLE_SQL = {
         "SELECT label, COUNT(*) AS n, "
         "CAST(SUM(list_sum(list_transform(mi, x -> x*x))) AS BIGINT) AS sumsq_micro2 "
         "FROM m GROUP BY label"
+    ),
+    "revenue_running_by_date": (
+        "WITH d AS (SELECT CAST(FLOOR(epoch_us(o_orderdate)/86400000000.0) AS BIGINT) AS day, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM orders GROUP BY 1) "
+        "SELECT day, revenue_cents, "
+        "CAST(SUM(revenue_cents) OVER (ORDER BY day) AS BIGINT) AS running_cents FROM d"
+    ),
+    "urgent_lineitem_semijoin": (
+        "SELECT l_returnflag, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE o_orderpriority = '{ANTI_PRIORITY}' GROUP BY 1"
+    ),
+    "user_event_signature": (
+        "SELECT user_id, "
+        "string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS signature, "
+        "COUNT(DISTINCT event_type) AS n_types FROM events "
+        f"WHERE value >= {SIG_VALUE_GATE} GROUP BY user_id"
+    ),
+    "event_weekday_pivot": (
+        "WITH e AS (SELECT event_type, "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) % 7 AS wd FROM events) "
+        "SELECT event_type, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN wd = {d} THEN 1 ELSE 0 END) AS BIGINT) AS wd{d}"
+            for d in range(7)
+        )
+        + " FROM e GROUP BY event_type"
     ),
 }
