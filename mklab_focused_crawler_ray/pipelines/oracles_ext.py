@@ -556,6 +556,22 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{images}') GROUP BY phash HAVING COUNT(*) > 1"
     )
 
+    # end-to-end multimodal curation gate: first-wins phash dedup + pixel
+    # floor + caption-quality keep (the corpus_filter_kept composite on the
+    # image tier; constants imported so both sides move together)
+    from .queries_media import CAPTION_KEEP_MICRO, MIN_PIXELS
+
+    images_rel = f"read_parquet('{images}')"
+    sql["multimodal_filter_kept"] = (
+        f"WITH q AS ({_quality_sql(images_rel, 'image_id', 'caption')}), "
+        f"k AS (SELECT phash, MIN(image_id) AS keeper FROM {images_rel} GROUP BY phash) "
+        f"SELECT i.image_id, i.fmt, q.quality_micro FROM {images_rel} i "
+        "JOIN k ON k.phash = i.phash AND k.keeper = i.image_id "
+        "JOIN q ON q.image_id = i.image_id "
+        f"WHERE CAST(i.w AS BIGINT)*i.h >= {MIN_PIXELS} "
+        f"AND q.quality_micro >= {CAPTION_KEEP_MICRO}"
+    )
+
 
     # inverted-index postings for the 5 alphabetically-first corpus tokens
     # (TextIndexerBolt analogue; engine reads only the probed buckets)

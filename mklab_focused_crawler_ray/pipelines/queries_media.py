@@ -1002,6 +1002,97 @@ def q_image_phash_dup_groups(sf_dir: str):
     )
 
 
+CAPTION_KEEP_MICRO = 350_000  # caption-quality keep gate (micro units)
+MIN_PIXELS = 6_000  # decoded-pixel floor for the curation gate
+PHASH_BUCKETS = 64  # fixed shuffle cardinality for the first-wins keeper
+
+
+def q_multimodal_filter_kept(sf_dir: str):
+    """END-TO-END multimodal curation gate over the input_hint table — the
+    image-tier analogue of ``corpus_filter_kept``: keep an image+caption
+    pair iff (a) it is the FIRST (minimum image_id) holder of its exact
+    phash (StatusCheckBolt first-wins dedup), (b) its decoded size clears
+    ``MIN_PIXELS``, and (c) its caption clears the quality gate
+    (``functions/text.quality_features`` ≥ ``CAPTION_KEEP_MICRO``).
+
+    Scale shape: batches pre-reduce to one min-id candidate per phash
+    (vectorized lexsort + run-boundary take), candidates hash-bucket into
+    ``PHASH_BUCKETS`` groups — fixed shuffle cardinality, shuffle volume
+    O(distinct phash), never the image bytes, which are never read — each
+    bucket resolves global keepers in one vectorized pass, and the
+    (python-heuristic) caption scorer runs only on surviving keepers."""
+    import ray.data as rd
+
+    from ..functions.text import quality_features
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idnum = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy()
+        ph = batch["phash"].to_numpy()
+        order = np.lexsort((idnum, ph))
+        first = np.r_[True, ph[order][1:] != ph[order][:-1]]
+        take = order[first]
+        sub = batch.take(pa.array(take, pa.int64()))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (ph[take] % PHASH_BUCKETS).astype(np.int64), pa.int64()
+                ),
+                "phash": sub["phash"],
+                "idnum": pa.array(idnum[take], pa.int64()),
+                "image_id": sub["image_id"],
+                "fmt": sub["fmt"],
+                "caption": sub["caption"],
+                "pixels": pa.array(
+                    sub["w"].cast(pa.int64()).to_numpy()
+                    * sub["h"].cast(pa.int64()).to_numpy(),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def resolve(g) -> pa.Table:
+        ph = g["phash"].to_numpy()
+        idnum = g["idnum"].to_numpy()
+        order = np.lexsort((idnum, ph))
+        first = np.r_[True, ph[order][1:] != ph[order][:-1]]
+        keep = order[first]
+        # size gate here (cheap int compare); caption scoring deferred
+        keep = keep[g["pixels"].to_numpy()[keep] >= MIN_PIXELS]
+        return g.take(pa.array(np.sort(keep), pa.int64())).select(
+            ["image_id", "fmt", "caption"]
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in batch["caption"].to_pylist()]
+        qm = np.floor(
+            np.array([f["quality"] for f in feats]) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        ok = qm >= CAPTION_KEEP_MICRO
+        b = batch.filter(pa.array(ok))
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "fmt": b["fmt"],
+                "quality_micro": pa.array(qm[ok], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _images(sf_dir),
+            columns=["image_id", "phash", "fmt", "caption", "w", "h"],
+        )
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+        .map_batches(score, batch_format="pyarrow")
+    )
+
+
 def q_caption_quality(sf_dir: str):
     """Quality-score gate over the CAPTION side of the multimodal pairs —
     ``functions/text.quality_features`` (the SimpleEstimator.isLowQuality
@@ -1042,6 +1133,7 @@ MEDIA_QUERIES = {
     "image_aspect_stats": q_image_aspect_stats,
     "image_phash_dup_groups": q_image_phash_dup_groups,
     "caption_quality": q_caption_quality,
+    "multimodal_filter_kept": q_multimodal_filter_kept,
     "image_topk_similar": q_image_topk_similar,
     "caption_token_counts": q_caption_token_counts,
     "ann_ivf_top10": q_ann_ivf_top10,

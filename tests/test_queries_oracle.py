@@ -83,6 +83,7 @@ FIXTURE_BACKED = {
     "image_aspect_stats",
     "image_phash_dup_groups",
     "caption_quality",
+    "multimodal_filter_kept",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
     "image_embed_dup_pairs",
