@@ -1322,6 +1322,270 @@ def q_event_weekday_pivot(sf_dir: str):
     )
 
 
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOP = 20  # bigrams kept
+
+
+def q_order_price_percentile_rank(sf_dir: str):
+    """GLOBAL per-partition window WITHOUT sorting the fact table:
+    ``PERCENT_RANK() OVER (PARTITION BY priority ORDER BY price)`` for
+    every order, via a broadcast cumulative histogram.
+
+    Scale shape: one histogram shuffle (bounded by distinct (priority,
+    cents) values — price domains are bounded, rows are not), the
+    cumulative table broadcasts once via ``ray.put``, and ranking streams
+    embarrassingly parallel with a single ``searchsorted`` per batch. The
+    fact table is never sorted and never shuffled."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "prio": batch["o_orderpriority"],
+                "cents": pa.array(cents, pa.int64()),
+                "pc": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = t.group_by(["prio", "cents"]).aggregate([("pc", "sum")])
+        return g.select(["prio", "cents", "pc_sum"]).rename_columns(
+            ["prio", "cents", "pc"]
+        )
+
+    hist = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["prio", "cents"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()  # bounded by the price domain, not the row count
+    )
+    cum = {}
+    for prio, g in hist.groupby("prio"):
+        g = g.sort_values("cents", kind="stable")
+        c = g["c"].to_numpy(np.int64)
+        cum[prio] = (
+            g["cents"].to_numpy(np.int64),
+            np.concatenate(([0], np.cumsum(c)[:-1])),  # count strictly below
+            int(c.sum()),
+        )
+    side = ray.put(cum)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        m = ray.get(side)
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        prio = np.asarray(batch["o_orderpriority"].to_pylist(), object)
+        out = np.empty(len(cents), np.int64)
+        for p in np.unique(prio):
+            vals, below, n = m[p]
+            sel = prio == p
+            cb = below[np.searchsorted(vals, cents[sel])]
+            # identical double expression to PERCENT_RANK()'s
+            # (rank-1)*1000000.0/(n-1)
+            out[sel] = np.floor(
+                cb.astype(np.float64) * 1_000_000.0 / (n - 1) + 0.5
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "prank_micro": pa.array(out, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).map_batches(rank, batch_format="pyarrow")
+
+
+def q_order_reconciliation(sf_dir: str):
+    """CO-GROUP reconciliation audit of two large tables: per order status,
+    how many orders' summed lineitem price (cents) exceeds the order's
+    stored total — the cross-table integrity sweep a warehouse runs after
+    ingest (both sides too big to broadcast).
+
+    Scale shape: lineitem pre-aggregates per orderkey INSIDE each batch,
+    both sides co-partition by hash(orderkey) into ``JOIN_BUCKETS`` fixed
+    buckets, each bucket reconciles all its orders in one vectorized
+    pandas-groupby + searchsorted pass, and only (status, count, count)
+    sufficient statistics leave the bucket."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy()
+        cents = np.floor(batch["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "licents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by("key").aggregate([("licents", "sum")])
+        key2 = g["key"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(key2 % JOIN_BUCKETS, pa.int64()),
+                "key": pa.array(key2, pa.int64()),
+                "licents": g["licents_sum"],
+                "ocents": pa.array(np.zeros(len(key2), np.int64), pa.int64()),
+                "status": pa.array([""] * len(key2), pa.string()),
+                "side": pa.array(np.zeros(len(key2), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "licents": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "ocents": pa.array(cents, pa.int64()),
+                "status": batch["o_orderstatus"],
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def reconcile(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        li = g[g["side"] == 0]
+        s = li.groupby("key", sort=True)["licents"].sum()
+        lk, lv = s.index.to_numpy(np.int64), s.to_numpy(np.int64)
+        o = g[g["side"] == 1]
+        ok = o["key"].to_numpy(np.int64)
+        idx = np.clip(np.searchsorted(lk, ok), 0, max(len(lk) - 1, 0))
+        found = (lk[idx] == ok) if len(lk) else np.zeros(len(ok), bool)
+        lisum = np.where(found, lv[idx] if len(lk) else 0, 0)
+        above = lisum > o["ocents"].to_numpy(np.int64)
+        out = (
+            pd.DataFrame({"o_orderstatus": o["status"].to_numpy(object), "above": above})
+            .groupby("o_orderstatus", sort=True)["above"]
+            .agg(pn="size", pa="sum")
+            .reset_index()
+        )
+        out["pn"] = out["pn"].astype(np.int64)
+        out["pa"] = out["pa"].astype(np.int64)
+        return out
+
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(prep_li, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderstatus"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(reconcile, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("pn", alias_name="n_orders"), Sum("pa", alias_name="n_above"))
+    )
+
+
+def q_bigram_pmi(sf_dir: str):
+    """COLLOCATION MINING: the ``PMI_TOP`` adjacent-token bigrams with the
+    highest pointwise mutual information (log10, micro-int) over the
+    document corpus, support ≥ ``PMI_MIN_COUNT``.
+
+    Scale shape: unigram and bigram counts collapse map-side per batch
+    (vocabulary-bounded shuffles — the classic word-count discipline); the
+    unigram LM broadcasts once and PMI scores stream over the aggregated
+    bigram histogram with a bounded top-k at the end. The double-precision
+    expression is written identically on both engines so FLOOR(x*1e6+0.5)
+    agrees bit-for-bit."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(TOKEN_RE.findall(t.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "pc": pa.array(np.fromiter(c.values(), np.int64, len(c)), pa.int64()),
+            }
+        )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            tk = TOKEN_RE.findall(t.lower())
+            c.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+        return pa.table(
+            {
+                "bigram": pa.array(list(c.keys()), pa.string()),
+                "pc": pa.array(np.fromiter(c.values(), np.int64, len(c)), pa.int64()),
+            }
+        )
+
+    uni = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()  # vocabulary-bounded
+    )
+    total = int(uni["c"].sum())
+    uni_ref = ray.put(dict(zip(uni["token"], uni["c"].to_numpy(np.int64))))
+
+    bi = (
+        docs.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("pc", alias_name="n"))
+    )
+    btotal = int(bi.sum("n"))
+
+    def pmi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        um = ray.get(uni_ref)
+        b = batch.filter(pc.greater_equal(batch["n"], PMI_MIN_COUNT))
+        grams = b["bigram"].to_pylist()
+        n = b["n"].to_numpy().astype(np.float64)
+        ca = np.array([um[g.split(" ", 1)[0]] for g in grams], np.float64)
+        cb = np.array([um[g.split(" ", 1)[1]] for g in grams], np.float64)
+        # identical double expression to the oracle:
+        # LOG10(CAST(n AS DOUBLE)*T*T/(CAST(B AS DOUBLE)*ca*cb))
+        val = np.log10(n * float(total) * float(total) / (float(btotal) * ca * cb))
+        return pa.table(
+            {
+                "bigram": b["bigram"],
+                "n": b["n"],
+                "pmi_micro": pa.array(
+                    np.floor(val * 1_000_000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        bi.map_batches(pmi, batch_format="pyarrow")
+        .sort(["pmi_micro", "bigram"], descending=[True, False])
+        .limit(PMI_TOP)
+    )
+
+
 ML_QUERIES = {
     "customers_without_urgent": q_customers_without_urgent,
     "orders_join_nation": q_orders_join_nation,
@@ -1343,6 +1607,9 @@ ML_QUERIES = {
     "urgent_lineitem_semijoin": q_urgent_lineitem_semijoin,
     "user_event_signature": q_user_event_signature,
     "event_weekday_pivot": q_event_weekday_pivot,
+    "order_price_percentile_rank": q_order_price_percentile_rank,
+    "order_reconciliation": q_order_reconciliation,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 _TOK_SQL_ML = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1494,5 +1761,42 @@ ML_ORACLE_SQL = {
             for d in range(7)
         )
         + " FROM e GROUP BY event_type"
+    ),
+    "order_price_percentile_rank": (
+        "WITH e AS (SELECT o_orderkey, o_orderpriority, "
+        "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders) "
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(FLOOR((RANK() OVER (PARTITION BY o_orderpriority ORDER BY cents) - 1) "
+        "* 1000000.0 / (COUNT(*) OVER (PARTITION BY o_orderpriority) - 1) + 0.5) "
+        "AS BIGINT) AS prank_micro FROM e"
+    ),
+    "order_reconciliation": (
+        "WITH li AS (SELECT l_orderkey, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS s "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "CAST(SUM(CASE WHEN COALESCE(li.s, 0) > "
+        "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_above FROM orders LEFT JOIN li ON l_orderkey = o_orderkey GROUP BY 1"
+    ),
+    "bigram_pmi": (
+        "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk "
+        "FROM documents), "
+        "uni AS (SELECT unnest(tk) AS token FROM tok), "
+        "uc AS (SELECT token, COUNT(*) AS c FROM uni GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM uni), "
+        "bi AS (SELECT unnest(list_transform(range(1, len(tk)), "
+        "i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1])) AS bigram "
+        "FROM tok WHERE len(tk) >= 2), "
+        "bc AS (SELECT bigram, COUNT(*) AS n FROM bi GROUP BY 1), "
+        "btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bi) "
+        "SELECT bigram, n, "
+        "CAST(FLOOR(LOG10(CAST(n AS DOUBLE)*t*t/(CAST(b AS DOUBLE)*ca.c*cb.c))"
+        "*1000000 + 0.5) AS BIGINT) AS pmi_micro "
+        "FROM bc CROSS JOIN tot CROSS JOIN btot "
+        "JOIN uc ca ON ca.token = split_part(bigram, ' ', 1) "
+        "JOIN uc cb ON cb.token = split_part(bigram, ' ', 2) "
+        f"WHERE n >= {PMI_MIN_COUNT} "
+        f"ORDER BY pmi_micro DESC, bigram ASC LIMIT {PMI_TOP}"
     ),
 }
