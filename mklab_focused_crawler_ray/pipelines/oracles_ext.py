@@ -149,6 +149,32 @@ def _quality_sql(rel: str, id_col: str, text_col: str) -> str:
     )
 
 
+def _pagerank_sql(pages_path: str, iters: int, top: int) -> str:
+    """Integer-exact PageRank as ``iters`` unrolled CTE stages (DuckDB has
+    no aggregate-in-recursive-CTE, so the fixed iteration count unrolls) —
+    all-BIGINT arithmetic, so summation order cannot perturb the result."""
+    parts = [
+        f"nodes AS (SELECT url FROM read_parquet('{pages_path}'))",
+        f"e0 AS (SELECT url AS src, unnest(out_links) AS dst FROM read_parquet('{pages_path}'))",
+        "e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT url FROM nodes))",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
+        "r0 AS (SELECT url, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS (SELECT n.url, "
+            f"CAST(150000 + (85 * COALESCE(s{k}.c, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS url, SUM(r.r // deg.d) AS c "
+            f"FROM e JOIN r{k-1} r ON r.url = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY 1) s{k} ON s{k}.url = n.url)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT url, r AS rank_micro FROM r{iters} "
+        f"ORDER BY rank_micro DESC, url ASC LIMIT {top}"
+    )
+
+
 def _jaccard_pairs_sql(shingle_cte: str, threshold_num: int, threshold_den: int) -> str:
     """Brute-force set-Jaccard self-join over a distinct (doc_id, s) shingle
     relation. Threshold check in exact integer arithmetic:
@@ -560,6 +586,12 @@ def build_extended_oracles() -> dict[str, str]:
     # floor + caption-quality keep (the corpus_filter_kept composite on the
     # image tier; constants imported so both sides move together)
     from .queries_media import CAPTION_KEEP_MICRO, MIN_PIXELS
+
+    # iterative integer PageRank over the fixture link graph
+    from .queries_media import PR_ITERS, PR_TOP
+
+    pages_path = os.path.join(fdir, "pages.parquet")
+    sql["pagerank_top20"] = _pagerank_sql(pages_path, PR_ITERS, PR_TOP)
 
     images_rel = f"read_parquet('{images}')"
     sql["multimodal_filter_kept"] = (

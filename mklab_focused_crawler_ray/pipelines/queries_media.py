@@ -1002,6 +1002,267 @@ def q_image_phash_dup_groups(sf_dir: str):
     )
 
 
+PR_ITERS = 5  # deterministic PageRank fixed-point iterations
+PR_TOP = 20  # pages kept
+PR_BUCKETS = 64  # fixed shuffle cardinality for the per-iteration co-groups
+
+
+def q_pagerank_top20(sf_dir: str):
+    """ITERATIVE graph algorithm: integer-exact PageRank over the fixture's
+    page link graph (``pages.out_links``), top-``PR_TOP`` pages after
+    ``PR_ITERS`` synchronous iterations.
+
+    All arithmetic is integer (ranks in micro units; contribution =
+    ``rank // out_degree``; update = ``150000 + (85 * inbound) // 100``) so
+    the fixed point is order-independent and the unrolled-CTE DuckDB oracle
+    reproduces it bit-for-bit — no float summation-order hazard.
+
+    Scale shape: edges and ranks co-partition by hash(src) into
+    ``PR_BUCKETS`` fixed buckets each iteration (never per-key groups);
+    inbound mass partial-aggregates inside the bucket before the per-dst
+    shuffle; ranks re-materialize once per iteration (the standard
+    iteration barrier — without it the lazy lineage re-executes every prior
+    iteration). Internal-edge filtering uses a broadcast sorted node array
+    (bloom filter at 10^10-node scale, same pipeline shape)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    pages = _pages_path(sf_dir)
+    nodes = np.sort(
+        pq.read_table(pages, columns=["url"])["url"].to_numpy(zero_copy_only=False)
+    )
+    nodes_ref = ray.put(nodes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        links = batch["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links)
+        src = pc.take(batch["url"], parent)
+        dst = flat.to_numpy(zero_copy_only=False)
+        srcn = src.to_numpy(zero_copy_only=False)
+        if len(dst):
+            idx = np.clip(np.searchsorted(nd, dst), 0, len(nd) - 1)
+            internal = nd[idx] == dst
+            srcn, dst = srcn[internal], dst[internal]
+        return pa.table(
+            {
+                "src": pa.array(srcn.tolist(), pa.string()),
+                "dst": pa.array(dst.tolist(), pa.string()),
+            }
+        )
+
+    edges = (
+        rd.read_parquet(pages, columns=["url", "out_links"])
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # out-degree rides on each edge row once, up front
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("src").aggregate([([], "count_all")])
+        return g.select(["src", "count_all"]).rename_columns(["src", "pd"])
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("pd", alias_name="d"))
+    )
+
+    def bucketed(col: str):
+        # deterministic cross-process hash (python hash() is seed-randomized
+        # per worker, which would silently break the co-group)
+        import zlib
+
+        def fn(batch: pa.Table) -> pa.Table:
+            h = np.array(
+                [zlib.crc32(u.encode()) % PR_BUCKETS for u in batch[col].to_pylist()],
+                np.int64,
+            )
+            return batch.append_column("bucket", pa.array(h, pa.int64()))
+
+        return fn
+
+    # edges ⋈ deg by src (once): co-group on hash(src)
+    def attach_deg(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        dd = df[df["side"] == 0][["src", "d"]]
+        ee = df[df["side"] == 1][["src", "dst"]]
+        m = ee.merge(dd, on="src", how="inner")
+        return pa.table(
+            {
+                "src": pa.array(m["src"].tolist(), pa.string()),
+                "dst": pa.array(m["dst"].tolist(), pa.string()),
+                "d": pa.array(m["d"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    deg_side = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["src"],
+                "dst": pa.array([""] * len(b), pa.string()),
+                "d": b["d"],
+                "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edge_side = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["src"],
+                "dst": b["dst"],
+                "d": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # block counts compound across per-iteration unions (64 → 128 → 384 …)
+    # and Ray's sort-based groupby degrades quadratically in input block
+    # count (measured 0.5 s at 128 blocks → 25 s at 384), so every shuffle
+    # input is re-pinned to PR_BUCKETS partitions first
+    edges_d = (
+        deg_side.union(edge_side)
+        .repartition(PR_BUCKETS)
+        .map_batches(bucketed("src"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_deg, batch_format="pyarrow")
+        .materialize()
+    )
+
+    node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
+    ranks = node_ds.map_batches(
+        lambda b: b.append_column(
+            "r", pa.array(np.full(len(b), 1_000_000, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        rr = df[df["side"] == 0][["src", "r"]]
+        ee = df[df["side"] == 1][["src", "dst", "d"]]
+        m = ee.merge(rr, on="src", how="inner")
+        c = m["r"].to_numpy(np.int64) // m["d"].to_numpy(np.int64)
+        out = (
+            pd.DataFrame({"dst": m["dst"].to_numpy(object), "pc": c})
+            .groupby("dst", sort=False)["pc"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "dst": pa.array(out["dst"].tolist(), pa.string()),
+                "pc": pa.array(out["pc"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def apply_update(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        nn = df[df["side"] == 0][["url"]]
+        mm = df[df["side"] == 1][["url", "c"]]
+        m = nn.merge(mm, on="url", how="left")
+        c = m["c"].fillna(0).to_numpy(np.int64)
+        r = 150_000 + (85 * c) // 100
+        return pa.table(
+            {
+                "url": pa.array(m["url"].tolist(), pa.string()),
+                "r": pa.array(r, pa.int64()),
+            }
+        )
+
+    for _ in range(PR_ITERS):
+        rank_side = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["url"],
+                    "dst": pa.array([""] * len(b), pa.string()),
+                    "d": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                    "r": b["r"],
+                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        e_side = edges_d.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"],
+                    "dst": b["dst"],
+                    "d": b["d"],
+                    "r": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                    "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        mass = (
+            rank_side.union(e_side)
+            .repartition(PR_BUCKETS)
+            .map_batches(bucketed("src"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(contrib, batch_format="pyarrow")
+            .repartition(PR_BUCKETS)
+            .groupby("dst")
+            .aggregate(Sum("pc", alias_name="c"))
+        )
+        n_side = node_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b["url"],
+                    "c": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        m_side = mass.map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b["dst"],
+                    "c": b["c"],
+                    "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            n_side.union(m_side)
+            .repartition(PR_BUCKETS)
+            .map_batches(bucketed("url"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(apply_update, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return (
+        ranks.map_batches(
+            lambda b: pa.table({"url": b["url"], "rank_micro": b["r"]}),
+            batch_format="pyarrow",
+        )
+        .sort(["rank_micro", "url"], descending=[True, False])
+        .limit(PR_TOP)
+    )
+
+
+def _pages_path(sf_dir: str) -> str:
+    return os.path.join(fixture_dir_for(sf_dir), "pages.parquet")
+
+
 CAPTION_KEEP_MICRO = 350_000  # caption-quality keep gate (micro units)
 MIN_PIXELS = 6_000  # decoded-pixel floor for the curation gate
 PHASH_BUCKETS = 64  # fixed shuffle cardinality for the first-wins keeper
@@ -1134,6 +1395,7 @@ MEDIA_QUERIES = {
     "image_phash_dup_groups": q_image_phash_dup_groups,
     "caption_quality": q_caption_quality,
     "multimodal_filter_kept": q_multimodal_filter_kept,
+    "pagerank_top20": q_pagerank_top20,
     "image_topk_similar": q_image_topk_similar,
     "caption_token_counts": q_caption_token_counts,
     "ann_ivf_top10": q_ann_ivf_top10,

@@ -84,6 +84,7 @@ FIXTURE_BACKED = {
     "image_phash_dup_groups",
     "caption_quality",
     "multimodal_filter_kept",
+    "pagerank_top20",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
     "image_embed_dup_pairs",
