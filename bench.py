@@ -105,6 +105,21 @@ BENCH_QUERIES = [
     "decontam_neardup_hits",
     "approx_distinct_users",
     "session_overlap_pairs",
+    # round-3 continuation (multimodal profiling + window/join/pivot shapes;
+    # pagerank_top20 is excluded — its 5 materialized iterations (~25 s)
+    # would drown the per-query signal; it is timed separately in BASELINE.md)
+    "image_format_stats",
+    "image_aspect_stats",
+    "image_phash_dup_groups",
+    "caption_quality",
+    "multimodal_filter_kept",
+    "revenue_running_by_date",
+    "urgent_lineitem_semijoin",
+    "user_event_signature",
+    "event_weekday_pivot",
+    "order_price_percentile_rank",
+    "order_reconciliation",
+    "bigram_pmi",
 ]
 
 
