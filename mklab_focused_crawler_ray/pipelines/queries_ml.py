@@ -1322,6 +1322,74 @@ def q_event_weekday_pivot(sf_dir: str):
     )
 
 
+def q_user_acquisition_curve(sf_dir: str):
+    """RUNNING COUNT(DISTINCT) per partition key: for each event type, new
+    users per day (first time a user performs that type) and the cumulative
+    distinct-user curve — the growth metric every event pipeline reports.
+    Composition of two scale-safe primitives: argmin-per-key (per-batch
+    partial min over (type, user), one user-bounded shuffle) followed by a
+    per-(type, day) histogram with a per-type prefix-sum finisher
+    (calendar-bounded groups)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "user_id": batch["user_id"],
+                "pday": pa.array(day, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "user_id"]).aggregate([("pday", "min")])
+        return g.select(["event_type", "user_id", "pday_min"]).rename_columns(
+            ["event_type", "user_id", "pday"]
+        )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": batch["day"],
+                "pn": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "day"]).aggregate([("pn", "sum")])
+        return g.select(["event_type", "day", "pn_sum"]).rename_columns(
+            ["event_type", "day", "pn"]
+        )
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values("day", kind="stable")
+        n = g["new_users"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(object),
+                "day": g["day"].to_numpy(np.int64),
+                "new_users": n,
+                "cum_users": np.cumsum(n),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id", "ts"])
+        .map_batches(first_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Min("pday", alias_name="day"))
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("pn", alias_name="new_users"))
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
+        .select_columns(["event_type", "day", "new_users", "cum_users"])
+    )
+
+
 PMI_MIN_COUNT = 5  # collocation support floor
 PMI_TOP = 20  # bigrams kept
 
@@ -1610,6 +1678,7 @@ ML_QUERIES = {
     "order_price_percentile_rank": q_order_price_percentile_rank,
     "order_reconciliation": q_order_reconciliation,
     "bigram_pmi": q_bigram_pmi,
+    "user_acquisition_curve": q_user_acquisition_curve,
 }
 
 _TOK_SQL_ML = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1798,5 +1867,14 @@ ML_ORACLE_SQL = {
         "JOIN uc cb ON cb.token = split_part(bigram, ' ', 2) "
         f"WHERE n >= {PMI_MIN_COUNT} "
         f"ORDER BY pmi_micro DESC, bigram ASC LIMIT {PMI_TOP}"
+    ),
+    "user_acquisition_curve": (
+        "WITH f AS (SELECT event_type, user_id, "
+        "MIN(CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT)) AS day "
+        "FROM events GROUP BY 1, 2), "
+        "d AS (SELECT event_type, day, COUNT(*) AS new_users FROM f GROUP BY 1, 2) "
+        "SELECT event_type, day, new_users, "
+        "CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) "
+        "AS cum_users FROM d"
     ),
 }
