@@ -587,6 +587,17 @@ def build_extended_oracles() -> dict[str, str]:
     # image tier; constants imported so both sides move together)
     from .queries_media import CAPTION_KEEP_MICRO, MIN_PIXELS
 
+    # page ↔ image cross-table join rollup (hosts in the fixture are clean
+    # scheme://host/path, so split_part mirrors functions/urls.host_of)
+    sql["page_image_join_stats"] = (
+        f"WITH pi AS (SELECT lower(split_part(url, '/', 3)) AS host, "
+        f"unnest(image_ids) AS image_id FROM read_parquet('{os.path.join(fdir, 'pages.parquet')}')), "
+        f"j AS (SELECT host, CAST(i.w AS BIGINT)*i.h AS px "
+        f"FROM pi JOIN read_parquet('{images}') i USING (image_id)) "
+        "SELECT host, COUNT(*) AS n_images, CAST(SUM(px) AS BIGINT) AS total_pixels "
+        "FROM j GROUP BY host"
+    )
+
     # iterative integer PageRank over the fixture link graph
     from .queries_media import PR_ITERS, PR_TOP
 

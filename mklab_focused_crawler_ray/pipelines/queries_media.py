@@ -1354,6 +1354,99 @@ def q_multimodal_filter_kept(sf_dir: str):
     )
 
 
+PIJ_BUCKETS = 64  # page↔image co-group shuffle cardinality
+
+
+def q_page_image_join_stats(sf_dir: str):
+    """CROSS-TABLE multimodal join: every page's embedded image ids
+    (``pages.image_ids``) joined to the image table's dimensions, rolled up
+    per page host — the page↔media linkage ``MediaUpdaterBolt`` maintains,
+    as one batch pipeline.
+
+    Scale shape: the page side explodes its id lists with Arrow kernels
+    (``list_flatten``/``list_parent_indices``), both sides co-partition by
+    crc32(image_id) into ``PIJ_BUCKETS`` fixed buckets (neither table
+    broadcasts — both are corpus-sized), each bucket joins in one
+    vectorized pandas merge, and only (host, count, pixels) sufficient
+    statistics leave the bucket."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    import zlib
+    from ray.data.aggregate import Sum
+
+    from ..functions.urls import host_of
+
+    pages = _pages_path(sf_dir)
+
+    def explode_pages(batch: pa.Table) -> pa.Table:
+        links = batch["image_ids"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links)
+        hosts = [host_of(u) for u in batch["url"].to_pylist()]
+        ph = pa.array(hosts, pa.string()).take(parent)
+        ids = flat.to_pylist()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [zlib.crc32(i.encode()) % PIJ_BUCKETS for i in ids], pa.int64()
+                ),
+                "image_id": flat,
+                "host": ph,
+                "px": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_images(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        px = batch["w"].cast(pa.int64()).to_numpy() * batch["h"].cast(
+            pa.int64()
+        ).to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [zlib.crc32(i.encode()) % PIJ_BUCKETS for i in ids], pa.int64()
+                ),
+                "image_id": batch["image_id"],
+                "host": pa.array([""] * len(ids), pa.string()),
+                "px": pa.array(px, pa.int64()),
+                "side": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            }
+        )
+
+    def join(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        im = g[g["side"] == 0][["image_id", "px"]]
+        pg = g[g["side"] == 1][["image_id", "host"]]
+        m = pg.merge(im, on="image_id", how="inner")
+        out = (
+            m.groupby("host", sort=True)["px"]
+            .agg(pn="size", ppx="sum")
+            .reset_index()
+        )
+        out["pn"] = out["pn"].astype(np.int64)
+        out["ppx"] = out["ppx"].astype(np.int64)
+        return out
+
+    page_side = rd.read_parquet(pages, columns=["url", "image_ids"]).map_batches(
+        explode_pages, batch_format="pyarrow"
+    )
+    image_side = rd.read_parquet(
+        _images(sf_dir), columns=["image_id", "w", "h"]
+    ).map_batches(prep_images, batch_format="pyarrow")
+    return (
+        page_side.union(image_side)
+        .repartition(PIJ_BUCKETS)
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("pn", alias_name="n_images"), Sum("ppx", alias_name="total_pixels"))
+    )
+
+
 def q_caption_quality(sf_dir: str):
     """Quality-score gate over the CAPTION side of the multimodal pairs —
     ``functions/text.quality_features`` (the SimpleEstimator.isLowQuality
@@ -1395,6 +1488,7 @@ MEDIA_QUERIES = {
     "image_phash_dup_groups": q_image_phash_dup_groups,
     "caption_quality": q_caption_quality,
     "multimodal_filter_kept": q_multimodal_filter_kept,
+    "page_image_join_stats": q_page_image_join_stats,
     "pagerank_top20": q_pagerank_top20,
     "image_topk_similar": q_image_topk_similar,
     "caption_token_counts": q_caption_token_counts,

@@ -1265,6 +1265,17 @@ def q_user_event_signature(sf_dir: str):
         out["n_types"] = out["n_types"].astype(np.int64)
         return out
 
+    # zero-row typed anchor: if the gate empties the corpus, map_groups is
+    # never called and the result would otherwise carry NO schema
+    anchor = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "signature": pa.array([], pa.string()),
+                "n_types": pa.array([], pa.int64()),
+            }
+        )
+    )
     return (
         rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
         .map_batches(pairs, batch_format="pyarrow")
@@ -1274,6 +1285,7 @@ def q_user_event_signature(sf_dir: str):
         .groupby("bucket")
         .map_groups(finish, batch_format="pandas")
         .select_columns(["user_id", "signature", "n_types"])
+        .union(anchor)
     )
 
 

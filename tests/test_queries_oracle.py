@@ -85,6 +85,7 @@ FIXTURE_BACKED = {
     "caption_quality",
     "multimodal_filter_kept",
     "pagerank_top20",
+    "page_image_join_stats",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
     "image_embed_dup_pairs",
