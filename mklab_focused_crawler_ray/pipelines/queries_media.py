@@ -86,6 +86,15 @@ def q_image_clusters(sf_dir: str):
     return cluster_images(_images(sf_dir), max_hamming=8)
 
 
+def q_image_thumbnails(sf_dir: str):
+    """Decode + area-resize actor-pool stage (rows-only: DuckDB cannot
+    decode pixels; byte-exactness vs the codec reference is pinned by
+    tests/test_round3c_ops.py::test_thumbnail_matches_reference)."""
+    from ..stages.image import thumbnail_images
+
+    return thumbnail_images(_images(sf_dir))
+
+
 def q_image_embed(sf_dir: str):
     """Deterministic 64-dim pseudo-embedding per image (SURF/VLAD/PCA
     stand-in, FeatureExtractorBolt shape)."""
@@ -1483,6 +1492,7 @@ MEDIA_QUERIES = {
     "image_phash_pairs": q_image_phash_pairs,
     "image_clusters": q_image_clusters,
     "image_embed": q_image_embed,
+    "image_thumbnails": q_image_thumbnails,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,
     "image_phash_dup_groups": q_image_phash_dup_groups,

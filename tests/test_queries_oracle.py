@@ -129,6 +129,7 @@ def test_rows_only_queries_run(ray_session):
         "simhash_dup_pairs": {"doc_a", "doc_b"},
         "image_clusters": {"image_id", "cluster_id"},
         "image_embed": {"image_id", "embedding"},
+        "image_thumbnails": {"image_id", "thumb", "mean_r_x100"},
         "ann_ivf_top10": {"query_id", "vec_id", "cos_micro"},
         "ann_lsh_top10": {"query_id", "vec_id", "cos_micro"},
         "ann_ivf_partitioned_top10": {"query_id", "vec_id", "cos_micro"},

@@ -93,6 +93,33 @@ def test_reconciliation_totals(ray_session):
     assert (df["n_above"] > 0).any()
 
 
+def test_thumbnail_matches_reference(ray_session):
+    """Actor-pool thumbnails byte-equal the single-threaded codec path."""
+    import mklab_focused_crawler_ray.pipelines.queries_media as qm
+    from mklab_focused_crawler_ray.fixtures.codecs import decode, resize_area
+
+    got = (
+        qm.q_image_thumbnails(SF)
+        .to_pandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    src = pq.read_table(qm._images(SF), columns=["image_id", "bytes", "fmt"])
+    for iid, blob, fmt in list(
+        zip(
+            src["image_id"].to_pylist(),
+            src["bytes"].to_pylist(),
+            src["fmt"].to_pylist(),
+        )
+    )[:25]:
+        th = resize_area(decode(blob, fmt), 8, 8)
+        ref = np.clip(np.floor(th + 0.5), 0, 255).astype(np.uint8).tobytes()
+        assert got.loc[iid, "thumb"] == ref, iid
+        assert got.loc[iid, "mean_r_x100"] == int(
+            np.floor(th.reshape(-1, 3).mean(axis=0)[0] * 100 + 0.5)
+        )
+
+
 def test_page_image_join_conservation(ray_session):
     """Join output counts equal the number of (page, image) references whose
     image exists; pixel totals are positive."""
