@@ -687,6 +687,34 @@ def build_extended_oracles() -> dict[str, str]:
     from .queries import ORACLE_SQL as _base_sql
     from .queries import QUALITY_KEEP_MICRO as _qk
 
+    # keep-BEST dedup canonicalization: per cluster, max quality, tie min id
+    sql["dup_cluster_best_rep"] = (
+        f"WITH c AS ({_base_sql['dup_clusters']}), q AS ({sql['doc_quality']}) "
+        "SELECT cluster_rep, doc_id AS best_doc, quality_micro FROM ("
+        "SELECT c.cluster_rep, c.doc_id, q.quality_micro, "
+        "ROW_NUMBER() OVER (PARTITION BY c.cluster_rep "
+        "ORDER BY q.quality_micro DESC, c.doc_id ASC) AS rn "
+        "FROM c JOIN q USING (doc_id)) WHERE rn = 1"
+    )
+
+    # percentile-threshold outlier filter (exact P99 per type, same integer
+    # rank rule as event_value_quantiles: smallest v with cum ≥ ceil(q·n))
+    from .queries import OUTLIER_PCT
+
+    sql["event_value_outliers"] = (
+        "WITH e AS (SELECT event_id, event_type, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events), "
+        "h AS (SELECT event_type, cents, COUNT(*) AS c FROM e GROUP BY 1, 2), "
+        "w AS (SELECT event_type, cents, "
+        "SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum, "
+        f"({OUTLIER_PCT} * SUM(c) OVER (PARTITION BY event_type) + 99) // 100 AS need "
+        "FROM h), "
+        "t AS (SELECT event_type, MIN(CASE WHEN cum >= need THEN cents END) AS p "
+        "FROM w GROUP BY 1) "
+        "SELECT e.event_id, e.event_type, e.cents FROM e "
+        "JOIN t USING (event_type) WHERE e.cents > t.p"
+    )
+
     sql["corpus_filter_kept"] = (
         f"WITH q AS ({sql['doc_quality']}), l AS ({_langid_sql()}), "
         f"dropn AS (SELECT doc_id FROM ({_base_sql['dup_clusters']}) "

@@ -1245,6 +1245,134 @@ def cc_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return nodes, nodes[label]
 
 
+def q_dup_cluster_best_rep(sf_dir: str):
+    """Keep-BEST dedup canonicalization: for each near-dup cluster, the
+    member with the highest quality score (tie: min doc_id) — the
+    quality-aware variant of ``dup_clusters``' keep-min-id rule that
+    production curation pipelines prefer (drop the boilerplate copy, keep
+    the clean one).
+
+    Scale shape: clusters come from the same pair-budget-bounded CC kernel
+    as ``dup_clusters``; the member set broadcasts (bounded by verified
+    near-dup pairs, NOT corpus size) and the quality scorer streams over
+    the corpus touching only members — the collected frame is
+    member-bounded."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import quality_features
+
+    clusters = q_dup_clusters(sf_dir)
+    if len(clusters) == 0:
+        return pd.DataFrame(
+            {
+                "cluster_rep": pd.Series(dtype=np.int64),
+                "best_doc": pd.Series(dtype=np.int64),
+                "quality_micro": pd.Series(dtype=np.int64),
+            }
+        )
+    members = np.sort(clusters["doc_id"].to_numpy(np.int64))
+    mem_ref = ray.put(members)
+
+    def member_quality(batch: pa.Table) -> pa.Table:
+        m = ray.get(mem_ref)
+        ids = batch["doc_id"].to_numpy()
+        idx = np.clip(np.searchsorted(m, ids), 0, len(m) - 1)
+        keep = m[idx] == ids
+        b = batch.filter(pa.array(keep))
+        qm = [
+            int(np.floor(quality_features(t)["quality"] * 1_000_000 + 0.5))
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "quality_micro": pa.array(qm, pa.int64()),
+            }
+        )
+
+    qual = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(member_quality, batch_format="pyarrow")
+        .to_pandas()  # member-bounded, not corpus-bounded
+    )
+    m = clusters.merge(qual, on="doc_id", how="inner")
+    m = m.sort_values(
+        ["cluster_rep", "quality_micro", "doc_id"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    best = m.drop_duplicates("cluster_rep", keep="first")
+    return pd.DataFrame(
+        {
+            "cluster_rep": best["cluster_rep"].to_numpy(np.int64),
+            "best_doc": best["doc_id"].to_numpy(np.int64),
+            "quality_micro": best["quality_micro"].to_numpy(np.int64),
+        }
+    )
+
+
+OUTLIER_PCT = 99  # per-type percentile above which an event is an outlier
+
+
+def q_event_value_outliers(sf_dir: str):
+    """Percentile-threshold OUTLIER FILTER: events whose value (cents)
+    strictly exceeds their type's exact P99 — the tail-trimming gate
+    composed from the ``event_value_quantiles`` machinery: one histogram
+    shuffle computes the thresholds, the thresholds broadcast, and the
+    filter streams over the fact table with no further shuffle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(), "cents": cents}
+        )
+        g = df.groupby(["event_type", "cents"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by distinct (type, cents)
+    )
+    thresholds = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents", kind="stable")
+        cum = np.cumsum(g["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        need = (OUTLIER_PCT * n + 99) // 100  # ceil(pct*n/100), all-integer
+        thresholds[et] = int(g["cents"].to_numpy(np.int64)[np.searchsorted(cum, need)])
+    thr_ref = ray.put(thresholds)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        ets = np.asarray(batch["event_type"].to_pylist(), object)
+        lim = np.array([thr[e] for e in ets], np.int64)
+        keep = cents > lim
+        b = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    ).map_batches(flt, batch_format="pyarrow")
+
+
 SAMPLE_K = 64  # docs kept per stratum
 _KNUTH = 2654435761  # Knuth multiplicative-hash constant (2^32 / φ)
 
@@ -1382,6 +1510,8 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "user_sessions": q_user_sessions,
     "dup_clusters": q_dup_clusters,
+    "dup_cluster_best_rep": q_dup_cluster_best_rep,
+    "event_value_outliers": q_event_value_outliers,
     "corpus_filter_kept": q_corpus_filter_kept,
     "lang_sample_topk": q_lang_sample_topk,
     "events_asof_click": q_events_asof_click,

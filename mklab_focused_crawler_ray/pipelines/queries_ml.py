@@ -1402,6 +1402,61 @@ def q_user_acquisition_curve(sf_dir: str):
     )
 
 
+CKSUM_MOD = 1_000_000_007  # per-row hash modulus (keeps batch partials in int64)
+CKSUM_BUCKETS = 64
+
+
+def q_orders_partition_checksums(sf_dir: str):
+    """PARTITION CHECKSUMS for cross-engine data validation: per
+    hash-bucket, the row count and an order-independent polynomial checksum
+    ``SUM((key*31 + cents) % p) % p`` — the ingest-integrity sweep run
+    after replicating a table between engines (here literally checked
+    against DuckDB computing the same polynomial).
+
+    Scale shape: pure map-side partials (one row per bucket per block);
+    per-batch partial sums stay within int64 (terms < 1e9, batch ≤ 4096
+    rows); at extreme row counts the merge re-reduces partials mod p."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        term = (key * 31 + cents) % CKSUM_MOD
+        t = pa.table(
+            {
+                "bucket": pa.array(key % CKSUM_BUCKETS, pa.int64()),
+                "pn": pa.array(np.ones(len(key), np.int64)),
+                "ps": pa.array(term, pa.int64()),
+            }
+        )
+        g = t.group_by("bucket").aggregate([("pn", "sum"), ("ps", "sum")])
+        return g.select(["bucket", "pn_sum", "ps_sum"]).rename_columns(
+            ["bucket", "pn", "ps"]
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch["bucket"],
+                "n_rows": batch["n_rows"],
+                "checksum": pa.array(
+                    batch["raw"].to_numpy() % CKSUM_MOD, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("pn", alias_name="n_rows"), Sum("ps", alias_name="raw"))
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
 PMI_MIN_COUNT = 5  # collocation support floor
 PMI_TOP = 20  # bigrams kept
 
@@ -1691,6 +1746,7 @@ ML_QUERIES = {
     "order_reconciliation": q_order_reconciliation,
     "bigram_pmi": q_bigram_pmi,
     "user_acquisition_curve": q_user_acquisition_curve,
+    "orders_partition_checksums": q_orders_partition_checksums,
 }
 
 _TOK_SQL_ML = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1879,6 +1935,13 @@ ML_ORACLE_SQL = {
         "JOIN uc cb ON cb.token = split_part(bigram, ' ', 2) "
         f"WHERE n >= {PMI_MIN_COUNT} "
         f"ORDER BY pmi_micro DESC, bigram ASC LIMIT {PMI_TOP}"
+    ),
+    "orders_partition_checksums": (
+        "WITH e AS (SELECT o_orderkey AS k, "
+        "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders) "
+        f"SELECT k % {CKSUM_BUCKETS} AS bucket, COUNT(*) AS n_rows, "
+        f"CAST(SUM((k*31 + cents) % {CKSUM_MOD}) % {CKSUM_MOD} AS BIGINT) AS checksum "
+        "FROM e GROUP BY 1"
     ),
     "user_acquisition_curve": (
         "WITH f AS (SELECT event_type, user_id, "
