@@ -120,6 +120,12 @@ BENCH_QUERIES = [
     "order_price_percentile_rank",
     "order_reconciliation",
     "bigram_pmi",
+    "user_acquisition_curve",
+    "page_image_join_stats",
+    "image_thumbnails",
+    "dup_cluster_best_rep",
+    "event_value_outliers",
+    "orders_partition_checksums",
 ]
 
 
