@@ -126,6 +126,15 @@ BENCH_QUERIES = [
     "dup_cluster_best_rep",
     "event_value_outliers",
     "orders_partition_checksums",
+    # round-3 final wave (pipelines/queries_ml2.py, all oracle-checked)
+    "heavy_hitter_tokens",
+    "events_hourly_gapfill",
+    "user_top_event",
+    "q3_shipping_priority",
+    "event_type_cube",
+    "lang_token_budget",
+    "user_gap_stats",
+    "event_value_median_by_type",
 ]
 
 
