@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "lang_token_budget",
     "user_gap_stats",
     "event_value_median_by_type",
+    "q5_local_supplier_volume",
+    "event_type_counts_salted",
+    "events_daily_trailing",
+    "label_pairwise_dot",
 ]
 
 

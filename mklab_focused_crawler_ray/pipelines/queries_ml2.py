@@ -647,6 +647,364 @@ def q_event_value_median_by_type(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: multi-hop shuffle join + broadcast dimension chain
+# --------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_LO_DAYS = 9496  # 1996-01-01
+Q5_HI_DAYS = 10227  # 1998-01-01
+
+
+def q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — local supplier volume: revenue per nation from
+    lineitems whose SUPPLIER and CUSTOMER share the nation, restricted to
+    one region and an order-date window. Exercises the full join toolbox
+    in one pipeline: two bucketed shuffle hops for the large sides
+    (orders⋈customer on custkey, then lineitem⋈that on orderkey) plus a
+    broadcast dimension chain (supplier→nation, nation→region/name — the
+    genuinely small tables) probed with sorted-array searchsorted inside
+    the same map stage.
+
+    Scale notes: supplier is the one debatable broadcast (TPC-H sizes it
+    10× smaller than customer; at 100 TB it would flip to a third bucketed
+    hop on suppkey — same machinery as hop 2). Revenue is exact integer
+    cents × (1e6 − discount_micro); per-nation partial sums collapse
+    map-side before the final tiny groupby."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s_order = np.argsort(sup["s_suppkey"].to_numpy())
+    sup_keys = sup["s_suppkey"].to_numpy()[s_order]
+    sup_nat = sup["s_nationkey"].to_numpy()[s_order]
+    nat = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    reg_ok = set(
+        reg["r_regionkey"].to_numpy()[
+            np.asarray(reg["r_name"].to_pylist(), object) == Q5_REGION
+        ]
+    )
+    n_order = np.argsort(nat["n_nationkey"].to_numpy())
+    nat_keys = nat["n_nationkey"].to_numpy()[n_order]
+    nat_names = np.asarray(nat["n_name"].to_pylist(), object)[n_order]
+    nat_in_region = np.isin(nat["n_regionkey"].to_numpy()[n_order], list(reg_ok))
+    dims_ref = ray.put((sup_keys, sup_nat, nat_keys, nat_names, nat_in_region))
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "okey": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "nat": pa.array(batch["c_nationkey"].to_numpy(), pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        odays = _ms(batch, "o_orderdate") // 86_400_000
+        m = (odays >= Q5_LO_DAYS) & (odays < Q5_HI_DAYS)
+        key = batch["o_custkey"].to_numpy()[m]
+        return pa.table(
+            {
+                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "okey": pa.array(batch["o_orderkey"].to_numpy()[m], pa.int64()),
+                "nat": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def hop1(g) -> pa.Table:
+        side = g["side"].to_numpy()
+        cust = g[side == 0]
+        ck = cust["key"].to_numpy(np.int64)
+        cn = cust["nat"].to_numpy(np.int64)
+        o = np.argsort(ck)
+        ck, cn = ck[o], cn[o]
+        probe = g[side == 1]
+        pk = probe["key"].to_numpy(np.int64)
+        if len(ck) == 0 or len(pk) == 0:
+            hit = np.zeros(len(pk), bool)
+        else:
+            pos = np.searchsorted(ck, pk)
+            hit = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == pk)
+        keep = probe[hit]
+        okey = keep["okey"].to_numpy(np.int64)
+        cnat = cn[pos[hit]] if hit.any() else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(okey % MODE_BUCKETS, pa.int64()),
+                "okey": pa.array(okey, pa.int64()),
+                "a": pa.array(cnat, pa.int64()),  # customer nation
+                "b": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy()
+        cents = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        disc_u = np.floor(batch["l_discount"].to_numpy() * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        rev = cents * (1_000_000 - disc_u)
+        return pa.table(
+            {
+                "bucket": pa.array(okey % MODE_BUCKETS, pa.int64()),
+                "okey": pa.array(okey, pa.int64()),
+                "a": pa.array(batch["l_suppkey"].to_numpy(), pa.int64()),
+                "b": pa.array(rev, pa.int64()),
+                "side": pa.array(np.ones(len(okey), np.int64), pa.int64()),
+            }
+        )
+
+    def hop2(g) -> pa.Table:
+        import pandas as pd
+
+        sk, sn, nk, nn, nok = ray.get(dims_ref)
+        side = g["side"].to_numpy()
+        orders = g[side == 0]
+        okeys = orders["okey"].to_numpy(np.int64)
+        onat = orders["a"].to_numpy(np.int64)
+        o = np.argsort(okeys)
+        okeys, onat = okeys[o], onat[o]
+        lines = g[side == 1]
+        lk = lines["okey"].to_numpy(np.int64)
+        if len(okeys) == 0 or len(lk) == 0:
+            hit = np.zeros(len(lk), bool)
+        else:
+            pos0 = np.searchsorted(okeys, lk)
+            hit = (pos0 < len(okeys)) & (
+                okeys[np.minimum(pos0, len(okeys) - 1)] == lk
+            )
+        keep = lines[hit]
+        if not len(keep):
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        cnat = onat[pos0[hit]]
+        suppkey = keep["a"].to_numpy(np.int64)
+        pos = np.searchsorted(sk, suppkey)
+        snat = sn[np.minimum(pos, len(sk) - 1)]
+        npos = np.searchsorted(nk, cnat)
+        ok = (sk[np.minimum(pos, len(sk) - 1)] == suppkey) & (snat == cnat) & nok[
+            npos
+        ]
+        agg = (
+            pd.DataFrame(
+                {
+                    "n_name": nn[npos[ok]],
+                    "pn": keep["b"].to_numpy(np.int64)[ok],
+                }
+            )
+            .groupby("n_name", sort=False, as_index=False)["pn"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "n_name": pa.array(agg["n_name"].tolist(), pa.string()),
+                "pn": pa.array(agg["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    stage1 = (
+        cust.union(orders).groupby("bucket").map_groups(hop1, batch_format="pandas")
+    )
+    lines = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_line, batch_format="pyarrow")
+    return (
+        stage1.union(lines)
+        .groupby("bucket")
+        .map_groups(hop2, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("pn", alias_name="rev_u"))
+    )
+
+
+# --------------------------------------------------------------------------
+# salted hot-key aggregation
+# --------------------------------------------------------------------------
+
+N_SALTS = 8
+
+
+def q_event_type_counts_salted(sf_dir: str):
+    """SALTED two-stage aggregation: counts per event type where the first
+    shuffle groups on (key, salt) — splitting every hot key across N_SALTS
+    reducers — and a second bounded shuffle folds the salts away. On this
+    fixture the plain map-side-combined groupby is already safe; this
+    operator exists as the explicit skew-handling shape the north rule
+    requires for hot hosts (the frontier uses the same salt-split for
+    domain routing), verified equal to the unsalted oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        agg = (
+            pd.DataFrame(
+                {
+                    "event_type": batch["event_type"].to_pylist(),
+                    "salt": batch["event_id"].to_numpy() % N_SALTS,
+                }
+            )
+            .groupby(["event_type", "salt"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        agg["pn"] = agg["pn"].astype(np.int64)
+        agg["salt"] = agg["salt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "salt"])
+        .aggregate(Sum("pn", alias_name="sn"))
+        .groupby("event_type")
+        .aggregate(Sum("sn", alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# trailing window over the gap-filled spine
+# --------------------------------------------------------------------------
+
+TRAIL_HOURS = 24
+
+
+def q_events_daily_trailing(sf_dir: str):
+    """Trailing 24-hour event count per type at every hour — a ROWS-frame
+    window over the DENSE gap-filled spine (zero rows included, so the
+    frame is a true wall-clock trailing day, not 'last 24 observations').
+    Composes the gap-fill operator with a vectorized prefix-sum finisher
+    over the output-sized aggregate."""
+
+    def trail(batch: pa.Table) -> pa.Table:
+        # batch is the gap-filled spine: dense, one block, (type, hour) sorted
+        et = np.asarray(batch["event_type"].to_pylist(), object)
+        hr = batch["hour"].to_numpy().astype(np.int64)
+        n = batch["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((hr, et))
+        et, hr, n = et[order], hr[order], n[order]
+        cum = np.cumsum(n)
+        lag = np.r_[np.zeros(TRAIL_HOURS, np.int64), cum[:-TRAIL_HOURS]]
+        trail24 = cum - lag
+        # reset at type boundaries: positions < TRAIL_HOURS into a type run
+        starts = np.r_[0, np.flatnonzero(et[1:] != et[:-1]) + 1]
+        run_pos = np.arange(len(et)) - np.repeat(starts, np.diff(np.r_[starts, len(et)]))
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], np.diff(np.r_[starts, len(et)]))
+        short = run_pos < TRAIL_HOURS
+        trail24[short] = (cum - base)[short]
+        return pa.table(
+            {
+                "event_type": pa.array(list(et), pa.string()),
+                "hour": pa.array(hr, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "trail24": pa.array(trail24, pa.int64()),
+            }
+        )
+
+    return q_events_hourly_gapfill(sf_dir).map_batches(
+        trail, batch_format="pyarrow", batch_size=None
+    )
+
+
+# --------------------------------------------------------------------------
+# sufficient-statistic pairwise aggregation
+# --------------------------------------------------------------------------
+
+PAIR_QUANT = 1000  # kilo-int quantization of embedding components
+
+
+def q_label_pairwise_dot(sf_dir: str):
+    """Sum of PAIRWISE dot products within each embedding label — computed
+    WITHOUT materializing a single pair: with integer-quantized vectors,
+    2·Σ_{i<j} qᵢ·qⱼ = ‖Σq‖² − Σ‖q‖², so per-label vector sums + sum of
+    squared norms are sufficient statistics. The shuffle moves
+    |labels| × dim partial rows instead of O(n²) pairs — the algebraic
+    identity that makes pairwise-similarity audits feasible at 100 TB
+    (the DuckDB oracle, by contrast, genuinely joins all pairs, so the
+    check is independent). Exact: all arithmetic in int64 (kilo
+    quantization bounds ‖Σq‖² far below overflow at fixture and 100× scale)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import _batch_embeddings
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _batch_embeddings(batch)
+        q = np.floor(emb * PAIR_QUANT + 0.5).astype(np.int64)
+        lab = batch["label"].to_numpy().astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab, q = lab[order], q[order]
+        starts = np.r_[0, np.flatnonzero(lab[1:] != lab[:-1]) + 1]
+        labs = lab[starts]
+        sums = np.add.reduceat(q, starts, axis=0)  # (L, D) vector sums
+        sq = np.add.reduceat((q * q).sum(axis=1), starts)  # Σ‖q‖² per label
+        cnt = np.diff(np.r_[starts, len(lab)])
+        d = q.shape[1]
+        # dim rows carry the vector-sum component; the dim=-1 row carries
+        # (Σ‖q‖², count) — one bounded exploded table, a single shuffle
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.r_[np.repeat(labs, d), labs], pa.int64()
+                ),
+                "dim": pa.array(
+                    np.r_[np.tile(np.arange(d), len(labs)), np.full(len(labs), -1)],
+                    pa.int64(),
+                ),
+                "s": pa.array(np.r_[sums.ravel(), np.zeros(len(labs), np.int64)], pa.int64()),
+                "sq": pa.array(np.r_[np.zeros(len(labs) * d, np.int64), sq], pa.int64()),
+                "pn": pa.array(np.r_[np.zeros(len(labs) * d, np.int64), cnt], pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        s = g["s"].to_numpy(np.int64)
+        total_sq = int(g["sq"].to_numpy(np.int64).sum())
+        n = int(g["pn"].to_numpy(np.int64).sum())
+        pair2 = int((s.astype(object) ** 2).sum()) - total_sq  # 2·Σpair dots
+        return pa.table(
+            {
+                "label": pa.array([int(g["label"].iloc[0])], pa.int64()),
+                "n_vecs": pa.array([n], pa.int64()),
+                "pair_dot": pa.array([pair2 // 2], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("sq", alias_name="sq"), Sum("pn", alias_name="pn"))
+        .groupby("label")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 ML2_QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "events_hourly_gapfill": q_events_hourly_gapfill,
@@ -656,6 +1014,10 @@ ML2_QUERIES = {
     "lang_token_budget": q_lang_token_budget,
     "user_gap_stats": q_user_gap_stats,
     "event_value_median_by_type": q_event_value_median_by_type,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "event_type_counts_salted": q_event_type_counts_salted,
+    "events_daily_trailing": q_events_daily_trailing,
+    "label_pairwise_dot": q_label_pairwise_dot,
 }
 
 _TOK2_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -738,5 +1100,54 @@ ML2_ORACLE_SQL = {
         "SELECT event_type, "
         "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) "
         "AS median_cents FROM e GROUP BY 1"
+    ),
+    "q5_local_supplier_volume": (
+        "SELECT n_name, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) * "
+        "(1000000 - CAST(FLOOR(l_discount*1000000 + 0.5) AS BIGINT))) AS BIGINT) "
+        "AS rev_u "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "AND s_nationkey = c_nationkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        f"WHERE r_name = '{Q5_REGION}' "
+        "AND CAST(FLOOR(epoch_us(o_orderdate)/86400000000.0) AS BIGINT) "
+        f">= {Q5_LO_DAYS} "
+        "AND CAST(FLOOR(epoch_us(o_orderdate)/86400000000.0) AS BIGINT) "
+        f"< {Q5_HI_DAYS} "
+        "GROUP BY n_name"
+    ),
+    "event_type_counts_salted": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
+    ),
+    "events_daily_trailing": (
+        "WITH e AS (SELECT event_type, "
+        "CAST(FLOOR(epoch_us(ts)/3600000000.0) AS BIGINT) AS hour FROM events), "
+        "b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e), "
+        "spine AS (SELECT t.event_type, gs.hour FROM "
+        "(SELECT DISTINCT event_type FROM e) t CROSS JOIN "
+        "(SELECT UNNEST(generate_series(lo, hi)) AS hour FROM b) gs), "
+        "c AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM e GROUP BY 1, 2), "
+        "f AS (SELECT s.event_type, s.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
+        "FROM spine s LEFT JOIN c ON s.event_type = c.event_type "
+        "AND s.hour = c.hour) "
+        "SELECT event_type, hour, n, "
+        "CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour "
+        f"ROWS {TRAIL_HOURS - 1} PRECEDING) AS BIGINT) AS trail24 FROM f"
+    ),
+    "label_pairwise_dot": (
+        "WITH q AS (SELECT vec_id, label, list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{PAIR_QUANT} + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        "p AS (SELECT a.label, "
+        "(SELECT CAST(SUM(z.l1*z.l2) AS BIGINT) FROM "
+        "(SELECT UNNEST(a.e) AS l1, UNNEST(b.e) AS l2) z) AS d "
+        "FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id) "
+        "SELECT label, CAST((SELECT COUNT(*) FROM q qq WHERE qq.label = p.label) "
+        "AS BIGINT) AS n_vecs, CAST(SUM(d) AS BIGINT) AS pair_dot "
+        "FROM p GROUP BY label"
     ),
 }

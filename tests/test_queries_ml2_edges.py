@@ -275,3 +275,171 @@ def test_median_even_count_picks_lower_cdf_point(ray_session):
         _events_parquet(d, rows)
         out = _to_df(q_event_value_median_by_type(d)).sort_values("event_type")
     assert out["median_cents"].tolist() == [2, 9]
+
+
+def _dims_parquet(d: str) -> None:
+    """nation 0 in ASIA, nation 1 in EUROPE; suppliers 1→nation0, 2→nation1."""
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int64()),
+                "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+            }
+        ),
+        os.path.join(d, "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["N_ASIA", "N_EUR"], pa.string()),
+                "n_regionkey": pa.array([0, 1], pa.int64()),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_name": pa.array(["s1", "s2"], pa.string()),
+                "s_nationkey": pa.array([0, 1], pa.int64()),
+                "s_acctbal": pa.array([0.0, 0.0], pa.float64()),
+            }
+        ),
+        os.path.join(d, "supplier.parquet"),
+    )
+
+
+def _tpch5_parquet(d: str, customers, orders, lines) -> None:
+    """customers: (custkey, nationkey); orders: (orderkey, custkey, odays);
+    lines: (orderkey, suppkey, extendedprice, discount)."""
+    _dims_parquet(d)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([c[0] for c in customers], pa.int64()),
+                "c_name": pa.array(["c"] * len(customers), pa.string()),
+                "c_nationkey": pa.array([c[1] for c in customers], pa.int64()),
+                "c_acctbal": pa.array([0.0] * len(customers), pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * len(customers), pa.string()),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+                "o_totalprice": pa.array([1.0] * len(orders), pa.float64()),
+                "o_orderdate": pa.array([_days_ts(o[2]) for o in orders], pa.int64())
+                .cast(pa.timestamp("ms"))
+                .cast(pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(orders), pa.string()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_partkey": pa.array([1] * len(lines), pa.int64()),
+                "l_suppkey": pa.array([l[1] for l in lines], pa.int64()),
+                "l_linenumber": pa.array(range(len(lines)), pa.int64()),
+                "l_quantity": pa.array([1.0] * len(lines), pa.float64()),
+                "l_extendedprice": pa.array([l[2] for l in lines], pa.float64()),
+                "l_discount": pa.array([l[3] for l in lines], pa.float64()),
+                "l_tax": pa.array([0.0] * len(lines), pa.float64()),
+                "l_returnflag": pa.array(["N"] * len(lines), pa.string()),
+                "l_linestatus": pa.array(["O"] * len(lines), pa.string()),
+                "l_shipdate": pa.array([_days_ts(11000)] * len(lines), pa.int64())
+                .cast(pa.timestamp("ms"))
+                .cast(pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+
+
+def test_q5_requires_same_nation_region_and_window(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        Q5_HI_DAYS,
+        Q5_LO_DAYS,
+        q_q5_local_supplier_volume,
+    )
+
+    inside = (Q5_LO_DAYS + Q5_HI_DAYS) // 2
+    customers = [(1, 0), (2, 1)]  # cust 1 in ASIA nation 0, cust 2 in EUROPE
+    orders = [
+        (10, 1, inside),  # qualifies
+        (11, 1, Q5_HI_DAYS),  # outside window → out
+        (12, 2, inside),  # EUROPE customer → region filter drops
+    ]
+    lines = [
+        (10, 1, 10.00, 0.10),  # supplier nation 0 == cust nation 0 → in
+        (10, 2, 99.0, 0.0),  # supplier nation 1 ≠ cust nation 0 → out
+        (11, 1, 99.0, 0.0),
+        (12, 2, 99.0, 0.0),  # same-nation but non-ASIA region → out
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _tpch5_parquet(d, customers, orders, lines)
+        out = _to_df(q_q5_local_supplier_volume(d))
+    assert out["n_name"].tolist() == ["N_ASIA"]
+    assert out["rev_u"].tolist() == [1000 * 900_000]
+
+
+def test_salted_counts_equal_plain_counts(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        q_event_type_counts_salted,
+    )
+
+    rows = [(i, 1000 * i, 1, "hot" if i % 10 else "cold", 0.0) for i in range(200)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_event_type_counts_salted(d)).sort_values("event_type")
+    assert dict(zip(out["event_type"], out["n"])) == {"cold": 20, "hot": 180}
+
+
+def test_trailing_window_clips_and_counts_zero_hours(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        q_events_daily_trailing,
+    )
+
+    h = 3_600_000
+    # type a: events at hours 0 and 30 — hour 30's trailing-24 frame
+    # (hours 7..30) contains only the hour-30 event (hour 0 aged out)
+    rows = [(1, 0 * h, 1, "a", 0.0), (2, 30 * h, 1, "a", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_events_daily_trailing(d))
+    got = {r.hour: (r.n, r.trail24) for r in out.itertuples()}
+    assert len(out) == 31
+    assert got[0] == (1, 1)
+    assert got[10] == (0, 1)  # hour 0 still inside frame (rows 0..10)
+    assert got[23] == (0, 1)  # last frame containing hour 0
+    assert got[24] == (0, 0)  # hour 0 aged out, nothing since
+    assert got[30] == (1, 1)
+
+
+def test_pairwise_dot_matches_hand_computation(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import q_label_pairwise_dot
+
+    # label 0 quantized vectors: (1,2), (3,1), (1,1) → pair dots 5+3+4 = 12
+    # label 1 single vector → 0 pairs, pair_dot 0
+    embs = [[0.001, 0.002], [0.003, 0.001], [0.001, 0.001], [0.009, 0.009]]
+    labels = [0, 0, 0, 1]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(embs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        out = _to_df(q_label_pairwise_dot(d)).sort_values("label")
+    assert out["n_vecs"].tolist() == [3, 1]
+    assert out["pair_dot"].tolist() == [12, 0]
