@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "event_type_counts_salted",
     "events_daily_trailing",
     "label_pairwise_dot",
+    "user_event_sequence",
+    "orders_join_nation_salted",
+    "funnel_users",
+    "orders_without_lineitem",
 ]
 
 

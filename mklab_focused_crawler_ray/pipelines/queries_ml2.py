@@ -32,6 +32,7 @@ _TOK2_RE = re.compile(r"[a-z0-9]+")
 HH_K = 50  # heavy hitter threshold: tokens with count*HH_K > total tokens
 GAPFILL_HOUR_US = 3_600_000_000  # gap-fill granularity (µs per hour)
 MODE_BUCKETS = 64  # user-hash shuffle cardinality for mode / gap stats
+SHUFFLE_BLOCKS = 32  # pinned block count feeding every sort-based shuffle
 Q3_SEGMENT = "BUILDING"  # TPC-H Q3 constants
 Q3_CUT_DAYS = 10227  # 1998-01-01 as epoch days
 Q3_TOPK = 10
@@ -404,6 +405,11 @@ def q_q3_shipping_priority(sf_dir: str):
         order = np.lexsort((ok, -rev))[:Q3_TOPK]
         return batch.take(pa.array(order))
 
+    # every shuffle input is pinned with repartition: a union doubles block
+    # counts (64+64, then 128+64) and Ray's sort-based groupby degrades
+    # superlinearly in input blocks (measured: this pipeline 8.4 s → 2.4 s
+    # warm at sf0.1); the final top-K needs no distributed sort at all — the
+    # per-block partials are output-bounded, one task finishes them
     cust = rd.read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).map_batches(prep_cust, batch_format="pyarrow")
@@ -411,7 +417,10 @@ def q_q3_shipping_priority(sf_dir: str):
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(prep_orders, batch_format="pyarrow")
     stage1 = (
-        cust.union(orders).groupby("bucket").map_groups(hop1, batch_format="pandas")
+        cust.union(orders)
+        .repartition(SHUFFLE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(hop1, batch_format="pandas")
     )
     lines = rd.read_parquet(
         _p(sf_dir, "lineitem"),
@@ -419,11 +428,12 @@ def q_q3_shipping_priority(sf_dir: str):
     ).map_batches(prep_line, batch_format="pyarrow")
     return (
         stage1.union(lines)
+        .repartition(SHUFFLE_BLOCKS)
         .groupby("bucket")
         .map_groups(hop2, batch_format="pandas")
         .map_batches(partial_topk, batch_format="pyarrow")
-        .sort(["rev_u", "l_orderkey"], descending=[True, False])
-        .limit(Q3_TOPK)
+        .repartition(1)
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -825,8 +835,12 @@ def q_q5_local_supplier_volume(sf_dir: str):
     orders = rd.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(prep_orders, batch_format="pyarrow")
+    # pinned shuffle inputs — same superlinear block-count trap as Q3
     stage1 = (
-        cust.union(orders).groupby("bucket").map_groups(hop1, batch_format="pandas")
+        cust.union(orders)
+        .repartition(SHUFFLE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(hop1, batch_format="pandas")
     )
     lines = rd.read_parquet(
         _p(sf_dir, "lineitem"),
@@ -834,8 +848,10 @@ def q_q5_local_supplier_volume(sf_dir: str):
     ).map_batches(prep_line, batch_format="pyarrow")
     return (
         stage1.union(lines)
+        .repartition(SHUFFLE_BLOCKS)
         .groupby("bucket")
         .map_groups(hop2, batch_format="pandas")
+        .repartition(4)
         .groupby("n_name")
         .aggregate(Sum("pn", alias_name="rev_u"))
     )
@@ -1005,6 +1021,303 @@ def q_label_pairwise_dot(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# ordered string aggregation (event-sequence signatures)
+# --------------------------------------------------------------------------
+
+SEQ_K = 10  # first-K events kept per user
+
+
+def q_user_event_sequence(sf_dir: str):
+    """ORDERED STRING_AGG per key: each user's first SEQ_K event types,
+    comma-joined in (ts, event_id) order — the behavioral-sequence
+    signature a funnel model consumes.
+
+    Scale shape: per-batch partials keep only each user's SEQ_K earliest
+    rows (vectorized lexsort + run-position mask), users hash-bucket into
+    MODE_BUCKETS groups, and each bucket re-applies the same top-K mask
+    before building its strings — shuffle volume is O(users × K), never
+    the event stream."""
+    import ray.data as rd
+
+    def topk_mask(uid: np.ndarray, ms: np.ndarray, eid: np.ndarray):
+        order = np.lexsort((eid, ms, uid))
+        u = uid[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        run_pos = np.arange(len(u)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(u)])
+        )
+        return order[run_pos < SEQ_K]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        ms = _ms(batch)
+        eid = batch["event_id"].to_numpy()
+        keep = topk_mask(uid, ms, eid)
+        return pa.table(
+            {
+                "bucket": pa.array(uid[keep] % MODE_BUCKETS, pa.int64()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "ms": pa.array(ms[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "event_type": batch["event_type"].take(pa.array(keep)),
+            }
+        )
+
+    def resolve(g) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        order = np.lexsort((eid, ms, uid))
+        u, t = uid[order], et[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        run_pos = np.arange(len(u)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(u)])
+        )
+        m = run_pos < SEQ_K
+        u, t, run_pos = u[m], t[m], run_pos[m]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        ends = np.r_[starts[1:], len(u)]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "seq": pa.array(
+                    [",".join(t[s:e]) for s, e in zip(starts, ends)], pa.string()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# skew-replicated (salted) shuffle join
+# --------------------------------------------------------------------------
+
+
+def q_orders_join_nation_salted(sf_dir: str):
+    """SALT-REPLICATED shuffle hash join — the skew-safe variant of
+    ``orders_join_nation``: every probe (orders) row routes to
+    (hash(key), salt(row)) so a hot customer key spreads across N_SALTS
+    reducers, and the build (customer) side replicates each row to all
+    salts of its bucket. Identical output to the unsalted join by
+    construction, verified against the same oracle. The cost model is
+    explicit: build-side volume × N_SALTS buys probe-side balance — the
+    trade the frontier's hot-host splitting makes for domains."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nk0 = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nk0, kind="stable")
+    nat_ref = ray.put((nk0[norder], [nat["n_name"].to_pylist()[i] for i in norder]))
+
+    JB = 64
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        key = np.repeat(batch["c_custkey"].to_numpy(), N_SALTS)
+        nat_ = np.repeat(batch["c_nationkey"].to_numpy().astype(np.int64), N_SALTS)
+        salt = np.tile(np.arange(N_SALTS, dtype=np.int64), len(batch))
+        return pa.table(
+            {
+                "bucket": pa.array((key % JB) * N_SALTS + salt, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "nat": pa.array(nat_, pa.int64()),
+                "cents": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy()
+        salt = batch["o_orderkey"].to_numpy() % N_SALTS
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((key % JB) * N_SALTS + salt, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "nat": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def join(g) -> pa.Table:
+        nk, names = ray.get(nat_ref)
+        side = g["side"].to_numpy()
+        bk = g["key"].to_numpy(np.int64)[side == 0]
+        bn = g["nat"].to_numpy(np.int64)[side == 0]
+        order = np.argsort(bk, kind="stable")
+        bk, bn = bk[order], bn[order]
+        pk = g["key"].to_numpy(np.int64)[side == 1]
+        pc = g["cents"].to_numpy(np.int64)[side == 1]
+        idx = np.clip(np.searchsorted(bk, pk), 0, max(len(bk) - 1, 0))
+        found = (bk[idx] == pk) if len(bk) else np.zeros(len(pk), bool)
+        pos = np.searchsorted(nk, bn[idx[found]])
+        cnt = np.bincount(pos, minlength=len(nk))
+        sums = np.bincount(pos, weights=pc[found], minlength=len(nk))
+        keep = cnt > 0
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [names[i] for i in np.flatnonzero(keep)], pa.string()
+                ),
+                "pn": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+                "ps": pa.array(sums[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("pn", alias_name="n_orders"), Sum("ps", alias_name="total_cents")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# behavioral funnel (sequence-pattern join)
+# --------------------------------------------------------------------------
+
+FUNNEL_MS = 1_800_000  # view → click window (30 min)
+FUNNEL_FIRST = "view"
+FUNNEL_THEN = "click"
+
+
+def q_funnel_users(sf_dir: str):
+    """FUNNEL detection: users with at least one '{then}' event strictly
+    after a '{first}' event and within FUNNEL_MS of it — the two-step
+    sequence-pattern join, self-joined over the event stream without ever
+    materializing pairs.
+
+    Scale shape: only the two participating event types shuffle (bucketed
+    by user hash); each bucket answers every click's "was there a view in
+    my window?" with two searchsorted probes against a composite
+    (user, ms) key — O((V+C) log V) per bucket, no pair explosion."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    SHIFT = np.int64(1) << 42  # ms-span (≤2^42) packed under the user id
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array([FUNNEL_FIRST, FUNNEL_THEN]),
+        )
+        b = batch.filter(m)
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(uid % MODE_BUCKETS, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ms": pa.array(_ms(b), pa.int64()),
+                "is_then": pa.array(
+                    pc.equal(b["event_type"], FUNNEL_THEN).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    def resolve(g) -> pa.Table:
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        is_then = g["is_then"].to_numpy(bool)
+        if not len(uid):
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        base = ms.min()
+        rel = ms - base  # bounded by the corpus time span < 2^42
+        vkey = np.sort(uid[~is_then] * SHIFT + rel[~is_then])
+        cu, cm = uid[is_then], rel[is_then]
+        lo = np.searchsorted(vkey, cu * SHIFT + np.maximum(cm - FUNNEL_MS, 0))
+        hi = np.searchsorted(vkey, cu * SHIFT + cm)  # exclusive: strictly before
+        hits = np.unique(cu[hi > lo])
+        return pa.table({"user_id": pa.array(hits, pa.int64())})
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# orphan detection: anti-join of two large tables
+# --------------------------------------------------------------------------
+
+
+def q_orders_without_lineitem(sf_dir: str):
+    """Referential-integrity ANTI-JOIN over two LARGE sides: orders with no
+    lineitem rows (orphans). Unlike ``customers_without_urgent`` (whose
+    probe side is dimension-shaped) BOTH sides here are fact tables, so
+    both hash-bucket on the join key and the lineitem side pre-dedupes its
+    keys per batch — the shuffle moves distinct orderkeys, never line
+    items."""
+    import ray.data as rd
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_lines(batch: pa.Table) -> pa.Table:
+        key = np.unique(batch["l_orderkey"].to_numpy())
+        return pa.table(
+            {
+                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def anti(g) -> pa.Table:
+        side = g["side"].to_numpy()
+        probe = g["key"].to_numpy(np.int64)[side == 0]
+        build = np.unique(g["key"].to_numpy(np.int64)[side == 1])
+        keep = probe[~np.isin(probe, build)]
+        return pa.table({"o_orderkey": pa.array(np.sort(keep), pa.int64())})
+
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    lines = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey"]
+    ).map_batches(prep_lines, batch_format="pyarrow")
+    return (
+        orders.union(lines).groupby("bucket").map_groups(anti, batch_format="pandas")
+    )
+
+
 ML2_QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "events_hourly_gapfill": q_events_hourly_gapfill,
@@ -1018,6 +1331,10 @@ ML2_QUERIES = {
     "event_type_counts_salted": q_event_type_counts_salted,
     "events_daily_trailing": q_events_daily_trailing,
     "label_pairwise_dot": q_label_pairwise_dot,
+    "user_event_sequence": q_user_event_sequence,
+    "orders_join_nation_salted": q_orders_join_nation_salted,
+    "funnel_users": q_funnel_users,
+    "orders_without_lineitem": q_orders_without_lineitem,
 }
 
 _TOK2_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1149,5 +1466,29 @@ ML2_ORACLE_SQL = {
         "SELECT label, CAST((SELECT COUNT(*) FROM q qq WHERE qq.label = p.label) "
         "AS BIGINT) AS n_vecs, CAST(SUM(d) AS BIGINT) AS pair_dot "
         "FROM p GROUP BY label"
+    ),
+    "user_event_sequence": (
+        "WITH e AS (SELECT user_id, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY epoch_ms(ts), event_id) AS rn FROM events) "
+        "SELECT user_id, STRING_AGG(event_type, ',' ORDER BY rn) AS seq "
+        f"FROM e WHERE rn <= {SEQ_K} GROUP BY user_id"
+    ),
+    "orders_join_nation_salted": (
+        "SELECT n_name, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS total_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "funnel_users": (
+        "WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events) "
+        "SELECT DISTINCT a.user_id FROM e a JOIN e b ON a.user_id = b.user_id "
+        f"AND a.event_type = '{FUNNEL_FIRST}' AND b.event_type = '{FUNNEL_THEN}' "
+        f"AND b.ms > a.ms AND b.ms <= a.ms + {FUNNEL_MS}"
+    ),
+    "orders_without_lineitem": (
+        "SELECT o_orderkey FROM orders WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"
     ),
 }

@@ -443,3 +443,106 @@ def test_pairwise_dot_matches_hand_computation(ray_session):
         out = _to_df(q_label_pairwise_dot(d)).sort_values("label")
     assert out["n_vecs"].tolist() == [3, 1]
     assert out["pair_dot"].tolist() == [12, 0]
+
+
+def test_event_sequence_truncates_and_orders_by_ts_then_id(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        SEQ_K,
+        q_user_event_sequence,
+    )
+
+    # user 1: SEQ_K+2 events; two share ms=5000 → event_id breaks the tie
+    rows = [(i, 1000 * i, 1, f"t{i}", 0.0) for i in range(1, SEQ_K + 1)]
+    rows += [(99, 5000, 1, "late_id", 0.0)]  # same ms as event 5, larger id
+    rows += [(100, 999_999, 1, "tail", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_user_event_sequence(d))
+    expected = ["t1", "t2", "t3", "t4", "t5", "late_id", "t6", "t7", "t8", "t9"]
+    assert out["seq"].tolist() == [",".join(expected)]
+
+
+def test_salted_join_handles_planted_hot_key(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        q_orders_join_nation_salted,
+    )
+
+    # one customer (nation 0) owns 500 orders — every salt shard must still
+    # find the replicated build row, and totals must be exact
+    _ = _dims_parquet  # nations N_ASIA / N_EUR
+    customers = [(1, 0), (2, 1)]
+    with tempfile.TemporaryDirectory() as d:
+        _dims_parquet(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([c[0] for c in customers], pa.int64()),
+                    "c_name": pa.array(["c"] * 2, pa.string()),
+                    "c_nationkey": pa.array([c[1] for c in customers], pa.int64()),
+                    "c_acctbal": pa.array([0.0] * 2, pa.float64()),
+                    "c_mktsegment": pa.array(["BUILDING"] * 2, pa.string()),
+                }
+            ),
+            os.path.join(d, "customer.parquet"),
+        )
+        n = 500
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(n + 1), pa.int64()),
+                    "o_custkey": pa.array([1] * n + [2], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * (n + 1), pa.string()),
+                    "o_totalprice": pa.array([1.25] * (n + 1), pa.float64()),
+                    "o_orderdate": pa.array([0] * (n + 1), pa.int64())
+                    .cast(pa.timestamp("ms"))
+                    .cast(pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT"] * (n + 1), pa.string()),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        out = _to_df(q_orders_join_nation_salted(d)).sort_values("n_name")
+    assert out["n_name"].tolist() == ["N_ASIA", "N_EUR"]
+    assert out["n_orders"].tolist() == [500, 1]
+    assert out["total_cents"].tolist() == [500 * 125, 125]
+
+
+def test_funnel_window_boundaries(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        FUNNEL_MS,
+        q_funnel_users,
+    )
+
+    w = FUNNEL_MS
+    rows = [
+        # user 1: click exactly at view + W → inside (<=)
+        (1, 10_000, 1, "view", 0.0),
+        (2, 10_000 + w, 1, "click", 0.0),
+        # user 2: click at the same ms as the view → NOT strictly after
+        (3, 10_000, 2, "view", 0.0),
+        (4, 10_000, 2, "click", 0.0),
+        # user 3: click one ms past the window → out
+        (5, 10_000, 3, "view", 0.0),
+        (6, 10_000 + w + 1, 3, "click", 0.0),
+        # user 4: click BEFORE the view → out
+        (7, 50_000, 4, "click", 0.0),
+        (8, 60_000, 4, "view", 0.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_funnel_users(d))
+    assert out["user_id"].tolist() == [1]
+
+
+def test_orphan_orders_detected(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        q_orders_without_lineitem,
+    )
+
+    customers = [(1, "BUILDING")]
+    orders = [(10, 1, 10000), (11, 1, 10000), (12, 1, 10000)]
+    lines = [(10, 1.0, 0.0, 10000), (12, 1.0, 0.0, 10000)]
+    with tempfile.TemporaryDirectory() as d:
+        _tpch_parquet(d, customers, orders, lines)
+        out = _to_df(q_orders_without_lineitem(d))
+    assert out["o_orderkey"].tolist() == [11]
