@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "orders_join_nation_salted",
     "funnel_users",
     "orders_without_lineitem",
+    "user_retention_cohort",
+    "label_dim_argmax",
+    "lang_sampled_docs",
+    "event_weekday_unpivot",
 ]
 
 

@@ -1318,6 +1318,200 @@ def q_orders_without_lineitem(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# cohort retention
+# --------------------------------------------------------------------------
+
+
+def q_user_retention_cohort(sf_dir: str):
+    """COHORT RETENTION: users grouped by first-seen day (their cohort),
+    counted as active at each day-offset from that cohort — the triangle
+    table every product-analytics stack computes.
+
+    Scale shape: per-batch dedup collapses events to distinct (user, day)
+    pairs before the ONE user-bucketed shuffle; each bucket derives every
+    resident user's cohort (min day) and its per-(cohort, offset) partial
+    counts vectorized; the final groupby runs over the calendar-bounded
+    (cohort × offset) key space."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = _ms(batch) // 86_400_000
+        d = (
+            pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "day": day})
+            .drop_duplicates()
+        )
+        uid = d["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % MODE_BUCKETS, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "day": pa.array(d["day"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def resolve(g) -> pa.Table:
+        import pandas as pd
+
+        d = g[["user_id", "day"]].drop_duplicates()
+        uid = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        cohort = np.repeat(day[starts], np.diff(np.r_[starts, len(uid)]))
+        agg = (
+            pd.DataFrame({"cohort_day": cohort, "offset_day": day - cohort})
+            .groupby(["cohort_day", "offset_day"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        agg["pn"] = agg["pn"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby(["cohort_day", "offset_day"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# array analytics: per-label argmax dimension
+# --------------------------------------------------------------------------
+
+
+def q_label_dim_argmax(sf_dir: str):
+    """ARRAY ANALYTICS: for each embedding label, the dimension with the
+    largest summed (kilo-quantized) component, ties to the smallest
+    dimension — the unnest-and-aggregate shape, computed without ever
+    exploding rows: per-batch per-label vector sums collapse map-side, so
+    the shuffle moves |labels| × dim partial rows while the DuckDB oracle
+    genuinely UNNESTs every vector."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import _batch_embeddings
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _batch_embeddings(batch)
+        q = np.floor(emb * PAIR_QUANT + 0.5).astype(np.int64)
+        lab = batch["label"].to_numpy().astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab, q = lab[order], q[order]
+        starts = np.r_[0, np.flatnonzero(lab[1:] != lab[:-1]) + 1]
+        labs = lab[starts]
+        sums = np.add.reduceat(q, starts, axis=0)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(labs, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d), len(labs)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+            }
+        )
+
+    def argmax(g) -> pa.Table:
+        s = g["s"].to_numpy(np.int64)
+        dim = g["dim"].to_numpy(np.int64)
+        order = np.lexsort((dim, -s))
+        return pa.table(
+            {
+                "label": pa.array([int(g["label"].iloc[0])], pa.int64()),
+                "dim": pa.array([dim[order[0]]], pa.int64()),
+                "s": pa.array([s[order[0]]], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"))
+        .groupby("label")
+        .map_groups(argmax, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# budget-composed deterministic sampling
+# --------------------------------------------------------------------------
+
+SAMPLE_HASH_MULT = 2654435761  # Knuth multiplicative hash, SQL-expressible
+SAMPLE_HASH_MOD = 1 << 32
+
+
+def q_lang_sampled_docs(sf_dir: str):
+    """End-to-end DATA-MIXING application: the ``lang_token_budget``
+    allocator's per-language rates applied as a deterministic sampling
+    DECISION per document — keep doc iff
+    hash(doc_id) mod 1e6 < rate_micro(lang), with a SQL-expressible
+    multiplicative hash so the oracle replays the identical coin flips.
+
+    Scale shape: the rate table is |langs| rows (driver-held, broadcast);
+    the decision pass is a shuffle-free streaming filter — the same
+    compose-then-filter shape as ``corpus_filter_kept``."""
+    import ray
+    import ray.data as rd
+
+    rates_df = q_lang_token_budget(sf_dir).to_pandas()
+    rate_map = dict(zip(rates_df["lang"], rates_df["rate_micro"].astype(np.int64)))
+    rates_ref = ray.put(rate_map)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        rates = ray.get(rates_ref)
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        langs = np.asarray(batch["lang"].to_pylist(), object)
+        rate = np.asarray([rates.get(l, 0) for l in langs], np.int64)
+        h = (doc_id * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD
+        keep = (h % 1_000_000) < rate
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[keep], pa.int64()),
+                "lang": pa.array(list(langs[keep]), pa.string()),
+            }
+        )
+
+    return rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang"]
+    ).map_batches(decide, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# wide→long UNPIVOT (round-trip of the weekday pivot)
+# --------------------------------------------------------------------------
+
+
+def q_event_weekday_unpivot(sf_dir: str):
+    """UNPIVOT (wide→long): melts the weekday PIVOT's wd0..wd6 columns back
+    into (event_type, wd, n) rows — the round-trip proving the pivot pair
+    is lossless, including explicit zero cells. Runs entirely on the
+    pivot's output-sized table (|types| rows), one vectorized melt."""
+    from .queries_ml import q_event_weekday_pivot
+
+    def melt(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), object)
+        cols = [batch[f"wd{d}"].to_numpy().astype(np.int64) for d in range(7)]
+        n = np.stack(cols, axis=1)  # (types, 7)
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(et, 7), pa.string()),
+                "wd": pa.array(np.tile(np.arange(7), len(et)), pa.int64()),
+                "n": pa.array(n.ravel(), pa.int64()),
+            }
+        )
+
+    return q_event_weekday_pivot(sf_dir).repartition(1).map_batches(
+        melt, batch_format="pyarrow", batch_size=None
+    )
+
+
 ML2_QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "events_hourly_gapfill": q_events_hourly_gapfill,
@@ -1335,6 +1529,10 @@ ML2_QUERIES = {
     "orders_join_nation_salted": q_orders_join_nation_salted,
     "funnel_users": q_funnel_users,
     "orders_without_lineitem": q_orders_without_lineitem,
+    "user_retention_cohort": q_user_retention_cohort,
+    "label_dim_argmax": q_label_dim_argmax,
+    "lang_sampled_docs": q_lang_sampled_docs,
+    "event_weekday_unpivot": q_event_weekday_unpivot,
 }
 
 _TOK2_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1490,5 +1688,51 @@ ML2_ORACLE_SQL = {
     "orders_without_lineitem": (
         "SELECT o_orderkey FROM orders WHERE NOT EXISTS "
         "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"
+    ),
+    "user_retention_cohort": (
+        "WITH e AS (SELECT user_id, "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) AS day FROM events), "
+        "d AS (SELECT DISTINCT user_id, day FROM e), "
+        "c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1) "
+        "SELECT c.cohort AS cohort_day, d.day - c.cohort AS offset_day, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM d JOIN c ON d.user_id = c.user_id GROUP BY 1, 2"
+    ),
+    "label_dim_argmax": (
+        "WITH q AS (SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{PAIR_QUANT} + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        "u AS (SELECT label, UNNEST(e) AS v, "
+        "UNNEST(range(len(e))) AS dim FROM q), "
+        "g AS (SELECT label, CAST(dim AS BIGINT) AS dim, "
+        "CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY 1, 2) "
+        "SELECT label, dim, s FROM g "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY label "
+        "ORDER BY s DESC, dim ASC) = 1"
+    ),
+    "lang_sampled_docs": (
+        f"WITH d AS (SELECT lang, CAST(len({_TOK2_SQL}) AS BIGINT) AS c "
+        "FROM documents), "
+        "g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens FROM d GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS nl FROM g), "
+        "r AS (SELECT lang, "
+        f"CAST(LEAST(n_tokens, total * {BUDGET_FRAC_NUM} // {BUDGET_FRAC_DEN} // nl) "
+        "* 1000000 // n_tokens AS BIGINT) AS rate_micro FROM g CROSS JOIN t) "
+        "SELECT doc_id, documents.lang AS lang "
+        "FROM documents JOIN r ON documents.lang = r.lang "
+        f"WHERE (doc_id * {SAMPLE_HASH_MULT}) % {SAMPLE_HASH_MOD} % 1000000 "
+        "< rate_micro"
+    ),
+    "event_weekday_unpivot": (
+        "WITH e AS (SELECT event_type, "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) % 7 AS wd FROM events), "
+        "spine AS (SELECT t.event_type, CAST(gs.wd AS BIGINT) AS wd FROM "
+        "(SELECT DISTINCT event_type FROM e) t CROSS JOIN "
+        "(SELECT UNNEST(range(7)) AS wd) gs), "
+        "c AS (SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM e GROUP BY 1, 2) "
+        "SELECT s.event_type, s.wd, CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
+        "FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.wd = c.wd"
     ),
 }

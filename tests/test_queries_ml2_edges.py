@@ -546,3 +546,81 @@ def test_orphan_orders_detected(ray_session):
         _tpch_parquet(d, customers, orders, lines)
         out = _to_df(q_orders_without_lineitem(d))
     assert out["o_orderkey"].tolist() == [11]
+
+
+def test_retention_cohort_counts_distinct_user_days(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        q_user_retention_cohort,
+    )
+
+    day = 86_400_000
+    rows = [
+        (1, 5 * day, 1, "x", 0.0),  # user 1: cohort day 5
+        (2, 5 * day + 1, 1, "x", 0.0),  # same day → one distinct (user, day)
+        (3, 7 * day, 1, "x", 0.0),  # offset 2
+        (4, 6 * day, 2, "x", 0.0),  # user 2: cohort day 6
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_user_retention_cohort(d))
+    got = {(r.cohort_day, r.offset_day): r.n_users for r in out.itertuples()}
+    assert got == {(5, 0): 1, (5, 2): 1, (6, 0): 1}
+
+
+def test_label_dim_argmax_tie_breaks_to_smallest_dim(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import q_label_dim_argmax
+
+    # label 0: sums per dim = (3, 3) → tie → dim 0 wins
+    embs = [[0.001, 0.002], [0.002, 0.001]]
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(embs, pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        out = _to_df(q_label_dim_argmax(d))
+    assert out["dim"].tolist() == [0]
+    assert out["s"].tolist() == [3]
+
+
+def test_sampled_docs_respect_budget_rates(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        SAMPLE_HASH_MOD,
+        SAMPLE_HASH_MULT,
+        q_lang_sampled_docs,
+    )
+
+    # en: 8 tokens → rate 250000; fr: 2 tokens → rate 1e6 (always kept)
+    with tempfile.TemporaryDirectory() as d:
+        _docs_parquet(d, ["a b c d e f g h", "x y"], langs=["en", "fr"])
+        out = _to_df(q_lang_sampled_docs(d))
+    expected = []
+    for doc_id, lang, rate in [(0, "en", 250_000), (1, "fr", 1_000_000)]:
+        if (doc_id * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD % 1_000_000 < rate:
+            expected.append((doc_id, lang))
+    assert sorted(zip(out["doc_id"], out["lang"])) == expected
+    assert (1, "fr") in expected  # rate 1e6 keeps unconditionally
+
+
+def test_unpivot_round_trips_pivot_with_zero_cells(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import (
+        q_event_weekday_unpivot,
+    )
+
+    day = 86_400_000
+    rows = [
+        (1, 0 * day, 1, "a", 0.0),  # wd 0
+        (2, 0 * day, 1, "a", 0.0),
+        (3, 1 * day, 1, "b", 0.0),  # wd 1
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_event_weekday_unpivot(d))
+    got = {(r.event_type, r.wd): r.n for r in out.itertuples()}
+    assert len(got) == 14  # 2 types × 7 weekdays, zeros explicit
+    assert got[("a", 0)] == 2 and got[("b", 1)] == 1
+    assert got[("a", 1)] == 0 and got[("b", 0)] == 0
+    assert sum(got.values()) == 3
