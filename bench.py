@@ -147,6 +147,12 @@ BENCH_QUERIES = [
     "label_dim_argmax",
     "lang_sampled_docs",
     "event_weekday_unpivot",
+    "part_name_typo_pairs",
+    "doc_split_assign",
+    "postings_and_query",
+    "contrastive_negatives",
+    "key_skew_profile",
+    "chunk_dedup_groups",
 ]
 
 

@@ -1,0 +1,440 @@
+"""Third wave of large-scale curation / analytics operators: an
+edit-distance string-similarity self-join (SymSpell deletion-neighborhood
+blocking), a stratified deterministic train/val/test splitter, a boolean
+AND search over the token-bucketed inverted index, deterministic negative
+sampling for contrastive training, a key-skew profiler (the diagnostic a
+100-TB engine runs before choosing shuffle salts), and paragraph-level
+exact dedup across the corpus (Gopher-style repeated-chunk removal).
+
+Reference lineage (semantics, not code): the typo join generalizes the
+candidate-blocking shape of the MinHash dedup bolts
+(``bolts/items/MinHashExtractionBolt.java``); the AND search is the query
+side of ``bolts/webpages/TextIndexerBolt.java:44-102``'s index; everything
+else is training-data curation machinery the build brief lists as
+first-class.
+
+All six queries are SQL-checked: integer units end-to-end and column
+names identical to the oracle aliases, so the driver's sorted-column
+value hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .queries_ml2 import _p
+
+TYPO_BUCKETS = 32  # variant-hash shuffle cardinality for the ED-1 join
+SPLIT_MULT = 2654435761  # Knuth multiplicative hash (SQL-expressible)
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90  # <80 train, <90 val, else test
+NEG_K = 4  # negatives per anchor vector
+NEG_MULT = 2654435761
+CHUNK_BUCKETS = 64  # chunk-hash shuffle cardinality for paragraph dedup
+
+
+# --------------------------------------------------------------------------
+# edit-distance-1 string-similarity self-join (SymSpell deletion blocking)
+# --------------------------------------------------------------------------
+
+
+def _ed1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 check (strings already known distinct)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is the shorter: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def q_part_name_typo_pairs(sf_dir: str):
+    """STRING-SIMILARITY SELF-JOIN: unordered pairs of distinct part names
+    within edit distance 1, found WITHOUT the O(n²) cross join via SymSpell
+    deletion-neighborhood blocking — two strings are within one edit iff
+    they share a member of their ≤1-deletion variant sets (substitution:
+    deleting the differing position from both; insert/delete: the shorter
+    string IS a variant of the longer), so hashing every variant routes
+    each true pair into exactly one co-located group.
+
+    Scale shape: variants explode map-side by ~(len+1)× but each variant
+    row is a short string — output-bounded; ONE shuffle on the variant
+    hash; within-bucket candidate generation is a sorted-run sweep over
+    identical variants and the exact-verify touches only candidates (the
+    cross join the blocking avoided). A final pair-keyed groupby dedupes
+    the multi-variant hits. The DuckDB oracle genuinely cross-joins with
+    ``levenshtein``."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def variants(batch: pa.Table) -> pa.Table:
+        names = sorted(set(batch["p_name"].to_pylist()))
+        out_b: list[int] = []
+        out_v: list[str] = []
+        out_n: list[str] = []
+        for n in names:
+            vs = {n} | {n[:i] + n[i + 1 :] for i in range(len(n))}
+            for v in vs:
+                out_b.append(zlib.crc32(v.encode()) % TYPO_BUCKETS)
+                out_v.append(v)
+                out_n.append(n)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "variant": pa.array(out_v, pa.string()),
+                "name": pa.array(out_n, pa.string()),
+            }
+        )
+
+    def pairs(g) -> pa.Table:
+        var = np.asarray(g["variant"].to_numpy(), object)
+        nam = np.asarray(g["name"].to_numpy(), object)
+        order = np.lexsort((nam, var))
+        var, nam = var[order], nam[order]
+        starts = np.r_[0, np.flatnonzero(var[1:] != var[:-1]) + 1]
+        ends = np.r_[starts[1:], len(var)]
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for s, e in zip(starts, ends):
+            run = list(dict.fromkeys(nam[s:e]))  # distinct names, sorted order kept
+            for i in range(len(run)):
+                for j in range(i + 1, len(run)):
+                    if _ed1(run[i], run[j]):
+                        out_a.append(run[i])
+                        out_b.append(run[j])
+        return pa.table(
+            {
+                "name_a": pa.array(out_a, pa.string()),
+                "name_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "part"), columns=["p_name"])
+        .map_batches(variants, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["name_a", "name_b"])  # a pair can surface under 2+ variants
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda b: b.select(["name_a", "name_b"]), batch_format="pyarrow"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+
+def q_doc_split_assign(sf_dir: str):
+    """TRAIN/VAL/TEST SPLIT: every document deterministically assigned to
+    train/val/test by a multiplicative hash of its id (80/10/10), reported
+    as per-(lang, split) counts — the stratification audit run before any
+    training job.
+
+    Scale shape: the decision is a pure map-side integer expression (no
+    state, no shuffle); only |langs|×3 partial-count rows reach the final
+    groupby. The oracle replays the identical hash arithmetic, so the
+    'random' split is bit-reproducible across engines."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        h = (doc_id * SPLIT_MULT) % (1 << 32) % 100
+        split = np.where(
+            h < SPLIT_TRAIN_PCT, "train", np.where(h < SPLIT_VAL_PCT, "val", "test")
+        )
+        agg = (
+            pd.DataFrame({"lang": batch["lang"].to_pylist(), "split": split})
+            .groupby(["lang", "split"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                "split": pa.array(agg["split"], pa.string()),
+                "pn": pa.array(agg["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .aggregate(Sum("pn", alias_name="n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# boolean AND search over the inverted index
+# --------------------------------------------------------------------------
+
+
+def q_postings_and_query(sf_dir: str):
+    """BOOLEAN AND SEARCH: documents containing BOTH of the corpus's two
+    RAREST tokens (ties alphabetical), answered from the token-bucketed
+    inverted index by reading ONLY the bucket partitions those two tokens
+    hash to, then intersecting postings with a doc-keyed count==2 check.
+
+    Scale shape: the query-side read is pruned to 2 of 16 bucket
+    partitions (the whole point of the bucketed layout); the intersection
+    groupby runs over the two postings lists, which are output-shaped, not
+    corpus-shaped. The oracle recomputes containment from raw text."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text_index import build_inverted_index, lookup_postings
+    from .queries import _index_cache_dir, q_token_counts
+
+    index_dir = _index_cache_dir(sf_dir)
+    build_inverted_index(_p(sf_dir, "documents"), index_dir)
+    counts = q_token_counts(sf_dir).to_pandas()  # |vocab| rows, driver-tiny
+    terms = (
+        counts.sort_values(["tf", "token"], ascending=[True, True])["token"]
+        .head(2)
+        .tolist()
+    )
+    return (
+        lookup_postings(index_dir, terms)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="_hits"))
+        .filter(lambda r: r["_hits"] == 2)
+        .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic negative sampling (contrastive training)
+# --------------------------------------------------------------------------
+
+
+def q_contrastive_negatives(sf_dir: str):
+    """NEGATIVE SAMPLING: for every anchor vector, ``NEG_K`` deterministic
+    negatives drawn by a multiplicative hash over the dense id space —
+    the (anchor, negative) pair table a contrastive-training job joins
+    against. Self-collisions are dropped (not remapped) so both engines
+    apply the same rule.
+
+    Scale shape: pure map-side arithmetic — no shuffle, no state; the id-
+    space size comes from parquet row-count metadata (no data read). The
+    oracle replays the hash with a range() cross join."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id"])
+    n = ds.count()  # parquet metadata count — no column scan
+
+    def negatives(batch: pa.Table) -> pa.Table:
+        vec = batch["vec_id"].to_numpy().astype(np.int64)
+        j = np.arange(1, NEG_K + 1, dtype=np.int64)
+        anchor = np.repeat(vec, NEG_K)
+        jj = np.tile(j, len(vec))
+        neg = (anchor * NEG_MULT + jj) % n
+        keep = neg != anchor
+        return pa.table(
+            {
+                "vec_id": pa.array(anchor[keep], pa.int64()),
+                "j": pa.array(jj[keep], pa.int64()),
+                "neg_id": pa.array(neg[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(negatives, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# key-skew profiler
+# --------------------------------------------------------------------------
+
+
+def q_key_skew_profile(sf_dir: str):
+    """KEY-SKEW PROFILE: per event type its count, parts-per-million share,
+    frequency rank, and cumulative share — the diagnostic that tells a
+    planner which groupby keys need salting BEFORE the big shuffle runs.
+
+    Scale shape: per-batch ``value_counts`` partials collapse map-side, so
+    the shuffle moves |types| rows per block; the rank/cumsum finisher runs
+    on the single |types|-row result block. Integer ppm (floor division)
+    keeps both engines bit-identical."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["event_type"])
+        return pa.table(
+            {
+                "event_type": vc.field("values"),
+                "pn": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), object)
+        n = batch["n"].to_numpy().astype(np.int64)
+        total = int(n.sum())
+        order = np.lexsort((et, -n))
+        et, n = et[order], n[order]
+        share = n * 1_000_000 // total
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "share_ppm": pa.array(share, pa.int64()),
+                "rnk": pa.array(np.arange(1, len(n) + 1), pa.int64()),
+                "cum_ppm": pa.array(np.cumsum(share), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# --------------------------------------------------------------------------
+# paragraph-level exact dedup (repeated-chunk mining)
+# --------------------------------------------------------------------------
+
+
+def q_chunk_dedup_groups(sf_dir: str):
+    """PARAGRAPH-LEVEL EXACT DEDUP: split every document into the same
+    ``CHUNK_W``-token windows as ``doc_chunks`` and report every chunk
+    string that occurs more than once across the corpus, with its
+    occurrence count and distinct-document count — the repeated-passage
+    miner (boilerplate headers, licence blocks) that document-level dedup
+    misses.
+
+    Scale shape: chunking is the streaming flat-map ``doc_chunks`` already
+    proved output≈input; ONE shuffle on the chunk-hash bucket; inside each
+    bucket a vectorized pandas groupby computes both counts in one pass.
+    Only groups with n_occ>1 leave the bucket — output is dup-shaped, not
+    corpus-shaped."""
+    import ray.data as rd
+
+    from .queries import CHUNK_W, TOKEN_RE
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out_b: list[int] = []
+        out_c: list[str] = []
+        out_d: list[int] = []
+        for d, t in zip(
+            batch["doc_id"].to_numpy(), batch["text"].to_pylist()
+        ):
+            tk = TOKEN_RE.findall(t.lower())
+            for ci in range((len(tk) + CHUNK_W - 1) // CHUNK_W):
+                seg = " ".join(tk[ci * CHUNK_W : (ci + 1) * CHUNK_W])
+                out_b.append(zlib.crc32(seg.encode()) % CHUNK_BUCKETS)
+                out_c.append(seg)
+                out_d.append(int(d))
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "chunk": pa.array(out_c, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def dups(g) -> pa.Table:
+        agg = (
+            g.groupby("chunk", sort=False)["doc_id"]
+            .agg(n_occ="size", n_docs="nunique")
+            .reset_index()
+        )
+        agg = agg[agg["n_occ"] > 1]
+        return pa.table(
+            {
+                "chunk": pa.array(agg["chunk"], pa.string()),
+                "n_occ": pa.array(agg["n_occ"].to_numpy(np.int64), pa.int64()),
+                "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(chunks, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dups, batch_format="pandas")
+    )
+
+
+ML3_QUERIES = {
+    "part_name_typo_pairs": q_part_name_typo_pairs,
+    "doc_split_assign": q_doc_split_assign,
+    "postings_and_query": q_postings_and_query,
+    "contrastive_negatives": q_contrastive_negatives,
+    "key_skew_profile": q_key_skew_profile,
+    "chunk_dedup_groups": q_chunk_dedup_groups,
+}
+
+_TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+ML3_ORACLE_SQL = {
+    "part_name_typo_pairs": (
+        "WITH n AS (SELECT DISTINCT p_name AS nm FROM part) "
+        "SELECT a.nm AS name_a, b.nm AS name_b FROM n a JOIN n b "
+        "ON a.nm < b.nm AND levenshtein(a.nm, b.nm) = 1"
+    ),
+    "doc_split_assign": (
+        "WITH a AS (SELECT lang, CASE "
+        f"WHEN (doc_id * {SPLIT_MULT}) % {1 << 32} % 100 < {SPLIT_TRAIN_PCT} "
+        "THEN 'train' "
+        f"WHEN (doc_id * {SPLIT_MULT}) % {1 << 32} % 100 < {SPLIT_VAL_PCT} "
+        "THEN 'val' ELSE 'test' END AS split FROM documents) "
+        "SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM a GROUP BY 1, 2"
+    ),
+    "postings_and_query": (
+        f"WITH uni AS (SELECT doc_id, UNNEST({_TOK3_SQL}) AS token "
+        "FROM documents), "
+        "c AS (SELECT token, COUNT(*) AS n FROM uni GROUP BY 1), "
+        "t2 AS (SELECT token FROM c ORDER BY n ASC, token ASC LIMIT 2) "
+        "SELECT doc_id FROM documents d WHERE NOT EXISTS ("
+        "SELECT 1 FROM t2 WHERE NOT list_contains("
+        f"{_TOK3_SQL}, t2.token))"
+    ),
+    "contrastive_negatives": (
+        "WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings), "
+        f"g AS (SELECT UNNEST(range(1, {NEG_K + 1})) AS j) "
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(g.j AS BIGINT) AS j, "
+        f"(vec_id * {NEG_MULT} + g.j) % t.n AS neg_id "
+        "FROM embeddings CROSS JOIN t CROSS JOIN g "
+        f"WHERE (vec_id * {NEG_MULT} + g.j) % t.n != vec_id"
+    ),
+    "key_skew_profile": (
+        "WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c) "
+        "SELECT event_type, n, n * 1000000 // total AS share_ppm, "
+        "ROW_NUMBER() OVER (ORDER BY n DESC, event_type ASC) AS rnk, "
+        "CAST(SUM(n * 1000000 // total) OVER (ORDER BY n DESC, event_type ASC "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ppm "
+        "FROM c CROSS JOIN t"
+    ),
+    "chunk_dedup_groups": (
+        f"WITH t AS (SELECT doc_id, {_TOK3_SQL} AS tok FROM documents), "
+        "c AS (SELECT doc_id, array_to_string("
+        "tok[gs.ci*32+1 : gs.ci*32+32], ' ') AS chunk "
+        "FROM t, (SELECT UNNEST(range(1024)) AS ci) gs "
+        "WHERE gs.ci*32 < len(tok)) "
+        "SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM c GROUP BY 1 HAVING COUNT(*) > 1"
+    ),
+}
