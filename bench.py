@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "contrastive_negatives",
     "key_skew_profile",
     "chunk_dedup_groups",
+    "bloom_semijoin_lines",
+    "user_event_ordinals",
+    "lang_source_chi2",
+    "orders_constraint_audit",
 ]
 
 

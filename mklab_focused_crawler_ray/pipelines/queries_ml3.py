@@ -4,7 +4,11 @@ blocking), a stratified deterministic train/val/test splitter, a boolean
 AND search over the token-bucketed inverted index, deterministic negative
 sampling for contrastive training, a key-skew profiler (the diagnostic a
 100-TB engine runs before choosing shuffle salts), and paragraph-level
-exact dedup across the corpus (Gopher-style repeated-chunk removal).
+exact dedup across the corpus (Gopher-style repeated-chunk removal);
+plus a fourth wave: a Bloom-prefiltered semi-join (the no-broadcast scale
+path for giant build sides), a repartition-and-sort-within-partitions
+secondary-sort checksum, an integer-exact chi-square contingency table,
+and a data-quality constraint audit with explicit zero reporting.
 
 Reference lineage (semantics, not code): the typo join generalizes the
 candidate-blocking shape of the MinHash dedup bolts
@@ -374,6 +378,380 @@ def q_chunk_dedup_groups(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# bloom-prefiltered semi-join (no broadcast of exact keys on the probe path)
+# --------------------------------------------------------------------------
+
+BLOOM_PRIORITY = "3-MEDIUM"
+BLOOM_BITS_PER_KEY = 16
+SEMI_BUCKETS = 64
+
+
+def q_bloom_semijoin_lines(sf_dir: str):
+    """BLOOM-PREFILTERED SEMI-JOIN: lineitem rows of '3-MEDIUM'-priority
+    orders, counted and quantity-summed per return flag — the 100-TB scale
+    path the broadcast-sorted-array semi-join (`urgent_lineitem_semijoin`)
+    documents: when the build-side key set is too big to ship exactly, a
+    Bloom filter (16 bits/key, k=4, no false negatives) rides the
+    broadcast instead, the map-side probe drops ~all non-matching rows
+    WITHOUT a shuffle, and only the bloom survivors (semi-join-output-
+    shaped plus a ~0.1% false-positive tail) enter the bucketed EXACT
+    verify join that removes the false positives.
+
+    The oracle is the plain EXISTS semi-join — bit-equality proves the
+    bloom+verify composition is lossless."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.bloom import bloom_contains, make_bloom
+
+    build = pq.read_table(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filters=[("o_orderpriority", "=", BLOOM_PRIORITY)],
+    )
+    keys = build["o_orderkey"].to_numpy().astype(np.int64)
+    words, m = make_bloom(keys, bits_per_key=BLOOM_BITS_PER_KEY)
+    bloom_ref = ray.put(words)  # zero-copy numpy view in every probe task
+
+    def probe(batch: pa.Table) -> pa.Table:
+        w = ray.get(bloom_ref)
+        okey = batch["l_orderkey"].to_numpy().astype(np.int64)
+        keep = bloom_contains(w, m, okey)
+        qty = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        flags = np.asarray(batch["l_returnflag"].to_pylist(), object)[keep]
+        return pa.table(
+            {
+                "bucket": pa.array(okey[keep] % SEMI_BUCKETS, pa.int64()),
+                "key": pa.array(okey[keep], pa.int64()),
+                "flag": pa.array(list(flags), pa.string()),
+                "qty": pa.array(qty[keep], pa.int64()),
+                "side": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_build(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch["o_orderkey"].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "flag": pa.array([""] * len(k), pa.string()),
+                "qty": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    def verify(g) -> pa.Table:
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        build_keys = np.unique(g["key"].to_numpy(np.int64)[side == 1])
+        probe_rows = g[side == 0]
+        ok = np.isin(probe_rows["key"].to_numpy(np.int64), build_keys)
+        kept = probe_rows[ok]
+        agg = (
+            pd.DataFrame(
+                {"flag": kept["flag"].to_numpy(), "qty": kept["qty"].to_numpy()}
+            )
+            .groupby("flag", sort=False)
+            .agg(pn=("qty", "size"), pq=("qty", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(agg["flag"], pa.string()),
+                "pn": pa.array(agg["pn"].to_numpy(np.int64), pa.int64()),
+                "pq": pa.array(agg["pq"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    survivors = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    ).map_batches(probe, batch_format="pyarrow")
+    build_ds = rd.from_arrow(build.select(["o_orderkey"])).repartition(
+        8
+    ).map_batches(prep_build, batch_format="pyarrow")
+    return (
+        survivors.union(build_ds)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(Sum("pn", alias_name="n_lines"), Sum("pq", alias_name="sum_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# repartition-and-sort-within-partitions (secondary sort) checksum
+# --------------------------------------------------------------------------
+
+ORD_BUCKETS = 64
+
+
+def q_user_event_ordinals(sf_dir: str):
+    """SECONDARY SORT: events hash-partitioned by user bucket, sorted
+    WITHIN each partition by (ts, event_id), every row given its partition
+    ordinal — the repartition-and-sort-within-partitions primitive that
+    feeds sequence models. Output is the per-bucket row count plus a
+    position-weighted checksum (Σ ordinal × event_id), which is
+    order-sensitive: any mis-sorted pair changes it, so bit-equality with
+    the window-function oracle proves the exact in-partition order without
+    shipping every ordinal row.
+
+    Scale shape: ONE shuffle on the bucket key; the sort runs inside each
+    bucket (numpy lexsort), never globally; output is |buckets| rows."""
+    import ray.data as rd
+
+    from .queries_ml2 import _ms
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % ORD_BUCKETS, pa.int64()),
+                "ms": pa.array(_ms(batch), pa.int64()),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def ordinals(g) -> pa.Table:
+        eid = g["event_id"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        order = np.lexsort((eid, ms))
+        eid = eid[order]
+        ordinal = np.arange(1, len(eid) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array([int(g["bucket"].iloc[0])], pa.int64()),
+                "n_rows": pa.array([len(eid)], pa.int64()),
+                "ord_checksum": pa.array([int((ordinal * eid).sum())], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ordinals, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# contingency table + chi-square contributions (integer-exact)
+# --------------------------------------------------------------------------
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """CONTINGENCY ANALYSIS: the (lang × source) observed-count table with
+    each cell's chi-square contribution in integer micro units — the
+    independence diagnostic a curation pipeline runs to spot
+    source-language collection bias. dev = n·total − row·col; contribution
+    = dev² ÷ (row·col) · 10⁶ ÷ total with floor division at each step, the
+    identical integer expression on both engines (exact, no float drift).
+
+    Scale shape: per-batch (lang, source) partial counts collapse map-side;
+    the finisher runs on the |langs|×|sources| cell table (tiny by
+    definition) in one block."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        agg = (
+            pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pylist(),
+                    "source": batch["source"].to_pylist(),
+                }
+            )
+            .groupby(["lang", "source"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                "source": pa.array(agg["source"], pa.string()),
+                "pn": pa.array(agg["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["n"] = df["n"].astype(np.int64)
+        total = int(df["n"].sum())
+        row = df.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+        col = df.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        dev = n * total - row * col
+        contrib = dev * dev // (row * col) * 1_000_000 // total
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "source": pa.array(df["source"], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "contrib_micro": pa.array(contrib, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# --------------------------------------------------------------------------
+# data-quality constraint audit
+# --------------------------------------------------------------------------
+
+AUDIT_DATE_MS = 978_307_200_000  # 2001-01-01 UTC
+AUDIT_PRICE_CAP = 300_000.0
+AUDIT_DISCOUNT_CAP = 0.07
+AUDIT_QTY_CAP = 45.0
+
+
+def q_orders_constraint_audit(sf_dir: str):
+    """DATA-QUALITY AUDIT: per-constraint violation counts over the orders
+    + lineitem tables — late order dates, prices over cap, discounts and
+    quantities over cap, and orphan lineitems (FK integrity) — with every
+    constraint reported explicitly even at zero (an audit that silently
+    omits a clean check is indistinguishable from one that never ran it).
+
+    Scale shape: each range constraint is a map-side partial count over a
+    pruned column read (no shuffle beyond the 5-row final groupby); the FK
+    check reuses the two-fact-table bucketed anti-join, whose shuffle moves
+    per-batch-deduped keys only. The zero-row seed guarantees the full
+    5-row output shape."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries_ml2 import _ms
+
+    def order_checks(batch: pa.Table) -> pa.Table:
+        ms = _ms(batch, "o_orderdate")
+        price = batch["o_totalprice"].to_numpy()
+        return pa.table(
+            {
+                "check_name": pa.array(["late_order_date", "price_above_cap"]),
+                "pn": pa.array(
+                    [int((ms >= AUDIT_DATE_MS).sum()), int((price > AUDIT_PRICE_CAP).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def line_checks(batch: pa.Table) -> pa.Table:
+        disc = batch["l_discount"].to_numpy()
+        qty = batch["l_quantity"].to_numpy()
+        return pa.table(
+            {
+                "check_name": pa.array(["discount_above_cap", "quantity_above_cap"]),
+                "pn": pa.array(
+                    [int((disc > AUDIT_DISCOUNT_CAP).sum()), int((qty > AUDIT_QTY_CAP).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def prep_lkeys(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch["l_orderkey"].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_okeys(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    def orphan_count(g) -> pa.Table:
+        side = g["side"].to_numpy()
+        probe = g["key"].to_numpy(np.int64)[side == 0]
+        build = np.unique(g["key"].to_numpy(np.int64)[side == 1])
+        return pa.table(
+            {
+                "check_name": pa.array(["orphan_lineitem"], pa.string()),
+                "pn": pa.array([int((~np.isin(probe, build)).sum())], pa.int64()),
+            }
+        )
+
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "check_name": pa.array(
+                    [
+                        "late_order_date",
+                        "price_above_cap",
+                        "discount_above_cap",
+                        "quantity_above_cap",
+                        "orphan_lineitem",
+                    ]
+                ),
+                "pn": pa.array([0] * 5, pa.int64()),
+            }
+        )
+    )
+    # override_num_blocks pins each branch to a few blocks: the checks are
+    # ~1 ms/batch, so the default 64-way split is pure task overhead and the
+    # 4-way union would feed the final sort-based groupby 256 fragments (the
+    # superlinear-in-blocks trap). At real scale drop the override — read
+    # parallelism then follows the file count.
+    orders_c = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=4,
+    ).map_batches(order_checks, batch_format="pyarrow")
+    lines_c = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_discount", "l_quantity"],
+        override_num_blocks=4,
+    ).map_batches(line_checks, batch_format="pyarrow")
+    orphans = (
+        rd.read_parquet(
+            _p(sf_dir, "lineitem"), columns=["l_orderkey"], override_num_blocks=4
+        )
+        .map_batches(prep_lkeys, batch_format="pyarrow")
+        .union(
+            rd.read_parquet(
+                _p(sf_dir, "orders"), columns=["o_orderkey"], override_num_blocks=4
+            ).map_batches(prep_okeys, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(orphan_count, batch_format="pandas")
+    )
+    return (
+        seed.union(orders_c)
+        .union(lines_c)
+        .union(orphans)
+        # the 4-way union leaves a fragmented block list; pin the shuffle
+        # input (sort-based groupby degrades superlinearly in block count)
+        .repartition(4)
+        .groupby("check_name")
+        .aggregate(Sum("pn", alias_name="n_violations"))
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -381,6 +759,10 @@ ML3_QUERIES = {
     "contrastive_negatives": q_contrastive_negatives,
     "key_skew_profile": q_key_skew_profile,
     "chunk_dedup_groups": q_chunk_dedup_groups,
+    "bloom_semijoin_lines": q_bloom_semijoin_lines,
+    "user_event_ordinals": q_user_event_ordinals,
+    "lang_source_chi2": q_lang_source_chi2,
+    "orders_constraint_audit": q_orders_constraint_audit,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -436,5 +818,47 @@ ML3_ORACLE_SQL = {
         "SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ, "
         "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
         "FROM c GROUP BY 1 HAVING COUNT(*) > 1"
+    ),
+    "bloom_semijoin_lines": (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = "
+        f"'{BLOOM_PRIORITY}') GROUP BY 1"
+    ),
+    "user_event_ordinals": (
+        "WITH e AS (SELECT user_id % 64 AS bucket, event_id, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id % 64 "
+        "ORDER BY ts ASC, event_id ASC) AS o FROM events) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(o * event_id) AS BIGINT) AS ord_checksum "
+        "FROM e GROUP BY 1"
+    ),
+    "lang_source_chi2": (
+        "WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1, 2), "
+        "w AS (SELECT lang, source, n, "
+        "CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_n, "
+        "CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS col_n, "
+        "CAST(SUM(n) OVER () AS BIGINT) AS total FROM c) "
+        "SELECT lang, source, n, "
+        "(n * total - row_n * col_n) * (n * total - row_n * col_n) "
+        "// (row_n * col_n) * 1000000 // total AS contrib_micro FROM w"
+    ),
+    "orders_constraint_audit": (
+        "SELECT * FROM ("
+        "SELECT 'late_order_date' AS check_name, CAST(COUNT(*) AS BIGINT) "
+        "AS n_violations FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '2001-01-01' "
+        "UNION ALL SELECT 'price_above_cap', CAST(COUNT(*) AS BIGINT) "
+        f"FROM orders WHERE o_totalprice > {AUDIT_PRICE_CAP} "
+        "UNION ALL SELECT 'discount_above_cap', CAST(COUNT(*) AS BIGINT) "
+        f"FROM lineitem WHERE l_discount > {AUDIT_DISCOUNT_CAP} "
+        "UNION ALL SELECT 'quantity_above_cap', CAST(COUNT(*) AS BIGINT) "
+        f"FROM lineitem WHERE l_quantity > {AUDIT_QTY_CAP} "
+        "UNION ALL SELECT 'orphan_lineitem', CAST(COUNT(*) AS BIGINT) "
+        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_orderkey = l.l_orderkey))"
     ),
 }

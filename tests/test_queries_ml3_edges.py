@@ -182,3 +182,179 @@ def test_postings_and_query_intersects_rarest_terms(ray_session):
         _docs_parquet(d, texts)
         out = _to_df(q_postings_and_query(d))
     assert out["doc_id"].tolist() == [0]
+
+
+# --------------------------------------------------------------------------
+# wave-6 operators (bloom semi-join, secondary sort, chi2, constraint audit)
+# --------------------------------------------------------------------------
+
+
+def _orders_lines_parquet(d, orders, lines):
+    """orders: (orderkey, priority, totalprice, odays);
+    lines: (orderkey, returnflag, quantity, discount)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_queries_ml2_edges import _days_ts
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([1] * len(orders), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+                "o_totalprice": pa.array([o[2] for o in orders], pa.float64()),
+                "o_orderdate": pa.array([_days_ts(o[3]) for o in orders], pa.int64())
+                .cast(pa.timestamp("ms"))
+                .cast(pa.timestamp("us")),
+                "o_orderpriority": pa.array([o[1] for o in orders], pa.string()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_partkey": pa.array([1] * len(lines), pa.int64()),
+                "l_suppkey": pa.array([1] * len(lines), pa.int64()),
+                "l_linenumber": pa.array(range(len(lines)), pa.int64()),
+                "l_quantity": pa.array([float(l[2]) for l in lines], pa.float64()),
+                "l_extendedprice": pa.array([1.0] * len(lines), pa.float64()),
+                "l_discount": pa.array([float(l[3]) for l in lines], pa.float64()),
+                "l_tax": pa.array([0.0] * len(lines), pa.float64()),
+                "l_returnflag": pa.array([l[1] for l in lines], pa.string()),
+                "l_linestatus": pa.array(["O"] * len(lines), pa.string()),
+                "l_shipdate": pa.array([_days_ts(1)] * len(lines), pa.int64())
+                .cast(pa.timestamp("ms"))
+                .cast(pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+
+
+def test_bloom_filter_has_no_false_negatives_and_verify_removes_fps():
+    import numpy as np
+
+    from mklab_focused_crawler_ray.functions.bloom import bloom_contains, make_bloom
+
+    keys = np.arange(0, 1000, 2, dtype=np.int64)  # evens
+    words, m = make_bloom(keys, bits_per_key=16)
+    assert bloom_contains(words, m, keys).all()  # FN-free always
+    # a deliberately undersized filter MUST show false positives (that's
+    # what the exact verify stage downstream exists to remove)
+    tiny_words, tiny_m = make_bloom(keys, bits_per_key=1)
+    odds = np.arange(1, 1000, 2, dtype=np.int64)
+    assert bloom_contains(tiny_words, tiny_m, keys).all()
+    assert bloom_contains(tiny_words, tiny_m, odds).any()
+    # the right-sized filter keeps the FP tail small on non-members
+    fp = bloom_contains(words, m, odds).mean()
+    assert fp < 0.01
+
+
+def test_bloom_semijoin_exact_per_flag(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_bloom_semijoin_lines,
+    )
+
+    orders = [
+        (1, "3-MEDIUM", 10.0, 1),
+        (2, "1-URGENT", 10.0, 1),
+        (3, "3-MEDIUM", 10.0, 1),
+    ]
+    lines = [
+        (1, "A", 2, 0.0),
+        (1, "R", 3, 0.0),
+        (2, "A", 100, 0.0),  # non-medium order: excluded
+        (3, "A", 5, 0.0),
+        (4, "R", 7, 0.0),  # orphan key: excluded
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_lines_parquet(d, orders, lines)
+        out = _to_df(q_bloom_semijoin_lines(d))
+    got = {r.l_returnflag: (r.n_lines, r.sum_qty) for r in out.itertuples()}
+    assert got == {"A": (2, 7), "R": (1, 3)}
+
+
+def test_event_ordinals_checksum_orders_ties_by_event_id(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        ORD_BUCKETS,
+        q_user_event_ordinals,
+    )
+
+    # one user → one bucket; two events share a timestamp → event_id breaks
+    # the tie, and the position-weighted checksum detects any other order
+    rows = [
+        (7, 2000, 1, "x", 0.0),  # ordinal 3
+        (5, 1000, 1, "x", 0.0),  # ts tie with 6 → ordinal 1 (smaller id)
+        (6, 1000, 1, "x", 0.0),  # ordinal 2
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_user_event_ordinals(d))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["bucket"] == 1 % ORD_BUCKETS
+    assert row["n_rows"] == 3
+    assert row["ord_checksum"] == 1 * 5 + 2 * 6 + 3 * 7
+
+
+def test_chi2_contingency_hand_computed(ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import q_lang_source_chi2
+
+    # 2×2 table: en/a=30, en/b=10, fr/a=10, fr/b=30 → total 80
+    langs = ["en"] * 40 + ["fr"] * 40
+    sources = ["a"] * 30 + ["b"] * 10 + ["a"] * 10 + ["b"] * 30
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(80), pa.int64()),
+            "text": pa.array(["w"] * 80, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([1] * 80, pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = _to_df(q_lang_source_chi2(d))
+    got = {(r.lang, r.source): (r.n, r.contrib_micro) for r in out.itertuples()}
+    # every cell: row=40, col=40, total=80; dev = n*80 - 1600
+    # en/a: dev=800 → 800*800//1600*1e6//80 = 400*1e6//80 = 5_000_000
+    assert got == {
+        ("en", "a"): (30, 5_000_000),
+        ("en", "b"): (10, 5_000_000),
+        ("fr", "a"): (10, 5_000_000),
+        ("fr", "b"): (30, 5_000_000),
+    }
+
+
+def test_constraint_audit_reports_explicit_zeros(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_orders_constraint_audit,
+    )
+
+    # epoch day 11324 = 2001-01-02 (late); violations planted for 3 of the
+    # 5 checks; discount & quantity stay clean → must still appear as 0
+    orders = [
+        (1, "1-URGENT", 400_000.0, 11_324),  # late + over price cap
+        (2, "1-URGENT", 10.0, 100),
+    ]
+    lines = [
+        (1, "N", 10, 0.05),
+        (9, "N", 10, 0.05),  # orphan (no order 9)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_lines_parquet(d, orders, lines)
+        out = _to_df(q_orders_constraint_audit(d))
+    got = dict(zip(out["check_name"], out["n_violations"]))
+    assert got == {
+        "late_order_date": 1,
+        "price_above_cap": 1,
+        "discount_above_cap": 0,
+        "quantity_above_cap": 0,
+        "orphan_lineitem": 1,
+    }
