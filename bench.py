@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "user_event_ordinals",
     "lang_source_chi2",
     "orders_constraint_audit",
+    "type_value_trend",
+    "user_day_zorder_profile",
+    "nation_region_share",
+    "event_counts_incremental",
 ]
 
 

@@ -1863,7 +1863,8 @@ ML_ORACLE_SQL = {
         f"QUALIFY ROW_NUMBER() OVER w <= {TFIDF_TOP}"
     ),
     "embedding_norm_stats": (
-        "WITH m AS (SELECT label, list_transform(embedding, "
+        "WITH m AS (SELECT CAST(label AS BIGINT) AS label, "
+        "list_transform(embedding, "
         "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS mi "
         "FROM embeddings) "
         "SELECT label, COUNT(*) AS n, "

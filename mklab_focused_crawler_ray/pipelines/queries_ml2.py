@@ -1654,7 +1654,8 @@ ML2_ORACLE_SQL = {
         f"ROWS {TRAIL_HOURS - 1} PRECEDING) AS BIGINT) AS trail24 FROM f"
     ),
     "label_pairwise_dot": (
-        "WITH q AS (SELECT vec_id, label, list_transform(embedding, "
+        "WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "list_transform(embedding, "
         f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{PAIR_QUANT} + 0.5) AS BIGINT)) AS e "
         "FROM embeddings), "
         "p AS (SELECT a.label, "

@@ -752,6 +752,342 @@ def q_orders_constraint_audit(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# per-group OLS trend via integer sufficient statistics
+# --------------------------------------------------------------------------
+
+TREND_X0 = 19700  # fixed day-epoch offset keeping x (and x²·n) far from int64 caps
+
+
+def q_type_value_trend(sf_dir: str):
+    """PER-GROUP REGRESSION: the OLS slope of event value (cents) against
+    time (days) for every event type, carried as INTEGER sufficient
+    statistics — slope = slope_num / slope_den with
+    slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)², so both
+    engines agree bit-for-bit without ever dividing (the caller divides).
+
+    Scale shape: the five sums are classic mergeable partials — each batch
+    contributes one row per type, the shuffle moves |types| × blocks rows,
+    and the finisher is pure integer arithmetic on the |types|-row result.
+    The same sufficient-statistic discipline as ``label_pairwise_dot``,
+    extended to second moments."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries_ml2 import _ms
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = _ms(batch) // 86_400_000 - TREND_X0
+        y = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "pn": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        agg = df.groupby("event_type", sort=False).sum().reset_index()
+        cols = {"event_type": pa.array(agg["event_type"], pa.string())}
+        for c in ("pn", "sx", "sy", "sxy", "sxx"):
+            cols[c] = pa.array(agg[c].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.int64)
+        sx = batch["sx"].to_numpy().astype(np.int64)
+        sy = batch["sy"].to_numpy().astype(np.int64)
+        sxy = batch["sxy"].to_numpy().astype(np.int64)
+        sxx = batch["sxx"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(n, pa.int64()),
+                "slope_num": pa.array(n * sxy - sx * sy, pa.int64()),
+                "slope_den": pa.array(n * sxx - sx * sx, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional partitioning profile
+# --------------------------------------------------------------------------
+
+Z_BITS = 4  # low bits per dimension → 2^(2·Z_BITS) = 256 Z-order buckets
+
+
+def q_user_day_zorder_profile(sf_dir: str):
+    """Z-ORDER PARTITIONING PROFILE: every event mapped to the Morton
+    (bit-interleaved) bucket of its (user_id, day) pair — the
+    space-filling-curve layout that co-locates 2-D ranges so a
+    (user-range × time-range) scan prunes to a few buckets — reported as
+    per-bucket event and distinct-user counts, the occupancy histogram a
+    planner inspects before committing to the layout.
+
+    Scale shape: the Morton code is pure map-side bit arithmetic; ONE
+    shuffle on the ≤256-bucket key; the distinct-user count is per-batch
+    deduped before the shuffle. The oracle replays the interleave with
+    SQL bit operators."""
+    import ray.data as rd
+
+    from .queries_ml2 import _ms
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        d = _ms(batch) // 86_400_000
+        z = np.zeros(len(u), np.int64)
+        for i in range(Z_BITS):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((d >> i) & 1) << (2 * i + 1)
+        df = (
+            pd.DataFrame({"z": z, "user_id": u})
+            .groupby(["z", "user_id"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        return pa.table(
+            {
+                "z": pa.array(df["z"].to_numpy(np.int64), pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "pn": pa.array(df["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(g) -> pa.Table:
+        return pa.table(
+            {
+                "z": pa.array([int(g["z"].iloc[0])], pa.int64()),
+                "n_events": pa.array([int(g["pn"].sum())], pa.int64()),
+                "n_users": pa.array([int(g["user_id"].nunique())], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("z")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# hierarchical percent-of-parent (region → nation revenue share)
+# --------------------------------------------------------------------------
+
+SHARE_BUCKETS = 64
+
+
+def q_nation_region_share(sf_dir: str):
+    """HIERARCHICAL PERCENT-OF-PARENT: order revenue rolled up to nations,
+    each nation's share of its REGION's revenue in integer ppm — the
+    two-level drill-down table every BI layer builds, computed with the
+    no-broadcast shuffle hash join (orders ⋈ customer co-partitioned by
+    custkey hash) and a dimension-sized finisher.
+
+    Scale shape: the only corpus-sized shuffle is the custkey
+    co-partition; per-bucket joins partial-aggregate to per-nation cents
+    before the |nations|-row final groupby; the region hierarchy and the
+    percent-of-parent window both run on the 25-row dimension block."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nk, kind="stable")
+    dim_ref = ray.put(
+        (
+            nk[norder],
+            [nat["n_name"].to_pylist()[i] for i in norder],
+            nat["n_regionkey"].to_numpy().astype(np.int64)[norder],
+            dict(
+                zip(
+                    reg["r_regionkey"].to_numpy().astype(np.int64),
+                    reg["r_name"].to_pylist(),
+                )
+            ),
+        )
+    )
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(key % SHARE_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "nat": pa.array(
+                    batch["c_nationkey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "cents": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(key % SHARE_BUCKETS, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "nat": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
+            }
+        )
+
+    def join(g) -> pa.Table:
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        bk = g["key"].to_numpy(np.int64)[side == 0]
+        bn = g["nat"].to_numpy(np.int64)[side == 0]
+        order = np.argsort(bk, kind="stable")
+        bk, bn = bk[order], bn[order]
+        pk = g["key"].to_numpy(np.int64)[side == 1]
+        pc = g["cents"].to_numpy(np.int64)[side == 1]
+        if len(bk) == 0:
+            hit = np.zeros(len(pk), bool)
+            pos = np.zeros(len(pk), np.int64)
+        else:
+            pos = np.clip(np.searchsorted(bk, pk), 0, len(bk) - 1)
+            hit = bk[pos] == pk
+        agg = (
+            pd.DataFrame({"nat": bn[pos[hit]], "cents": pc[hit]})
+            .groupby("nat", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nat": pa.array(agg["nat"].to_numpy(np.int64), pa.int64()),
+                "pcents": pa.array(agg["cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nk_s, names, regkeys, regnames = ray.get(dim_ref)
+        nat_id = batch["nat"].to_numpy().astype(np.int64)
+        cents = batch["rev_cents"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(nk_s, nat_id)
+        n_name = np.asarray(names, object)[pos]
+        rk = regkeys[pos]
+        r_name = np.asarray([regnames[int(k)] for k in rk], object)
+        df = pd.DataFrame(
+            {"r_name": r_name, "n_name": n_name, "rev_cents": cents, "rk": rk}
+        )
+        reg_tot = df.groupby("rk")["rev_cents"].transform("sum").to_numpy(np.int64)
+        share = cents * 1_000_000 // reg_tot
+        return pa.table(
+            {
+                "r_name": pa.array(df["r_name"], pa.string()),
+                "n_name": pa.array(df["n_name"], pa.string()),
+                "rev_cents": pa.array(cents, pa.int64()),
+                "share_ppm": pa.array(share, pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+        .groupby("nat")
+        .aggregate(Sum("pcents", alias_name="rev_cents"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental (base + delta) mergeable aggregation
+# --------------------------------------------------------------------------
+
+DELTA_MOD = 10  # event_id % 10 == 0 rows form the 'delta' partition
+
+
+def q_event_counts_incremental(sf_dir: str):
+    """INCREMENTAL-VIEW-MAINTENANCE SHAPE: the event stream split into a
+    'base' partition and a 'delta' partition (event_id mod 10), each
+    aggregated INDEPENDENTLY, partials merged without touching base rows
+    again — the update pattern that keeps a 100-TB materialized aggregate
+    current by processing only arriving shards. Output carries both
+    component counts and the merged total so the oracle verifies the merge
+    itself, not just the end sum.
+
+    Scale shape: both partials are map-side conditional counts in one
+    pass over one read; the final groupby sees |types| × blocks rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        is_delta = (eid % DELTA_MOD == 0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "pb": 1 - is_delta,
+                "pd": is_delta,
+            }
+        )
+        agg = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], pa.string()),
+                "pb": pa.array(agg["pb"].to_numpy(np.int64), pa.int64()),
+                "pd": pa.array(agg["pd"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        nb = batch["n_base"].to_numpy().astype(np.int64)
+        nd = batch["n_delta"].to_numpy().astype(np.int64)
+        return batch.append_column("n_total", pa.array(nb + nd, pa.int64()))
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pb", alias_name="n_base"), Sum("pd", alias_name="n_delta"))
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -763,6 +1099,10 @@ ML3_QUERIES = {
     "user_event_ordinals": q_user_event_ordinals,
     "lang_source_chi2": q_lang_source_chi2,
     "orders_constraint_audit": q_orders_constraint_audit,
+    "type_value_trend": q_type_value_trend,
+    "user_day_zorder_profile": q_user_day_zorder_profile,
+    "nation_region_share": q_nation_region_share,
+    "event_counts_incremental": q_event_counts_incremental,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -860,5 +1200,45 @@ ML3_ORACLE_SQL = {
         "UNION ALL SELECT 'orphan_lineitem', CAST(COUNT(*) AS BIGINT) "
         "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
         "WHERE o.o_orderkey = l.l_orderkey))"
+    ),
+    "type_value_trend": (
+        "WITH e AS (SELECT event_type, "
+        f"CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) - {TREND_X0} AS x, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS y FROM events) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS BIGINT) AS slope_num, "
+        "CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS BIGINT) AS slope_den "
+        "FROM e GROUP BY 1"
+    ),
+    "user_day_zorder_profile": (
+        "WITH e AS (SELECT user_id, "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) AS day FROM events), "
+        "zt AS (SELECT user_id, "
+        "(((user_id >> 0) & 1) << 0) | (((day >> 0) & 1) << 1) | "
+        "(((user_id >> 1) & 1) << 2) | (((day >> 1) & 1) << 3) | "
+        "(((user_id >> 2) & 1) << 4) | (((day >> 2) & 1) << 5) | "
+        "(((user_id >> 3) & 1) << 6) | (((day >> 3) & 1) << 7) AS z FROM e) "
+        "SELECT CAST(z AS BIGINT) AS z, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM zt GROUP BY 1"
+    ),
+    "nation_region_share": (
+        "WITH rev AS (SELECT c_nationkey AS nk, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS rev_cents FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY 1), "
+        "j AS (SELECT r_name, n_name, rev_cents, n_regionkey AS rk FROM rev "
+        "JOIN nation ON n_nationkey = nk "
+        "JOIN region ON r_regionkey = n_regionkey) "
+        "SELECT r_name, n_name, rev_cents, "
+        "CAST(rev_cents * 1000000 // "
+        "(SUM(rev_cents) OVER (PARTITION BY rk)) AS BIGINT) AS share_ppm FROM j"
+    ),
+    "event_counts_incremental": (
+        "SELECT event_type, "
+        f"CAST(SUM(CASE WHEN event_id % {DELTA_MOD} != 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_base, "
+        f"CAST(SUM(CASE WHEN event_id % {DELTA_MOD} = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_delta, "
+        "CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
     ),
 }

@@ -358,3 +358,135 @@ def test_constraint_audit_reports_explicit_zeros(ray_session):
         "quantity_above_cap": 0,
         "orphan_lineitem": 1,
     }
+
+
+# --------------------------------------------------------------------------
+# wave-7 operators (OLS trend, z-order, percent-of-parent, incremental)
+# --------------------------------------------------------------------------
+
+
+def test_trend_slope_sufficient_stats_hand_computed(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        TREND_X0,
+        q_type_value_trend,
+    )
+
+    day = 86_400_000
+    # y = 2x + 1 exactly (cents): slope_num/slope_den must equal 2
+    pts = [(0, 1.0), (1, 3.0), (2, 5.0)]  # (day offset from X0, value dollars?)
+    rows = [
+        (i, (TREND_X0 + dx) * day, 1, "x", v / 100.0 * 100.0)  # value in units
+        for i, (dx, v) in enumerate(pts)
+    ]
+    # value column is dollars; cents y = floor(v*100+0.5): use v so cents = 2x+1
+    rows = [(i, (TREND_X0 + dx) * day, 1, "x", (2 * dx + 1) / 100.0) for i, (dx, _) in enumerate(pts)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_type_value_trend(d))
+    r = out.iloc[0]
+    # n=3, x=(0,1,2), y=(1,3,5): num = 3*13 - 3*9 = 12, den = 3*5 - 9 = 6
+    assert (r["n"], r["slope_num"], r["slope_den"]) == (3, 12, 6)
+    assert r["slope_num"] / r["slope_den"] == 2.0
+
+
+def test_zorder_interleaves_user_and_day_bits(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_user_day_zorder_profile,
+    )
+
+    day = 86_400_000
+    # user 0b0011=3, day 0b0101=5 → z interleave (u even bits, d odd bits):
+    # bits: u0=1→b0, d0=1→b1, u1=1→b2, d1=0→b3, u2=0→b4, d2=1→b5, u3=0, d3=0
+    # z = 1 + 2 + 4 + 0 + 0 + 32 = 39
+    rows = [(1, 5 * day, 3, "x", 0.0), (2, 5 * day + 1, 3, "x", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_user_day_zorder_profile(d))
+    assert out["z"].tolist() == [39]
+    assert out["n_events"].tolist() == [2]
+    assert out["n_users"].tolist() == [1]
+
+
+def test_nation_region_share_sums_to_million_per_region(ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_nation_region_share,
+    )
+    from tests.test_queries_ml2_edges import _days_ts
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array([0, 1], pa.int64()),
+                    "r_name": pa.array(["R0", "R1"], pa.string()),
+                }
+            ),
+            os.path.join(d, "region.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+                    "n_name": pa.array(["N0", "N1", "N2"], pa.string()),
+                    "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+                }
+            ),
+            os.path.join(d, "nation.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([10, 11, 12], pa.int64()),
+                    "c_name": pa.array(["c"] * 3, pa.string()),
+                    "c_nationkey": pa.array([0, 1, 2], pa.int64()),
+                    "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+                    "c_mktsegment": pa.array(["s"] * 3, pa.string()),
+                }
+            ),
+            os.path.join(d, "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "o_custkey": pa.array([10, 11, 11, 12], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+                    "o_totalprice": pa.array([10.0, 20.0, 10.0, 7.0], pa.float64()),
+                    "o_orderdate": pa.array([_days_ts(1)] * 4, pa.int64())
+                    .cast(pa.timestamp("ms"))
+                    .cast(pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        out = _to_df(q_nation_region_share(d))
+    got = {r.n_name: (r.r_name, r.rev_cents, r.share_ppm) for r in out.itertuples()}
+    # R0: N0=1000c, N1=3000c (total 4000) → shares 250000 / 750000
+    # R1: N2=700c alone → 1000000
+    assert got == {
+        "N0": ("R0", 1000, 250_000),
+        "N1": ("R0", 3000, 750_000),
+        "N2": ("R1", 700, 1_000_000),
+    }
+
+
+def test_incremental_merge_splits_base_and_delta(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_event_counts_incremental,
+    )
+
+    rows = [
+        (10, 1000, 1, "a", 0.0),  # delta (id % 10 == 0)
+        (11, 1001, 1, "a", 0.0),  # base
+        (12, 1002, 1, "a", 0.0),  # base
+        (20, 1003, 1, "b", 0.0),  # delta
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_event_counts_incremental(d))
+    got = {r.event_type: (r.n_base, r.n_delta, r.n_total) for r in out.itertuples()}
+    assert got == {"a": (2, 1, 3), "b": (0, 1, 1)}
