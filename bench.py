@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "user_day_zorder_profile",
     "nation_region_share",
     "event_counts_incremental",
+    "user_late_events",
+    "wau_by_day",
+    "embedding_pq_codes",
 ]
 
 

@@ -1088,6 +1088,224 @@ def q_event_counts_incremental(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# event-time watermark: out-of-order (late) event detection
+# --------------------------------------------------------------------------
+
+ARRIVAL_MULT = 2654435761  # deterministic pseudo-arrival shuffle, SQL-replayable
+
+
+def q_user_late_events(sf_dir: str):
+    """WATERMARK / OUT-OF-ORDER DETECTION: per user, how many events
+    arrive with an event time EARLIER than the high-watermark (running max
+    event time) of everything that arrived before them — the late-data
+    diagnostic every event-time streaming pipeline needs. Arrival order is
+    a deterministic multiplicative-hash shuffle of event_id (the fixture
+    stream is time-ordered, so real arrival order would be degenerate);
+    both engines replay the identical order, late counts are bit-equal.
+
+    Scale shape: ONE user-bucketed shuffle of (arrival, ms) pairs; inside
+    each bucket the watermark is a per-user sorted cummax (numpy) and the
+    late flags collapse to per-user counts before output."""
+    import ray.data as rd
+
+    from .queries_ml2 import _ms
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % MODE_BUCKETS_LATE, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "arr": pa.array((eid * ARRIVAL_MULT) % (1 << 32), pa.int64()),
+                "eid": pa.array(eid, pa.int64()),
+                "ms": pa.array(_ms(batch), pa.int64()),
+            }
+        )
+
+    def late(g) -> pa.Table:
+        import pandas as pd
+
+        uid = g["user_id"].to_numpy(np.int64)
+        arr = g["arr"].to_numpy(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        order = np.lexsort((eid, arr, uid))  # per-user arrival order
+        uid, ms = uid[order], ms[order]
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        # per-user watermark = cummax over the user's own arrival segment
+        is_late = np.zeros(len(ms), bool)
+        for s, e in zip(starts, np.r_[starts[1:], len(ms)]):
+            seg = ms[s:e]
+            run = np.maximum.accumulate(seg)
+            is_late[s + 1 : e] = seg[1:] < run[:-1]
+        agg = (
+            pd.DataFrame({"user_id": uid, "late": is_late.astype(np.int64)})
+            .groupby("user_id", sort=False)
+            .agg(n_events=("late", "size"), n_late=("late", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(agg["user_id"].to_numpy(np.int64), pa.int64()),
+                "n_events": pa.array(agg["n_events"].to_numpy(np.int64), pa.int64()),
+                "n_late": pa.array(agg["n_late"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(late, batch_format="pandas")
+    )
+
+
+MODE_BUCKETS_LATE = 64
+
+
+# --------------------------------------------------------------------------
+# sliding-window distinct (weekly-active-users by day)
+# --------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def q_wau_by_day(sf_dir: str):
+    """SLIDING-WINDOW DISTINCT: for every active day, the count of
+    DISTINCT users seen in the trailing 7-day window — the WAU/MAU curve.
+    Distinct-under-a-sliding-window can't be pre-aggregated like sums, so
+    the scale recipe is: collapse events to distinct (user, day) pairs
+    map-side (tiny vs the event stream), explode each pair to the ≤7
+    window anchor days it can serve, and count distinct users per anchor —
+    shuffle volume is |user-days| × window, never |events| × window.
+
+    The oracle joins the day spine against the distinct pairs with a
+    BETWEEN range predicate."""
+    import ray
+    import ray.data as rd
+
+    from .queries_ml2 import _ms
+
+    # anchors only count if the anchor day itself is active (spine = the
+    # observed-day set, tiny by construction) — broadcast it sorted and
+    # prune the explosion INSIDE the map stage, before the shuffle
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = np.unique(_ms(batch) // 86_400_000)
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    days = np.sort(
+        rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+        .map_batches(day_partial, batch_format="pyarrow")
+        .to_pandas()["day"]
+        .unique()
+    )
+    days_ref = ray.put(days)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        active = ray.get(days_ref)
+        day = _ms(batch) // 86_400_000
+        d = (
+            pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "day": day})
+            .drop_duplicates()
+        )
+        uid = d["user_id"].to_numpy(np.int64)
+        dy = d["day"].to_numpy(np.int64)
+        # explode to every anchor day in [day, day + W-1] this pair serves,
+        # keeping only anchors that are themselves active days
+        k = WAU_WINDOW_DAYS
+        anchor = (dy[:, None] + np.arange(k)[None, :]).ravel()
+        uidr = np.repeat(uid, k)
+        pos = np.clip(np.searchsorted(active, anchor), 0, len(active) - 1)
+        keep = active[pos] == anchor
+        return pa.table(
+            {
+                "anchor": pa.array(anchor[keep], pa.int64()),
+                "user_id": pa.array(uidr[keep], pa.int64()),
+            }
+        )
+
+    def count_distinct(g) -> pa.Table:
+        return pa.table(
+            {
+                "day": pa.array([int(g["anchor"].iloc[0])], pa.int64()),
+                "wau": pa.array([int(g["user_id"].nunique())], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("anchor")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) code assignment
+# --------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # 64-dim embeddings → 4 × 16
+PQ_NCENTROIDS = 8  # codebook = subvectors of vec_id 0..7 (deterministic)
+PQ_QUANT = 1000  # kilo-quantized components keep distances integer-exact
+
+
+def q_embedding_pq_codes(sf_dir: str):
+    """PRODUCT QUANTIZATION: every embedding compressed to 4 sub-space
+    codes — each 16-dim sub-vector assigned to the nearest of 8 sub-space
+    centroids (squared L2 on kilo-quantized integers, ties to the lowest
+    centroid id) — the memory-compression layer under IVF-PQ ANN indexes.
+    The deterministic codebook (sub-vectors of vec_ids 0..7, mirroring
+    ``kmeans_assign``'s convention) lets DuckDB replay the assignment
+    exactly via UNNEST + QUALIFY argmin.
+
+    Scale shape: the codebook is 8×4×16 ints broadcast once; assignment is
+    one batched numpy einsum-style distance matrix per block — no shuffle
+    at all; output is 4 small code columns per row."""
+    import pyarrow.parquet as pq_mod
+    import ray
+    import ray.data as rd
+
+    from ..stages.ann import _batch_embeddings
+
+    cb_tbl = pq_mod.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_NCENTROIDS)],
+    )
+    order = np.argsort(cb_tbl["vec_id"].to_numpy())
+    cb = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in cb_tbl["embedding"].to_pylist()])[
+            order
+        ]
+        * PQ_QUANT
+        + 0.5
+    ).astype(np.int64)
+    cb = cb.reshape(PQ_NCENTROIDS, PQ_SUBSPACES, PQ_SUBDIM)
+    cb_ref = ray.put(cb)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        codebook = ray.get(cb_ref)
+        q = np.floor(_batch_embeddings(batch) * PQ_QUANT + 0.5).astype(np.int64)
+        q = q.reshape(len(q), PQ_SUBSPACES, PQ_SUBDIM)
+        # dist[v, c, s] = Σ_d (q[v,s,d] − cb[c,s,d])²
+        diff = q[:, None, :, :] - codebook[None, :, :, :]
+        dist = (diff * diff).sum(axis=3)  # (n, C, S)
+        code = dist.argmin(axis=1)  # ties → lowest centroid id (argmin rule)
+        cols = {"vec_id": pa.array(batch["vec_id"].to_numpy().astype(np.int64), pa.int64())}
+        for s in range(PQ_SUBSPACES):
+            cols[f"code{s}"] = pa.array(code[:, s].astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return rd.read_parquet(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -1103,6 +1321,9 @@ ML3_QUERIES = {
     "user_day_zorder_profile": q_user_day_zorder_profile,
     "nation_region_share": q_nation_region_share,
     "event_counts_incremental": q_event_counts_incremental,
+    "user_late_events": q_user_late_events,
+    "wau_by_day": q_wau_by_day,
+    "embedding_pq_codes": q_embedding_pq_codes,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1240,5 +1461,45 @@ ML3_ORACLE_SQL = {
         f"CAST(SUM(CASE WHEN event_id % {DELTA_MOD} = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_delta, "
         "CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
+    ),
+    "user_late_events": (
+        "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, "
+        f"(event_id * {ARRIVAL_MULT}) % {1 << 32} AS arr FROM events), "
+        "w AS (SELECT user_id, ms, "
+        "MAX(ms) OVER (PARTITION BY user_id ORDER BY arr ASC, event_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM e) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CASE WHEN wm IS NOT NULL AND ms < wm THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_late FROM w GROUP BY 1"
+    ),
+    "wau_by_day": (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) AS day FROM events), "
+        "spine AS (SELECT DISTINCT day FROM d) "
+        "SELECT s.day AS day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau "
+        "FROM spine s JOIN d ON d.day BETWEEN s.day - "
+        f"{WAU_WINDOW_DAYS - 1} AND s.day GROUP BY 1"
+    ),
+    "embedding_pq_codes": (
+        "WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{PQ_QUANT} + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        f"cb AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < {PQ_NCENTROIDS}), "
+        f"sub AS (SELECT UNNEST(range({PQ_SUBSPACES})) AS s), "
+        "d AS (SELECT q.vec_id, sub.s, cb.cid, "
+        "(SELECT CAST(SUM((z.a - z.b) * (z.a - z.b)) AS BIGINT) FROM "
+        f"(SELECT UNNEST(q.e[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]) AS a, "
+        f"UNNEST(cb.ce[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]) AS b) z) "
+        "AS dist FROM q CROSS JOIN sub CROSS JOIN cb), "
+        "best AS (SELECT vec_id, s, cid FROM d "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s "
+        "ORDER BY dist ASC, cid ASC) = 1) "
+        "SELECT vec_id, "
+        "CAST(MAX(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS code0, "
+        "CAST(MAX(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS code1, "
+        "CAST(MAX(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS code2, "
+        "CAST(MAX(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS code3 "
+        "FROM best GROUP BY 1"
     ),
 }

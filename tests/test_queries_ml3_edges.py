@@ -490,3 +490,88 @@ def test_incremental_merge_splits_base_and_delta(ray_session):
         out = _to_df(q_event_counts_incremental(d))
     got = {r.event_type: (r.n_base, r.n_delta, r.n_total) for r in out.itertuples()}
     assert got == {"a": (2, 1, 3), "b": (0, 1, 1)}
+
+
+# --------------------------------------------------------------------------
+# wave-8 operators (watermark lateness, sliding-window distinct, PQ codes)
+# --------------------------------------------------------------------------
+
+
+def test_late_events_counted_against_running_watermark(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        ARRIVAL_MULT,
+        q_user_late_events,
+    )
+
+    # choose event ids and replay the hash to know the arrival order, then
+    # plant timestamps so exactly one event is late in that order
+    ids = [1, 2, 3, 4]
+    arrival = sorted(ids, key=lambda e: ((e * ARRIVAL_MULT) % (1 << 32), e))
+    # timestamps increase with arrival EXCEPT the last arrival, which gets
+    # a time earlier than the watermark → exactly 1 late event
+    ms_by_id = {}
+    for i, e in enumerate(arrival[:-1]):
+        ms_by_id[e] = 1000 + i * 1000
+    ms_by_id[arrival[-1]] = 500  # before everything → late
+    rows = [(e, ms_by_id[e], 1, "x", 0.0) for e in ids]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_user_late_events(d))
+    assert len(out) == 1
+    assert (out.iloc[0]["n_events"], out.iloc[0]["n_late"]) == (4, 1)
+
+
+def test_wau_counts_trailing_window_distinct_users(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import q_wau_by_day
+
+    day = 86_400_000
+    rows = [
+        (1, 0 * day, 1, "x", 0.0),  # user 1 on day 0
+        (2, 3 * day, 2, "x", 0.0),  # user 2 on day 3
+        (3, 3 * day, 1, "x", 0.0),  # user 1 again on day 3
+        (4, 20 * day, 3, "x", 0.0),  # user 3 far away (outside any window)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_wau_by_day(d))
+    got = dict(zip(out["day"], out["wau"]))
+    # anchors = active days {0, 3, 20}; window 7 days trailing:
+    # day 0 → {u1}; day 3 → {u1 (day0 & day3), u2}; day 20 → {u3}
+    assert got == {0: 1, 3: 2, 20: 1}
+
+
+def test_pq_codes_assign_nearest_subspace_centroid(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        PQ_NCENTROIDS,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        q_embedding_pq_codes,
+    )
+
+    dim = PQ_SUBSPACES * PQ_SUBDIM
+    rng = np.random.RandomState(7)
+    base = rng.rand(PQ_NCENTROIDS, dim).astype(np.float32)
+    # vector 8 = centroid 5's vector with tiny noise in subspace 0 only →
+    # codes (5,5,5,5); vector 9 = centroid 2 exactly → (2,2,2,2)
+    v8 = base[5].copy()
+    v8[:PQ_SUBDIM] += 0.01
+    v9 = base[2].copy()
+    embs = np.vstack([base, v8[None, :], v9[None, :]])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(embs)), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in embs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(embs), pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        out = _to_df(q_embedding_pq_codes(d)).set_index("vec_id")
+    for c in range(PQ_NCENTROIDS):  # each centroid codes to itself
+        assert out.loc[c].tolist() == [c] * PQ_SUBSPACES
+    assert out.loc[8].tolist() == [5, 5, 5, 5]
+    assert out.loc[9].tolist() == [2, 2, 2, 2]
