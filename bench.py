@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "user_late_events",
     "wau_by_day",
     "embedding_pq_codes",
+    "orders_pareto_frontier",
+    "user_longest_streak",
+    "event_type_markov",
 ]
 
 

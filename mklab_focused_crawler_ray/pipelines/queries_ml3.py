@@ -1306,6 +1306,232 @@ def q_embedding_pq_codes(sf_dir: str):
     ).map_batches(assign, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------------------
+# distributive skyline (Pareto frontier)
+# --------------------------------------------------------------------------
+
+
+def q_orders_pareto_frontier(sf_dir: str):
+    """SKYLINE / PARETO FRONTIER: orders not dominated on (price ↑, date ↓)
+    — no other order is at least as expensive AND at least as early with
+    one strict — the multi-criteria short-list operator. Skylines are
+    DISTRIBUTIVE: the global frontier is a subset of the union of
+    per-block frontiers, so each batch prunes locally first (a sort +
+    one cummax sweep) and only local-frontier survivors (output-shaped)
+    reach the single final sweep. Ties on both dimensions are all kept
+    (neither strictly dominates), matching the NOT EXISTS oracle.
+
+    Scale shape: map-side pruning does the heavy lifting; no shuffle at
+    all — the final exact sweep runs on the tiny candidate union."""
+    import ray.data as rd
+
+    from .queries_ml2 import _ms
+
+    def _local_frontier(cents: np.ndarray, day: np.ndarray, keys: np.ndarray):
+        # sort by (day asc, cents desc): a point survives iff its cents
+        # strictly exceeds the running max over all earlier rows (a new
+        # frontier point), or exactly ties a frontier point on BOTH dims
+        # (neither dominates). One lexsort + one cummax — no Python loop.
+        if len(cents) == 0:
+            return keys, cents, day
+        order = np.lexsort((-cents, day))
+        c, d, k = cents[order], day[order], keys[order]
+        prev = np.r_[np.int64(-1), np.maximum.accumulate(c)[:-1]]
+        keep_new = c > prev
+        combo = d * np.int64(10**10) + c  # cents < 1e10 by construction
+        keep = np.isin(combo, np.unique(combo[keep_new]))
+        return k[keep], c[keep], d[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        day = _ms(batch, "o_orderdate") // 86_400_000
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+        k, c, d = _local_frontier(cents, day, keys)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "day": pa.array(d, pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        k, c, d = _local_frontier(
+            batch["cents"].to_numpy().astype(np.int64),
+            batch["day"].to_numpy().astype(np.int64),
+            batch["o_orderkey"].to_numpy().astype(np.int64),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "day": pa.array(d, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "orders"),
+            columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands: longest consecutive-day streak per user
+# --------------------------------------------------------------------------
+
+
+def q_user_longest_streak(sf_dir: str):
+    """GAPS-AND-ISLANDS: each user's longest run of CONSECUTIVE active
+    days plus their total active-day count — the retention-streak metric,
+    and the canonical islands problem (SQL solves it with the
+    day − ROW_NUMBER() constant-per-island trick; the Ray side gets the
+    same islands from a sorted diff/split per user).
+
+    Scale shape: events collapse to distinct (user, day) map-side; ONE
+    user-bucketed shuffle; per-bucket the streaks fall out of one lexsort
+    + run-length encoding over day diffs."""
+    import ray.data as rd
+
+    from .queries_ml2 import _ms
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = _ms(batch) // 86_400_000
+        d = (
+            pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "day": day})
+            .drop_duplicates()
+        )
+        uid = d["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % MODE_BUCKETS_LATE, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "day": pa.array(d["day"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def streaks(g) -> pa.Table:
+        import pandas as pd
+
+        d = g[["user_id", "day"]].drop_duplicates()
+        uid = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # island id = day − per-user ordinal (constant within a run)
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1]
+        ordinal = np.arange(len(day)) - np.repeat(starts, np.diff(np.r_[starts, len(day)]))
+        island = day - ordinal
+        runs = (
+            pd.DataFrame({"user_id": uid, "island": island})
+            .groupby(["user_id", "island"], sort=False)
+            .size()
+            .reset_index(name="run")
+        )
+        agg = (
+            runs.groupby("user_id", sort=False)["run"]
+            .agg(longest_streak="max", n_active_days="sum")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(agg["user_id"].to_numpy(np.int64), pa.int64()),
+                "longest_streak": pa.array(
+                    agg["longest_streak"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_active_days": pa.array(
+                    agg["n_active_days"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(streaks, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition counts over per-user event sequences
+# --------------------------------------------------------------------------
+
+
+def q_event_type_markov(sf_dir: str):
+    """SEQUENCE TRANSITIONS: the (previous type → next type) count matrix
+    over every user's time-ordered event stream — the first-order Markov
+    statistics sequence models and next-event predictors train on.
+
+    Scale shape: ONE user-bucketed shuffle; per bucket the transitions
+    fall out of one lexsort and a shifted comparison (no Python loop);
+    per-bucket partial counts collapse before the |types|²-key final
+    groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries_ml2 import _ms
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % MODE_BUCKETS_LATE, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ms": pa.array(_ms(batch), pa.int64()),
+                "eid": pa.array(
+                    batch["event_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def transitions(g) -> pa.Table:
+        import pandas as pd
+
+        uid = g["user_id"].to_numpy(np.int64)
+        ms = g["ms"].to_numpy(np.int64)
+        eid = g["eid"].to_numpy(np.int64)
+        et = np.asarray(g["event_type"].to_numpy(), object)
+        order = np.lexsort((eid, ms, uid))
+        uid, et = uid[order], et[order]
+        same_user = uid[1:] == uid[:-1]
+        agg = (
+            pd.DataFrame(
+                {"prev_type": et[:-1][same_user], "next_type": et[1:][same_user]}
+            )
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        return pa.table(
+            {
+                "prev_type": pa.array(agg["prev_type"], pa.string()),
+                "next_type": pa.array(agg["next_type"], pa.string()),
+                "pn": pa.array(agg["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -1324,6 +1550,9 @@ ML3_QUERIES = {
     "user_late_events": q_user_late_events,
     "wau_by_day": q_wau_by_day,
     "embedding_pq_codes": q_embedding_pq_codes,
+    "orders_pareto_frontier": q_orders_pareto_frontier,
+    "user_longest_streak": q_user_longest_streak,
+    "event_type_markov": q_event_type_markov,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1501,5 +1730,32 @@ ML3_ORACLE_SQL = {
         "CAST(MAX(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS code2, "
         "CAST(MAX(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS code3 "
         "FROM best GROUP BY 1"
+    ),
+    "orders_pareto_frontier": (
+        "WITH o AS (SELECT o_orderkey, "
+        "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents, "
+        "CAST(FLOOR(epoch_us(o_orderdate)/86400000000.0) AS BIGINT) AS day "
+        "FROM orders) "
+        "SELECT o_orderkey, cents, day FROM o a WHERE NOT EXISTS ("
+        "SELECT 1 FROM o b WHERE b.cents >= a.cents AND b.day <= a.day "
+        "AND (b.cents > a.cents OR b.day < a.day))"
+    ),
+    "user_longest_streak": (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) AS day FROM events), "
+        "g AS (SELECT user_id, day, day - ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+        "r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run "
+        "FROM g GROUP BY user_id, grp) "
+        "SELECT user_id, CAST(MAX(run) AS BIGINT) AS longest_streak, "
+        "CAST(SUM(run) AS BIGINT) AS n_active_days FROM r GROUP BY 1"
+    ),
+    "event_type_markov": (
+        "WITH e AS (SELECT user_id, event_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_ms(ts), event_id) AS prev_type FROM events) "
+        "SELECT prev_type, event_type AS next_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM e "
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2"
     ),
 }

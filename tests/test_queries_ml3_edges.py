@@ -575,3 +575,83 @@ def test_pq_codes_assign_nearest_subspace_centroid(ray_session):
         assert out.loc[c].tolist() == [c] * PQ_SUBSPACES
     assert out.loc[8].tolist() == [5, 5, 5, 5]
     assert out.loc[9].tolist() == [2, 2, 2, 2]
+
+
+# --------------------------------------------------------------------------
+# wave-9 operators (skyline, gaps-and-islands, Markov transitions)
+# --------------------------------------------------------------------------
+
+
+def test_pareto_frontier_keeps_nondominated_and_both_dim_ties(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_orders_pareto_frontier,
+    )
+
+    # (key, priority, price, day): frontier on (price max, day min)
+    orders = [
+        (1, "1-URGENT", 100.0, 5),  # dominated by 3 (higher price, earlier)
+        (2, "1-URGENT", 300.0, 10),  # frontier (highest price overall)
+        (3, "1-URGENT", 200.0, 2),  # frontier (earliest among price>=200)
+        (4, "1-URGENT", 200.0, 2),  # exact tie with 3 on both dims → kept
+        (5, "1-URGENT", 50.0, 1),  # frontier (earliest day)
+        (6, "1-URGENT", 50.0, 3),  # dominated by 5 (same price, later)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_lines_parquet(d, orders, [(1, "N", 1, 0.0)])
+        out = _to_df(q_orders_pareto_frontier(d))
+    assert sorted(out["o_orderkey"]) == [2, 3, 4, 5]
+
+
+def test_longest_streak_splits_on_gaps(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_user_longest_streak,
+    )
+
+    day = 86_400_000
+    # user 1: days 1,2,3, 5,6 → longest 3, active 5; user 2: day 9 → 1,1
+    rows = [
+        (1, 1 * day, 1, "x", 0.0),
+        (2, 2 * day, 1, "x", 0.0),
+        (3, 2 * day + 5, 1, "x", 0.0),  # same day dedup
+        (4, 3 * day, 1, "x", 0.0),
+        (5, 5 * day, 1, "x", 0.0),
+        (6, 6 * day, 1, "x", 0.0),
+        (7, 9 * day, 2, "x", 0.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_user_longest_streak(d))
+    got = {r.user_id: (r.longest_streak, r.n_active_days) for r in out.itertuples()}
+    assert got == {1: (3, 5), 2: (1, 1)}
+
+
+def test_markov_counts_consecutive_transitions_per_user(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import q_event_type_markov
+
+    rows = [
+        (1, 1000, 1, "a", 0.0),
+        (2, 2000, 1, "b", 0.0),  # a→b
+        (3, 3000, 1, "a", 0.0),  # b→a
+        (4, 1000, 2, "a", 0.0),
+        (5, 2000, 2, "b", 0.0),  # a→b (user 2)
+        (6, 1000, 3, "c", 0.0),  # single event: no transition
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_event_type_markov(d))
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_markov_ts_tie_broken_by_event_id(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import q_event_type_markov
+
+    rows = [
+        (2, 1000, 1, "b", 0.0),  # same ts → event_id order: 1 then 2
+        (1, 1000, 1, "a", 0.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_event_type_markov(d))
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1}
