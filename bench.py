@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "orders_pareto_frontier",
     "user_longest_streak",
     "event_type_markov",
+    "kmeans_mstep_centroids",
+    "ann_rrf_fusion",
 ]
 
 

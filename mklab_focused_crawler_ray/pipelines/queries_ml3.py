@@ -1532,6 +1532,153 @@ def q_event_type_markov(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# k-means M-step: per-cluster component sums (centroid update)
+# --------------------------------------------------------------------------
+
+MSTEP_K = 8  # same deterministic init as kmeans_assign (vec_id < K)
+MSTEP_QUANT = 1000
+
+
+def q_kmeans_mstep_centroids(sf_dir: str):
+    """K-MEANS M-STEP: per assigned cluster, the component-wise SUM of
+    kilo-quantized raw vectors plus the cluster size — the exact integer
+    sufficient statistics whose ratio s/n IS the updated centroid. Paired
+    with ``kmeans_assign`` (the E-step, same micro-cosine assignment rule
+    and vec_id<K init) this closes a full distributed k-means iteration,
+    both halves DuckDB-oracled.
+
+    Scale shape: assignment is the broadcast-centroid matmul per batch;
+    each batch collapses to K × dim partial rows (np.add.at scatter), so
+    the shuffle never moves vectors — only the K·dim sufficient-statistic
+    grid."""
+    import pyarrow.parquet as pq_mod
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import _batch_embeddings, _micro, _normalize
+
+    cent_tbl = pq_mod.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", MSTEP_K)],
+    )
+    order = np.argsort(cent_tbl["vec_id"].to_numpy(), kind="stable")
+    cmat = _normalize(
+        np.asarray(cent_tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    )
+    cent_ref = ray.put(cmat)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        raw = _batch_embeddings(batch)
+        cm = _micro(_normalize(raw) @ c.T)
+        best = np.argmax(cm, axis=1)  # first max = smallest centroid id
+        q = np.floor(raw * MSTEP_QUANT + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        acc = np.zeros((MSTEP_K, dim), np.int64)
+        np.add.at(acc, best, q)
+        cnt = np.bincount(best, minlength=MSTEP_K).astype(np.int64)
+        return pa.table(
+            {
+                "centroid_id": pa.array(
+                    np.repeat(np.arange(MSTEP_K, dtype=np.int64), dim), pa.int64()
+                ),
+                "dim": pa.array(np.tile(np.arange(dim), MSTEP_K), pa.int64()),
+                "ps": pa.array(acc.ravel(), pa.int64()),
+                "pn": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["centroid_id", "dim"])
+        .aggregate(Sum("ps", alias_name="s_kilo"), Sum("pn", alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion of two retrieval lists
+# --------------------------------------------------------------------------
+
+FUSE_POOL = 100  # per-list depth (top-10 fused is provably inside top-100 pools)
+RRF_K0 = 60
+FUSE_TOP = 10
+
+
+def q_ann_rrf_fusion(sf_dir: str):
+    """RECIPROCAL-RANK FUSION: the standard IR combiner over two retrieval
+    lists for query vector 0 — the micro-cosine top-``FUSE_POOL`` and the
+    integer-L2 top-``FUSE_POOL`` — scoring each pooled candidate
+    Σ 10⁶ ÷ (60 + rank) over the lists that retrieved it (truncated-list
+    RRF, the real semantics of fusing two top-K result sets), and
+    returning the fused top-10.
+
+    Scale shape: each batch reduces to its own per-metric top-POOL (the
+    ``BoundedPQueue`` discipline), so the final exact ranking runs on a
+    ≤ 2·POOL·blocks candidate pool, never the corpus; the query vector is
+    a broadcast constant."""
+    import pyarrow.parquet as pq_mod
+    import ray
+    import ray.data as rd
+
+    from ..stages.ann import _batch_embeddings, _micro, _normalize
+
+    qv_tbl = pq_mod.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    qraw = np.asarray(qv_tbl["embedding"].to_pylist(), np.float64)[0]
+    qn = _normalize(qraw[None, :])[0]
+    qq = np.floor(qraw * MSTEP_QUANT + 0.5).astype(np.int64)
+    q_ref = ray.put((qn, qq))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qnorm, qkilo = ray.get(q_ref)
+        raw = _batch_embeddings(batch)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        cos = _micro(_normalize(raw) @ qnorm)
+        diff = np.floor(raw * MSTEP_QUANT + 0.5).astype(np.int64) - qkilo[None, :]
+        l2 = (diff * diff).sum(axis=1)
+        # per-batch top-POOL of each metric (deterministic tie-break on id)
+        kc = np.lexsort((ids, -cos))[:FUSE_POOL]
+        kl = np.lexsort((ids, l2))[:FUSE_POOL]
+        keep = np.union1d(kc, kl)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "cos_micro": pa.array(cos[keep], pa.int64()),
+                "l2_kilo2": pa.array(l2[keep], pa.int64()),
+            }
+        )
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        cos = batch["cos_micro"].to_numpy().astype(np.int64)
+        l2 = batch["l2_kilo2"].to_numpy().astype(np.int64)
+        rrf = np.zeros(len(ids), np.int64)
+        for order in (np.lexsort((ids, -cos)), np.lexsort((ids, l2))):
+            pool = order[:FUSE_POOL]
+            rrf[pool] += 1_000_000 // (RRF_K0 + 1 + np.arange(len(pool)))
+        top = np.lexsort((ids, -rrf))[:FUSE_TOP]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "rrf_micro": pa.array(rrf[top], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fuse, batch_format="pyarrow", batch_size=None)
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -1553,6 +1700,8 @@ ML3_QUERIES = {
     "orders_pareto_frontier": q_orders_pareto_frontier,
     "user_longest_streak": q_user_longest_streak,
     "event_type_markov": q_event_type_markov,
+    "kmeans_mstep_centroids": q_kmeans_mstep_centroids,
+    "ann_rrf_fusion": q_ann_rrf_fusion,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1757,5 +1906,57 @@ ML3_ORACLE_SQL = {
         "SELECT prev_type, event_type AS next_type, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM e "
         "WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+    ),
+    "kmeans_mstep_centroids": (
+        "WITH c AS (SELECT vec_id AS centroid_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id < {MSTEP_K}), "
+        "v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve, "
+        "list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{MSTEP_QUANT} + 0.5) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        "s AS (SELECT v.vec_id, c.centroid_id, "
+        "CAST(FLOOR(list_cosine_similarity(c.ce, v.ve)*1000000 + 0.5) AS BIGINT) "
+        "AS cm FROM v CROSS JOIN c), "
+        "a AS (SELECT vec_id, centroid_id FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY cm DESC, centroid_id ASC) = 1), "
+        "u AS (SELECT a.centroid_id, UNNEST(v.qe) AS q, "
+        "UNNEST(range(len(v.qe))) AS dim FROM a JOIN v USING (vec_id)) "
+        "SELECT CAST(centroid_id AS BIGINT) AS centroid_id, "
+        "CAST(dim AS BIGINT) AS dim, CAST(SUM(q) AS BIGINT) AS s_kilo, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1, 2"
+    ),
+    "ann_rrf_fusion": (
+        "WITH qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS ve, list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{MSTEP_QUANT} + 0.5) AS BIGINT)) AS qe "
+        "FROM embeddings WHERE vec_id = 0), "
+        "v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve, "
+        "list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{MSTEP_QUANT} + 0.5) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        "m AS (SELECT v.vec_id, "
+        "CAST(FLOOR(list_cosine_similarity(qv.ve, v.ve)*1000000 + 0.5) AS BIGINT) "
+        "AS cos_micro, "
+        "(SELECT CAST(SUM((z.a - z.b) * (z.a - z.b)) AS BIGINT) FROM "
+        "(SELECT UNNEST(v.qe) AS a, UNNEST(qv.qe) AS b) z) AS l2 "
+        "FROM v CROSS JOIN qv), "
+        "rc AS (SELECT vec_id, ROW_NUMBER() OVER "
+        "(ORDER BY cos_micro DESC, vec_id ASC) AS r FROM m "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY cos_micro DESC, vec_id ASC) "
+        f"<= {FUSE_POOL}), "
+        "rl AS (SELECT vec_id, ROW_NUMBER() OVER "
+        "(ORDER BY l2 ASC, vec_id ASC) AS r FROM m "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY l2 ASC, vec_id ASC) "
+        f"<= {FUSE_POOL}), "
+        "f AS (SELECT COALESCE(rc.vec_id, rl.vec_id) AS vec_id, "
+        f"COALESCE(1000000 // ({RRF_K0} + rc.r), 0) + "
+        f"COALESCE(1000000 // ({RRF_K0} + rl.r), 0) AS rrf_micro "
+        "FROM rc FULL OUTER JOIN rl ON rc.vec_id = rl.vec_id) "
+        "SELECT vec_id, CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f "
+        f"ORDER BY rrf_micro DESC, vec_id ASC LIMIT {FUSE_TOP}"
     ),
 }

@@ -655,3 +655,94 @@ def test_markov_ts_tie_broken_by_event_id(ray_session):
         out = _to_df(q_event_type_markov(d))
     got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1}
+
+
+# --------------------------------------------------------------------------
+# wave-10 operators (k-means M-step, reciprocal-rank fusion)
+# --------------------------------------------------------------------------
+
+
+def test_mstep_sums_equal_cluster_members(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        MSTEP_K,
+        MSTEP_QUANT,
+        q_kmeans_mstep_centroids,
+    )
+
+    dim = 4
+    rng = np.random.RandomState(3)
+    # 8 well-separated centroids + 4 extra points near centroid 2
+    base = np.eye(MSTEP_K, dim + MSTEP_K)[:, : dim + 0]  # not square; build manually
+    base = rng.rand(MSTEP_K, dim).astype(np.float64) + np.arange(MSTEP_K)[:, None] * 10
+    extras = base[2] + rng.rand(4, dim) * 0.01
+    embs = np.vstack([base, extras])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(embs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, e)) for e in embs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(embs), pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        out = _to_df(q_kmeans_mstep_centroids(d))
+    assert len(out) == MSTEP_K * dim
+    # cluster 2 holds centroid 2 plus the 4 extras: n == 5 on every dim and
+    # s_kilo equals the quantized float32 component sums of its members
+    c2 = out[out["centroid_id"] == 2].sort_values("dim")
+    assert c2["n"].tolist() == [5] * dim
+    members = np.vstack([embs[2:3].astype(np.float32), extras.astype(np.float32)])
+    expected = np.floor(members.astype(np.float64) * MSTEP_QUANT + 0.5).sum(0)
+    assert c2["s_kilo"].tolist() == [int(x) for x in expected]
+    # every vector lands in exactly one cluster
+    assert int(out[out["dim"] == 0]["n"].sum()) == len(embs)
+
+
+def test_rrf_fusion_scores_truncated_lists(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        FUSE_TOP,
+        RRF_K0,
+        q_ann_rrf_fusion,
+    )
+
+    # 1-D embeddings: cosine of any positive 1-D vector with the query is
+    # exactly 1 (ties → id order); L2 orders by distance to the query value.
+    vals = [10.0, 11.0, 9.0, 30.0, 10.5]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vals)), pa.int64()),
+            "embedding": pa.array([[v] for v in vals], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vals), pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        out = _to_df(q_ann_rrf_fusion(d))
+    # cosine ranks (all cos=1, ties by id): 0,1,2,3,4 → ranks 1..5
+    # l2 to 10.0: id0=0 < id4=0.25k < id2,id1 (1k) < id3 → l2 order 0,4,2?,1?,3
+    # l2 kilo2: id1 (1000)^2, id2 (1000)^2 tie → id order: 1 then 2
+    cos_rank = {i: i + 1 for i in range(5)}
+    l2_order = [0, 4, 1, 2, 3]
+    l2_rank = {v: i + 1 for i, v in enumerate(l2_order)}
+    expected = {
+        i: 1_000_000 // (RRF_K0 + cos_rank[i]) + 1_000_000 // (RRF_K0 + l2_rank[i])
+        for i in range(5)
+    }
+    got = dict(zip(out["vec_id"], out["rrf_micro"]))
+    assert len(out) == min(FUSE_TOP, 5)
+    assert got == {
+        k: v
+        for k, v in sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : min(FUSE_TOP, 5)
+        ]
+    }
