@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "event_type_markov",
     "kmeans_mstep_centroids",
     "ann_rrf_fusion",
+    "event_value_band_pairs",
 ]
 
 

@@ -1679,6 +1679,80 @@ def q_ann_rrf_fusion(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# scalar band (|Δvalue| ≤ δ) self-join
+# --------------------------------------------------------------------------
+
+BAND_DELTA = 10  # cents
+
+
+def q_event_value_band_pairs(sf_dir: str):
+    """BAND JOIN: the number of event pairs of the same type whose values
+    lie within ``BAND_DELTA`` cents of each other — the scalar sibling of
+    the interval join (time ranges) and the ED-1 join (strings), and the
+    classic near-duplicate-amount detector. The quadratic predicate is
+    made distributable by binning values at the band width: any
+    qualifying pair sits in the same or adjacent bins, so each row
+    replicates to (bin, bin+1) and a pair is counted exactly once — in
+    the group of its larger bin, where it has at least one NATIVE member
+    (replica×replica pairs belong to the previous group by construction).
+
+    Scale shape: ONE shuffle on (type, bin); per group the counts fall
+    out of two searchsorted sweeps over the sorted native values — cost
+    is pairs-output-shaped, never |events|². The oracle runs the honest
+    quadratic self-join."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), object)
+        bins = cents // BAND_DELTA
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate([et, et]), pa.string()),
+                "grp": pa.array(np.concatenate([bins, bins + 1]), pa.int64()),
+                "cents": pa.array(np.concatenate([cents, cents]), pa.int64()),
+                "native": pa.array(
+                    np.concatenate(
+                        [np.ones(len(cents), np.int64), np.zeros(len(cents), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def count_pairs(g) -> pa.Table:
+        native = g["native"].to_numpy(np.int64) == 1
+        c = g["cents"].to_numpy(np.int64)
+        cn = np.sort(c[native])
+        # native×native: for each i, later js in the sorted run within +δ
+        hi = np.searchsorted(cn, cn + BAND_DELTA, side="right")
+        nn = int((hi - np.arange(1, len(cn) + 1)).sum())
+        # native×replica: each replica against the whole native run (a
+        # replica's own native twin lives in the PREVIOUS group, so no
+        # self-pairs exist here)
+        cr = c[~native]
+        lo_r = np.searchsorted(cn, cr - BAND_DELTA, side="left")
+        hi_r = np.searchsorted(cn, cr + BAND_DELTA, side="right")
+        nr = int((hi_r - lo_r).sum())
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["event_type"].iloc[0])], pa.string()),
+                "pn": pa.array([nn + nr], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "grp"])
+        .map_groups(count_pairs, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_pairs"))
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -1702,6 +1776,7 @@ ML3_QUERIES = {
     "event_type_markov": q_event_type_markov,
     "kmeans_mstep_centroids": q_kmeans_mstep_centroids,
     "ann_rrf_fusion": q_ann_rrf_fusion,
+    "event_value_band_pairs": q_event_value_band_pairs,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1958,5 +2033,13 @@ ML3_ORACLE_SQL = {
         "FROM rc FULL OUTER JOIN rl ON rc.vec_id = rl.vec_id) "
         "SELECT vec_id, CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f "
         f"ORDER BY rrf_micro DESC, vec_id ASC LIMIT {FUSE_TOP}"
+    ),
+    "event_value_band_pairs": (
+        "WITH e AS (SELECT event_id, event_type, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events) "
+        "SELECT a.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM e a JOIN e b ON a.event_type = b.event_type "
+        "AND a.event_id < b.event_id "
+        f"AND ABS(a.cents - b.cents) <= {BAND_DELTA} GROUP BY 1"
     ),
 }

@@ -746,3 +746,23 @@ def test_rrf_fusion_scores_truncated_lists(ray_session):
             : min(FUSE_TOP, 5)
         ]
     }
+
+
+def test_band_pairs_counts_each_pair_once_across_bins(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        BAND_DELTA,
+        q_event_value_band_pairs,
+    )
+
+    assert BAND_DELTA == 10
+    # cents: 5, 9, 15, 19, 30 (values in dollars: /100)
+    # same-bin pair (5,9); cross-bin pairs (5,15) (9,15) (9,19) (15,19);
+    # (5,19)=14>10 excluded; 30 pairs with nothing (min Δ=11); also an
+    # exact duplicate pair (30,30) within band
+    cents = [5, 9, 15, 19, 30, 30]
+    rows = [(i, 1000 + i, 1, "x", c / 100.0) for i, c in enumerate(cents)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_event_value_band_pairs(d))
+    assert len(out) == 1
+    assert out.iloc[0]["n_pairs"] == 6  # (5,9)(5,15)(9,15)(9,19)(15,19)(30,30)
