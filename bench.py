@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "kmeans_mstep_centroids",
     "ann_rrf_fusion",
     "event_value_band_pairs",
+    "type_value_quantile_sample",
 ]
 
 

@@ -1753,6 +1753,85 @@ def q_event_value_band_pairs(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# mergeable quantile sketch: deterministic bottom-k-by-hash sample
+# --------------------------------------------------------------------------
+
+QSK_K = 256  # sample size per group (rank error ~ 1/sqrt(K))
+QSK_MULT = 2654435761
+
+
+def q_type_value_quantile_sample(sf_dir: str):
+    """MERGEABLE QUANTILE SKETCH: per event type, the p25/p50/p75 of a
+    deterministic bottom-``QSK_K``-by-hash sample of its events — the
+    quantile companion to the HyperLogLog sketch
+    (``approx_distinct_users``) for the regime where the exact
+    histogram-counting path (``event_value_quantiles``) is too expensive.
+    Bottom-k by a fixed multiplicative hash is a uniform sample that is
+    ORDER-FREE and exactly mergeable (bottom-k of a union = bottom-k of
+    the merged bottom-ks), so every engine — and the DuckDB oracle —
+    reproduces the identical sample and the identical estimates: unlike
+    classic KLL this sketch is fully SQL-checkable, not rows-only.
+
+    Scale shape: each batch keeps its own bottom-k per type, so the
+    shuffle moves ≤ K × types × blocks rows; the quantile read-off runs
+    on K-row groups."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        h = (eid * QSK_MULT) % (1 << 32)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "h": h,
+                "eid": eid,
+                "cents": cents,
+            }
+        )
+        keep = (
+            df.sort_values(["h", "eid"], kind="stable")
+            .groupby("event_type", sort=False)
+            .head(QSK_K)
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(keep["event_type"], pa.string()),
+                "h": pa.array(keep["h"].to_numpy(np.int64), pa.int64()),
+                "eid": pa.array(keep["eid"].to_numpy(np.int64), pa.int64()),
+                "cents": pa.array(keep["cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def quantiles(g) -> pa.Table:
+        order = np.lexsort((g["eid"].to_numpy(np.int64), g["h"].to_numpy(np.int64)))
+        sample = g["cents"].to_numpy(np.int64)[order][:QSK_K]
+        sample = np.sort(sample)
+        m = len(sample)
+        idx = [((m - 1) * p) // 100 for p in (25, 50, 75)]
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["event_type"].iloc[0])], pa.string()),
+                "n_sample": pa.array([m], pa.int64()),
+                "p25_cents": pa.array([int(sample[idx[0]])], pa.int64()),
+                "p50_cents": pa.array([int(sample[idx[1]])], pa.int64()),
+                "p75_cents": pa.array([int(sample[idx[2]])], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -1777,6 +1856,7 @@ ML3_QUERIES = {
     "kmeans_mstep_centroids": q_kmeans_mstep_centroids,
     "ann_rrf_fusion": q_ann_rrf_fusion,
     "event_value_band_pairs": q_event_value_band_pairs,
+    "type_value_quantile_sample": q_type_value_quantile_sample,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2041,5 +2121,24 @@ ML3_ORACLE_SQL = {
         "FROM e a JOIN e b ON a.event_type = b.event_type "
         "AND a.event_id < b.event_id "
         f"AND ABS(a.cents - b.cents) <= {BAND_DELTA} GROUP BY 1"
+    ),
+    "type_value_quantile_sample": (
+        "WITH e AS (SELECT event_id, event_type, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents, "
+        f"(event_id * {QSK_MULT}) % {1 << 32} AS h FROM events), "
+        "s AS (SELECT event_type, cents FROM e "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+        f"ORDER BY h ASC, event_id ASC) <= {QSK_K}), "
+        "r AS (SELECT event_type, cents, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents ASC) AS rk, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS m FROM s) "
+        "SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_sample, "
+        "CAST(MAX(CASE WHEN rk = (m-1)*25//100 + 1 THEN cents END) AS BIGINT) "
+        "AS p25_cents, "
+        "CAST(MAX(CASE WHEN rk = (m-1)*50//100 + 1 THEN cents END) AS BIGINT) "
+        "AS p50_cents, "
+        "CAST(MAX(CASE WHEN rk = (m-1)*75//100 + 1 THEN cents END) AS BIGINT) "
+        "AS p75_cents "
+        "FROM r GROUP BY 1"
     ),
 }

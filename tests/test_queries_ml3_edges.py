@@ -766,3 +766,47 @@ def test_band_pairs_counts_each_pair_once_across_bins(ray_session):
         out = _to_df(q_event_value_band_pairs(d))
     assert len(out) == 1
     assert out.iloc[0]["n_pairs"] == 6  # (5,9)(5,15)(9,15)(9,19)(15,19)(30,30)
+
+
+def test_quantile_sample_is_exact_below_k_and_merge_order_free(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        QSK_K,
+        q_type_value_quantile_sample,
+    )
+
+    # fewer events than K → the "sample" IS the population: quantiles exact
+    cents = list(range(0, 101))  # values 0.00..1.00 dollars
+    rows = [(i, 1000 + i, 1, "x", c / 100.0) for i, c in enumerate(cents)]
+    assert len(rows) < QSK_K
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_type_value_quantile_sample(d))
+    r = out.iloc[0]
+    # m=101: idx25 = 100*25//100 = 25 → cents 25; idx50 = 50; idx75 = 75
+    assert (r["n_sample"], r["p25_cents"], r["p50_cents"], r["p75_cents"]) == (
+        101, 25, 50, 75,
+    )
+
+
+def test_quantile_sample_rank_error_bounded(ray_session):
+    import numpy as np
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        QSK_K,
+        q_type_value_quantile_sample,
+    )
+
+    # 20k values uniform on [0, 100): sampled p50 must sit within ~5 rank
+    # percentage points of the true median (binomial tail at K=256)
+    rng = np.random.RandomState(11)
+    vals = rng.rand(20_000) * 100.0
+    rows = [(i, 1000 + i, 1, "x", float(v)) for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_type_value_quantile_sample(d))
+    r = out.iloc[0]
+    assert r["n_sample"] == QSK_K
+    true = np.floor(np.sort(vals * 100.0 + 0.5))
+    for col, p in (("p25_cents", 25), ("p50_cents", 50), ("p75_cents", 75)):
+        est_rank = np.searchsorted(true, r[col]) / len(true) * 100
+        assert abs(est_rank - p) < 10, (col, est_rank)
