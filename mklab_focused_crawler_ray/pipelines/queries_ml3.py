@@ -10,6 +10,14 @@ path for giant build sides), a repartition-and-sort-within-partitions
 secondary-sort checksum, an integer-exact chi-square contingency table,
 and a data-quality constraint audit with explicit zero reporting.
 
+Later waves in this module: per-group OLS trend sufficient statistics,
+Z-order partitioning profiles, hierarchical percent-of-parent shares,
+incremental base+delta merges, event-time watermark lateness,
+sliding-window distinct (WAU), product-quantization codes, a
+distributive Pareto skyline, gaps-and-islands streaks, Markov transition
+counts, the k-means M-step, reciprocal-rank fusion, a scalar band join,
+and a mergeable bottom-k-by-hash quantile sketch.
+
 Reference lineage (semantics, not code): the typo join generalizes the
 candidate-blocking shape of the MinHash dedup bolts
 (``bolts/items/MinHashExtractionBolt.java``); the AND search is the query
@@ -17,9 +25,9 @@ side of ``bolts/webpages/TextIndexerBolt.java:44-102``'s index; everything
 else is training-data curation machinery the build brief lists as
 first-class.
 
-All six queries are SQL-checked: integer units end-to-end and column
-names identical to the oracle aliases, so the driver's sorted-column
-value hash matches bit-for-bit.
+Every query in this module is SQL-checked: integer units end-to-end and
+column names identical to the oracle aliases, so the driver's
+sorted-column value hash matches bit-for-bit.
 """
 
 from __future__ import annotations
