@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "ann_rrf_fusion",
     "event_value_band_pairs",
     "type_value_quantile_sample",
+    "events_jsonl_counts",
+    "customer_csv_segments",
 ]
 
 

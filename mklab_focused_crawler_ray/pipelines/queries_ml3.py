@@ -1840,6 +1840,126 @@ def q_type_value_quantile_sample(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# source-format breadth: JSONL and CSV readers
+# --------------------------------------------------------------------------
+
+
+def _derived_source_path(sf_dir: str, table: str, ext: str) -> str:
+    """Cache path for a derived copy of a table in another format, keyed by
+    a content fingerprint of the parquet source (same discipline as the
+    inverted-index cache: regenerated fixtures never reuse stale copies)."""
+    import hashlib
+
+    src = _p(sf_dir, table)
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    root = os.path.join("/tmp/mkfc_source_formats", f"{table}-{fp}")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{table}.{ext}")
+
+
+def q_events_jsonl_counts(sf_dir: str):
+    """JSONL SOURCE: the event stream re-materialized as JSON-lines (the
+    reference's native wire format — JSON strings over Redis pub/sub,
+    ``spouts/RedisSpout.java``) and read back through
+    ``ray.data.read_json`` into the same per-type counts the parquet path
+    produces — proving the engine ingests line-delimited JSON, not just
+    parquet. The derived file is cached by source fingerprint; the oracle
+    runs on the parquet table (identical rows by construction).
+
+    Scale shape: the JSONL conversion is a one-time per-corpus cost
+    (streamed batch-by-batch, never a whole-table driver materialize);
+    the read is a parallel line-split scan feeding the usual partial
+    counts."""
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = _derived_source_path(sf_dir, "events", "jsonl")
+    if not os.path.exists(path + "._DONE"):
+        import json as _json
+
+        pf = pq_mod.ParquetFile(_p(sf_dir, "events"))
+        with open(path, "w") as f:
+            for rb in pf.iter_batches(columns=["event_id", "event_type"]):
+                ids = rb.column(0).to_pylist()
+                types = rb.column(1).to_pylist()
+                for i, t in zip(ids, types):
+                    f.write(_json.dumps({"event_id": i, "event_type": t}) + "\n")
+        open(path + "._DONE", "w").close()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch["event_type"])
+        return pa.table(
+            {
+                "event_type": vc.field("values"),
+                "pn": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_json(path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_customer_csv_segments(sf_dir: str):
+    """CSV SOURCE: the customer dimension re-materialized as CSV and read
+    back through ``ray.data.read_csv`` into per-market-segment counts and
+    account-balance cent sums — the delimited-text ingestion path. Cached
+    and oracled like the JSONL source.
+
+    Scale shape: same as the JSONL path — one-time streamed conversion,
+    then a parallel scan with map-side partials."""
+    import pyarrow.csv as pcsv
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = _derived_source_path(sf_dir, "customer", "csv")
+    if not os.path.exists(path + "._DONE"):
+        t = pq_mod.read_table(
+            _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+        )
+        pcsv.write_csv(t, path)
+        open(path + "._DONE", "w").close()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(batch["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        agg = (
+            pd.DataFrame(
+                {"seg": batch["c_mktsegment"].to_pylist(), "cents": cents}
+            )
+            .groupby("seg", sort=False)["cents"]
+            .agg(pn="size", pc="sum")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(agg["seg"], pa.string()),
+                "pn": pa.array(agg["pn"].to_numpy(np.int64), pa.int64()),
+                "pc": pa.array(agg["pc"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_csv(path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("pn", alias_name="n_customers"), Sum("pc", alias_name="bal_cents"))
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -1865,6 +1985,8 @@ ML3_QUERIES = {
     "ann_rrf_fusion": q_ann_rrf_fusion,
     "event_value_band_pairs": q_event_value_band_pairs,
     "type_value_quantile_sample": q_type_value_quantile_sample,
+    "events_jsonl_counts": q_events_jsonl_counts,
+    "customer_csv_segments": q_customer_csv_segments,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2148,5 +2270,14 @@ ML3_ORACLE_SQL = {
         "CAST(MAX(CASE WHEN rk = (m-1)*75//100 + 1 THEN cents END) AS BIGINT) "
         "AS p75_cents "
         "FROM r GROUP BY 1"
+    ),
+    "events_jsonl_counts": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1"
+    ),
+    "customer_csv_segments": (
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS bal_cents FROM customer GROUP BY 1"
     ),
 }

@@ -810,3 +810,37 @@ def test_quantile_sample_rank_error_bounded(ray_session):
     for col, p in (("p25_cents", 25), ("p50_cents", 50), ("p75_cents", 75)):
         est_rank = np.searchsorted(true, r[col]) / len(true) * 100
         assert abs(est_rank - p) < 10, (col, est_rank)
+
+
+def test_jsonl_and_csv_sources_round_trip_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_customer_csv_segments,
+        q_events_jsonl_counts,
+    )
+
+    rows = [(1, 1000, 1, "a", 0.0), (2, 2000, 1, "a", 0.0), (3, 3000, 2, "b", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                    "c_name": pa.array(["x"] * 3, pa.string()),
+                    "c_nationkey": pa.array([0] * 3, pa.int64()),
+                    "c_acctbal": pa.array([1.005, 2.0, 3.5], pa.float64()),
+                    "c_mktsegment": pa.array(["S1", "S1", "S2"], pa.string()),
+                }
+            ),
+            os.path.join(d, "customer.parquet"),
+        )
+        ej = _to_df(q_events_jsonl_counts(d))
+        cs = _to_df(q_customer_csv_segments(d))
+    assert dict(zip(ej["event_type"], ej["n"])) == {"a": 2, "b": 1}
+    got = {r.c_mktsegment: (r.n_customers, r.bal_cents) for r in cs.itertuples()}
+    # 1.005*100+0.5 floor = 101 (float 100.49999... guard: must match numpy)
+    exp_s1 = int(np.floor(1.005 * 100 + 0.5)) + 200
+    assert got == {"S1": (2, exp_s1), "S2": (1, 350)}
