@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "type_value_quantile_sample",
     "events_jsonl_counts",
     "customer_csv_segments",
+    "order_size_histogram",
 ]
 
 

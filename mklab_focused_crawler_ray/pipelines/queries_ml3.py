@@ -1960,6 +1960,95 @@ def q_customer_csv_segments(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# left outer join with zero preservation: order-size histogram
+# --------------------------------------------------------------------------
+
+
+def q_order_size_histogram(sf_dir: str):
+    """LEFT OUTER JOIN with zero preservation: the distribution of
+    lineitems-per-order INCLUDING the zero bucket (orders with no
+    lineitems at all — rows an inner join silently drops, the classic
+    fan-out audit). Output: (n_lines, n_orders) histogram.
+
+    Scale shape: lineitem collapses to per-batch per-orderkey partial
+    counts before the ONE key-bucketed shuffle that co-locates each
+    order with its count partials; per bucket the totals are one
+    sort + reduceat and the histogram partials are |distinct sizes|
+    rows; the final groupby runs over the tiny size domain."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "key": pa.array(k, pa.int64()),
+                "pn": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    def prep_lines(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy().astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uk % SEMI_BUCKETS, pa.int64()),
+                "key": pa.array(uk, pa.int64()),
+                "pn": pa.array(cnt.astype(np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(uk), np.int64), pa.int64()),
+            }
+        )
+
+    def histogram(g) -> pa.Table:
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        okeys = g["key"].to_numpy(np.int64)[side == 0]
+        lk = g["key"].to_numpy(np.int64)[side == 1]
+        lp = g["pn"].to_numpy(np.int64)[side == 1]
+        if len(lk):
+            order = np.argsort(lk, kind="stable")
+            lk, lp = lk[order], lp[order]
+            starts = np.r_[0, np.flatnonzero(lk[1:] != lk[:-1]) + 1]
+            totals_keys = lk[starts]
+            totals = np.add.reduceat(lp, starts)
+            # left semantics: every order key appears; missing count → 0
+            pos = np.clip(np.searchsorted(totals_keys, okeys), 0, len(totals_keys) - 1)
+            hit = totals_keys[pos] == okeys
+            n_lines = np.where(hit, totals[pos], 0)
+        else:
+            n_lines = np.zeros(len(okeys), np.int64)
+        agg = (
+            pd.DataFrame({"n_lines": n_lines.astype(np.int64)})
+            .groupby("n_lines", sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        return pa.table(
+            {
+                "n_lines": pa.array(agg["n_lines"].to_numpy(np.int64), pa.int64()),
+                "pn": pa.array(agg["pn"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey"]).map_batches(
+        prep_orders, batch_format="pyarrow"
+    )
+    lines = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey"]
+    ).map_batches(prep_lines, batch_format="pyarrow")
+    return (
+        orders.union(lines)
+        .groupby("bucket")
+        .map_groups(histogram, batch_format="pandas")
+        .groupby("n_lines")
+        .aggregate(Sum("pn", alias_name="n_orders"))
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -1987,6 +2076,7 @@ ML3_QUERIES = {
     "type_value_quantile_sample": q_type_value_quantile_sample,
     "events_jsonl_counts": q_events_jsonl_counts,
     "customer_csv_segments": q_customer_csv_segments,
+    "order_size_histogram": q_order_size_histogram,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2279,5 +2369,13 @@ ML3_ORACLE_SQL = {
         "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers, "
         "CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) "
         "AS bal_cents FROM customer GROUP BY 1"
+    ),
+    "order_size_histogram": (
+        "WITH c AS (SELECT o.o_orderkey, "
+        "CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines "
+        "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1) "
+        "SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM c GROUP BY 1"
     ),
 }

@@ -844,3 +844,22 @@ def test_jsonl_and_csv_sources_round_trip_counts(ray_session):
     # 1.005*100+0.5 floor = 101 (float 100.49999... guard: must match numpy)
     exp_s1 = int(np.floor(1.005 * 100 + 0.5)) + 200
     assert got == {"S1": (2, exp_s1), "S2": (1, 350)}
+
+
+def test_order_size_histogram_preserves_zero_bucket(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_order_size_histogram,
+    )
+
+    orders = [(1, "1-URGENT", 1.0, 1), (2, "1-URGENT", 1.0, 1), (3, "1-URGENT", 1.0, 1)]
+    lines = [
+        (1, "N", 1, 0.0),
+        (1, "N", 1, 0.0),  # order 1: 2 lines
+        (2, "N", 1, 0.0),  # order 2: 1 line; order 3: ZERO lines
+        (9, "N", 1, 0.0),  # orphan line (no order) must not create a bucket
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_lines_parquet(d, orders, lines)
+        out = _to_df(q_order_size_histogram(d))
+    got = dict(zip(out["n_lines"], out["n_orders"]))
+    assert got == {0: 1, 1: 1, 2: 1}
