@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "events_jsonl_counts",
     "customer_csv_segments",
     "order_size_histogram",
+    "value_daily_ohlc",
 ]
 
 

@@ -2049,6 +2049,76 @@ def q_order_size_histogram(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# time-series OHLC downsampling with mergeable partials
+# --------------------------------------------------------------------------
+
+
+def q_value_daily_ohlc(sf_dir: str):
+    """OHLC DOWNSAMPLING: the event value stream resampled to daily
+    open/high/low/close bars (cents) — the canonical time-series
+    compaction. First/last-by-time are MERGEABLE statistics once carried
+    with their timestamps: each batch emits one (day, open@(ts,id),
+    high, low, close@(ts,id)) partial, and merging keeps the earlier
+    open / later close, ties broken by event_id exactly as the oracle's
+    ROW_NUMBER ordering.
+
+    Scale shape: pure map-side partials (one row per day per batch), a
+    |days|-keyed groupby, and a vectorized merge finisher — the event
+    stream itself never shuffles."""
+    import ray.data as rd
+
+    from .queries_ml2 import _ms
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ms = _ms(batch)
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        day = ms // 86_400_000
+        order = np.lexsort((eid, ms, day))
+        day, ms, eid, cents = day[order], ms[order], eid[order], cents[order]
+        starts = np.r_[0, np.flatnonzero(day[1:] != day[:-1]) + 1]
+        ends = np.r_[starts[1:], len(day)]
+        highs = np.maximum.reduceat(cents, starts)
+        lows = np.minimum.reduceat(cents, starts)
+        last = ends - 1
+        return pa.table(
+            {
+                "day": pa.array(day[starts], pa.int64()),
+                "o_ms": pa.array(ms[starts], pa.int64()),
+                "o_eid": pa.array(eid[starts], pa.int64()),
+                "o_cents": pa.array(cents[starts], pa.int64()),
+                "high": pa.array(highs, pa.int64()),
+                "low": pa.array(lows, pa.int64()),
+                "c_ms": pa.array(ms[last], pa.int64()),
+                "c_eid": pa.array(eid[last], pa.int64()),
+                "c_cents": pa.array(cents[last], pa.int64()),
+            }
+        )
+
+    def merge(g) -> pa.Table:
+        o = np.lexsort((g["o_eid"].to_numpy(np.int64), g["o_ms"].to_numpy(np.int64)))[0]
+        c = np.lexsort((-g["c_eid"].to_numpy(np.int64), -g["c_ms"].to_numpy(np.int64)))[0]
+        return pa.table(
+            {
+                "day": pa.array([int(g["day"].iloc[0])], pa.int64()),
+                "open_cents": pa.array([int(g["o_cents"].iloc[o])], pa.int64()),
+                "high_cents": pa.array([int(g["high"].max())], pa.int64()),
+                "low_cents": pa.array([int(g["low"].min())], pa.int64()),
+                "close_cents": pa.array([int(g["c_cents"].iloc[c])], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -2077,6 +2147,7 @@ ML3_QUERIES = {
     "events_jsonl_counts": q_events_jsonl_counts,
     "customer_csv_segments": q_customer_csv_segments,
     "order_size_histogram": q_order_size_histogram,
+    "value_daily_ohlc": q_value_daily_ohlc,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2377,5 +2448,22 @@ ML3_ORACLE_SQL = {
         "GROUP BY 1) "
         "SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders "
         "FROM c GROUP BY 1"
+    ),
+    "value_daily_ohlc": (
+        "WITH e AS (SELECT "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) AS day, "
+        "epoch_ms(ts) AS ms, event_id, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events), "
+        "r AS (SELECT day, cents, "
+        "ROW_NUMBER() OVER (PARTITION BY day ORDER BY ms ASC, event_id ASC) "
+        "AS rf, "
+        "ROW_NUMBER() OVER (PARTITION BY day ORDER BY ms DESC, event_id DESC) "
+        "AS rl FROM e) "
+        "SELECT day, "
+        "CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS open_cents, "
+        "CAST(MAX(cents) AS BIGINT) AS high_cents, "
+        "CAST(MIN(cents) AS BIGINT) AS low_cents, "
+        "CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS close_cents "
+        "FROM r GROUP BY 1"
     ),
 }

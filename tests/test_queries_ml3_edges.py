@@ -863,3 +863,25 @@ def test_order_size_histogram_preserves_zero_bucket(ray_session):
         out = _to_df(q_order_size_histogram(d))
     got = dict(zip(out["n_lines"], out["n_orders"]))
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_ohlc_open_close_follow_time_then_id_order(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import q_value_daily_ohlc
+
+    day = 86_400_000
+    rows = [
+        (5, 1 * day + 100, 1, "x", 3.00),  # ts tie with id 4 → id 4 opens
+        (4, 1 * day + 100, 1, "x", 1.00),  # open (smaller id at same ts)
+        (6, 1 * day + 500, 1, "x", 9.00),  # high
+        (7, 1 * day + 900, 1, "x", 0.50),  # low + close (latest ts)
+        (8, 2 * day, 1, "x", 2.00),  # separate bar
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_value_daily_ohlc(d)).sort_values("day").reset_index(drop=True)
+    b1 = out.iloc[0]
+    assert (b1["open_cents"], b1["high_cents"], b1["low_cents"], b1["close_cents"]) == (
+        100, 900, 50, 50,
+    )
+    b2 = out.iloc[1]
+    assert (b2["open_cents"], b2["close_cents"]) == (200, 200)
