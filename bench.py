@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "customer_csv_segments",
     "order_size_histogram",
     "value_daily_ohlc",
+    "activity_union_daily",
 ]
 
 

@@ -2119,6 +2119,64 @@ def q_value_daily_ohlc(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# heterogeneous-source union (schema-aligned activity stream)
+# --------------------------------------------------------------------------
+
+
+def q_activity_union_daily(sf_dir: str):
+    """HETEROGENEOUS UNION: two differently-shaped tables — the event
+    stream and the order stream — aligned to one (src, day) activity
+    schema and counted per source per day, the federation step every
+    multi-source pipeline starts with. Each side maps to the common
+    schema with its own pruned read and map-side partial counts, so the
+    union carries |days|×2×blocks partial rows into one tiny groupby.
+
+    The oracle is the UNION ALL of the two per-source aggregations."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries_ml2 import _ms
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = _ms(batch) // 86_400_000
+        agg = pd.Series(day).value_counts().sort_index()
+        return pa.table(
+            {
+                "src": pa.array(["events"] * len(agg), pa.string()),
+                "day": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+                "pn": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = _ms(batch, "o_orderdate") // 86_400_000
+        agg = pd.Series(day).value_counts().sort_index()
+        return pa.table(
+            {
+                "src": pa.array(["orders"] * len(agg), pa.string()),
+                "day": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+                "pn": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"]).map_batches(
+        ev_partial, batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"]).map_batches(
+        ord_partial, batch_format="pyarrow"
+    )
+    return (
+        ev.union(orders)
+        .groupby(["src", "day"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -2148,6 +2206,7 @@ ML3_QUERIES = {
     "customer_csv_segments": q_customer_csv_segments,
     "order_size_histogram": q_order_size_histogram,
     "value_daily_ohlc": q_value_daily_ohlc,
+    "activity_union_daily": q_activity_union_daily,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2465,5 +2524,15 @@ ML3_ORACLE_SQL = {
         "CAST(MIN(cents) AS BIGINT) AS low_cents, "
         "CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS close_cents "
         "FROM r GROUP BY 1"
+    ),
+    "activity_union_daily": (
+        "SELECT * FROM ("
+        "SELECT 'events' AS src, "
+        "CAST(FLOOR(epoch_us(ts)/86400000000.0) AS BIGINT) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2 "
+        "UNION ALL "
+        "SELECT 'orders' AS src, "
+        "CAST(FLOOR(epoch_us(o_orderdate)/86400000000.0) AS BIGINT) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)"
     ),
 }

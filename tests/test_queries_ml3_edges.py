@@ -885,3 +885,19 @@ def test_ohlc_open_close_follow_time_then_id_order(ray_session):
     )
     b2 = out.iloc[1]
     assert (b2["open_cents"], b2["close_cents"]) == (200, 200)
+
+
+def test_activity_union_merges_two_sources(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_activity_union_daily,
+    )
+
+    day = 86_400_000
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, [(1, 3 * day, 1, "x", 0.0), (2, 3 * day, 1, "x", 0.0)])
+        _orders_lines_parquet(
+            d, [(1, "1-URGENT", 1.0, 3), (2, "1-URGENT", 1.0, 4)], [(1, "N", 1, 0.0)]
+        )
+        out = _to_df(q_activity_union_daily(d))
+    got = {(r.src, r.day): r.n for r in out.itertuples()}
+    assert got == {("events", 3): 2, ("orders", 3): 1, ("orders", 4): 1}
