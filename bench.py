@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "order_size_histogram",
     "value_daily_ohlc",
     "activity_union_daily",
+    "custs_all_priorities",
 ]
 
 

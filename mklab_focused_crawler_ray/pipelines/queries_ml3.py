@@ -2177,6 +2177,80 @@ def q_activity_union_daily(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# relational division (for-all join)
+# --------------------------------------------------------------------------
+
+
+def q_custs_all_priorities(sf_dir: str):
+    """RELATIONAL DIVISION (the FOR-ALL join): customers whose orders
+    cover EVERY priority class in the table — division of the
+    (customer, priority) relation by the priority domain, the classic
+    "suppliers who stock all parts" shape no other join expresses.
+
+    Scale shape: events collapse to distinct (customer, priority) pairs
+    map-side (bounded by |customers|×|domain|, tiny vs the order
+    stream); the divisor domain is a domain-bounded broadcast gathered
+    from per-batch uniques; ONE customer-bucketed shuffle, then a
+    vectorized distinct-count == |domain| check per bucket."""
+    import ray.data as rd
+
+    def dom_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"p": pc.unique(batch["o_orderpriority"])})
+
+    domain = set(
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderpriority"])
+        .map_batches(dom_partial, batch_format="pyarrow")
+        .to_pandas()["p"]
+        .unique()
+    )
+    k = len(domain)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = (
+            pd.DataFrame(
+                {
+                    "cust": batch["o_custkey"].to_numpy(),
+                    "prio": batch["o_orderpriority"].to_pylist(),
+                }
+            )
+            .drop_duplicates()
+        )
+        cust = d["cust"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(cust % SEMI_BUCKETS, pa.int64()),
+                "cust": pa.array(cust, pa.int64()),
+                "prio": pa.array(d["prio"], pa.string()),
+            }
+        )
+
+    def divide(g) -> pa.Table:
+        import pandas as pd
+
+        nd = (
+            g[["cust", "prio"]]
+            .drop_duplicates()
+            .groupby("cust", sort=False)["prio"]
+            .size()
+        )
+        keep = nd[nd == k].index.to_numpy(np.int64)
+        return pa.table({"o_custkey": pa.array(np.sort(keep), pa.int64())})
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(divide, batch_format="pandas")
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -2207,6 +2281,7 @@ ML3_QUERIES = {
     "order_size_histogram": q_order_size_histogram,
     "value_daily_ohlc": q_value_daily_ohlc,
     "activity_union_daily": q_activity_union_daily,
+    "custs_all_priorities": q_custs_all_priorities,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2534,5 +2609,10 @@ ML3_ORACLE_SQL = {
         "SELECT 'orders' AS src, "
         "CAST(FLOOR(epoch_us(o_orderdate)/86400000000.0) AS BIGINT) AS day, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)"
+    ),
+    "custs_all_priorities": (
+        "SELECT o_custkey FROM orders GROUP BY 1 "
+        "HAVING COUNT(DISTINCT o_orderpriority) = "
+        "(SELECT COUNT(DISTINCT o_orderpriority) FROM orders)"
     ),
 }

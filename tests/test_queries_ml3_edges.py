@@ -901,3 +901,43 @@ def test_activity_union_merges_two_sources(ray_session):
         out = _to_df(q_activity_union_daily(d))
     got = {(r.src, r.day): r.n for r in out.itertuples()}
     assert got == {("events", 3): 2, ("orders", 3): 1, ("orders", 4): 1}
+
+
+def test_relational_division_requires_full_domain(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_custs_all_priorities,
+    )
+
+    # domain = {A, B}; cust 1 covers both, cust 2 only A (twice), cust 3 only B
+    orders = [
+        (1, "A", 1.0, 1),
+        (2, "B", 1.0, 1),
+        (3, "A", 1.0, 1),
+        (4, "A", 1.0, 1),
+        (5, "B", 1.0, 1),
+    ]
+    # map orderkey→custkey via _orders_lines_parquet's fixed custkey=1; need
+    # custom orders with distinct custkeys — write directly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_queries_ml2_edges import _days_ts
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "o_custkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+                    "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+                    "o_orderdate": pa.array([_days_ts(1)] * 5, pa.int64())
+                    .cast(pa.timestamp("ms"))
+                    .cast(pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["A", "B", "A", "A", "B"], pa.string()),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        out = _to_df(q_custs_all_priorities(d))
+    assert out["o_custkey"].tolist() == [1]
