@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "value_daily_ohlc",
     "activity_union_daily",
     "custs_all_priorities",
+    "event_value_mad_by_type",
+    "revenue_daily_delta",
 ]
 
 

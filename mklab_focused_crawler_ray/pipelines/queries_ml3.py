@@ -2251,6 +2251,132 @@ def q_custs_all_priorities(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# robust statistics: median absolute deviation (MAD)
+# --------------------------------------------------------------------------
+
+
+def q_event_value_mad_by_type(sf_dir: str):
+    """ROBUST DISPERSION: per event type the exact median AND the exact
+    median absolute deviation (percentile_disc 0.5 of |x − median|) —
+    the outlier-resistant spread statistic. Both medians read off ONE
+    (type, cents) bounded histogram: the finisher picks the median from
+    the cumulative counts, folds the same histogram around it into a
+    residual multiset, and picks again — the raw rows never shuffle and
+    the double-median costs one extra sort of histogram keys.
+
+    Scale shape: identical to ``event_value_median_by_type`` — shuffle
+    volume is the |types| × value-domain histogram, row-count free."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        agg = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pylist(), "cents": cents}
+            )
+            .groupby(["event_type", "cents"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        agg["pn"] = agg["pn"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def _disc_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        v, n = vals[order], counts[order]
+        cum = np.cumsum(n)
+        return int(v[np.searchsorted(cum * 2, cum[-1])])
+
+    def pick(g) -> pa.Table:
+        cents = g["cents"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        med = _disc_median(cents, n)
+        mad = _disc_median(np.abs(cents - med), n)
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["event_type"].iloc[0])], pa.string()),
+                "median_cents": pa.array([med], pa.int64()),
+                "mad_cents": pa.array([mad], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# period-over-period delta (LAG on aggregates)
+# --------------------------------------------------------------------------
+
+
+def q_revenue_daily_delta(sf_dir: str):
+    """PERIOD-OVER-PERIOD DELTA: daily order revenue with the change vs
+    the previous ACTIVE day (LAG over the aggregate series; first day's
+    delta is 0 by definition to keep the schema NULL-free for the
+    driver's hash compare) — the day-over-day trend every metrics
+    dashboard draws.
+
+    Scale shape: per-batch per-day partial cent sums → one |days|-keyed
+    groupby → the LAG runs on the single calendar-bounded result block."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries_ml2 import _ms
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = _ms(batch, "o_orderdate") // 86_400_000
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        agg = (
+            pd.DataFrame({"day": day, "pc": cents})
+            .groupby("day", sort=False)["pc"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "day": pa.array(agg["day"].to_numpy(np.int64), pa.int64()),
+                "pc": pa.array(agg["pc"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def delta(batch: pa.Table) -> pa.Table:
+        day = batch["day"].to_numpy().astype(np.int64)
+        rev = batch["revenue_cents"].to_numpy().astype(np.int64)
+        order = np.argsort(day, kind="stable")
+        day, rev = day[order], rev[order]
+        d = np.r_[np.int64(0), np.diff(rev)]
+        return pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "revenue_cents": pa.array(rev, pa.int64()),
+                "delta_cents": pa.array(d, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("pc", alias_name="revenue_cents"))
+        .repartition(1)
+        .map_batches(delta, batch_format="pyarrow", batch_size=None)
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -2282,6 +2408,8 @@ ML3_QUERIES = {
     "value_daily_ohlc": q_value_daily_ohlc,
     "activity_union_daily": q_activity_union_daily,
     "custs_all_priorities": q_custs_all_priorities,
+    "event_value_mad_by_type": q_event_value_mad_by_type,
+    "revenue_daily_delta": q_revenue_daily_delta,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2614,5 +2742,26 @@ ML3_ORACLE_SQL = {
         "SELECT o_custkey FROM orders GROUP BY 1 "
         "HAVING COUNT(DISTINCT o_orderpriority) = "
         "(SELECT COUNT(DISTINCT o_orderpriority) FROM orders)"
+    ),
+    "event_value_mad_by_type": (
+        "WITH e AS (SELECT event_type, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events), "
+        "m AS (SELECT event_type, "
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) "
+        "AS med FROM e GROUP BY 1), "
+        "r AS (SELECT e.event_type, m.med, ABS(e.cents - m.med) AS resid "
+        "FROM e JOIN m USING (event_type)) "
+        "SELECT event_type, CAST(MAX(med) AS BIGINT) AS median_cents, "
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY resid) AS BIGINT) "
+        "AS mad_cents FROM r GROUP BY 1"
+    ),
+    "revenue_daily_delta": (
+        "WITH d AS (SELECT "
+        "CAST(FLOOR(epoch_us(o_orderdate)/86400000000.0) AS BIGINT) AS day, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents FROM orders GROUP BY 1) "
+        "SELECT day, revenue_cents, "
+        "CAST(COALESCE(revenue_cents - LAG(revenue_cents) OVER (ORDER BY day), "
+        "0) AS BIGINT) AS delta_cents FROM d"
     ),
 }

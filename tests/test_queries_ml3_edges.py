@@ -941,3 +941,37 @@ def test_relational_division_requires_full_domain(ray_session):
         )
         out = _to_df(q_custs_all_priorities(d))
     assert out["o_custkey"].tolist() == [1]
+
+
+def test_mad_folds_histogram_around_exact_median(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_event_value_mad_by_type,
+    )
+
+    # cents: 100, 200, 200, 300, 900 → median 200 (disc), residuals
+    # {100, 0, 0, 100, 700} → sorted {0,0,100,100,700} → disc-0.5 = 100
+    vals = [1.00, 2.00, 2.00, 3.00, 9.00]
+    rows = [(i, 1000 + i, 1, "x", v) for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        _events_parquet(d, rows)
+        out = _to_df(q_event_value_mad_by_type(d))
+    r = out.iloc[0]
+    assert (r["median_cents"], r["mad_cents"]) == (200, 100)
+
+
+def test_daily_delta_first_day_zero_and_diffs_consecutive(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_revenue_daily_delta,
+    )
+
+    orders = [
+        (1, "1-URGENT", 10.0, 1),
+        (2, "1-URGENT", 5.0, 1),  # day 1: 1500 cents
+        (3, "1-URGENT", 20.0, 3),  # day 3: 2000 → delta +500
+        (4, "1-URGENT", 7.0, 4),  # day 4: 700 → delta -1300
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_lines_parquet(d, orders, [(1, "N", 1, 0.0)])
+        out = _to_df(q_revenue_daily_delta(d)).sort_values("day").reset_index(drop=True)
+    assert out["revenue_cents"].tolist() == [1500, 2000, 700]
+    assert out["delta_cents"].tolist() == [0, 500, -1300]
