@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "custs_all_priorities",
     "event_value_mad_by_type",
     "revenue_daily_delta",
+    "order_price_decile_profile",
 ]
 
 

@@ -2377,6 +2377,83 @@ def q_revenue_daily_delta(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# NTILE decile profile from the value histogram
+# --------------------------------------------------------------------------
+
+NTILE_K = 10
+
+
+def q_order_price_decile_profile(sf_dir: str):
+    """NTILE PROFILE: order prices split into 10 equal-row deciles with
+    each decile's row count and cent sum — computed WITHOUT sorting or
+    re-reading the fact table: the (cents → count) histogram (bounded by
+    the price domain, not the row count) is the only thing shuffled, and
+    the decile boundaries + partial-bin sums are pure arithmetic over its
+    cumulative form. NTILE's tie-splitting across boundaries is
+    irrelevant to the output because tied rows carry equal values, so
+    per-decile counts and sums are tie-invariant — the property that
+    makes the operator SQL-checkable against DuckDB's own NTILE.
+
+    Scale shape: one histogram shuffle; everything after runs on the
+    domain-bounded histogram on the driver (same discipline as
+    ``order_price_percentile_rank``)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(v, pa.int64()),
+                "pc": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(_p(sf_dir, "orders"), columns=["o_totalprice"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()  # bounded by the price domain, not the row count
+        .sort_values("cents", kind="stable")
+    )
+    vals = hist["cents"].to_numpy(np.int64)
+    cnt = hist["c"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    wcum = np.cumsum(vals * cnt)
+    n = int(cum[-1])
+
+    def k_smallest_sum(k: int) -> int:
+        """Sum of the k smallest values, split bins pro-rated by count."""
+        if k <= 0:
+            return 0
+        i = int(np.searchsorted(cum, k))
+        below = int(cum[i - 1]) if i else 0
+        full = int(wcum[i - 1]) if i else 0
+        return full + int(vals[i]) * (k - below)
+
+    tiles, counts, sums = [], [], []
+    start = 0
+    for d in range(1, NTILE_K + 1):
+        size = n // NTILE_K + (1 if d <= n % NTILE_K else 0)
+        end = start + size
+        tiles.append(d)
+        counts.append(size)
+        sums.append(k_smallest_sum(end) - k_smallest_sum(start))
+        start = end
+    return pa.table(
+        {
+            "tile": pa.array(tiles, pa.int64()),
+            "n_orders": pa.array(counts, pa.int64()),
+            "sum_cents": pa.array(sums, pa.int64()),
+        }
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -2410,6 +2487,7 @@ ML3_QUERIES = {
     "custs_all_priorities": q_custs_all_priorities,
     "event_value_mad_by_type": q_event_value_mad_by_type,
     "revenue_daily_delta": q_revenue_daily_delta,
+    "order_price_decile_profile": q_order_price_decile_profile,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2763,5 +2841,14 @@ ML3_ORACLE_SQL = {
         "SELECT day, revenue_cents, "
         "CAST(COALESCE(revenue_cents - LAG(revenue_cents) OVER (ORDER BY day), "
         "0) AS BIGINT) AS delta_cents FROM d"
+    ),
+    "order_price_decile_profile": (
+        "WITH e AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) "
+        "AS cents FROM orders), "
+        f"t AS (SELECT cents, NTILE({NTILE_K}) OVER (ORDER BY cents) AS tile "
+        "FROM e) "
+        "SELECT CAST(tile AS BIGINT) AS tile, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM t GROUP BY 1"
     ),
 }

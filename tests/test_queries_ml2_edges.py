@@ -111,9 +111,12 @@ def _tpch_parquet(
 
 
 def _to_df(res):
+    import pyarrow as _pa
     import ray
 
-    return res.to_pandas() if isinstance(res, ray.data.Dataset) else res
+    if isinstance(res, (ray.data.Dataset, _pa.Table)):
+        return res.to_pandas()
+    return res
 
 
 def test_heavy_hitter_threshold_is_strict(ray_session):

@@ -975,3 +975,23 @@ def test_daily_delta_first_day_zero_and_diffs_consecutive(ray_session):
         out = _to_df(q_revenue_daily_delta(d)).sort_values("day").reset_index(drop=True)
     assert out["revenue_cents"].tolist() == [1500, 2000, 700]
     assert out["delta_cents"].tolist() == [0, 500, -1300]
+
+
+def test_decile_profile_matches_ntile_with_remainder_and_ties(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_order_price_decile_profile,
+    )
+
+    # 23 orders (remainder 3 → first 3 deciles get 3 rows) with heavy ties
+    prices = [1.0] * 7 + [2.0] * 9 + [5.0] * 7
+    orders = [(i, "1-URGENT", p, 1) for i, p in enumerate(prices)]
+    with tempfile.TemporaryDirectory() as d:
+        _orders_lines_parquet(d, orders, [(0, "N", 1, 0.0)])
+        out = _to_df(q_order_price_decile_profile(d)).sort_values("tile")
+    assert out["n_orders"].tolist() == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    assert int(out["n_orders"].sum()) == 23
+    # tie-invariant sums: total must equal the exact population sum
+    assert int(out["sum_cents"].sum()) == 7 * 100 + 9 * 200 + 7 * 500
+    # first decile = three cheapest (all 100s); last = two 500s
+    assert out["sum_cents"].tolist()[0] == 300
+    assert out["sum_cents"].tolist()[-1] == 1000
