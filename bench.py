@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "event_value_mad_by_type",
     "revenue_daily_delta",
     "order_price_decile_profile",
+    "part_pair_support",
 ]
 
 

@@ -2454,6 +2454,92 @@ def q_order_price_decile_profile(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# frequent-itemset mining (market-basket pair support)
+# --------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+
+def q_part_pair_support(sf_dir: str):
+    """FREQUENT-ITEMSET MINING: part pairs co-occurring in at least
+    ``BASKET_MIN_SUPPORT`` distinct orders — the market-basket / Apriori
+    first step (2-itemset support counting). Baskets are small (an order
+    holds ≤ ~a dozen lines), so the pair explosion is per-basket bounded;
+    the quadratic blowup the oracle's self-join risks on a mega-basket is
+    structurally impossible after the per-basket cap that order-size
+    distributions impose.
+
+    Scale shape: lineitems collapse to distinct (order, part) map-side;
+    ONE order-bucketed shuffle co-locates every basket; per-basket pair
+    expansion is bounded by basket size²; the (pair → support) groupby
+    moves only pair rows; the HAVING filter makes output support-shaped."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = (
+            pd.DataFrame(
+                {
+                    "okey": batch["l_orderkey"].to_numpy(),
+                    "part": batch["l_partkey"].to_numpy(),
+                }
+            )
+            .drop_duplicates()
+        )
+        okey = d["okey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(okey % SEMI_BUCKETS, pa.int64()),
+                "okey": pa.array(okey, pa.int64()),
+                "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def pairs(g) -> pa.Table:
+        d = g[["okey", "part"]].drop_duplicates()
+        okey = d["okey"].to_numpy(np.int64)
+        part = d["part"].to_numpy(np.int64)
+        order = np.lexsort((part, okey))
+        okey, part = okey[order], part[order]
+        starts = np.r_[0, np.flatnonzero(okey[1:] != okey[:-1]) + 1]
+        ends = np.r_[starts[1:], len(okey)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, e in zip(starts, ends):  # basket-size-bounded inner loops
+            ps = part[s:e]
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    out_a.append(int(ps[i]))
+                    out_b.append(int(ps[j]))
+        return pa.table(
+            {
+                "part_a": pa.array(out_a, pa.int64()),
+                "part_b": pa.array(out_b, pa.int64()),
+                "pn": pa.array(np.ones(len(out_a), np.int64), pa.int64()),
+            }
+        )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["n_orders"], BASKET_MIN_SUPPORT)
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("pn", alias_name="n_orders"))
+        .map_batches(keep, batch_format="pyarrow")
+    )
+
+
 ML3_QUERIES = {
     "part_name_typo_pairs": q_part_name_typo_pairs,
     "doc_split_assign": q_doc_split_assign,
@@ -2488,6 +2574,7 @@ ML3_QUERIES = {
     "event_value_mad_by_type": q_event_value_mad_by_type,
     "revenue_daily_delta": q_revenue_daily_delta,
     "order_price_decile_profile": q_order_price_decile_profile,
+    "part_pair_support": q_part_pair_support,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2850,5 +2937,13 @@ ML3_ORACLE_SQL = {
         "SELECT CAST(tile AS BIGINT) AS tile, "
         "CAST(COUNT(*) AS BIGINT) AS n_orders, "
         "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM t GROUP BY 1"
+    ),
+    "part_pair_support": (
+        "WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}"
     ),
 }

@@ -995,3 +995,46 @@ def test_decile_profile_matches_ntile_with_remainder_and_ties(ray_session):
     # first decile = three cheapest (all 100s); last = two 500s
     assert out["sum_cents"].tolist()[0] == 300
     assert out["sum_cents"].tolist()[-1] == 1000
+
+
+def test_pair_support_counts_distinct_orders_and_filters(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        BASKET_MIN_SUPPORT,
+        q_part_pair_support,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    assert BASKET_MIN_SUPPORT == 3
+    # orders 1-3 each contain parts {10, 20} (pair support 3, order 1 has a
+    # duplicate line that must NOT double-count); order 4 has {10, 30}
+    # (support 1 → filtered)
+    rows = [
+        (1, 10), (1, 20), (1, 10),
+        (2, 10), (2, 20),
+        (3, 20), (3, 10),
+        (4, 10), (4, 30),
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array(range(len(rows)), pa.int64()),
+            "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+            "l_shipdate": pa.array([0] * len(rows), pa.int64())
+            .cast(pa.timestamp("ms"))
+            .cast(pa.timestamp("us")),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        out = _to_df(q_part_pair_support(d))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["part_a"], r["part_b"], r["n_orders"]) == (10, 20, 3)
