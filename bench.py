@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "revenue_daily_delta",
     "order_price_decile_profile",
     "part_pair_support",
+    "part_pair_lift",
+    "part_graph_triangles",
 ]
 
 

@@ -2459,6 +2459,27 @@ def q_order_price_decile_profile(sf_dir: str):
 # --------------------------------------------------------------------------
 
 BASKET_MIN_SUPPORT = 3
+BASKET_BUCKETS = 1024  # measured sweet spot at sf0.1: 64 distinct keys
+# slow the range partitioner (boundary sampling needs key spread), 4096+
+# pays per-group map_groups call overhead; 1024 ran 3x faster than either
+
+
+def _pair_expand(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """All within-run ordered pairs (i < j) of a run-partitioned sorted
+    array, fully vectorized (no Python loop): for the element at local
+    index k of an m-run, it leads m−1−k pairs; the flat pair list falls
+    out of repeat/cumsum arithmetic. Returns (a_vals, b_vals)."""
+    sizes = ends - starts
+    if len(vals) == 0 or sizes.max(initial=0) < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    local = np.arange(len(vals)) - np.repeat(starts, sizes)
+    na = np.repeat(sizes, sizes) - 1 - local  # pairs led by each element
+    total = int(na.sum())
+    a_idx = np.repeat(np.arange(len(vals)), na)
+    cum = np.cumsum(na)
+    offs = np.arange(total) - np.repeat(cum - na, na) + 1
+    b_idx = a_idx + offs
+    return vals[a_idx], vals[b_idx]
 
 
 def q_part_pair_support(sf_dir: str):
@@ -2492,7 +2513,7 @@ def q_part_pair_support(sf_dir: str):
         okey = d["okey"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(okey % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey % BASKET_BUCKETS, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
             }
@@ -2506,27 +2527,38 @@ def q_part_pair_support(sf_dir: str):
         okey, part = okey[order], part[order]
         starts = np.r_[0, np.flatnonzero(okey[1:] != okey[:-1]) + 1]
         ends = np.r_[starts[1:], len(okey)]
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for s, e in zip(starts, ends):  # basket-size-bounded inner loops
-            ps = part[s:e]
-            for i in range(len(ps)):
-                for j in range(i + 1, len(ps)):
-                    out_a.append(int(ps[i]))
-                    out_b.append(int(ps[j]))
+        out_a, out_b = _pair_expand(part, starts, ends)
+        # route pair rows by pair hash: support counting happens inside the
+        # NEXT bucketed map_groups with a vectorized pandas groupby — a
+        # global aggregate over ~all-unique pair keys pays Ray's per-group
+        # overhead millions of times (the measured singleton-group trap)
         return pa.table(
             {
+                "pbucket": pa.array(
+                    (out_a * 1_000_003 + out_b) % BASKET_BUCKETS, pa.int64()
+                ),
                 "part_a": pa.array(out_a, pa.int64()),
                 "part_b": pa.array(out_b, pa.int64()),
-                "pn": pa.array(np.ones(len(out_a), np.int64), pa.int64()),
             }
         )
 
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def count_filter(g) -> pa.Table:
+        import pandas as pd
 
-        return batch.filter(
-            pc.greater_equal(batch["n_orders"], BASKET_MIN_SUPPORT)
+        agg = (
+            g.groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        agg = agg[agg["n_orders"] >= BASKET_MIN_SUPPORT]
+        return pa.table(
+            {
+                "part_a": pa.array(agg["part_a"].to_numpy(np.int64), pa.int64()),
+                "part_b": pa.array(agg["part_b"].to_numpy(np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    agg["n_orders"].to_numpy(np.int64), pa.int64()
+                ),
+            }
         )
 
     return (
@@ -2534,10 +2566,313 @@ def q_part_pair_support(sf_dir: str):
         .map_batches(prep, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("pn", alias_name="n_orders"))
-        .map_batches(keep, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(count_filter, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# association rules: confidence + lift over the mined pairs
+# --------------------------------------------------------------------------
+
+
+def q_part_pair_lift(sf_dir: str):
+    """ASSOCIATION RULES (Apriori step 2): every mined 2-itemset joined
+    with its item supports to produce integer confidence and lift —
+    conf(a→b) = n_ab·10⁶ ÷ n_a and lift = n_ab·n_baskets·10⁶ ÷ (n_a·n_b),
+    floor division on both engines so the rule table is bit-exact.
+
+    Scale shape: the pair table is support-shaped (already HAVING-
+    filtered), item supports are a dimension-bounded broadcast (sorted
+    part-key array + counts), and the basket total is one distinct-count
+    aggregate — nothing rescans raw lineitems beyond the two support
+    passes."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep_single(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = (
+            pd.DataFrame(
+                {
+                    "okey": batch["l_orderkey"].to_numpy(),
+                    "part": batch["l_partkey"].to_numpy(),
+                }
+            )
+            .drop_duplicates()
+        )
+        part = d["part"].to_numpy(np.int64)
+        v, c = np.unique(part, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(v, pa.int64()),
+                "pn": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    # NOTE: per-batch (okey, part) dedup is exact only within a batch; the
+    # groupby below sums partials, so cross-batch duplicates of the same
+    # (okey, part) pair must not exist — lineitem rows for one order can
+    # split across batches, so dedup by bucketing on okey first
+    def prep_pairs_dedup(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = (
+            pd.DataFrame(
+                {
+                    "okey": batch["l_orderkey"].to_numpy(),
+                    "part": batch["l_partkey"].to_numpy(),
+                }
+            )
+            .drop_duplicates()
+        )
+        okey = d["okey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(okey % BASKET_BUCKETS, pa.int64()),
+                "okey": pa.array(okey, pa.int64()),
+                "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def count_parts(g) -> pa.Table:
+        # per-bucket: exact per-part distinct-order counts PLUS one sentinel
+        # row (part = -1) carrying the bucket's distinct-basket count — the
+        # single shuffle serves both the item supports and the basket total
+        d = g[["okey", "part"]].drop_duplicates()
+        v, c = np.unique(d["part"].to_numpy(np.int64), return_counts=True)
+        nb = int(d["okey"].nunique())
+        return pa.table(
+            {
+                "part": pa.array(np.r_[v, np.int64(-1)], pa.int64()),
+                "pn": pa.array(np.r_[c.astype(np.int64), np.int64(nb)], pa.int64()),
+            }
+        )
+
+    lines = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    singles = (
+        lines.map_batches(prep_pairs_dedup, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_parts, batch_format="pandas")
+        .groupby("part")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # dimension-bounded: one row per part in the catalog
+    )
+    n_baskets = int(singles.loc[singles["part"] == -1, "n"].iloc[0])
+    singles = singles[singles["part"] >= 0]
+    sk = singles["part"].to_numpy(np.int64)
+    so = np.argsort(sk, kind="stable")
+    sup_ref = ray.put((sk[so], singles["n"].to_numpy(np.int64)[so]))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        keys, sup = ray.get(sup_ref)
+        pa_ = batch["part_a"].to_numpy().astype(np.int64)
+        pb_ = batch["part_b"].to_numpy().astype(np.int64)
+        nab = batch["n_orders"].to_numpy().astype(np.int64)
+        na = sup[np.searchsorted(keys, pa_)]
+        nb = sup[np.searchsorted(keys, pb_)]
+        conf = nab * 1_000_000 // na
+        lift = nab * n_baskets * 1_000_000 // (na * nb)
+        return pa.table(
+            {
+                "part_a": pa.array(pa_, pa.int64()),
+                "part_b": pa.array(pb_, pa.int64()),
+                "n_orders": pa.array(nab, pa.int64()),
+                "conf_ppm": pa.array(conf, pa.int64()),
+                "lift_micro": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return q_part_pair_support(sf_dir).map_batches(enrich, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# graph analytics: distributed triangle counting
+# --------------------------------------------------------------------------
+
+TRI_MIN_SUPPORT = 2
+TRI_BUCKETS = 64
+
+
+def q_part_graph_triangles(sf_dir: str):
+    """TRIANGLE COUNTING: the number of triangles in the part
+    co-occurrence graph (edges = pairs sharing ≥ 2 orders) — the graph-
+    analytics primitive behind clustering coefficients, counted by the
+    wedge-join algorithm: every edge group (by lower endpoint) expands to
+    its wedges (b, c), and a wedge closes a triangle iff (b, c) is itself
+    an edge, checked in a bucketed co-group so neither wedges nor edges
+    ever gather on one worker.
+
+    Scale shape: wedge volume is Σ degree(a)² — the documented skew cost
+    of every triangle algorithm (mitigated at scale by degree-ordering
+    each edge toward its lower-degree endpoint); here ONE shuffle routes
+    wedges + edges by (b, c) hash and each bucket resolves membership
+    with a sorted-key searchsorted. Output is a single count row."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def reprep(batch: pa.Table) -> pa.Table:
+        a = batch["part_a"].to_numpy().astype(np.int64)
+        b = batch["part_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "grp": pa.array(a % BASKET_BUCKETS, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+            }
+        )
+
+    def wedges(g) -> pa.Table:
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.r_[0, np.flatnonzero(a[1:] != a[:-1]) + 1]
+        ends = np.r_[starts[1:], len(a)]
+        out_b, out_c = _pair_expand(b, starts, ends)  # wedges, vectorized
+        key = out_b * 1_000_003 + out_c
+        return pa.table(
+            {
+                "bucket": pa.array(key % BASKET_BUCKETS, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "c": pa.array(out_c, pa.int64()),
+                "side": pa.array(np.zeros(len(out_b), np.int64), pa.int64()),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        b = batch["part_a"].to_numpy().astype(np.int64)
+        c = batch["part_b"].to_numpy().astype(np.int64)
+        key = b * 1_000_003 + c
+        return pa.table(
+            {
+                "bucket": pa.array(key % BASKET_BUCKETS, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    def close_count(g) -> pa.Table:
+        side = g["side"].to_numpy()
+        wb = g["b"].to_numpy(np.int64)[side == 0]
+        wc = g["c"].to_numpy(np.int64)[side == 0]
+        eb = g["b"].to_numpy(np.int64)[side == 1]
+        ec = g["c"].to_numpy(np.int64)[side == 1]
+        if len(eb) == 0 or len(wb) == 0:
+            n = 0
+        else:
+            ekey = np.sort(eb * (1 << 32) + ec)
+            wkey = wb * (1 << 32) + wc
+            pos = np.clip(np.searchsorted(ekey, wkey), 0, len(ekey) - 1)
+            n = int((ekey[pos] == wkey).sum())
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "pn": pa.array([n], pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_triangles": pa.array(
+                    [int(batch["pn"].to_numpy().sum())], pa.int64()
+                )
+            }
+        )
+
+    # edges = support >= TRI_MIN_SUPPORT pairs: the basket-mining pipeline
+    # rebuilt at the triangle threshold
+    base = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = (
+            pd.DataFrame(
+                {
+                    "okey": batch["l_orderkey"].to_numpy(),
+                    "part": batch["l_partkey"].to_numpy(),
+                }
+            )
+            .drop_duplicates()
+        )
+        okey = d["okey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(okey % BASKET_BUCKETS, pa.int64()),
+                "okey": pa.array(okey, pa.int64()),
+                "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def pairs(g) -> pa.Table:
+        d = g[["okey", "part"]].drop_duplicates()
+        okey = d["okey"].to_numpy(np.int64)
+        part = d["part"].to_numpy(np.int64)
+        order = np.lexsort((part, okey))
+        okey, part = okey[order], part[order]
+        starts = np.r_[0, np.flatnonzero(okey[1:] != okey[:-1]) + 1]
+        ends = np.r_[starts[1:], len(okey)]
+        out_a, out_b = _pair_expand(part, starts, ends)
+        return pa.table(
+            {
+                "pbucket": pa.array(
+                    (out_a * 1_000_003 + out_b) % BASKET_BUCKETS, pa.int64()
+                ),
+                "part_a": pa.array(out_a, pa.int64()),
+                "part_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    def edge_filter(g) -> pa.Table:
+        agg = (
+            g.groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        agg = agg[agg["n_orders"] >= TRI_MIN_SUPPORT]
+        return pa.table(
+            {
+                "part_a": pa.array(agg["part_a"].to_numpy(np.int64), pa.int64()),
+                "part_b": pa.array(agg["part_b"].to_numpy(np.int64), pa.int64()),
+                "n_orders": pa.array(
+                    agg["n_orders"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    edge_ds = (
+        base.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(edge_filter, batch_format="pandas")
+    )
+    wedge_ds = (
+        edge_ds.map_batches(reprep, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(wedges, batch_format="pandas")
+    )
+    edge_side = edge_ds.map_batches(edge_rows, batch_format="pyarrow")
+    return (
+        wedge_ds.union(edge_side)
+        .repartition(SHUFFLE_BLOCKS_TRI)
+        .groupby("bucket")
+        .map_groups(close_count, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SHUFFLE_BLOCKS_TRI = 16
 
 
 ML3_QUERIES = {
@@ -2575,6 +2910,8 @@ ML3_QUERIES = {
     "revenue_daily_delta": q_revenue_daily_delta,
     "order_price_decile_profile": q_order_price_decile_profile,
     "part_pair_support": q_part_pair_support,
+    "part_pair_lift": q_part_pair_lift,
+    "part_graph_triangles": q_part_graph_triangles,
 }
 
 _TOK3_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -2945,5 +3282,31 @@ ML3_ORACLE_SQL = {
         "FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey "
         "AND a.l_partkey < b.l_partkey "
         f"GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}"
+    ),
+    "part_pair_lift": (
+        "WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "s AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM p "
+        "GROUP BY 1), "
+        "t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM p), "
+        "pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}) "
+        "SELECT part_a, part_b, n_orders, "
+        "n_orders * 1000000 // sa.n AS conf_ppm, "
+        "n_orders * t.nb * 1000000 // (sa.n * sb.n) AS lift_micro "
+        "FROM pr JOIN s sa ON sa.l_partkey = pr.part_a "
+        "JOIN s sb ON sb.l_partkey = pr.part_b CROSS JOIN t"
+    ),
+    "part_graph_triangles": (
+        "WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT a.l_partkey AS a, b.l_partkey AS b "
+        "FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
     ),
 }

@@ -1038,3 +1038,79 @@ def test_pair_support_counts_distinct_orders_and_filters(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["part_a"], r["part_b"], r["n_orders"]) == (10, 20, 3)
+
+
+def test_pair_lift_integer_arithmetic(ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import q_part_pair_lift
+
+    # 4 baskets: {10,20} ×3 and {30} alone → pair (10,20): n_ab=3,
+    # n_a=n_b=3, baskets=4 → conf = 1e6, lift = 3*4*1e6 // 9 = 1333333
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 30)]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array(range(len(rows)), pa.int64()),
+            "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+            "l_shipdate": pa.array([0] * len(rows), pa.int64())
+            .cast(pa.timestamp("ms"))
+            .cast(pa.timestamp("us")),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        out = _to_df(q_part_pair_lift(d))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["part_a"], r["part_b"], r["n_orders"]) == (10, 20, 3)
+    assert r["conf_ppm"] == 1_000_000
+    assert r["lift_micro"] == 3 * 4 * 1_000_000 // 9
+
+
+def test_triangle_count_on_planted_graph(ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        q_part_graph_triangles,
+    )
+
+    # baskets engineered so the support-2 graph is exactly the triangle
+    # {1,2,3} plus a dangling edge (3,4): each edge appears in 2 baskets
+    baskets = {
+        1: [1, 2], 2: [1, 2],
+        3: [2, 3], 4: [2, 3],
+        5: [1, 3], 6: [1, 3],
+        7: [3, 4], 8: [3, 4],
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array(range(len(rows)), pa.int64()),
+            "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+            "l_shipdate": pa.array([0] * len(rows), pa.int64())
+            .cast(pa.timestamp("ms"))
+            .cast(pa.timestamp("us")),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        out = _to_df(q_part_graph_triangles(d))
+    assert out["n_triangles"].tolist() == [1]
