@@ -634,19 +634,41 @@ class RayCrawler:
 
             shutil.rmtree(tmp_dir)
         ds2.write_parquet(tmp_dir)
+        if os.path.exists(round_dir):
+            # resume replay: a crash between this rename and the manifest
+            # advance in _tail_join leaves a completed round=R directory
+            # while the manifest still names R — the rerun regenerates
+            # identical output, so the stale directory is safe to drop
+            # (without this the rename below raises ENOTEMPTY)
+            import shutil
+
+            shutil.rmtree(round_dir, ignore_errors=True)
         os.rename(tmp_dir, round_dir)
         self.phase_times["pipeline"] += _time.time() - _t0
 
-    def _wait_enqueue(self, rnd: int, n_sel: int) -> None:
+    def _wait_enqueue(self, rnd: int, n_sel: int, fut=None) -> None:
         """Block until every selected row has cleared the enqueue stage —
         the point after which round rnd+1's propose() sees all of round
-        rnd's discovered links. >= because a retried enqueue task re-counts."""
+        rnd's discovered links. >= because a retried enqueue task re-counts.
+
+        ``fut`` is the round's background write future: if the fused
+        pipeline dies (task retries exhausted, live-fetch exception,
+        OOM-killed executor) the enqueue counter never reaches n_sel, so
+        without checking it this loop would spin forever while the
+        exception sat in the future until _tail_join — re-raise instead."""
         import time as _time
 
         import ray
 
         _t0 = _time.time()
         while ray.get(self.enq_counter.total.remote(rnd)) < n_sel:
+            if fut is not None and fut.done():
+                exc = fut.exception()
+                if exc is not None:
+                    raise exc
+                # future finished cleanly → the write barrier implies the
+                # enqueue stage completed; loop once more to observe it
+                fut = None
             _time.sleep(0.02)
         self.phase_times["enqueue_wait"] += _time.time() - _t0
 
@@ -731,7 +753,7 @@ class RayCrawler:
                     break
                 ds2 = self._build_pipeline(rnd, tbl2)
                 fut = pool.submit(self._write_round, rnd, ds2)
-                self._wait_enqueue(rnd, n)
+                self._wait_enqueue(rnd, n, fut=fut)
                 ray.get([s.end_round.remote(rnd) for s in self.shards])
                 if do_ckpt:
                     self._checkpoint_shards(rnd + 1)

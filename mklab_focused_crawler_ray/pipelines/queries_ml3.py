@@ -2496,7 +2496,6 @@ def q_part_pair_support(sf_dir: str):
     expansion is bounded by basket size²; the (pair → support) groupby
     moves only pair rows; the HAVING filter makes output support-shaped."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     def prep(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -2591,27 +2590,6 @@ def q_part_pair_lift(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    def prep_single(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        d = (
-            pd.DataFrame(
-                {
-                    "okey": batch["l_orderkey"].to_numpy(),
-                    "part": batch["l_partkey"].to_numpy(),
-                }
-            )
-            .drop_duplicates()
-        )
-        part = d["part"].to_numpy(np.int64)
-        v, c = np.unique(part, return_counts=True)
-        return pa.table(
-            {
-                "part": pa.array(v, pa.int64()),
-                "pn": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
     # NOTE: per-batch (okey, part) dedup is exact only within a batch; the
     # groupby below sums partials, so cross-batch duplicates of the same
     # (okey, part) pair must not exist — lineitem rows for one order can
@@ -2676,7 +2654,20 @@ def q_part_pair_lift(sf_dir: str):
         na = sup[np.searchsorted(keys, pa_)]
         nb = sup[np.searchsorted(keys, pb_)]
         conf = nab * 1_000_000 // na
-        lift = nab * n_baskets * 1_000_000 // (na * nb)
+        # int64 headroom: nab·n_baskets·10⁶ overflows once distinct
+        # baskets exceed ~1e8 with popular pairs — widen to Python ints
+        # (exact at any scale; pair table is support-shaped so the slow
+        # path is output-bounded) instead of silently wrapping
+        if len(nab) and int(nab.max()) * n_baskets > (2**63 - 1) // 1_000_000:
+            lift = np.array(
+                [
+                    int(x) * n_baskets * 1_000_000 // (int(y) * int(z))
+                    for x, y, z in zip(nab, na, nb)
+                ],
+                np.int64,
+            )
+        else:
+            lift = nab * n_baskets * 1_000_000 // (na * nb)
         return pa.table(
             {
                 "part_a": pa.array(pa_, pa.int64()),
@@ -2695,7 +2686,6 @@ def q_part_pair_lift(sf_dir: str):
 # --------------------------------------------------------------------------
 
 TRI_MIN_SUPPORT = 2
-TRI_BUCKETS = 64
 
 
 def q_part_graph_triangles(sf_dir: str):
@@ -2766,6 +2756,15 @@ def q_part_graph_triangles(sf_dir: str):
         if len(eb) == 0 or len(wb) == 0:
             n = 0
         else:
+            # the packed (b, c) membership key needs b < 2^31 and c < 2^32
+            # to stay collision-free in int64 — fail loudly past that
+            # (part catalogs are dimension-bounded; 2^31 ids is far beyond
+            # any TPC-H-shaped catalog, but silent collision is worse)
+            hi = max(int(eb.max()), int(wb.max()))
+            if hi >= (1 << 31) or max(int(ec.max()), int(wc.max())) >= (1 << 32):
+                raise OverflowError(
+                    "triangle close key would collide: part key >= 2^31"
+                )
             ekey = np.sort(eb * (1 << 32) + ec)
             wkey = wb * (1 << 32) + wc
             pos = np.clip(np.searchsorted(ekey, wkey), 0, len(ekey) - 1)

@@ -62,11 +62,15 @@ class _ConnPool:
         self.reused = 0  # diagnostic counters (tested)
         self.opened = 0
 
-    def acquire(self, scheme: str, host: str, port: int, timeout: float):
-        """→ (connection, was_reused)."""
+    def acquire(self, scheme: str, host: str, port: int, timeout: float,
+                fresh: bool = False):
+        """→ (connection, was_reused). ``fresh=True`` bypasses the idle
+        list entirely — the stale-keep-alive retry path must be guaranteed
+        a new socket (any parked connection for the route may be equally
+        stale when the server idle-closed its side)."""
         key = (scheme, host, port)
         with self._lock:
-            lst = self._idle.get(key)
+            lst = self._idle.get(key) if not fresh else None
             if lst:
                 self._n_idle -= 1
                 self.reused += 1
@@ -80,6 +84,20 @@ class _ConnPool:
             http.client.HTTPSConnection if scheme == "https" else http.client.HTTPConnection
         )
         return cls(host, port, timeout=timeout), False
+
+    def drop_route(self, scheme: str, host: str, port: int) -> None:
+        """Close and forget every parked connection for one route — called
+        after a REUSED connection fails mid-request, because the server
+        idle-closing its side typically invalidates the whole parked set,
+        not just the one socket we happened to draw."""
+        with self._lock:
+            lst = self._idle.pop((scheme, host, port), None) or []
+            self._n_idle -= len(lst)
+        for c in lst:
+            try:
+                c.close()
+            except Exception:
+                pass
 
     def release(self, scheme: str, host: str, port: int, conn, reusable: bool) -> None:
         if reusable:
@@ -131,7 +149,12 @@ def _single_request(url: str, timeout: float, body_cap: int = _MAX_BODY):
     if sp.query:
         path += "?" + sp.query
     for _attempt in (0, 1):
-        conn, reused = _POOL.acquire(scheme, host, port, timeout)
+        # attempt 1 exists only because a REUSED keep-alive socket went
+        # stale — bypass the pool so the retry is guaranteed fresh (the
+        # route's other parked sockets are likely just as stale)
+        conn, reused = _POOL.acquire(
+            scheme, host, port, timeout, fresh=(_attempt == 1)
+        )
         try:
             conn.request(
                 "GET", path, headers={"User-Agent": USER_AGENT, "Connection": "keep-alive"}
@@ -152,7 +175,9 @@ def _single_request(url: str, timeout: float, body_cap: int = _MAX_BODY):
                 pass
             if not reused:  # a FRESH connection failed: real network error
                 return 0, "", b"", None
-            # else fall through: retry once on a fresh socket
+            # a reused socket died mid-request: drop the route's parked
+            # set (all equally suspect) and retry once on a fresh socket
+            _POOL.drop_route(scheme, host, port)
     return 0, "", b"", None
 
 
