@@ -39,6 +39,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from ..scale import derive_buckets
+
 NOW_MS = 1_706_745_600_000  # 2024-02-01T00:00:00Z — after the events table's max ts
 AVG_TIME_DIFF_MS = 600_000.0
 TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -997,7 +999,6 @@ def q_doc_chunks(sf_dir: str):
 
 
 SESSION_GAP_MS = 1_800_000  # 30-minute inactivity gap closes a session
-SESSION_BUCKETS = 32  # groupby key cardinality (raise for bigger clusters)
 
 
 def q_user_sessions(sf_dir: str):
@@ -1005,11 +1006,12 @@ def q_user_sessions(sf_dir: str):
     into sessions at inactivity gaps > 30 min; one row per session with
     (user_id, session_idx, n_events, start_ms, end_ms).
 
-    Scale shape: users are hash-bucketed into ``SESSION_BUCKETS`` groups so
+    Scale shape: users are hash-bucketed into ``session_buckets`` groups so
     the shuffle has fixed key cardinality (no per-user groups — the measured
     per-group-UDF trap); each bucket is sessionized in ONE vectorized numpy
     pass (lexsort + diff + boundary slicing) over all its users at once. At
-    cluster scale raise SESSION_BUCKETS so a bucket fits a worker's heap."""
+    cluster scale raise session_buckets so a bucket fits a worker's heap."""
+    session_buckets = derive_buckets(sf_dir, "events", floor=32)
     import ray.data as rd
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -1024,7 +1026,7 @@ def q_user_sessions(sf_dir: str):
         )
         return pa.table(
             {
-                "bucket": pa.array(uid % SESSION_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid % session_buckets, pa.int64()),
                 "user_id": batch["user_id"],
                 "event_id": batch["event_id"],
                 "ms": ms,
@@ -1133,12 +1135,13 @@ def q_events_asof_click(sf_dir: str):
     one output row per event that has one: (event_id, user_id,
     prior_click_id, gap_ms).
 
-    Scale shape: users hash-bucket into SESSION_BUCKETS groups (fixed
+    Scale shape: users hash-bucket into session_buckets groups (fixed
     shuffle cardinality); inside each bucket the join is ONE vectorized
     carry-forward pass over the (user, ts, event_id)-sorted rows —
     np.maximum.accumulate of click positions, shifted one row for
     strictness, masked at user-segment starts. The same partitioning key
     as user_sessions, so a real pipeline co-locates both."""
+    session_buckets = derive_buckets(sf_dir, "events", floor=32)
     import ray.data as rd
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -1150,7 +1153,7 @@ def q_events_asof_click(sf_dir: str):
         )
         return pa.table(
             {
-                "bucket": pa.array(uid % SESSION_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid % session_buckets, pa.int64()),
                 "user_id": batch["user_id"],
                 "event_id": batch["event_id"],
                 "event_type": batch["event_type"],

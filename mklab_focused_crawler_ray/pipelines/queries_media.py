@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..scale import derive_buckets_for_paths
+
 _TIER_FOR_SF = {"sf0.001": "tiny"}
 
 
@@ -1013,7 +1015,6 @@ def q_image_phash_dup_groups(sf_dir: str):
 
 PR_ITERS = 5  # deterministic PageRank fixed-point iterations
 PR_TOP = 20  # pages kept
-PR_BUCKETS = 64  # fixed shuffle cardinality for the per-iteration co-groups
 
 
 def q_pagerank_top20(sf_dir: str):
@@ -1027,7 +1028,7 @@ def q_pagerank_top20(sf_dir: str):
     reproduces it bit-for-bit — no float summation-order hazard.
 
     Scale shape: edges and ranks co-partition by hash(src) into
-    ``PR_BUCKETS`` fixed buckets each iteration (never per-key groups);
+    ``pr_buckets`` fixed buckets each iteration (never per-key groups);
     inbound mass partial-aggregates inside the bucket before the per-dst
     shuffle; ranks re-materialize once per iteration (the standard
     iteration barrier — without it the lazy lineage re-executes every prior
@@ -1041,6 +1042,7 @@ def q_pagerank_top20(sf_dir: str):
     import pyarrow.parquet as pq
 
     pages = _pages_path(sf_dir)
+    pr_buckets = derive_buckets_for_paths(pages, floor=64)
     nodes = np.sort(
         pq.read_table(pages, columns=["url"])["url"].to_numpy(zero_copy_only=False)
     )
@@ -1091,7 +1093,7 @@ def q_pagerank_top20(sf_dir: str):
 
         def fn(batch: pa.Table) -> pa.Table:
             h = np.array(
-                [zlib.crc32(u.encode()) % PR_BUCKETS for u in batch[col].to_pylist()],
+                [zlib.crc32(u.encode()) % pr_buckets for u in batch[col].to_pylist()],
                 np.int64,
             )
             return batch.append_column("bucket", pa.array(h, pa.int64()))
@@ -1139,10 +1141,10 @@ def q_pagerank_top20(sf_dir: str):
     # block counts compound across per-iteration unions (64 → 128 → 384 …)
     # and Ray's sort-based groupby degrades quadratically in input block
     # count (measured 0.5 s at 128 blocks → 25 s at 384), so every shuffle
-    # input is re-pinned to PR_BUCKETS partitions first
+    # input is re-pinned to pr_buckets partitions first
     edges_d = (
         deg_side.union(edge_side)
-        .repartition(PR_BUCKETS)
+        .repartition(pr_buckets)
         .map_batches(bucketed("src"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(attach_deg, batch_format="pyarrow")
@@ -1221,11 +1223,11 @@ def q_pagerank_top20(sf_dir: str):
         )
         mass = (
             rank_side.union(e_side)
-            .repartition(PR_BUCKETS)
+            .repartition(pr_buckets)
             .map_batches(bucketed("src"), batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(contrib, batch_format="pyarrow")
-            .repartition(PR_BUCKETS)
+            .repartition(pr_buckets)
             .groupby("dst")
             .aggregate(Sum("pc", alias_name="c"))
         )
@@ -1251,7 +1253,7 @@ def q_pagerank_top20(sf_dir: str):
         )
         ranks = (
             n_side.union(m_side)
-            .repartition(PR_BUCKETS)
+            .repartition(pr_buckets)
             .map_batches(bucketed("url"), batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(apply_update, batch_format="pyarrow")
@@ -1274,7 +1276,6 @@ def _pages_path(sf_dir: str) -> str:
 
 CAPTION_KEEP_MICRO = 350_000  # caption-quality keep gate (micro units)
 MIN_PIXELS = 6_000  # decoded-pixel floor for the curation gate
-PHASH_BUCKETS = 64  # fixed shuffle cardinality for the first-wins keeper
 
 
 def q_multimodal_filter_kept(sf_dir: str):
@@ -1287,13 +1288,15 @@ def q_multimodal_filter_kept(sf_dir: str):
 
     Scale shape: batches pre-reduce to one min-id candidate per phash
     (vectorized lexsort + run-boundary take), candidates hash-bucket into
-    ``PHASH_BUCKETS`` groups — fixed shuffle cardinality, shuffle volume
+    ``phash_buckets`` groups — fixed shuffle cardinality, shuffle volume
     O(distinct phash), never the image bytes, which are never read — each
     bucket resolves global keepers in one vectorized pass, and the
     (python-heuristic) caption scorer runs only on surviving keepers."""
     import ray.data as rd
 
     from ..functions.text import quality_features
+
+    phash_buckets = derive_buckets_for_paths(_images(sf_dir), floor=64)
 
     def candidates(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1309,7 +1312,7 @@ def q_multimodal_filter_kept(sf_dir: str):
         return pa.table(
             {
                 "bucket": pa.array(
-                    (ph[take] % PHASH_BUCKETS).astype(np.int64), pa.int64()
+                    (ph[take] % phash_buckets).astype(np.int64), pa.int64()
                 ),
                 "phash": sub["phash"],
                 "idnum": pa.array(idnum[take], pa.int64()),
@@ -1363,7 +1366,6 @@ def q_multimodal_filter_kept(sf_dir: str):
     )
 
 
-PIJ_BUCKETS = 64  # page↔image co-group shuffle cardinality
 
 
 def q_page_image_join_stats(sf_dir: str):
@@ -1374,7 +1376,7 @@ def q_page_image_join_stats(sf_dir: str):
 
     Scale shape: the page side explodes its id lists with Arrow kernels
     (``list_flatten``/``list_parent_indices``), both sides co-partition by
-    crc32(image_id) into ``PIJ_BUCKETS`` fixed buckets (neither table
+    crc32(image_id) into ``pij_buckets`` fixed buckets (neither table
     broadcasts — both are corpus-sized), each bucket joins in one
     vectorized pandas merge, and only (host, count, pixels) sufficient
     statistics leave the bucket."""
@@ -1386,6 +1388,7 @@ def q_page_image_join_stats(sf_dir: str):
     from ..functions.urls import host_of
 
     pages = _pages_path(sf_dir)
+    pij_buckets = derive_buckets_for_paths(pages, _images(sf_dir), floor=64)
 
     def explode_pages(batch: pa.Table) -> pa.Table:
         links = batch["image_ids"]
@@ -1399,7 +1402,7 @@ def q_page_image_join_stats(sf_dir: str):
         return pa.table(
             {
                 "bucket": pa.array(
-                    [zlib.crc32(i.encode()) % PIJ_BUCKETS for i in ids], pa.int64()
+                    [zlib.crc32(i.encode()) % pij_buckets for i in ids], pa.int64()
                 ),
                 "image_id": flat,
                 "host": ph,
@@ -1416,7 +1419,7 @@ def q_page_image_join_stats(sf_dir: str):
         return pa.table(
             {
                 "bucket": pa.array(
-                    [zlib.crc32(i.encode()) % PIJ_BUCKETS for i in ids], pa.int64()
+                    [zlib.crc32(i.encode()) % pij_buckets for i in ids], pa.int64()
                 ),
                 "image_id": batch["image_id"],
                 "host": pa.array([""] * len(ids), pa.string()),
@@ -1448,7 +1451,7 @@ def q_page_image_join_stats(sf_dir: str):
     ).map_batches(prep_images, batch_format="pyarrow")
     return (
         page_side.union(image_side)
-        .repartition(PIJ_BUCKETS)
+        .repartition(pij_buckets)
         .groupby("bucket")
         .map_groups(join, batch_format="pandas")
         .groupby("host")

@@ -25,13 +25,14 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from ..scale import derive_buckets
+
 
 def _p(sf_dir: str, table: str) -> str:
     # local copy of queries._p — a top-level import would be circular
     # (queries imports this module to register ML_QUERIES)
     return os.path.join(sf_dir, f"{table}.parquet")
 
-JOIN_BUCKETS = 64  # hash-join shuffle cardinality (raise for bigger clusters)
 KMEANS_K = 8  # centroids = embeddings with vec_id < K (deterministic init)
 TFIDF_TOP = 3  # terms kept per document
 ANTI_PRIORITY = "1-URGENT"  # anti-join predicate on the orders side
@@ -43,12 +44,13 @@ def q_customers_without_urgent(sf_dir: str):
     per market segment.
 
     Scale shape: both sides hash-bucket on the join key into
-    ``JOIN_BUCKETS`` groups (fixed shuffle cardinality — never a per-key
+    ``join_buckets`` groups (fixed shuffle cardinality — never a per-key
     group), the orders side is pre-deduped per batch so the shuffle moves
     distinct keys only, and each bucket anti-joins in one vectorized
     ``np.isin`` pass. No broadcast: unlike the §2.10 broadcast lookups the
     build side here is O(|customers|), which does not fit one worker at
     cluster scale."""
+    join_buckets = derive_buckets(sf_dir, "customer", "orders", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -56,7 +58,7 @@ def q_customers_without_urgent(sf_dir: str):
         key = batch["c_custkey"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % join_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "seg": batch["c_mktsegment"],
                 "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
@@ -70,7 +72,7 @@ def q_customers_without_urgent(sf_dir: str):
         key = np.unique(batch.filter(m)["o_custkey"].to_numpy())
         return pa.table(
             {
-                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % join_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "seg": pa.array([""] * len(key), pa.string()),
                 "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
@@ -110,13 +112,14 @@ def q_customers_without_urgent(sf_dir: str):
 
 def q_orders_join_nation(sf_dir: str):
     """Distributed SHUFFLE HASH JOIN (no broadcast side): orders ⋈ customer
-    co-partitioned by hash(custkey) into ``JOIN_BUCKETS`` groups, each
+    co-partitioned by hash(custkey) into ``join_buckets`` groups, each
     bucket joined in one vectorized searchsorted pass, partial-aggregated
     to per-nation sufficient statistics before the tiny final groupby.
     The §2.10 broadcast joins assume the build side fits one worker; this
     is the complementary shape for two large sides (both stream through
     the same fixed-cardinality shuffle — never per-key groups). The nation
     id → name map IS tiny, so it rides along as a broadcast lookup."""
+    join_buckets = derive_buckets(sf_dir, "nation", "customer", "orders", floor=64)
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -133,7 +136,7 @@ def q_orders_join_nation(sf_dir: str):
         key = batch["c_custkey"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % join_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "nat": pa.array(
                     batch["c_nationkey"].to_numpy().astype(np.int64), pa.int64()
@@ -150,7 +153,7 @@ def q_orders_join_nation(sf_dir: str):
         )
         return pa.table(
             {
-                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % join_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "nat": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
                 "cents": pa.array(cents, pa.int64()),
@@ -295,10 +298,11 @@ def q_user_value_rolling3(sf_dir: str):
     CURRENT ROW over (ms, event_id) order): the sliding-count semantics of
     the reference's counter bolts, exact in integer cents.
 
-    Scale shape: users hash-bucket into ``JOIN_BUCKETS`` groups (fixed
+    Scale shape: users hash-bucket into ``join_buckets`` groups (fixed
     shuffle cardinality); each bucket computes ALL its users' windows in
     one vectorized pass — lexsort, per-user segment starts, prefix sums,
     then ``cum[i] - cum[max(i-2, seg_start)]`` with no per-row Python."""
+    join_buckets = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -311,7 +315,7 @@ def q_user_value_rolling3(sf_dir: str):
         cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(uid % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid % join_buckets, pa.int64()),
                 "user_id": batch["user_id"],
                 "event_id": batch["event_id"],
                 "ms": ms,
@@ -492,6 +496,7 @@ def q_orders_above_cust_avg(sf_dir: str):
     the same co-partitioned bucket shuffle as ``q_orders_join_nation`` —
     the windowed ``AVG OVER (PARTITION BY)`` pattern without a per-key
     group or a broadcast of a customer-sized side."""
+    join_buckets = derive_buckets(sf_dir, "orders", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -521,7 +526,7 @@ def q_orders_above_cust_avg(sf_dir: str):
         key = batch["o_custkey"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % join_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "cnt": batch["cnt"],
                 "s": batch["s"],
@@ -539,7 +544,7 @@ def q_orders_above_cust_avg(sf_dir: str):
         )
         return pa.table(
             {
-                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % join_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "cnt": pa.array(z, pa.int64()),
                 "s": pa.array(z, pa.int64()),
@@ -591,9 +596,10 @@ def q_latest_event_per_user(sf_dir: str):
     """ARGMAX per key: each user's latest event (greatest (ms, event_id)),
     the MongoDbSpout ``sort(desc).limit(1)``-per-key pattern. Per-batch
     partials keep ONE candidate row per user (vectorized lexsort +
-    take-last), users hash-bucket into ``JOIN_BUCKETS`` groups, and each
+    take-last), users hash-bucket into ``join_buckets`` groups, and each
     bucket resolves all its users in one vectorized pass — shuffle volume
     is O(users × blocks-containing-them), never the event stream."""
+    join_buckets = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -609,7 +615,7 @@ def q_latest_event_per_user(sf_dir: str):
         last = np.r_[uid[1:] != uid[:-1], True]  # last row of each user run
         return pa.table(
             {
-                "bucket": pa.array(uid[last] % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid[last] % join_buckets, pa.int64()),
                 "user_id": pa.array(uid[last], pa.int64()),
                 "event_id": pa.array(eid[last], pa.int64()),
                 "ms": pa.array(ms[last], pa.int64()),
@@ -1096,7 +1102,6 @@ def q_embedding_norm_stats(sf_dir: str):
 
 
 SIG_VALUE_GATE = 90.0  # signature gate: high-value events only (non-degenerate)
-SIG_BUCKETS = 64  # fixed shuffle cardinality for the signature finisher
 
 
 def q_revenue_running_by_date(sf_dir: str):
@@ -1219,9 +1224,10 @@ def q_user_event_signature(sf_dir: str):
 
     Scale shape: batches pre-dedupe (user, type) pairs map-side, the
     distinct-pair relation (bounded by |users| × |event types|) shuffles
-    once into ``SIG_BUCKETS`` hash buckets — fixed cardinality, never a
+    once into ``sig_buckets`` hash buckets — fixed cardinality, never a
     per-user group — and each bucket builds its signatures in one
     vectorized pandas groupby-join pass."""
+    sig_buckets = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -1250,7 +1256,7 @@ def q_user_event_signature(sf_dir: str):
         u = batch["user_id"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(u % SIG_BUCKETS, pa.int64()),
+                "bucket": pa.array(u % sig_buckets, pa.int64()),
                 "user_id": batch["user_id"],
                 "event_type": batch["event_type"],
             }
@@ -1546,10 +1552,11 @@ def q_order_reconciliation(sf_dir: str):
     ingest (both sides too big to broadcast).
 
     Scale shape: lineitem pre-aggregates per orderkey INSIDE each batch,
-    both sides co-partition by hash(orderkey) into ``JOIN_BUCKETS`` fixed
+    both sides co-partition by hash(orderkey) into ``join_buckets`` fixed
     buckets, each bucket reconciles all its orders in one vectorized
     pandas-groupby + searchsorted pass, and only (status, count, count)
     sufficient statistics leave the bucket."""
+    join_buckets = derive_buckets(sf_dir, "lineitem", "orders", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1568,7 +1575,7 @@ def q_order_reconciliation(sf_dir: str):
         key2 = g["key"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(key2 % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key2 % join_buckets, pa.int64()),
                 "key": pa.array(key2, pa.int64()),
                 "licents": g["licents_sum"],
                 "ocents": pa.array(np.zeros(len(key2), np.int64), pa.int64()),
@@ -1584,7 +1591,7 @@ def q_order_reconciliation(sf_dir: str):
         )
         return pa.table(
             {
-                "bucket": pa.array(key % JOIN_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % join_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "licents": pa.array(np.zeros(len(key), np.int64), pa.int64()),
                 "ocents": pa.array(cents, pa.int64()),

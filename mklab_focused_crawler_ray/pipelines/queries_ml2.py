@@ -25,13 +25,14 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from ..scale import derive_buckets
+
 # tokenization shared with the heavy-hitter / budget oracles:
 # regexp_extract_all(lower(text), '[a-z0-9]+')
 _TOK2_RE = re.compile(r"[a-z0-9]+")
 
 HH_K = 50  # heavy hitter threshold: tokens with count*HH_K > total tokens
 GAPFILL_HOUR_US = 3_600_000_000  # gap-fill granularity (µs per hour)
-MODE_BUCKETS = 64  # user-hash shuffle cardinality for mode / gap stats
 SHUFFLE_BLOCKS = 32  # pinned block count feeding every sort-based shuffle
 Q3_SEGMENT = "BUILDING"  # TPC-H Q3 constants
 Q3_CUT_DAYS = 10227  # 1998-01-01 as epoch days
@@ -217,9 +218,10 @@ def q_user_top_event(sf_dir: str):
     lexicographically smallest type) with its exact count.
 
     Scale shape: per-batch partial counts collapse each batch to one row
-    per (user, type) seen; users hash-bucket into MODE_BUCKETS groups
+    per (user, type) seen; users hash-bucket into mode_buckets groups
     (fixed shuffle cardinality); each bucket sums partials and resolves
     every user's argmax in one vectorized lexsort pass."""
+    mode_buckets = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -236,7 +238,7 @@ def q_user_top_event(sf_dir: str):
             .size()
             .reset_index(name="pn")
         )
-        base["bucket"] = (base["user_id"] % MODE_BUCKETS).astype(np.int64)
+        base["bucket"] = (base["user_id"] % mode_buckets).astype(np.int64)
         base["pn"] = base["pn"].astype(np.int64)
         base["user_id"] = base["user_id"].astype(np.int64)
         return pa.Table.from_pandas(
@@ -285,13 +287,14 @@ def q_q3_shipping_priority(sf_dir: str):
     enough to broadcast at cluster scale.
 
     Scale shape: each hop hash-buckets BOTH sides on the hop key into
-    MODE_BUCKETS groups and semi-joins inside the bucket (vectorized
+    mode_buckets groups and semi-joins inside the bucket (vectorized
     np.isin); lineitem revenue is pre-aggregated per (batch, orderkey)
     before the shuffle (combiner), so the orderkey hop moves partial sums,
     not line items; the final top-K is per-block partial-topk → sort →
     limit. Revenue is exact integer: cents × (1e6 − discount_micro); at
     true 100-TB row counts this unit pair would need a 128-bit sum —
     documented tradeoff for bit-exact oracle equality at fixture scale."""
+    mode_buckets = derive_buckets(sf_dir, "customer", "orders", "lineitem", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -303,7 +306,7 @@ def q_q3_shipping_priority(sf_dir: str):
         ].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % mode_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "okey": pa.array(np.zeros(len(key), np.int64), pa.int64()),
                 "odays": pa.array(np.zeros(len(key), np.int64), pa.int64()),
@@ -317,7 +320,7 @@ def q_q3_shipping_priority(sf_dir: str):
         key = batch["o_custkey"].to_numpy()[m]
         return pa.table(
             {
-                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % mode_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "okey": pa.array(batch["o_orderkey"].to_numpy()[m], pa.int64()),
                 "odays": pa.array(odays[m], pa.int64()),
@@ -333,7 +336,7 @@ def q_q3_shipping_priority(sf_dir: str):
         okey = keep["okey"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(okey % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey % mode_buckets, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "odays": pa.array(keep["odays"].to_numpy(np.int64), pa.int64()),
                 "rev_u": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
@@ -362,7 +365,7 @@ def q_q3_shipping_priority(sf_dir: str):
         k = agg["okey"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(k % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(k % mode_buckets, pa.int64()),
                 "okey": pa.array(k, pa.int64()),
                 "odays": pa.array(np.zeros(len(k), np.int64), pa.int64()),
                 "rev_u": pa.array(agg["rev_u"].to_numpy(np.int64), pa.int64()),
@@ -556,13 +559,14 @@ def q_user_gap_stats(sf_dir: str):
     users' timestamps and computes all gap aggregates in one vectorized
     np.diff + reduceat pass. Gaps depend only on sorted timestamps, so
     tie order between equal timestamps cannot change the result."""
+    mode_buckets = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
 
     def prep(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(uid % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid % mode_buckets, pa.int64()),
                 "user_id": pa.array(uid, pa.int64()),
                 "ms": pa.array(_ms(batch), pa.int64()),
             }
@@ -681,6 +685,7 @@ def q_q5_local_supplier_volume(sf_dir: str):
     hop on suppkey — same machinery as hop 2). Revenue is exact integer
     cents × (1e6 − discount_micro); per-nation partial sums collapse
     map-side before the final tiny groupby."""
+    mode_buckets = derive_buckets(sf_dir, "supplier", "nation", "region", "customer", "orders", "lineitem", floor=64)
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -709,7 +714,7 @@ def q_q5_local_supplier_volume(sf_dir: str):
         key = batch["c_custkey"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % mode_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "okey": pa.array(np.zeros(len(key), np.int64), pa.int64()),
                 "nat": pa.array(batch["c_nationkey"].to_numpy(), pa.int64()),
@@ -723,7 +728,7 @@ def q_q5_local_supplier_volume(sf_dir: str):
         key = batch["o_custkey"].to_numpy()[m]
         return pa.table(
             {
-                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % mode_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "okey": pa.array(batch["o_orderkey"].to_numpy()[m], pa.int64()),
                 "nat": pa.array(np.zeros(len(key), np.int64), pa.int64()),
@@ -750,7 +755,7 @@ def q_q5_local_supplier_volume(sf_dir: str):
         cnat = cn[pos[hit]] if hit.any() else np.zeros(0, np.int64)
         return pa.table(
             {
-                "bucket": pa.array(okey % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey % mode_buckets, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "a": pa.array(cnat, pa.int64()),  # customer nation
                 "b": pa.array(np.zeros(len(okey), np.int64), pa.int64()),
@@ -769,7 +774,7 @@ def q_q5_local_supplier_volume(sf_dir: str):
         rev = cents * (1_000_000 - disc_u)
         return pa.table(
             {
-                "bucket": pa.array(okey % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey % mode_buckets, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "a": pa.array(batch["l_suppkey"].to_numpy(), pa.int64()),
                 "b": pa.array(rev, pa.int64()),
@@ -1035,9 +1040,10 @@ def q_user_event_sequence(sf_dir: str):
 
     Scale shape: per-batch partials keep only each user's SEQ_K earliest
     rows (vectorized lexsort + run-position mask), users hash-bucket into
-    MODE_BUCKETS groups, and each bucket re-applies the same top-K mask
+    mode_buckets groups, and each bucket re-applies the same top-K mask
     before building its strings — shuffle volume is O(users × K), never
     the event stream."""
+    mode_buckets = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
 
     def topk_mask(uid: np.ndarray, ms: np.ndarray, eid: np.ndarray):
@@ -1056,7 +1062,7 @@ def q_user_event_sequence(sf_dir: str):
         keep = topk_mask(uid, ms, eid)
         return pa.table(
             {
-                "bucket": pa.array(uid[keep] % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid[keep] % mode_buckets, pa.int64()),
                 "user_id": pa.array(uid[keep], pa.int64()),
                 "ms": pa.array(ms[keep], pa.int64()),
                 "event_id": pa.array(eid[keep], pa.int64()),
@@ -1215,6 +1221,7 @@ def q_funnel_users(sf_dir: str):
     by user hash); each bucket answers every click's "was there a view in
     my window?" with two searchsorted probes against a composite
     (user, ms) key — O((V+C) log V) per bucket, no pair explosion."""
+    mode_buckets = derive_buckets(sf_dir, "events", floor=64)
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -1229,7 +1236,7 @@ def q_funnel_users(sf_dir: str):
         uid = b["user_id"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(uid % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid % mode_buckets, pa.int64()),
                 "user_id": pa.array(uid, pa.int64()),
                 "ms": pa.array(_ms(b), pa.int64()),
                 "is_then": pa.array(
@@ -1278,13 +1285,14 @@ def q_orders_without_lineitem(sf_dir: str):
     both hash-bucket on the join key and the lineitem side pre-dedupes its
     keys per batch — the shuffle moves distinct orderkeys, never line
     items."""
+    mode_buckets = derive_buckets(sf_dir, "orders", "lineitem", floor=64)
     import ray.data as rd
 
     def prep_orders(batch: pa.Table) -> pa.Table:
         key = batch["o_orderkey"].to_numpy()
         return pa.table(
             {
-                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % mode_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "side": pa.array(np.zeros(len(key), np.int64), pa.int64()),
             }
@@ -1294,7 +1302,7 @@ def q_orders_without_lineitem(sf_dir: str):
         key = np.unique(batch["l_orderkey"].to_numpy())
         return pa.table(
             {
-                "bucket": pa.array(key % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % mode_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "side": pa.array(np.ones(len(key), np.int64), pa.int64()),
             }
@@ -1333,6 +1341,7 @@ def q_user_retention_cohort(sf_dir: str):
     resident user's cohort (min day) and its per-(cohort, offset) partial
     counts vectorized; the final groupby runs over the calendar-bounded
     (cohort × offset) key space."""
+    mode_buckets = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1347,7 +1356,7 @@ def q_user_retention_cohort(sf_dir: str):
         uid = d["user_id"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(uid % MODE_BUCKETS, pa.int64()),
+                "bucket": pa.array(uid % mode_buckets, pa.int64()),
                 "user_id": pa.array(uid, pa.int64()),
                 "day": pa.array(d["day"].to_numpy(np.int64), pa.int64()),
             }

@@ -38,14 +38,14 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..scale import derive_buckets
+
 from .queries_ml2 import _p
 
-TYPO_BUCKETS = 32  # variant-hash shuffle cardinality for the ED-1 join
 SPLIT_MULT = 2654435761  # Knuth multiplicative hash (SQL-expressible)
 SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90  # <80 train, <90 val, else test
 NEG_K = 4  # negatives per anchor vector
 NEG_MULT = 2654435761
-CHUNK_BUCKETS = 64  # chunk-hash shuffle cardinality for paragraph dedup
 
 
 # --------------------------------------------------------------------------
@@ -85,6 +85,7 @@ def q_part_name_typo_pairs(sf_dir: str):
     cross join the blocking avoided). A final pair-keyed groupby dedupes
     the multi-variant hits. The DuckDB oracle genuinely cross-joins with
     ``levenshtein``."""
+    typo_buckets = derive_buckets(sf_dir, "part", floor=32)
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -96,7 +97,7 @@ def q_part_name_typo_pairs(sf_dir: str):
         for n in names:
             vs = {n} | {n[:i] + n[i + 1 :] for i in range(len(n))}
             for v in vs:
-                out_b.append(zlib.crc32(v.encode()) % TYPO_BUCKETS)
+                out_b.append(zlib.crc32(v.encode()) % typo_buckets)
                 out_v.append(v)
                 out_n.append(n)
         return pa.table(
@@ -338,6 +339,7 @@ def q_chunk_dedup_groups(sf_dir: str):
     bucket a vectorized pandas groupby computes both counts in one pass.
     Only groups with n_occ>1 leave the bucket — output is dup-shaped, not
     corpus-shaped."""
+    chunk_buckets = derive_buckets(sf_dir, "documents", floor=64)
     import ray.data as rd
 
     from .queries import CHUNK_W, TOKEN_RE
@@ -352,7 +354,7 @@ def q_chunk_dedup_groups(sf_dir: str):
             tk = TOKEN_RE.findall(t.lower())
             for ci in range((len(tk) + CHUNK_W - 1) // CHUNK_W):
                 seg = " ".join(tk[ci * CHUNK_W : (ci + 1) * CHUNK_W])
-                out_b.append(zlib.crc32(seg.encode()) % CHUNK_BUCKETS)
+                out_b.append(zlib.crc32(seg.encode()) % chunk_buckets)
                 out_c.append(seg)
                 out_d.append(int(d))
         return pa.table(
@@ -392,7 +394,6 @@ def q_chunk_dedup_groups(sf_dir: str):
 
 BLOOM_PRIORITY = "3-MEDIUM"
 BLOOM_BITS_PER_KEY = 16
-SEMI_BUCKETS = 64
 
 
 def q_bloom_semijoin_lines(sf_dir: str):
@@ -408,6 +409,7 @@ def q_bloom_semijoin_lines(sf_dir: str):
 
     The oracle is the plain EXISTS semi-join — bit-equality proves the
     bloom+verify composition is lossless."""
+    semi_buckets = derive_buckets(sf_dir, "orders", "lineitem", floor=64)
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -432,7 +434,7 @@ def q_bloom_semijoin_lines(sf_dir: str):
         flags = np.asarray(batch["l_returnflag"].to_pylist(), object)[keep]
         return pa.table(
             {
-                "bucket": pa.array(okey[keep] % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey[keep] % semi_buckets, pa.int64()),
                 "key": pa.array(okey[keep], pa.int64()),
                 "flag": pa.array(list(flags), pa.string()),
                 "qty": pa.array(qty[keep], pa.int64()),
@@ -444,7 +446,7 @@ def q_bloom_semijoin_lines(sf_dir: str):
         k = np.unique(batch["o_orderkey"].to_numpy().astype(np.int64))
         return pa.table(
             {
-                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(k % semi_buckets, pa.int64()),
                 "key": pa.array(k, pa.int64()),
                 "flag": pa.array([""] * len(k), pa.string()),
                 "qty": pa.array(np.zeros(len(k), np.int64), pa.int64()),
@@ -496,6 +498,9 @@ def q_bloom_semijoin_lines(sf_dir: str):
 # repartition-and-sort-within-partitions (secondary sort) checksum
 # --------------------------------------------------------------------------
 
+# NOT a derive_buckets site: the bucket id is an OUTPUT column and the
+# oracle replays `user_id % 64` — partition count is part of this query's
+# contract (same class as CKSUM_BUCKETS), not a tunable shuffle knob
 ORD_BUCKETS = 64
 
 
@@ -642,6 +647,7 @@ def q_orders_constraint_audit(sf_dir: str):
     check reuses the two-fact-table bucketed anti-join, whose shuffle moves
     per-batch-deduped keys only. The zero-row seed guarantees the full
     5-row output shape."""
+    semi_buckets = derive_buckets(sf_dir, "orders", "lineitem", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -677,7 +683,7 @@ def q_orders_constraint_audit(sf_dir: str):
         k = np.unique(batch["l_orderkey"].to_numpy().astype(np.int64))
         return pa.table(
             {
-                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(k % semi_buckets, pa.int64()),
                 "key": pa.array(k, pa.int64()),
                 "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
             }
@@ -687,7 +693,7 @@ def q_orders_constraint_audit(sf_dir: str):
         k = batch["o_orderkey"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(k % semi_buckets, pa.int64()),
                 "key": pa.array(k, pa.int64()),
                 "side": pa.array(np.ones(len(k), np.int64), pa.int64()),
             }
@@ -902,7 +908,6 @@ def q_user_day_zorder_profile(sf_dir: str):
 # hierarchical percent-of-parent (region → nation revenue share)
 # --------------------------------------------------------------------------
 
-SHARE_BUCKETS = 64
 
 
 def q_nation_region_share(sf_dir: str):
@@ -916,6 +921,7 @@ def q_nation_region_share(sf_dir: str):
     co-partition; per-bucket joins partial-aggregate to per-nation cents
     before the |nations|-row final groupby; the region hierarchy and the
     percent-of-parent window both run on the 25-row dimension block."""
+    share_buckets = derive_buckets(sf_dir, "nation", "region", "customer", "orders", floor=64)
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -945,7 +951,7 @@ def q_nation_region_share(sf_dir: str):
         key = batch["c_custkey"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(key % SHARE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % share_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "nat": pa.array(
                     batch["c_nationkey"].to_numpy().astype(np.int64), pa.int64()
@@ -962,7 +968,7 @@ def q_nation_region_share(sf_dir: str):
         )
         return pa.table(
             {
-                "bucket": pa.array(key % SHARE_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % share_buckets, pa.int64()),
                 "key": pa.array(key, pa.int64()),
                 "nat": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
                 "cents": pa.array(cents, pa.int64()),
@@ -1115,6 +1121,7 @@ def q_user_late_events(sf_dir: str):
     Scale shape: ONE user-bucketed shuffle of (arrival, ms) pairs; inside
     each bucket the watermark is a per-user sorted cummax (numpy) and the
     late flags collapse to per-user counts before output."""
+    mode_buckets_late = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
 
     from .queries_ml2 import _ms
@@ -1124,7 +1131,7 @@ def q_user_late_events(sf_dir: str):
         eid = batch["event_id"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(uid % MODE_BUCKETS_LATE, pa.int64()),
+                "bucket": pa.array(uid % mode_buckets_late, pa.int64()),
                 "user_id": pa.array(uid, pa.int64()),
                 "arr": pa.array((eid * ARRIVAL_MULT) % (1 << 32), pa.int64()),
                 "eid": pa.array(eid, pa.int64()),
@@ -1170,7 +1177,6 @@ def q_user_late_events(sf_dir: str):
     )
 
 
-MODE_BUCKETS_LATE = 64
 
 
 # --------------------------------------------------------------------------
@@ -1405,6 +1411,7 @@ def q_user_longest_streak(sf_dir: str):
     Scale shape: events collapse to distinct (user, day) map-side; ONE
     user-bucketed shuffle; per-bucket the streaks fall out of one lexsort
     + run-length encoding over day diffs."""
+    mode_buckets_late = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
 
     from .queries_ml2 import _ms
@@ -1420,7 +1427,7 @@ def q_user_longest_streak(sf_dir: str):
         uid = d["user_id"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(uid % MODE_BUCKETS_LATE, pa.int64()),
+                "bucket": pa.array(uid % mode_buckets_late, pa.int64()),
                 "user_id": pa.array(uid, pa.int64()),
                 "day": pa.array(d["day"].to_numpy(np.int64), pa.int64()),
             }
@@ -1483,6 +1490,7 @@ def q_event_type_markov(sf_dir: str):
     fall out of one lexsort and a shifted comparison (no Python loop);
     per-bucket partial counts collapse before the |types|²-key final
     groupby."""
+    mode_buckets_late = derive_buckets(sf_dir, "events", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1492,7 +1500,7 @@ def q_event_type_markov(sf_dir: str):
         uid = batch["user_id"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(uid % MODE_BUCKETS_LATE, pa.int64()),
+                "bucket": pa.array(uid % mode_buckets_late, pa.int64()),
                 "user_id": pa.array(uid, pa.int64()),
                 "ms": pa.array(_ms(batch), pa.int64()),
                 "eid": pa.array(
@@ -1976,6 +1984,7 @@ def q_order_size_histogram(sf_dir: str):
     order with its count partials; per bucket the totals are one
     sort + reduceat and the histogram partials are |distinct sizes|
     rows; the final groupby runs over the tiny size domain."""
+    semi_buckets = derive_buckets(sf_dir, "orders", "lineitem", floor=64)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1983,7 +1992,7 @@ def q_order_size_histogram(sf_dir: str):
         k = batch["o_orderkey"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(k % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(k % semi_buckets, pa.int64()),
                 "key": pa.array(k, pa.int64()),
                 "pn": pa.array(np.zeros(len(k), np.int64), pa.int64()),
                 "side": pa.array(np.zeros(len(k), np.int64), pa.int64()),
@@ -1995,7 +2004,7 @@ def q_order_size_histogram(sf_dir: str):
         uk, cnt = np.unique(k, return_counts=True)
         return pa.table(
             {
-                "bucket": pa.array(uk % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(uk % semi_buckets, pa.int64()),
                 "key": pa.array(uk, pa.int64()),
                 "pn": pa.array(cnt.astype(np.int64), pa.int64()),
                 "side": pa.array(np.ones(len(uk), np.int64), pa.int64()),
@@ -2193,6 +2202,7 @@ def q_custs_all_priorities(sf_dir: str):
     stream); the divisor domain is a domain-bounded broadcast gathered
     from per-batch uniques; ONE customer-bucketed shuffle, then a
     vectorized distinct-count == |domain| check per bucket."""
+    semi_buckets = derive_buckets(sf_dir, "orders", floor=64)
     import ray.data as rd
 
     def dom_partial(batch: pa.Table) -> pa.Table:
@@ -2223,7 +2233,7 @@ def q_custs_all_priorities(sf_dir: str):
         cust = d["cust"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(cust % SEMI_BUCKETS, pa.int64()),
+                "bucket": pa.array(cust % semi_buckets, pa.int64()),
                 "cust": pa.array(cust, pa.int64()),
                 "prio": pa.array(d["prio"], pa.string()),
             }
@@ -2459,9 +2469,9 @@ def q_order_price_decile_profile(sf_dir: str):
 # --------------------------------------------------------------------------
 
 BASKET_MIN_SUPPORT = 3
-BASKET_BUCKETS = 1024  # measured sweet spot at sf0.1: 64 distinct keys
-# slow the range partitioner (boundary sampling needs key spread), 4096+
-# pays per-group map_groups call overhead; 1024 ran 3x faster than either
+# basket-mining floor is 1024 (measured sweet spot at sf0.1: 64 distinct keys
+# slow the range partitioner's boundary sampling, 4096+ pays per-group call
+# overhead) — passed as floor= to derive_buckets inside each basket query
 
 
 def _pair_expand(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray):
@@ -2495,6 +2505,7 @@ def q_part_pair_support(sf_dir: str):
     ONE order-bucketed shuffle co-locates every basket; per-basket pair
     expansion is bounded by basket size²; the (pair → support) groupby
     moves only pair rows; the HAVING filter makes output support-shaped."""
+    basket_buckets = derive_buckets(sf_dir, "lineitem", floor=1024)
     import ray.data as rd
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -2512,7 +2523,7 @@ def q_part_pair_support(sf_dir: str):
         okey = d["okey"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(okey % BASKET_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey % basket_buckets, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
             }
@@ -2534,7 +2545,7 @@ def q_part_pair_support(sf_dir: str):
         return pa.table(
             {
                 "pbucket": pa.array(
-                    (out_a * 1_000_003 + out_b) % BASKET_BUCKETS, pa.int64()
+                    (out_a * 1_000_003 + out_b) % basket_buckets, pa.int64()
                 ),
                 "part_a": pa.array(out_a, pa.int64()),
                 "part_b": pa.array(out_b, pa.int64()),
@@ -2586,6 +2597,7 @@ def q_part_pair_lift(sf_dir: str):
     part-key array + counts), and the basket total is one distinct-count
     aggregate — nothing rescans raw lineitems beyond the two support
     passes."""
+    basket_buckets = derive_buckets(sf_dir, "lineitem", floor=1024)
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -2609,7 +2621,7 @@ def q_part_pair_lift(sf_dir: str):
         okey = d["okey"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(okey % BASKET_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey % basket_buckets, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
             }
@@ -2702,6 +2714,7 @@ def q_part_graph_triangles(sf_dir: str):
     each edge toward its lower-degree endpoint); here ONE shuffle routes
     wedges + edges by (b, c) hash and each bucket resolves membership
     with a sorted-key searchsorted. Output is a single count row."""
+    basket_buckets = derive_buckets(sf_dir, "lineitem", floor=1024)
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -2710,7 +2723,7 @@ def q_part_graph_triangles(sf_dir: str):
         b = batch["part_b"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "grp": pa.array(a % BASKET_BUCKETS, pa.int64()),
+                "grp": pa.array(a % basket_buckets, pa.int64()),
                 "a": pa.array(a, pa.int64()),
                 "b": pa.array(b, pa.int64()),
             }
@@ -2727,7 +2740,7 @@ def q_part_graph_triangles(sf_dir: str):
         key = out_b * 1_000_003 + out_c
         return pa.table(
             {
-                "bucket": pa.array(key % BASKET_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % basket_buckets, pa.int64()),
                 "b": pa.array(out_b, pa.int64()),
                 "c": pa.array(out_c, pa.int64()),
                 "side": pa.array(np.zeros(len(out_b), np.int64), pa.int64()),
@@ -2740,7 +2753,7 @@ def q_part_graph_triangles(sf_dir: str):
         key = b * 1_000_003 + c
         return pa.table(
             {
-                "bucket": pa.array(key % BASKET_BUCKETS, pa.int64()),
+                "bucket": pa.array(key % basket_buckets, pa.int64()),
                 "b": pa.array(b, pa.int64()),
                 "c": pa.array(c, pa.int64()),
                 "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
@@ -2806,7 +2819,7 @@ def q_part_graph_triangles(sf_dir: str):
         okey = d["okey"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(okey % BASKET_BUCKETS, pa.int64()),
+                "bucket": pa.array(okey % basket_buckets, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
             }
@@ -2824,7 +2837,7 @@ def q_part_graph_triangles(sf_dir: str):
         return pa.table(
             {
                 "pbucket": pa.array(
-                    (out_a * 1_000_003 + out_b) % BASKET_BUCKETS, pa.int64()
+                    (out_a * 1_000_003 + out_b) % basket_buckets, pa.int64()
                 ),
                 "part_a": pa.array(out_a, pa.int64()),
                 "part_b": pa.array(out_b, pa.int64()),
