@@ -1,0 +1,138 @@
+"""Degree-ordered wedge expansion (VERDICT r3 'Next round' #2).
+
+_orient_edges points every edge at its lower-degree endpoint, bounding
+per-source out-degree (and so wedge volume Σ C(out,2)) even when one hub
+node touches a large share of all edges — the skew case where the naive
+lower-id orientation explodes one group quadratically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mklab_focused_crawler_ray.pipelines.queries_ml3 import _orient_edges
+
+
+def _degrees(a: np.ndarray, b: np.ndarray):
+    keys, deg = np.unique(np.concatenate([a, b]), return_counts=True)
+    return keys.astype(np.int64), deg.astype(np.int64)
+
+
+def _wedge_volume(src: np.ndarray) -> int:
+    _, out = np.unique(src, return_counts=True)
+    return int((out * (out - 1) // 2).sum())
+
+
+def test_hub_star_wedges_collapse_under_orientation():
+    """Planted hot key: hub node 0 on 30% of all edges. Naive lower-id
+    grouping expands C(n_hub, 2) wedges in ONE group; degree orientation
+    pushes every hub edge to its spoke (degree 1 or 2) side."""
+    rng = np.random.default_rng(42)
+    n_spokes = 3000
+    hub_a = np.zeros(n_spokes, np.int64)
+    hub_b = np.arange(1, n_spokes + 1, dtype=np.int64)
+    # background edges among non-hub nodes (sparse, no node repeated much)
+    bg_a = np.arange(n_spokes + 1, 2 * n_spokes + 1, dtype=np.int64)
+    bg_b = bg_a + n_spokes
+    a = np.concatenate([hub_a, bg_a])
+    b = np.concatenate([hub_b, bg_b])
+    keys, deg = _degrees(a, b)
+
+    naive_vol = _wedge_volume(a)  # group by lower endpoint = hub
+    assert naive_vol >= n_spokes * (n_spokes - 1) // 2  # quadratic blowup
+
+    src, dst, ddeg = _orient_edges(a, b, keys, deg)
+    oriented_vol = _wedge_volume(src)
+    # hub out-degree is 0 (every hub edge oriented toward its spoke), so
+    # the planted key contributes nothing; remaining volume is O(m)
+    assert oriented_vol <= len(a)
+    # per-group bound: worst source expands a constant number of wedges
+    _, out = np.unique(src, return_counts=True)
+    assert out.max() <= 2
+
+
+def test_orientation_preserves_triangle_count():
+    """Random graph: triangle count via oriented wedge-join equals the
+    brute-force count (the orientation changes WHERE wedges are expanded,
+    never the set of closed triangles)."""
+    rng = np.random.default_rng(7)
+    n = 60
+    # random edge set (dedup, no self-loops), canonical a < b
+    raw = rng.integers(0, n, size=(600, 2))
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    a = np.minimum(raw[:, 0], raw[:, 1]).astype(np.int64)
+    b = np.maximum(raw[:, 0], raw[:, 1]).astype(np.int64)
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = pairs[:, 0], pairs[:, 1]
+
+    # brute force over the adjacency matrix
+    adj = np.zeros((n, n), np.int64)
+    adj[a, b] = adj[b, a] = 1
+    brute = int(np.einsum("ij,jk,ki->", adj, adj, adj)) // 6
+
+    keys, deg = _degrees(a, b)
+    src, dst, ddeg = _orient_edges(a, b, keys, deg)
+    # expand wedges per src in rank order, then count closing oriented edges
+    order = np.lexsort((dst, ddeg, src))
+    s, d = src[order], dst[order]
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import _pair_expand
+
+    starts = np.r_[0, np.flatnonzero(s[1:] != s[:-1]) + 1]
+    ends = np.r_[starts[1:], len(s)]
+    wv, ww = _pair_expand(d, starts, ends)
+    ekey = np.sort(src * (1 << 32) + dst)
+    wkey = wv * (1 << 32) + ww
+    pos = np.clip(np.searchsorted(ekey, wkey), 0, len(ekey) - 1)
+    got = int((ekey[pos] == wkey).sum())
+    assert got == brute
+
+
+def test_full_query_matches_duckdb_on_skewed_baskets(ray_session, tmp_path):
+    """End-to-end q_part_graph_triangles on a hot-key basket table (one
+    part appears in 30% of baskets) against the DuckDB self-join oracle."""
+    import duckdb
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        TRI_MIN_SUPPORT,
+        q_part_graph_triangles,
+    )
+
+    rng = np.random.default_rng(3)
+    okeys, pkeys = [], []
+    for okey in range(1, 301):
+        basket = set(rng.integers(1, 40, size=rng.integers(2, 6)).tolist())
+        if okey % 3 == 0:
+            basket.add(1)  # planted hot part
+        for p in basket:
+            okeys.append(okey)
+            pkeys.append(int(p))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okeys, pa.int64()),
+                "l_partkey": pa.array(pkeys, pa.int64()),
+            }
+        ),
+        str(sf / "lineitem.parquet"),
+    )
+    got = q_part_graph_triangles(str(sf)).to_pandas()["n_triangles"].iloc[0]
+
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM read_parquet('{sf}/lineitem.parquet')),
+        e AS (SELECT a.p AS pa, b.p AS pb
+              FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p HAVING COUNT(*) >= {TRI_MIN_SUPPORT})
+        SELECT COUNT(*) AS n FROM e e1
+        JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+        """
+    ).fetchone()[0]
+    assert int(got) == int(exp)
