@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "part_pair_support",
     "part_pair_lift",
     "part_graph_triangles",
+    # round 4 additions (keep appended so r3's 132-query core stays stable)
+    "doc_pack_sequences",
+    "doc_pii_scrub",
 ]
 
 

@@ -1530,6 +1530,7 @@ from .queries_media import MEDIA_ORACLE_SQL, MEDIA_QUERIES  # noqa: E402
 from .queries_ml import ML_ORACLE_SQL, ML_QUERIES  # noqa: E402
 from .queries_ml2 import ML2_ORACLE_SQL, ML2_QUERIES  # noqa: E402
 from .queries_ml3 import ML3_ORACLE_SQL, ML3_QUERIES  # noqa: E402
+from .queries_ml4 import ML4_QUERIES, build_ml4_oracles  # noqa: E402
 from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 
 QUERIES.update(MEDIA_QUERIES)
@@ -1537,6 +1538,7 @@ QUERIES.update(REL_QUERIES)
 QUERIES.update(ML_QUERIES)
 QUERIES.update(ML2_QUERIES)
 QUERIES.update(ML3_QUERIES)
+QUERIES.update(ML4_QUERIES)
 
 _SCORE_SQL = (
     "(1 - EXP(-0.05*value) + 1)/2 * "
@@ -1731,6 +1733,8 @@ ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(ML_ORACLE_SQL)
 ORACLE_SQL.update(ML2_ORACLE_SQL)
 ORACLE_SQL.update(ML3_ORACLE_SQL)
+# ml4 oracles splice the doc_chunks SQL above, so they build after this dict
+ORACLE_SQL.update(build_ml4_oracles())
 
 # interval-overlap join oracle, composed from the registered sessionization
 # oracle (defined here because ML_ORACLE_SQL is built before this dict)
