@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     # round 4 additions (keep appended so r3's 132-query core stays stable)
     "doc_pack_sequences",
     "doc_pii_scrub",
+    "caption_image_alignment",
+    "multimodal_filter_aligned",
 ]
 
 

@@ -615,6 +615,47 @@ def build_extended_oracles() -> dict[str, str]:
         f"AND q.quality_micro >= {CAPTION_KEEP_MICRO}"
     )
 
+    # caption–image alignment: DuckDB replays the integer dot + per-char
+    # normalization + gate over the ENGINE-materialized shifted-micro
+    # embeds (pixel decode is not SQL-expressible; same discipline as the
+    # simhash signature oracle). Caption histogram is fully SQL-side:
+    # 64-bin code-point counts via string_split + ascii.
+    from .queries_media import (
+        ALIGN_DIM,
+        CAPTION_ALIGN_PPM,
+        alignment_embeds_for_fixture,
+    )
+
+    aemb = alignment_embeds_for_fixture(fdir)
+    _align_core = (
+        f"e AS (SELECT image_id, img_mic FROM read_parquet('{aemb}')), "
+        # the WHERE drops the [''] an empty caption splits into (a char
+        # split of non-empty text never yields empty elements)
+        f"ch AS (SELECT image_id, c FROM (SELECT image_id, "
+        f"unnest(string_split(caption, '')) AS c FROM {images_rel}) "
+        "WHERE c <> ''), "
+        f"cap AS (SELECT image_id, ascii(c) % {ALIGN_DIM} AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2), "
+        "j AS (SELECT e.image_id, "
+        "CAST(SUM(e.img_mic[cap.bin + 1] * cap.cnt) AS BIGINT) AS dot, "
+        "CAST(SUM(cap.cnt) AS BIGINT) AS total "
+        "FROM e JOIN cap USING (image_id) GROUP BY 1), "
+        f"a AS (SELECT i.image_id, CASE WHEN j.total IS NULL OR j.total = 0 "
+        "THEN 0 ELSE j.dot // j.total END AS align_ppm "
+        f"FROM {images_rel} i LEFT JOIN j USING (image_id))"
+    )
+    sql["caption_image_alignment"] = (
+        f"WITH {_align_core} "
+        "SELECT image_id, align_ppm, "
+        f"CAST(align_ppm >= {CAPTION_ALIGN_PPM} AS BIGINT) AS aligned FROM a"
+    )
+    sql["multimodal_filter_aligned"] = (
+        f"WITH k AS ({sql['multimodal_filter_kept']}), {_align_core} "
+        "SELECT k.image_id, k.fmt, k.quality_micro, a.align_ppm "
+        "FROM k JOIN a USING (image_id) "
+        f"WHERE a.align_ppm >= {CAPTION_ALIGN_PPM}"
+    )
+
 
     # inverted-index postings for the 5 alphabetically-first corpus tokens
     # (TextIndexerBolt analogue; engine reads only the probed buckets)

@@ -84,6 +84,8 @@ FIXTURE_BACKED = {
     "image_phash_dup_groups",
     "caption_quality",
     "multimodal_filter_kept",
+    "caption_image_alignment",
+    "multimodal_filter_aligned",
     "pagerank_top20",
     "page_image_join_stats",
     # these two read the engine-materialized small-fixture pseudo-embedding
