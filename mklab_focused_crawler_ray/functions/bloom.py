@@ -31,17 +31,30 @@ def _mix(x: np.ndarray, salt: int) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def make_bloom(keys: np.ndarray, bits_per_key: int = 16, k: int = 4) -> tuple[np.ndarray, int]:
-    """Build the filter → (uint64 word array, m_bits). m is a power of two
-    ≥ bits_per_key × |keys| so the position mask is a single AND."""
-    n = max(1, len(keys))
-    m = 1 << int(np.ceil(np.log2(max(64, bits_per_key * n))))
-    words = np.zeros(m // 64, dtype=np.uint64)
+def bloom_m_bits(n_keys: int, bits_per_key: int = 16) -> int:
+    """Bit-array size for ``n_keys``: the power of two ≥ bits_per_key × n
+    (a power of two so the position mask is a single AND). Exposed so a
+    DISTRIBUTED build can fix m up front (from a metadata row count) and
+    OR per-block partial bitmaps together."""
+    return 1 << int(np.ceil(np.log2(max(64, bits_per_key * max(1, n_keys)))))
+
+
+def bloom_add(words: np.ndarray, m: int, keys: np.ndarray, k: int = 4) -> None:
+    """Set the k bit positions of each key in an existing m-bit filter
+    (in place). Partial bitmaps built this way with the same m compose by
+    bitwise OR — the map-side half of a distributed bloom build."""
     x = keys.astype(np.int64).view(np.uint64)
     for i in range(k):
         pos = _mix(x, i + 1) & np.uint64(m - 1)
         np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (pos & np.uint64(63)))
+
+
+def make_bloom(keys: np.ndarray, bits_per_key: int = 16, k: int = 4) -> tuple[np.ndarray, int]:
+    """Build the filter → (uint64 word array, m_bits)."""
+    m = bloom_m_bits(len(keys), bits_per_key)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    bloom_add(words, m, keys, k)
     return words, m
 
 

@@ -1032,24 +1032,45 @@ def q_pagerank_top20(sf_dir: str):
     inbound mass partial-aggregates inside the bucket before the per-dst
     shuffle; ranks re-materialize once per iteration (the standard
     iteration barrier — without it the lazy lineage re-executes every prior
-    iteration). Internal-edge filtering uses a broadcast sorted node array
-    (bloom filter at 10^10-node scale, same pipeline shape)."""
+    iteration). Internal-edge filtering is bloom-gated (r3 'What's wrong'
+    #3 closed): a splitmix64 bloom over node url-hashes — built
+    DISTRIBUTED as per-block partial bitmaps OR-folded on the driver
+    (O(m) driver memory, never the node array; at 10^10 nodes the fold
+    becomes a tree reduce, same partials) — prefilters out-links with no
+    false negatives, and an exact in-bucket verify against the node table
+    removes the ~0.01% false positives, so the edge set is bit-identical
+    to the old broadcast-sorted-array gate."""
+    import zlib
+
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    import pyarrow.parquet as pq
+    from ..functions.bloom import bloom_add, bloom_contains, bloom_m_bits
+    from ..functions.urls import url_hash64_vec
 
     pages = _pages_path(sf_dir)
     pr_buckets = derive_buckets_for_paths(pages, floor=64)
-    nodes = np.sort(
-        pq.read_table(pages, columns=["url"])["url"].to_numpy(zero_copy_only=False)
-    )
-    nodes_ref = ray.put(nodes)
+
+    node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
+    m_bits = bloom_m_bits(node_ds.count())  # metadata count, no collect
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        w = np.zeros(m_bits // 64, np.uint64)
+        bloom_add(w, m_bits, url_hash64_vec(batch["url"].to_pylist()))
+        return pa.table({"words": pa.array([w.view(np.int64).tolist()])})
+
+    words = np.zeros(m_bits // 64, np.uint64)
+    for b in node_ds.map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b["words"].to_pylist():
+            words |= np.asarray(row, np.int64).view(np.uint64)
+    bloom_ref = ray.put((words, m_bits))
 
     def explode(batch: pa.Table) -> pa.Table:
-        nd = ray.get(nodes_ref)
+        bw, bm = ray.get(bloom_ref)
         links = batch["out_links"]
         if isinstance(links, pa.ChunkedArray):
             links = links.combine_chunks()
@@ -1059,19 +1080,54 @@ def q_pagerank_top20(sf_dir: str):
         dst = flat.to_numpy(zero_copy_only=False)
         srcn = src.to_numpy(zero_copy_only=False)
         if len(dst):
-            idx = np.clip(np.searchsorted(nd, dst), 0, len(nd) - 1)
-            internal = nd[idx] == dst
-            srcn, dst = srcn[internal], dst[internal]
+            maybe = bloom_contains(bw, bm, url_hash64_vec(dst.tolist()))
+            srcn, dst = srcn[maybe], dst[maybe]
         return pa.table(
             {
                 "src": pa.array(srcn.tolist(), pa.string()),
                 "dst": pa.array(dst.tolist(), pa.string()),
+                "side": pa.array(np.ones(len(dst), np.int64), pa.int64()),
+            }
+        )
+
+    # exact verify: bloom survivors co-grouped with the node table by
+    # crc32(dst) — false positives (hash or bloom) die on string equality
+    def node_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "src": pa.array([""] * n, pa.string()),
+                "dst": batch["url"],
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def vbucket(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [zlib.crc32(u.encode()) % pr_buckets for u in batch["dst"].to_pylist()],
+            np.int64,
+        )
+        return batch.append_column("bucket", pa.array(h, pa.int64()))
+
+    def verify(g) -> pa.Table:
+        nodeset = g[g["side"] == 0]["dst"].to_numpy(object)
+        ee = g[g["side"] == 1]
+        keep = np.isin(ee["dst"].to_numpy(object), nodeset)
+        return pa.table(
+            {
+                "src": pa.array(ee["src"].to_numpy(object)[keep].tolist(), pa.string()),
+                "dst": pa.array(ee["dst"].to_numpy(object)[keep].tolist(), pa.string()),
             }
         )
 
     edges = (
         rd.read_parquet(pages, columns=["url", "out_links"])
         .map_batches(explode, batch_format="pyarrow")
+        .union(node_ds.map_batches(node_rows, batch_format="pyarrow"))
+        .repartition(pr_buckets)
+        .map_batches(vbucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
         .materialize()
     )
 
