@@ -615,6 +615,17 @@ def build_extended_oracles() -> dict[str, str]:
         f"AND q.quality_micro >= {CAPTION_KEEP_MICRO}"
     )
 
+    # thumbnail signatures: the expected table comes from the SEQUENTIAL
+    # single-process codec path (thumbnail_signature_parquet) — equality
+    # proves the distributed actor-pool pipeline reproduces the reference
+    # bytes (r3 'Next round' #7: flipped from no_oracle)
+    from .queries_media import thumbnail_signature_parquet
+
+    sql["image_thumbnails"] = (
+        "SELECT image_id, thumb_hash, mean_r_x100, mean_g_x100, mean_b_x100 "
+        f"FROM read_parquet('{thumbnail_signature_parquet(fdir)}')"
+    )
+
     # caption–image alignment: DuckDB replays the integer dot + per-char
     # normalization + gate over the ENGINE-materialized shifted-micro
     # embeds (pixel decode is not SQL-expressible; same discipline as the

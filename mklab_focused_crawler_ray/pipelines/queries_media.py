@@ -89,12 +89,100 @@ def q_image_clusters(sf_dir: str):
 
 
 def q_image_thumbnails(sf_dir: str):
-    """Decode + area-resize actor-pool stage (rows-only: DuckDB cannot
-    decode pixels; byte-exactness vs the codec reference is pinned by
-    tests/test_round3c_ops.py::test_thumbnail_matches_reference)."""
+    """Decode + area-resize actor-pool stage, reported as (image_id,
+    thumb_hash, mean_{r,g,b}_x100) where thumb_hash is blake2b-8 of the
+    raw 8×8 RGB thumbnail bytes. ORACLE-CHECKED since r4: thumbnails are
+    byte-exact deterministic, so the oracle reads the expected signature
+    table built by the SEQUENTIAL single-process codec path
+    (``thumbnail_signature_parquet``) — the comparison proves the
+    distributed actor-pool pipeline (batching, actor state, Arrow
+    plumbing) reproduces the reference bytes, the simhash-signature
+    discipline applied to pixels. Raw thumbnail bytes remain available to
+    pipelines via ``stages.image.thumbnail_images``."""
     from ..stages.image import thumbnail_images
 
-    return thumbnail_images(_images(sf_dir))
+    return thumbnail_images(_images(sf_dir)).map_batches(
+        _thumb_sig, batch_format="pyarrow"
+    )
+
+
+def _thumb_sig(batch: pa.Table) -> pa.Table:
+    import hashlib
+
+    hashes = [
+        int.from_bytes(
+            hashlib.blake2b(t, digest_size=8).digest(), "little", signed=False
+        )
+        for t in batch["thumb"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "image_id": batch["image_id"],
+            "thumb_hash": pa.array(
+                np.array(hashes, np.uint64).view(np.int64), pa.int64()
+            ),
+            "mean_r_x100": batch["mean_r_x100"],
+            "mean_g_x100": batch["mean_g_x100"],
+            "mean_b_x100": batch["mean_b_x100"],
+        }
+    )
+
+
+def thumbnail_signature_parquet(fdir: str, out: int = 8) -> str:
+    """Expected thumbnail signatures from the SEQUENTIAL codec path (no
+    Ray): decode → resize_area → quantize → blake2b-8, one plain loop,
+    cached next to the fixture. This is the oracle's ground truth — an
+    implementation independent of the actor-pool pipeline's batching and
+    distribution, so equality is a real end-to-end check."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..fixtures.codecs import decode as cdecode
+    from ..fixtures.codecs import resize_area
+
+    path = os.path.join(fdir, "thumbnail_signatures.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(
+        os.path.join(fdir, "images.parquet"), columns=["image_id", "bytes", "fmt"]
+    )
+    ids, hashes, means = [], [], []
+    for iid, blob, fmt in zip(
+        src["image_id"].to_pylist(),
+        src["bytes"].to_pylist(),
+        src["fmt"].to_pylist(),
+    ):
+        th = resize_area(cdecode(blob, fmt), out, out)
+        q = np.clip(np.floor(th + 0.5), 0, 255).astype(np.uint8)
+        ids.append(iid)
+        hashes.append(
+            int.from_bytes(
+                hashlib.blake2b(q.tobytes(), digest_size=8).digest(),
+                "little",
+                signed=False,
+            )
+        )
+        means.append(
+            np.floor(th.reshape(-1, 3).mean(axis=0) * 100.0 + 0.5).astype(np.int64)
+        )
+    m = np.stack(means) if means else np.zeros((0, 3), np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "thumb_hash": pa.array(
+                    np.array(hashes, np.uint64).view(np.int64), pa.int64()
+                ),
+                "mean_r_x100": pa.array(m[:, 0], pa.int64()),
+                "mean_g_x100": pa.array(m[:, 1], pa.int64()),
+                "mean_b_x100": pa.array(m[:, 2], pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
 
 
 def q_image_embed(sf_dir: str):

@@ -94,12 +94,15 @@ def test_reconciliation_totals(ray_session):
 
 
 def test_thumbnail_matches_reference(ray_session):
-    """Actor-pool thumbnails byte-equal the single-threaded codec path."""
+    """Actor-pool thumbnails byte-equal the single-threaded codec path.
+    (Raw bytes come from the stage; the registered query now reports
+    blake2b signatures, oracle-checked against the sequential path.)"""
     import mklab_focused_crawler_ray.pipelines.queries_media as qm
     from mklab_focused_crawler_ray.fixtures.codecs import decode, resize_area
+    from mklab_focused_crawler_ray.stages.image import thumbnail_images
 
     got = (
-        qm.q_image_thumbnails(SF)
+        thumbnail_images(qm._images(SF))
         .to_pandas()
         .set_index("image_id")
         .sort_index()
