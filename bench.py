@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "part_graph_triangles",
     # round 4 additions (keep appended so r3's 132-query core stays stable)
     "doc_pack_sequences",
+    "doc_pack_stats",
     "doc_pii_scrub",
     "caption_image_alignment",
     "multimodal_filter_aligned",
@@ -317,20 +318,23 @@ def main() -> None:
     crawl = run_crawl(NUM_CPUS)
     queries = run_queries(SF_DIR)
     headline = crawl["sec"] + sum(queries.values())
-    print(
-        json.dumps(
-            {
-                "metric": "crawl+queries wall time (crawl fixture tier "
-                f"{FIXTURE_TIER}; queries at {SF_DIR})",
-                "value": round(headline, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "crawl": crawl,
-            }
-        )
-    )
+    payload = {
+        "metric": "crawl+queries wall time (crawl fixture tier "
+        f"{FIXTURE_TIER}; queries at {SF_DIR})",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl,
+    }
+    # the driver's BENCH_r{N}.json capture truncates long stdout at the
+    # FRONT (it ate r2↔r3 per-query comparability — VERDICT r3 ask #8), so
+    # also persist the full per-query record to a file next to the repo
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload))
     ray.shutdown()
 
 

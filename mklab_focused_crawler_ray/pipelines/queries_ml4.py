@@ -117,6 +117,66 @@ def q_doc_pack_sequences(sf_dir: str):
     )
 
 
+def q_doc_pack_stats(sf_dir: str):
+    """PACKING EFFICIENCY: per packed sequence, its chunk count, token
+    fill and fill ratio (ppm) — THE metric a packing job reports (wasted
+    context = wasted training FLOPs). One row per (part, seq_id):
+    (part, seq_id, n_chunks, n_tokens, fill_ppm).
+
+    Scale shape: rides the doc_pack_sequences placement table; the
+    rollup key (part, seq_id) is already co-located by the packing
+    shuffle, so the per-batch pandas groupby inside each partition group
+    is shuffle-free on top of it."""
+    def roll(g) -> pa.Table:
+        import pandas as pd
+
+        agg = (
+            g.groupby("seq_id", sort=False)
+            .agg(
+                n_chunks=("chunk_idx", "size"),
+                n_tokens=("n_chunk_tokens", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "part": pa.array(
+                    np.full(len(agg), int(g["part"].iloc[0]), np.int64),
+                    pa.int64(),
+                ),
+                "seq_id": pa.array(agg["seq_id"].to_numpy(np.int64), pa.int64()),
+                "n_chunks": pa.array(
+                    agg["n_chunks"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    agg["n_tokens"].to_numpy(np.int64), pa.int64()
+                ),
+                "fill_ppm": pa.array(
+                    agg["n_tokens"].to_numpy(np.int64)
+                    * 1_000_000
+                    // PACK_CONTEXT_LEN,
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        q_doc_pack_sequences(sf_dir)
+        .groupby("part")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def _pack_stats_sql() -> str:
+    return (
+        f"WITH p AS ({_pack_sql()}) "
+        "SELECT part, seq_id, COUNT(*) AS n_chunks, "
+        "CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens, "
+        f"CAST(SUM(n_chunk_tokens) AS BIGINT) * 1000000 // {PACK_CONTEXT_LEN} "
+        "AS fill_ppm FROM p GROUP BY 1, 2"
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrub (vectorized RE2 redaction with SQL-replayable counts)
 # --------------------------------------------------------------------------
@@ -255,6 +315,7 @@ def _pii_sql() -> str:
 
 ML4_QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_pack_stats": q_doc_pack_stats,
     "doc_pii_scrub": q_doc_pii_scrub,
 }
 
@@ -262,5 +323,6 @@ ML4_QUERIES = {
 def build_ml4_oracles() -> dict[str, str]:
     return {
         "doc_pack_sequences": _pack_sql(),
+        "doc_pack_stats": _pack_stats_sql(),
         "doc_pii_scrub": _pii_sql(),
     }
