@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "doc_pii_scrub",
     "caption_image_alignment",
     "multimodal_filter_aligned",
+    "caption_to_image_topk",
 ]
 
 

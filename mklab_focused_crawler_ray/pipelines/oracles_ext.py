@@ -667,6 +667,26 @@ def build_extended_oracles() -> dict[str, str]:
         f"WHERE a.align_ppm >= {CAPTION_ALIGN_PPM}"
     )
 
+    # cross-modal retrieval: 5 query captions (alphabetically-first image
+    # ids) ranked against every image's materialized shifted-micro embed
+    from .queries_media import XMODAL_K, XMODAL_QUERIES
+
+    sql["caption_to_image_topk"] = (
+        f"WITH e AS (SELECT image_id, img_mic FROM read_parquet('{aemb}')), "
+        f"q AS (SELECT image_id AS qid, caption FROM {images_rel} "
+        f"ORDER BY image_id LIMIT {XMODAL_QUERIES}), "
+        "qch AS (SELECT qid, c FROM (SELECT qid, "
+        "unnest(string_split(caption, '')) AS c FROM q) WHERE c <> ''), "
+        f"qcap AS (SELECT qid, ascii(c) % {ALIGN_DIM} AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM qch GROUP BY 1, 2), "
+        "dots AS (SELECT qc.qid, e.image_id, "
+        "CAST(SUM(e.img_mic[qc.bin + 1] * qc.cnt) AS BIGINT) AS dot "
+        "FROM qcap qc JOIN e ON true GROUP BY 1, 2), "
+        "ranked AS (SELECT qid, image_id, dot, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY dot DESC, image_id) AS rnk FROM dots) "
+        f"SELECT qid, image_id, rnk AS \"rank\", dot FROM ranked WHERE rnk <= {XMODAL_K}"
+    )
+
 
     # inverted-index postings for the 5 alphabetically-first corpus tokens
     # (TextIndexerBolt analogue; engine reads only the probed buckets)

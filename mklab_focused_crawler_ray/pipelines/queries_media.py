@@ -1550,6 +1550,103 @@ def q_caption_image_alignment(sf_dir: str):
     )
 
 
+XMODAL_QUERIES = 5  # query captions (alphabetically-first image ids)
+XMODAL_K = 10  # images returned per query caption
+
+
+def q_caption_to_image_topk(sf_dir: str):
+    """CROSS-MODAL RETRIEVAL: the ``XMODAL_QUERIES`` alphabetically-first
+    images' captions used as text queries against EVERY image's pixel
+    pseudo-embedding — top-``XMODAL_K`` images per query by the integer
+    alignment dot (ties by image_id asc), the caption→image search a
+    CLIP-style index serves. Output (qid, image_id, rank, dot).
+
+    Scale shape: the query side is tiny and broadcasts (5 histograms);
+    the image side streams through the embed actor pool with a per-batch
+    partial top-k, and only ``XMODAL_QUERIES × XMODAL_K``-bounded
+    candidates reach the final per-query merge — the brute-force baseline
+    of SURVEY's similarity-search family applied across modalities."""
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data as rd
+
+    images = _images(sf_dir)
+    # driver reads ONLY the 5 query captions (column-pruned, id-sorted)
+    meta = pq_.read_table(images, columns=["image_id", "caption"])
+    order = np.argsort(np.array(meta["image_id"].to_pylist(), object), kind="stable")
+    qids = [meta["image_id"].to_pylist()[i] for i in order[:XMODAL_QUERIES]]
+    qhist = _caption_hist64(
+        [meta["caption"].to_pylist()[i] for i in order[:XMODAL_QUERIES]]
+    )  # (Q, 64)
+    q_ref = ray.put((qids, qhist))
+
+    class _Score:
+        def __init__(self):
+            from ..stages.image import _dct_matrix
+
+            _dct_matrix(16)
+            _dct_matrix(32)
+            self.qids, self.qh = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages.image import decode, pseudo_embed_rgb
+
+            mics = np.stack(
+                [
+                    _img_mic_from_f32(
+                        pseudo_embed_rgb(decode(b, f)).astype(np.float32)
+                    )
+                    for b, f in zip(
+                        batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+                    )
+                ]
+            )  # (n, 64)
+            dots = mics @ self.qh.T  # (n, Q) integer exact
+            ids = np.array(batch["image_id"].to_pylist(), object)
+            out_q, out_i, out_d = [], [], []
+            for j, qid in enumerate(self.qids):
+                d = dots[:, j]
+                # partial top-k: keep ties with the k-th score so the
+                # global (dot desc, image_id asc) tie-break stays exact
+                k = min(XMODAL_K, len(d))
+                kth = np.partition(d, -k)[-k] if k else 0
+                keep = d >= kth
+                out_q.extend([qid] * int(keep.sum()))
+                out_i.extend(ids[keep].tolist())
+                out_d.extend(d[keep].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.string()),
+                    "image_id": pa.array(out_i, pa.string()),
+                    "dot": pa.array(np.array(out_d, np.int64), pa.int64()),
+                }
+            )
+
+    def finish(g) -> pa.Table:
+        order = np.lexsort(
+            (g["image_id"].to_numpy(object).astype(str), -g["dot"].to_numpy(np.int64))
+        )[:XMODAL_K]
+        return pa.table(
+            {
+                "qid": pa.array(g["qid"].to_numpy(object)[order].tolist(), pa.string()),
+                "image_id": pa.array(
+                    g["image_id"].to_numpy(object)[order].tolist(), pa.string()
+                ),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                "dot": pa.array(
+                    g["dot"].to_numpy(np.int64)[order], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+        .map_batches(_Score, batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
+        .groupby("qid")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def q_multimodal_filter_aligned(sf_dir: str):
     """COMPOSED multimodal gate: ``multimodal_filter_kept`` (first-wins
     phash dedup ∧ pixel floor ∧ caption quality) ∧ caption–image
@@ -1855,6 +1952,7 @@ MEDIA_QUERIES = {
     "multimodal_filter_kept": q_multimodal_filter_kept,
     "caption_image_alignment": q_caption_image_alignment,
     "multimodal_filter_aligned": q_multimodal_filter_aligned,
+    "caption_to_image_topk": q_caption_to_image_topk,
     "page_image_join_stats": q_page_image_join_stats,
     "pagerank_top20": q_pagerank_top20,
     "image_topk_similar": q_image_topk_similar,

@@ -86,6 +86,7 @@ FIXTURE_BACKED = {
     "multimodal_filter_kept",
     "caption_image_alignment",
     "multimodal_filter_aligned",
+    "caption_to_image_topk",
     "image_thumbnails",
     "pagerank_top20",
     "page_image_join_stats",
