@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "caption_image_alignment",
     "multimodal_filter_aligned",
     "caption_to_image_topk",
+    "boilerplate_gram_docs",
+    "delta_tokenset_dedup",
 ]
 
 

@@ -313,10 +313,208 @@ def _pii_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# boilerplate phrase detection (cross-doc repeated n-grams)
+# --------------------------------------------------------------------------
+
+BOILER_W = 5  # phrase width (tokens)
+BOILER_MIN_DOCS = 2  # a gram in >= this many distinct docs is boilerplate
+# (fixture-calibrated: ~1.1k of ~24k distinct 5-grams repeat across docs;
+# a real corpus uses a much higher bar — the set stays threshold-bounded)
+
+
+def q_boilerplate_gram_docs(sf_dir: str):
+    """BOILERPLATE PHRASE DETECTION (C4/RefinedWeb-style curation): find
+    ``BOILER_W``-gram phrases appearing in ≥ ``BOILER_MIN_DOCS`` distinct
+    documents (navigation chrome, legal footers, template text), then
+    report per affected document how much of it is boilerplate:
+    (doc_id, n_boiler_grams, n_gram_hits) — the removal stage's audit
+    table.
+
+    Scale shape: pass 1 counts per-gram distinct docs through a
+    gram-hash-bucketed map_groups (map-side per-doc gram dedup first, so
+    the shuffle moves (gram, doc) pairs once each — never positions);
+    the surviving boilerplate set is threshold-bounded and broadcasts;
+    pass 2 re-scans documents map-side counting hits against the
+    broadcast sorted array. Two document scans total, both streaming."""
+    import zlib
+
+    import ray
+    import ray.data as rd
+
+    from ..scale import derive_buckets
+    from .queries import TOKEN_RE
+
+    nb = derive_buckets(sf_dir, "documents", floor=64)
+
+    def doc_grams(text: str) -> list[str]:
+        tk = TOKEN_RE.findall(text.lower())
+        return [" ".join(tk[i : i + BOILER_W]) for i in range(len(tk) - BOILER_W + 1)]
+
+    def gram_doc_pairs(batch: pa.Table) -> pa.Table:
+        out_b, out_g, out_d = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for g in set(doc_grams(t)):  # per-doc dedup before the shuffle
+                out_b.append(zlib.crc32(g.encode()) % nb)
+                out_g.append(g)
+                out_d.append(int(d))
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "gram": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def boiler_grams(g) -> pa.Table:
+        agg = g.groupby("gram", sort=False)["doc_id"].nunique()
+        keep = agg[agg >= BOILER_MIN_DOCS]
+        return pa.table({"gram": pa.array(keep.index.tolist(), pa.string())})
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    boiler = (
+        docs.map_batches(gram_doc_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(boiler_grams, batch_format="pandas")
+        .to_pandas()  # threshold-bounded: only cross-doc-repeated grams
+    )
+    bset = np.sort(np.array(boiler["gram"].tolist(), object).astype(str))
+    bref = ray.put(bset)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        ids, ng, nh = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            grams = doc_grams(t)
+            if not grams:
+                continue
+            ga = np.array(grams, object).astype(str)
+            pos = np.searchsorted(bs, ga)
+            hit = (pos < len(bs)) & (bs[np.clip(pos, 0, max(len(bs) - 1, 0))] == ga)
+            if hit.any():
+                ids.append(int(d))
+                ng.append(int(len(set(ga[hit].tolist()))))
+                nh.append(int(hit.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_boiler_grams": pa.array(ng, pa.int64()),
+                "n_gram_hits": pa.array(nh, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(hits, batch_format="pyarrow")
+
+
+def _boiler_sql() -> str:
+    w = BOILER_W
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents), "
+        "g AS (SELECT doc_id, array_to_string("
+        f"tk[CAST(i+1 AS INT):CAST(i+{w} AS INT)], ' ') AS gram "
+        f"FROM toks, unnest(range(0, len(tk)-{w-1})) AS t(i) WHERE len(tk) >= {w}), "
+        "boiler AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd "
+        f"FROM g GROUP BY 1) WHERE nd >= {BOILER_MIN_DOCS}) "
+        "SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_boiler_grams, "
+        "CAST(COUNT(*) AS BIGINT) AS n_gram_hits "
+        "FROM g JOIN boiler USING (gram) GROUP BY 1"
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental (delta-vs-base) dedup — continuous-ingestion curation
+# --------------------------------------------------------------------------
+
+DELTA_MOD = 5  # doc_id % 5 == 0 simulates the newly-ingested delta batch
+
+
+def q_delta_tokenset_dedup(sf_dir: str):
+    """INCREMENTAL DEDUP: the newly-ingested delta batch (doc_id %
+    ``DELTA_MOD`` == 0) checked against the existing corpus (the rest) by
+    sorted-distinct-token-set fingerprint — how a continuously-crawled
+    corpus dedupes each ingest against its standing index instead of
+    re-deduping 100 TB from scratch. One row per delta doc:
+    (doc_id, is_new, dup_of) with dup_of = min matching base doc_id or -1.
+
+    Scale shape: both sides map to (key-hash bucket, key, doc_id) with
+    the fingerprint computed map-side; ONE co-group joins them
+    per-bucket (base side pre-reduced to min-id per key inside the
+    bucket); output is delta-shaped. At production scale the base side
+    is the standing key index (the keyed-merge sink layout), not a
+    rescan."""
+    import zlib
+
+    import ray.data as rd
+
+    from ..scale import derive_buckets
+    from .queries import TOKEN_RE
+
+    nb = derive_buckets(sf_dir, "documents", floor=64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out_b, out_k, out_d, out_s = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            key = " ".join(sorted(set(TOKEN_RE.findall(t.lower()))))
+            out_b.append(zlib.crc32(key.encode()) % nb)
+            out_k.append(key)
+            out_d.append(int(d))
+            out_s.append(1 if d % DELTA_MOD == 0 else 0)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "key": pa.array(out_k, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "side": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def resolve(g) -> pa.Table:
+        base = (
+            g[g["side"] == 0]
+            .groupby("key", sort=False)["doc_id"]
+            .min()
+            .rename("dup_of")
+        )
+        delta = g[g["side"] == 1][["key", "doc_id"]]
+        m = delta.merge(base, on="key", how="left")
+        dup = m["dup_of"].fillna(-1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].to_numpy(np.int64), pa.int64()),
+                "is_new": pa.array((dup < 0).astype(np.int64), pa.int64()),
+                "dup_of": pa.array(dup.to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def _delta_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, array_to_string(list_sort(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ') AS ts FROM documents), "
+        f"delta AS (SELECT doc_id, ts FROM d WHERE doc_id % {DELTA_MOD} = 0), "
+        "base AS (SELECT ts, MIN(doc_id) AS dup_of FROM d "
+        f"WHERE doc_id % {DELTA_MOD} <> 0 GROUP BY 1) "
+        "SELECT delta.doc_id, "
+        "CAST(CASE WHEN b.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new, "
+        "CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of "
+        "FROM delta LEFT JOIN base b USING (ts)"
+    )
+
+
 ML4_QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_stats": q_doc_pack_stats,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "boilerplate_gram_docs": q_boilerplate_gram_docs,
+    "delta_tokenset_dedup": q_delta_tokenset_dedup,
 }
 
 
@@ -325,4 +523,6 @@ def build_ml4_oracles() -> dict[str, str]:
         "doc_pack_sequences": _pack_sql(),
         "doc_pack_stats": _pack_stats_sql(),
         "doc_pii_scrub": _pii_sql(),
+        "boilerplate_gram_docs": _boiler_sql(),
+        "delta_tokenset_dedup": _delta_sql(),
     }
