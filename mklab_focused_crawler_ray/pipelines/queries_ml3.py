@@ -2492,21 +2492,12 @@ def _pair_expand(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     return vals[a_idx], vals[b_idx]
 
 
-def q_part_pair_support(sf_dir: str):
-    """FREQUENT-ITEMSET MINING: part pairs co-occurring in at least
-    ``BASKET_MIN_SUPPORT`` distinct orders — the market-basket / Apriori
-    first step (2-itemset support counting). Baskets are small (an order
-    holds ≤ ~a dozen lines), so the pair explosion is per-basket bounded;
-    the quadratic blowup the oracle's self-join risks on a mega-basket is
-    structurally impossible after the per-basket cap that order-size
-    distributions impose.
-
-    Scale shape: lineitems collapse to distinct (order, part) map-side;
-    ONE order-bucketed shuffle co-locates every basket; per-basket pair
-    expansion is bounded by basket size²; the (pair → support) groupby
-    moves only pair rows; the HAVING filter makes output support-shaped."""
-    basket_buckets = derive_buckets(sf_dir, "lineitem", floor=1024)
-    import ray.data as rd
+def _prep_basket_dedup_fn(nb: int):
+    """Factory: lineitem batch → (okey-hash bucket, okey, part) with
+    per-batch (okey, part) dedup. Per-batch dedup is exact only within a
+    batch; downstream kernels re-dedup inside the okey-bucketed group, so
+    cross-batch duplicates of one (okey, part) are removed exactly once
+    all of an order's rows co-locate."""
 
     def prep(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -2523,11 +2514,21 @@ def q_part_pair_support(sf_dir: str):
         okey = d["okey"].to_numpy(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(okey % basket_buckets, pa.int64()),
+                "bucket": pa.array(okey % nb, pa.int64()),
                 "okey": pa.array(okey, pa.int64()),
                 "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
             }
         )
+
+    return prep
+
+
+def _basket_pairs_fn(nb: int):
+    """Factory: okey-bucketed group → within-basket ordered part pairs,
+    routed by pair hash. Support counting happens inside the NEXT
+    bucketed map_groups with a vectorized pandas groupby — a global
+    aggregate over ~all-unique pair keys pays Ray's per-group overhead
+    millions of times (the measured singleton-group trap)."""
 
     def pairs(g) -> pa.Table:
         d = g[["okey", "part"]].drop_duplicates()
@@ -2538,29 +2539,30 @@ def q_part_pair_support(sf_dir: str):
         starts = np.r_[0, np.flatnonzero(okey[1:] != okey[:-1]) + 1]
         ends = np.r_[starts[1:], len(okey)]
         out_a, out_b = _pair_expand(part, starts, ends)
-        # route pair rows by pair hash: support counting happens inside the
-        # NEXT bucketed map_groups with a vectorized pandas groupby — a
-        # global aggregate over ~all-unique pair keys pays Ray's per-group
-        # overhead millions of times (the measured singleton-group trap)
         return pa.table(
             {
                 "pbucket": pa.array(
-                    (out_a * 1_000_003 + out_b) % basket_buckets, pa.int64()
+                    (out_a * 1_000_003 + out_b) % nb, pa.int64()
                 ),
                 "part_a": pa.array(out_a, pa.int64()),
                 "part_b": pa.array(out_b, pa.int64()),
             }
         )
 
-    def count_filter(g) -> pa.Table:
-        import pandas as pd
+    return pairs
 
+
+def _pair_count_filter_fn(min_support: int):
+    """Factory: pair-hash-bucketed group → (part_a, part_b, n_orders)
+    with the HAVING filter applied in-bucket."""
+
+    def count_filter(g) -> pa.Table:
         agg = (
             g.groupby(["part_a", "part_b"], sort=False)
             .size()
             .reset_index(name="n_orders")
         )
-        agg = agg[agg["n_orders"] >= BASKET_MIN_SUPPORT]
+        agg = agg[agg["n_orders"] >= min_support]
         return pa.table(
             {
                 "part_a": pa.array(agg["part_a"].to_numpy(np.int64), pa.int64()),
@@ -2571,13 +2573,44 @@ def q_part_pair_support(sf_dir: str):
             }
         )
 
+    return count_filter
+
+
+def _basket_dedup_ds(sf_dir: str, nb: int):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    ).map_batches(_prep_basket_dedup_fn(nb), batch_format="pyarrow")
+
+
+def _mined_pairs_ds(dedup_ds, nb: int, min_support: int):
     return (
-        rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        dedup_ds.groupby("bucket")
+        .map_groups(_basket_pairs_fn(nb), batch_format="pandas")
         .groupby("pbucket")
-        .map_groups(count_filter, batch_format="pandas")
+        .map_groups(_pair_count_filter_fn(min_support), batch_format="pandas")
+    )
+
+
+def q_part_pair_support(sf_dir: str):
+    """FREQUENT-ITEMSET MINING: part pairs co-occurring in at least
+    ``BASKET_MIN_SUPPORT`` distinct orders — the market-basket / Apriori
+    first step (2-itemset support counting). Baskets are small (an order
+    holds ≤ ~a dozen lines), so the pair explosion is per-basket bounded;
+    the quadratic blowup the oracle's self-join risks on a mega-basket is
+    structurally impossible after the per-basket cap that order-size
+    distributions impose.
+
+    Scale shape: lineitems collapse to distinct (order, part) map-side;
+    ONE order-bucketed shuffle co-locates every basket; per-basket pair
+    expansion is bounded by basket size²; the (pair → support) groupby
+    moves only pair rows; the HAVING filter makes output support-shaped."""
+    basket_buckets = derive_buckets(sf_dir, "lineitem", floor=1024)
+    return _mined_pairs_ds(
+        _basket_dedup_ds(sf_dir, basket_buckets),
+        basket_buckets,
+        BASKET_MIN_SUPPORT,
     )
 
 
@@ -2592,40 +2625,15 @@ def q_part_pair_lift(sf_dir: str):
     conf(a→b) = n_ab·10⁶ ÷ n_a and lift = n_ab·n_baskets·10⁶ ÷ (n_a·n_b),
     floor division on both engines so the rule table is bit-exact.
 
-    Scale shape: the pair table is support-shaped (already HAVING-
-    filtered), item supports are a dimension-bounded broadcast (sorted
-    part-key array + counts), and the basket total is one distinct-count
-    aggregate — nothing rescans raw lineitems beyond the two support
-    passes."""
+    Scale shape: the bucketed distinct-(order, part) table materializes
+    ONCE and feeds BOTH the item-support pass and the pair-mining pass
+    (pre-r4 each consumer re-scanned and re-prepped lineitem); the pair
+    table is support-shaped (already HAVING-filtered), item supports are
+    a dimension-bounded broadcast (sorted part-key array + counts), and
+    the basket total rides the same shuffle as a sentinel row."""
     basket_buckets = derive_buckets(sf_dir, "lineitem", floor=1024)
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Sum
-
-    # NOTE: per-batch (okey, part) dedup is exact only within a batch; the
-    # groupby below sums partials, so cross-batch duplicates of the same
-    # (okey, part) pair must not exist — lineitem rows for one order can
-    # split across batches, so dedup by bucketing on okey first
-    def prep_pairs_dedup(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        d = (
-            pd.DataFrame(
-                {
-                    "okey": batch["l_orderkey"].to_numpy(),
-                    "part": batch["l_partkey"].to_numpy(),
-                }
-            )
-            .drop_duplicates()
-        )
-        okey = d["okey"].to_numpy(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(okey % basket_buckets, pa.int64()),
-                "okey": pa.array(okey, pa.int64()),
-                "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
-            }
-        )
 
     def count_parts(g) -> pa.Table:
         # per-bucket: exact per-part distinct-order counts PLUS one sentinel
@@ -2641,12 +2649,9 @@ def q_part_pair_lift(sf_dir: str):
             }
         )
 
-    lines = rd.read_parquet(
-        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
-    )
+    dedup_ds = _basket_dedup_ds(sf_dir, basket_buckets).materialize()
     singles = (
-        lines.map_batches(prep_pairs_dedup, batch_format="pyarrow")
-        .groupby("bucket")
+        dedup_ds.groupby("bucket")
         .map_groups(count_parts, batch_format="pandas")
         .groupby("part")
         .aggregate(Sum("pn", alias_name="n"))
@@ -2690,7 +2695,9 @@ def q_part_pair_lift(sf_dir: str):
             }
         )
 
-    return q_part_pair_support(sf_dir).map_batches(enrich, batch_format="pyarrow")
+    return _mined_pairs_ds(
+        dedup_ds, basket_buckets, BASKET_MIN_SUPPORT
+    ).map_batches(enrich, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -2848,81 +2855,16 @@ def q_part_graph_triangles(sf_dir: str):
             }
         )
 
-    # edges = support >= TRI_MIN_SUPPORT pairs: the basket-mining pipeline
-    # rebuilt at the triangle threshold
-    base = rd.read_parquet(
-        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        d = (
-            pd.DataFrame(
-                {
-                    "okey": batch["l_orderkey"].to_numpy(),
-                    "part": batch["l_partkey"].to_numpy(),
-                }
-            )
-            .drop_duplicates()
-        )
-        okey = d["okey"].to_numpy(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(okey % basket_buckets, pa.int64()),
-                "okey": pa.array(okey, pa.int64()),
-                "part": pa.array(d["part"].to_numpy(np.int64), pa.int64()),
-            }
-        )
-
-    def pairs(g) -> pa.Table:
-        d = g[["okey", "part"]].drop_duplicates()
-        okey = d["okey"].to_numpy(np.int64)
-        part = d["part"].to_numpy(np.int64)
-        order = np.lexsort((part, okey))
-        okey, part = okey[order], part[order]
-        starts = np.r_[0, np.flatnonzero(okey[1:] != okey[:-1]) + 1]
-        ends = np.r_[starts[1:], len(okey)]
-        out_a, out_b = _pair_expand(part, starts, ends)
-        return pa.table(
-            {
-                "pbucket": pa.array(
-                    (out_a * 1_000_003 + out_b) % basket_buckets, pa.int64()
-                ),
-                "part_a": pa.array(out_a, pa.int64()),
-                "part_b": pa.array(out_b, pa.int64()),
-            }
-        )
-
-    def edge_filter(g) -> pa.Table:
-        agg = (
-            g.groupby(["part_a", "part_b"], sort=False)
-            .size()
-            .reset_index(name="n_orders")
-        )
-        agg = agg[agg["n_orders"] >= TRI_MIN_SUPPORT]
-        return pa.table(
-            {
-                "part_a": pa.array(agg["part_a"].to_numpy(np.int64), pa.int64()),
-                "part_b": pa.array(agg["part_b"].to_numpy(np.int64), pa.int64()),
-                "n_orders": pa.array(
-                    agg["n_orders"].to_numpy(np.int64), pa.int64()
-                ),
-            }
-        )
-
-    # materialize: the support-filtered edge set is pair-shaped (orders of
-    # magnitude under lineitem) and is consumed THREE times below (degrees,
-    # wedge expansion, membership side) — lazy lineage would re-mine the
-    # baskets once per consumer
-    edge_ds = (
-        base.map_batches(prep, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby("pbucket")
-        .map_groups(edge_filter, batch_format="pandas")
-        .materialize()
-    )
+    # edges = support >= TRI_MIN_SUPPORT pairs via the shared basket-mining
+    # kernels. materialize: the support-filtered edge set is pair-shaped
+    # (orders of magnitude under lineitem) and is consumed THREE times
+    # below (degrees, wedge expansion, membership side) — lazy lineage
+    # would re-mine the baskets once per consumer
+    edge_ds = _mined_pairs_ds(
+        _basket_dedup_ds(sf_dir, basket_buckets),
+        basket_buckets,
+        TRI_MIN_SUPPORT,
+    ).materialize()
     deg_df = (
         edge_ds.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("part")
