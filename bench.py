@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "caption_to_image_topk",
     "boilerplate_gram_docs",
     "delta_tokenset_dedup",
+    "knn_graph_edges",
 ]
 
 

@@ -509,12 +509,96 @@ def _delta_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# k-NN graph construction (all-nodes top-k neighbors)
+# --------------------------------------------------------------------------
+
+KNN_K = 3  # neighbors per node
+
+
+def q_knn_graph_edges(sf_dir: str):
+    """k-NN GRAPH: every embedding's top-``KNN_K`` cosine neighbors
+    (self excluded, ties by neighbor id) — the graph primitive behind
+    graph-based clustering, near-dup connected components, and diversity
+    sampling. One row per (node, rank): (vec_id, nbr_id, knn_rank,
+    cos_micro).
+
+    Scale shape: ONE map-side pass — the normalized matrix broadcasts
+    (``ray.put`` once, zero-copy per task) and each batch computes the
+    FINAL top-k for its own rows against it, so there is no shuffle at
+    all. The broadcast side caps this at ~10^7 vectors; past that the
+    IVF-bucketed layout (stages/ann.py) is the scale path — each probe
+    batch scans only its nprobe partitions, same per-batch top-k."""
+    import ray
+    import ray.data as rd
+
+    from .queries import _micro
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
+    )
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    o = np.argsort(ids, kind="stable")  # id-ascending columns: a STABLE
+    # descending-score argsort then breaks ties by neighbor id for free
+    all_ref = ray.put((ids[o], mat[o]))
+
+    def knn(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(all_ref)
+        vids = batch["vec_id"].to_numpy().astype(np.int64)
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cm = _micro(emb @ amat.T)  # (B, N) integer micro scores
+        # exclude self-matches by id
+        cm = np.where(vids[:, None] == aids[None, :], np.int64(-2_000_000), cm)
+        # fully vectorized exact (cos desc, nbr_id asc) top-k per row
+        order = np.argsort(-cm, axis=1, kind="stable")[:, :KNN_K]
+        k = order.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vids, k), pa.int64()),
+                "nbr_id": pa.array(aids[order].reshape(-1), pa.int64()),
+                "knn_rank": pa.array(
+                    np.tile(np.arange(1, k + 1, dtype=np.int64), len(vids)),
+                    pa.int64(),
+                ),
+                "cos_micro": pa.array(
+                    np.take_along_axis(cm, order, axis=1).reshape(-1), pa.int64()
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(knn, batch_format="pyarrow")
+
+
+def _knn_sql() -> str:
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        "s AS (SELECT a.vec_id, b.vec_id AS nbr_id, "
+        "CAST(FLOOR(list_cosine_similarity(a.e, b.e)*1000000 + 0.5) AS BIGINT) "
+        "AS cos_micro FROM v a JOIN v b ON a.vec_id <> b.vec_id) "
+        "SELECT vec_id, nbr_id, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY cos_micro DESC, nbr_id ASC) AS knn_rank, cos_micro FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+        f"ORDER BY cos_micro DESC, nbr_id ASC) <= {KNN_K}"
+    )
+
+
 ML4_QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_stats": q_doc_pack_stats,
     "doc_pii_scrub": q_doc_pii_scrub,
     "boilerplate_gram_docs": q_boilerplate_gram_docs,
     "delta_tokenset_dedup": q_delta_tokenset_dedup,
+    "knn_graph_edges": q_knn_graph_edges,
 }
 
 
@@ -525,4 +609,5 @@ def build_ml4_oracles() -> dict[str, str]:
         "doc_pii_scrub": _pii_sql(),
         "boilerplate_gram_docs": _boiler_sql(),
         "delta_tokenset_dedup": _delta_sql(),
+        "knn_graph_edges": _knn_sql(),
     }
