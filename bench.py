@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "boilerplate_gram_docs",
     "delta_tokenset_dedup",
     "knn_graph_edges",
+    "image_ar_buckets",
 ]
 
 

@@ -667,6 +667,25 @@ def build_extended_oracles() -> dict[str, str]:
         f"WHERE a.align_ppm >= {CAPTION_ALIGN_PPM}"
     )
 
+    # aspect-ratio bucketing: fixed training AR set, integer argmin with
+    # list-order ties (the Ray side's np.argmin first-min)
+    from .queries_media import AR_BUCKETS
+
+    _ar_vals = ", ".join(
+        f"({i}, {w}, {h})" for i, (w, h) in enumerate(AR_BUCKETS)
+    )
+    sql["image_ar_buckets"] = (
+        f"WITH b(i, bw, bh) AS (VALUES {_ar_vals}), "
+        "a AS (SELECT image_id, CAST(w AS BIGINT)*1000000//h AS ar_ppm "
+        f"FROM {images_rel}), "
+        "j AS (SELECT a.image_id, a.ar_ppm, "
+        "CAST(b.bw AS BIGINT) AS bucket_w, CAST(b.bh AS BIGINT) AS bucket_h, "
+        "abs(a.ar_ppm - CAST(b.bw AS BIGINT)*1000000//b.bh) AS d, b.i "
+        "FROM a CROSS JOIN b) "
+        "SELECT image_id, ar_ppm, bucket_w, bucket_h FROM j "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d, i) = 1"
+    )
+
     # cross-modal retrieval: 5 query captions (alphabetically-first image
     # ids) ranked against every image's materialized shifted-micro embed
     from .queries_media import XMODAL_K, XMODAL_QUERIES

@@ -1550,6 +1550,47 @@ def q_caption_image_alignment(sf_dir: str):
     )
 
 
+AR_BUCKETS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16)]  # training AR set
+
+
+def q_image_ar_buckets(sf_dir: str):
+    """ASPECT-RATIO BUCKETING (SDXL-style batched training prep): every
+    image assigned to the nearest aspect-ratio bucket from a fixed
+    training set (|w·10⁶/h − bucket ratio| argmin, ties by bucket list
+    order) — the assignment table a bucketed dataloader groups batches
+    by. One row per image: (image_id, ar_ppm, bucket_w, bucket_h).
+
+    Scale shape: pure map-side integer arithmetic over the metadata
+    columns (bytes never read), vectorized argmin over the 5-bucket
+    constant — streams at any corpus size."""
+    import ray.data as rd
+
+    bppm = np.array(
+        [w * 1_000_000 // h for w, h in AR_BUCKETS], np.int64
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        ar = w * 1_000_000 // h
+        # argmin returns the FIRST minimum → ties break by bucket order
+        pick = np.argmin(np.abs(ar[:, None] - bppm[None, :]), axis=1)
+        bw = np.array([b[0] for b in AR_BUCKETS], np.int64)[pick]
+        bh = np.array([b[1] for b in AR_BUCKETS], np.int64)[pick]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "ar_ppm": pa.array(ar, pa.int64()),
+                "bucket_w": pa.array(bw, pa.int64()),
+                "bucket_h": pa.array(bh, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        _images(sf_dir), columns=["image_id", "w", "h"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
 XMODAL_QUERIES = 5  # query captions (alphabetically-first image ids)
 XMODAL_K = 10  # images returned per query caption
 
@@ -1953,6 +1994,7 @@ MEDIA_QUERIES = {
     "caption_image_alignment": q_caption_image_alignment,
     "multimodal_filter_aligned": q_multimodal_filter_aligned,
     "caption_to_image_topk": q_caption_to_image_topk,
+    "image_ar_buckets": q_image_ar_buckets,
     "page_image_join_stats": q_page_image_join_stats,
     "pagerank_top20": q_pagerank_top20,
     "image_topk_similar": q_image_topk_similar,

@@ -87,6 +87,7 @@ FIXTURE_BACKED = {
     "caption_image_alignment",
     "multimodal_filter_aligned",
     "caption_to_image_topk",
+    "image_ar_buckets",
     "image_thumbnails",
     "pagerank_top20",
     "page_image_join_stats",
