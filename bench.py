@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "delta_tokenset_dedup",
     "knn_graph_edges",
     "image_ar_buckets",
+    "knn_semantic_clusters",
 ]
 
 

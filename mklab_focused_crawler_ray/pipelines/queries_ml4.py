@@ -592,6 +592,61 @@ def _knn_sql() -> str:
     )
 
 
+SEM_THRESH_MICRO = 400_000  # cluster edge gate over the k-NN graph
+# (fixture-calibrated: the synthetic embeddings plant no true near-dups —
+# max pairwise cosine 0.51 — so the gate sits where graph structure
+# exists; a SemDeDup-style run sets ~0.95 and the edge set shrinks to the
+# semantic-dup rate)
+
+
+def q_knn_semantic_clusters(sf_dir: str):
+    """SEMANTIC CLUSTERING (SemDeDup-style): connected components over the
+    k-NN graph's edges with cosine ≥ ``SEM_THRESH_MICRO`` — group
+    embeddings into semantic-duplicate clusters, keep one representative
+    per cluster. One row per vector that participates in at least one
+    gated edge: (vec_id, cluster_rep) with rep = component min id.
+
+    Scale shape: the k-NN pass is the shuffle-free broadcast map of
+    ``knn_graph_edges``; the gated edge list is bounded by k·(semantic-
+    dup rate)·N — at real thresholds a small fraction of the corpus — so
+    component labelling runs as the same vectorized min-label
+    pointer-jumping kernel ``dup_clusters`` uses (O(edges) memory; beyond
+    that budget the documented large-star/small-star sharding applies)."""
+    import pandas as pd
+
+    from .queries import cc_min_label
+
+    edges = (
+        q_knn_graph_edges(sf_dir)
+        .filter(expr=f"cos_micro >= {SEM_THRESH_MICRO}")
+        .to_pandas()
+    )
+    if edges.empty:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster_rep": pd.Series(dtype=np.int64),
+            }
+        )
+    nodes, rep = cc_min_label(
+        edges["vec_id"].to_numpy(np.int64), edges["nbr_id"].to_numpy(np.int64)
+    )
+    return pd.DataFrame({"vec_id": nodes, "cluster_rep": rep})
+
+
+def _knn_clusters_sql() -> str:
+    return (
+        f"WITH RECURSIVE knn AS ({_knn_sql()}), "
+        f"p AS (SELECT vec_id AS a, nbr_id AS b FROM knn "
+        f"WHERE cos_micro >= {SEM_THRESH_MICRO}), "
+        "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+        "reach AS (SELECT a AS src, b AS dst FROM e "
+        "UNION SELECT r.src, e2.b FROM reach r JOIN e e2 ON e2.a = r.dst) "
+        "SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_rep "
+        "FROM reach GROUP BY src"
+    )
+
+
 ML4_QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_stats": q_doc_pack_stats,
@@ -599,6 +654,7 @@ ML4_QUERIES = {
     "boilerplate_gram_docs": q_boilerplate_gram_docs,
     "delta_tokenset_dedup": q_delta_tokenset_dedup,
     "knn_graph_edges": q_knn_graph_edges,
+    "knn_semantic_clusters": q_knn_semantic_clusters,
 }
 
 
@@ -610,4 +666,5 @@ def build_ml4_oracles() -> dict[str, str]:
         "boilerplate_gram_docs": _boiler_sql(),
         "delta_tokenset_dedup": _delta_sql(),
         "knn_graph_edges": _knn_sql(),
+        "knn_semantic_clusters": _knn_clusters_sql(),
     }
