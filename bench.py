@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "knn_graph_edges",
     "image_ar_buckets",
     "knn_semantic_clusters",
+    "curation_funnel",
 ]
 
 

@@ -818,4 +818,31 @@ def build_extended_oracles() -> dict[str, str]:
         "AND q.doc_id NOT IN (SELECT doc_id FROM cont)"
     )
 
+    # per-stage curation funnel, composed from the SAME oracle fragments
+    # the individual gate queries are checked against (+ the pii stage)
+    from .queries_ml4 import _pii_sql
+
+    sql["curation_funnel"] = (
+        f"WITH q AS ({sql['doc_quality']}), "
+        f"dropn AS (SELECT doc_id FROM ({_base_sql['dup_clusters']}) "
+        "WHERE doc_id <> cluster_rep), "
+        f"cont AS (SELECT doc_id FROM ({_base_sql['decontam_8gram_hits']})), "
+        f"pii AS (SELECT doc_id, n_redactions FROM ({_pii_sql()})), "
+        "tok AS (SELECT doc_id, len(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS nt FROM documents), "
+        f"f AS (SELECT q.doc_id, q.quality_micro >= {_qk} AS s1, "
+        "q.doc_id NOT IN (SELECT doc_id FROM dropn) AS d1, "
+        "q.doc_id NOT IN (SELECT doc_id FROM cont) AS c1, "
+        "pii.n_redactions AS nr, tok.nt "
+        "FROM q JOIN pii USING (doc_id) JOIN tok USING (doc_id)) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep, "
+        "CAST(SUM(CASE WHEN s1 AND d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup, "
+        "CAST(SUM(CASE WHEN s1 AND d1 AND c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "CAST(SUM(CASE WHEN s1 AND d1 AND c1 AND nr = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_pii_clean_kept, "
+        "CAST(SUM(CASE WHEN s1 AND d1 AND c1 THEN nt ELSE 0 END) AS BIGINT) "
+        "AS kept_tokens FROM f"
+    )
+
     return sql

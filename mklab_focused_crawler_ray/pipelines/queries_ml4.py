@@ -197,6 +197,43 @@ PII_PHONE_MOD = 5
 PII_IDNUM_MOD = 7
 
 
+def _pii_scrub_arrays(did: np.ndarray, t: pa.Array):
+    """Shared scrub kernel: augment → email → phone → digit-run stages.
+    Returns (n_emails, n_phones, n_idnums, redacted_text) — the first
+    three as int64 numpy arrays (used by doc_pii_scrub and the curation
+    funnel's pii-clean stage)."""
+    import pyarrow.compute as pc
+
+    email = pa.array(
+        [
+            f" contact user{d}@example.com" if d % PII_EMAIL_MOD == 0 else ""
+            for d in did
+        ],
+        pa.string(),
+    )
+    phone = pa.array(
+        [f" call +15550{d}" if d % PII_PHONE_MOD == 0 else "" for d in did],
+        pa.string(),
+    )
+    idnum = pa.array(
+        [f" ref 900{d}001122" if d % PII_IDNUM_MOD == 0 else "" for d in did],
+        pa.string(),
+    )
+    aug = pc.binary_join_element_wise(t, email, phone, idnum, "")
+    n_emails = pc.count_substring_regex(aug, PII_EMAIL_PAT)
+    t1 = pc.replace_substring_regex(aug, PII_EMAIL_PAT, "<EMAIL>")
+    n_phones = pc.count_substring_regex(t1, PII_PHONE_PAT)
+    t2 = pc.replace_substring_regex(t1, PII_PHONE_PAT, "<PHONE>")
+    n_idnums = pc.count_substring_regex(t2, PII_NUM_PAT)
+    t3 = pc.replace_substring_regex(t2, PII_NUM_PAT, "<NUM>")
+    return (
+        n_emails.to_numpy().astype(np.int64),
+        n_phones.to_numpy().astype(np.int64),
+        n_idnums.to_numpy().astype(np.int64),
+        t3,
+    )
+
+
 def q_doc_pii_scrub(sf_dir: str):
     """PII SCRUB: three-stage vectorized redaction — emails →
     ``<EMAIL>``, then international phone numbers → ``<PHONE>`` on the
@@ -208,38 +245,13 @@ def q_doc_pii_scrub(sf_dir: str):
     Scale shape: pure map-side Arrow RE2 kernels
     (``count_substring_regex`` / ``replace_substring_regex``) — no
     shuffle, no Python loop, output one skinny row per doc."""
-    import pyarrow.compute as pc
     import ray.data as rd
 
     def scrub(batch: pa.Table) -> pa.Table:
         did = batch["doc_id"].to_numpy().astype(np.int64)
-        t = batch["text"]
-        # deterministic PII augmentation (identical expression in SQL)
-        email = pa.array(
-            [
-                f" contact user{d}@example.com" if d % PII_EMAIL_MOD == 0 else ""
-                for d in did
-            ],
-            pa.string(),
-        )
-        phone = pa.array(
-            [f" call +15550{d}" if d % PII_PHONE_MOD == 0 else "" for d in did],
-            pa.string(),
-        )
-        idnum = pa.array(
-            [f" ref 900{d}001122" if d % PII_IDNUM_MOD == 0 else "" for d in did],
-            pa.string(),
-        )
-        aug = pc.binary_join_element_wise(t, email, phone, idnum, "")
-        n_emails = pc.count_substring_regex(aug, PII_EMAIL_PAT)
-        t1 = pc.replace_substring_regex(aug, PII_EMAIL_PAT, "<EMAIL>")
-        n_phones = pc.count_substring_regex(t1, PII_PHONE_PAT)
-        t2 = pc.replace_substring_regex(t1, PII_PHONE_PAT, "<PHONE>")
-        n_idnums = pc.count_substring_regex(t2, PII_NUM_PAT)
-        t3 = pc.replace_substring_regex(t2, PII_NUM_PAT, "<NUM>")
-        ne = n_emails.to_numpy().astype(np.int64)
-        np_ = n_phones.to_numpy().astype(np.int64)
-        ni = n_idnums.to_numpy().astype(np.int64)
+        ne, np_, ni, t3 = _pii_scrub_arrays(did, batch["text"])
+        import pyarrow.compute as pc
+
         return pa.table(
             {
                 "doc_id": pa.array(did, pa.int64()),
@@ -592,6 +604,94 @@ def _knn_sql() -> str:
     )
 
 
+def q_curation_funnel(sf_dir: str):
+    """CURATION FUNNEL: the whole text-curation chain as one audit row —
+    how many documents survive each successive gate, and how many tokens
+    the kept set contributes:
+
+      n_docs → n_quality_keep (quality ≥ gate)
+             → n_after_dedup  (∧ near-dup cluster rep)
+             → n_kept         (∧ not benchmark-contaminated)
+             → n_pii_clean_kept (∧ zero PII redactions)
+      + kept_tokens (Σ tokens over the kept set)
+
+    This is the report every curation run ships with its output — the
+    composed gates are EXACTLY corpus_filter_kept's, so the funnel's
+    n_kept equals that query's row count by construction.
+
+    Scale shape: the near-dup drop set and contaminated set are
+    output-bounded broadcasts (same as corpus_filter_kept); ONE streaming
+    corpus pass computes every stage flag per batch and emits one partial
+    row per batch; the driver folds a batch-count-bounded frame."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import quality_features
+    from .queries import (
+        QUALITY_KEEP_MICRO,
+        TOKEN_RE,
+        _micro,
+        q_decontam_8gram_hits,
+        q_dup_clusters,
+    )
+
+    cl = q_dup_clusters(sf_dir)
+    drop_near = cl.loc[cl["doc_id"] != cl["cluster_rep"], "doc_id"].to_numpy(
+        np.int64
+    )
+    cont = q_decontam_8gram_hits(sf_dir).to_pandas()["doc_id"].to_numpy(np.int64)
+    drop_ref = ray.put(
+        (np.sort(drop_near), np.sort(cont))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dropn, contn = ray.get(drop_ref)
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        texts = batch["text"].to_pylist()
+        qm = _micro(
+            np.fromiter(
+                (quality_features(t)["quality"] for t in texts),
+                np.float64,
+                len(texts),
+            )
+        )
+        ntok = np.fromiter(
+            (len(TOKEN_RE.findall(t.lower())) for t in texts),
+            np.int64,
+            len(texts),
+        )
+        ne, np_, ni, _t3 = _pii_scrub_arrays(did, batch["text"])
+
+        def in_sorted(arr, ids):
+            if len(arr) == 0:
+                return np.zeros(len(ids), bool)
+            i = np.clip(np.searchsorted(arr, ids), 0, len(arr) - 1)
+            return arr[i] == ids
+
+        s1 = qm >= QUALITY_KEEP_MICRO
+        s2 = s1 & ~in_sorted(dropn, did)
+        s3 = s2 & ~in_sorted(contn, did)
+        s4 = s3 & (ne + np_ + ni == 0)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(did)], pa.int64()),
+                "n_quality_keep": pa.array([int(s1.sum())], pa.int64()),
+                "n_after_dedup": pa.array([int(s2.sum())], pa.int64()),
+                "n_kept": pa.array([int(s3.sum())], pa.int64()),
+                "n_pii_clean_kept": pa.array([int(s4.sum())], pa.int64()),
+                "kept_tokens": pa.array([int(ntok[s3].sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # batch-count-bounded partial rows
+    )
+    return pd.DataFrame([parts.sum().astype(np.int64)])
+
+
 SEM_THRESH_MICRO = 400_000  # cluster edge gate over the k-NN graph
 # (fixture-calibrated: the synthetic embeddings plant no true near-dups —
 # max pairwise cosine 0.51 — so the gate sits where graph structure
@@ -655,6 +755,7 @@ ML4_QUERIES = {
     "delta_tokenset_dedup": q_delta_tokenset_dedup,
     "knn_graph_edges": q_knn_graph_edges,
     "knn_semantic_clusters": q_knn_semantic_clusters,
+    "curation_funnel": q_curation_funnel,
 }
 
 
