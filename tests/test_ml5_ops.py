@@ -1,0 +1,115 @@
+"""Round-4 (cont.) operators: exact substring-duplication spans."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+    DUPSPAN_L,
+    _doc_grams_u,
+    q_substring_dup_spans,
+)
+
+
+def _write_docs(tmp_path, texts):
+    tmp_path.joinpath("documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _brute_spans(texts):
+    """Reference implementation: explicit gram counting + interval merge."""
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        for i in range(len(t) - DUPSPAN_L + 1):
+            c[t[i : i + DUPSPAN_L]] += 1
+    out = []
+    for d, t in enumerate(texts):
+        pos = [
+            i
+            for i in range(len(t) - DUPSPAN_L + 1)
+            if c[t[i : i + DUPSPAN_L]] >= 2
+        ]
+        if not pos:
+            continue
+        start, end = pos[0], pos[0] + DUPSPAN_L
+        for p in pos[1:]:
+            if p > end:  # gap: close the island
+                out.append((d, start, end - start))
+                start = p
+            end = p + DUPSPAN_L
+        out.append((d, start, end - start))
+    return sorted(out)
+
+
+def test_doc_grams_ascii_matches_generic():
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    fast = _doc_grams_u(t)
+    slow = np.array(
+        [t[i : i + DUPSPAN_L] for i in range(len(t) - DUPSPAN_L + 1)],
+        dtype=f"U{DUPSPAN_L}",
+    )
+    assert (fast == slow).all()
+
+
+def test_doc_grams_short_and_nonascii():
+    assert len(_doc_grams_u("short")) == 0
+    t = "héllo wörld répeated text héllo wörld répeated text!"
+    g = _doc_grams_u(t)  # generic path: char (not byte) positions
+    assert g[0] == t[:DUPSPAN_L]
+    assert len(g) == len(t) - DUPSPAN_L + 1
+
+
+def test_substring_dup_spans_matches_brute_force(ray_session, tmp_path):
+    rep = "A COMMON BOILER SENTENCE OF LENGTH WELL OVER L CHARS. "
+    texts = [
+        rep + "unique tail one with its own distinct words xyzzy",
+        "different head material then " + rep + "and trailing junk qq",
+        # self-repetition inside a single doc (no cross-doc copy):
+        "zelf " + ("SELFREPEATED-BLOCK-0123456789 " * 3) + " end",
+        "wholly unique document with nothing repeated at all anywhere",
+        "tiny",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = (
+        q_substring_dup_spans(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .itertuples(index=False)
+    )
+    got = sorted((int(a), int(b), int(c)) for a, b, c in got)
+    assert got == _brute_spans(texts)
+    # doc 3 (unique) and doc 4 (too short) must not appear
+    docs = {d for d, _, _ in got}
+    assert 3 not in docs and 4 not in docs and 2 in docs
+
+
+def test_touching_spans_merge(ray_session, tmp_path):
+    # two copies of a long block → every interior gram duplicated →
+    # ONE maximal span covering the whole block in each doc
+    block = "0123456789" * 6  # 60 chars
+    texts = [block + " left unique padding", "right unique padding " + block]
+    sf = _write_docs(tmp_path, texts)
+    df = q_substring_dup_spans(sf).to_pandas()
+    assert len(df) == 2
+    by_doc = {int(r.doc_id): (int(r.span_start), int(r.span_len)) for r in df.itertuples()}
+    # NOTE: "0123456789"*6 is internally periodic, so duplicated grams
+    # extend past the block only where the neighbouring text happens to
+    # repeat — with unique padding the span is exactly the block
+    assert by_doc[0][0] == 0 and by_doc[0][1] >= 60
+    assert by_doc[1][1] >= 60
