@@ -604,6 +604,26 @@ def build_extended_oracles() -> dict[str, str]:
     pages_path = os.path.join(fdir, "pages.parquet")
     sql["pagerank_top20"] = _pagerank_sql(pages_path, PR_ITERS, PR_TOP)
 
+    # BFS min-hop from the seed frontier over the internal link graph,
+    # depth-capped (queries_ml5.HOP_MAX) — recursive CTE; the UNION dedup
+    # bounds (url, hop) pairs so cycles terminate
+    from .queries_ml5 import HOP_MAX
+
+    seeds_path = os.path.join(fdir, "frontier_seed.parquet")
+    sql["seed_hop_distance"] = (
+        "WITH RECURSIVE "
+        f"p AS (SELECT url, out_links FROM read_parquet('{pages_path}')), "
+        "e0 AS (SELECT url AS src, unnest(out_links) AS dst FROM p), "
+        "e AS (SELECT DISTINCT e0.src, e0.dst FROM e0 "
+        "JOIN p p2 ON p2.url = e0.dst), "
+        "s AS (SELECT DISTINCT f.url FROM "
+        f"read_parquet('{seeds_path}') f JOIN p ON p.url = f.url), "
+        "bfs AS (SELECT url, 0 AS hop FROM s "
+        "UNION SELECT e.dst AS url, bfs.hop + 1 AS hop "
+        f"FROM bfs JOIN e ON e.src = bfs.url WHERE bfs.hop < {HOP_MAX}) "
+        "SELECT url, CAST(MIN(hop) AS BIGINT) AS hop FROM bfs GROUP BY url"
+    )
+
     images_rel = f"read_parquet('{images}')"
     sql["multimodal_filter_kept"] = (
         f"WITH q AS ({_quality_sql(images_rel, 'image_id', 'caption')}), "

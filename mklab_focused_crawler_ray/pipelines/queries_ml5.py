@@ -19,6 +19,7 @@ that DuckDB replays bit-for-bit with window functions.
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -174,12 +175,189 @@ def _dupspan_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# crawl-depth analysis: BFS hop distance from the seed frontier
+# --------------------------------------------------------------------------
+
+HOP_MAX = 8  # BFS depth cap — part of the output contract (reference
+# crawls bound their depth the same way; SURVEY §1.1 frontier rounds)
+
+
+def q_seed_hop_distance(sf_dir: str):
+    """CRAWL-DEPTH ANALYSIS: minimum link-hop distance from the seed
+    frontier to every reachable page, depth-capped at ``HOP_MAX`` —
+    (url, hop) with hop 0 for seed pages. The reference crawler's
+    frontier expands in exactly these rounds (URLExpansion → Ranker,
+    SURVEY §1.1); this is the batch replay of that reachability, and the
+    standard "crawl depth" audit a corpus pipeline reports.
+
+    Scale shape: synchronous distributed BFS. The internal edge list
+    (out-links pointing at known pages) is exploded once behind the same
+    splitmix64 bloom prefilter PageRank uses (per-block partial bitmaps
+    OR-folded — never a driver node array); each level then runs TWO
+    bucketed co-groups: (1) frontier ⋈ edges by hash(src) → candidate
+    dsts (deduped in-bucket), (2) candidates ⋈ nodes ⋈ visited by
+    hash(url) → page-verified, not-yet-visited frontier. Visited
+    re-materializes per level (the iteration barrier); every shuffle
+    input is re-pinned to ``nb`` partitions first (Ray's sort groupby
+    degrades in block count — see pagerank_top20)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..functions.bloom import bloom_add, bloom_contains, bloom_m_bits
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+    from .queries_media import _pages_path, fixture_dir_for
+
+    pages = _pages_path(sf_dir)
+    seeds = os.path.join(fixture_dir_for(sf_dir), "frontier_seed.parquet")
+    nb = derive_buckets_for_paths(pages, floor=32)
+
+    node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
+    m_bits = bloom_m_bits(node_ds.count())  # metadata count, no collect
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        w = np.zeros(m_bits // 64, np.uint64)
+        bloom_add(w, m_bits, url_hash64_vec(batch["url"].to_pylist()))
+        return pa.table({"words": pa.array([w.view(np.int64).tolist()])})
+
+    words = np.zeros(m_bits // 64, np.uint64)
+    for b in node_ds.map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b["words"].to_pylist():
+            words |= np.asarray(row, np.int64).view(np.uint64)
+    bloom_ref = ray.put((words, m_bits))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        bw, bm = ray.get(bloom_ref)
+        links = batch["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links)
+        src = pc.take(batch["url"], parent).to_numpy(zero_copy_only=False)
+        dst = flat.to_numpy(zero_copy_only=False)
+        if len(dst):
+            maybe = bloom_contains(bw, bm, url_hash64_vec(dst.tolist()))
+            src, dst = src[maybe], dst[maybe]
+        return pa.table(
+            {
+                "src": pa.array(src.tolist(), pa.string()),
+                "dst": pa.array(dst.tolist(), pa.string()),
+                "side": pa.array(np.ones(len(dst), np.int64), pa.int64()),
+            }
+        )
+
+    edges = (
+        rd.read_parquet(pages, columns=["url", "out_links"])
+        .map_batches(explode, batch_format="pyarrow")
+        .repartition(nb)
+        .materialize()
+    )
+
+    def bucketed(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = np.array(
+                [zlib.crc32(u.encode()) % nb for u in batch[col].to_pylist()],
+                np.int64,
+            )
+            return batch.append_column("bucket", pa.array(h, pa.int64()))
+
+        return fn
+
+    def expand(g) -> pa.Table:
+        """frontier(side=0) ⋈ edges(side=1) on src → unique candidate dsts."""
+        fr = g[g["side"] == 0]["src"].to_numpy(object)
+        ee = g[g["side"] == 1]
+        hit = np.isin(ee["src"].to_numpy(object), fr)
+        cand = np.unique(ee["dst"].to_numpy(object)[hit].astype(str))
+        return pa.table({"url": pa.array(cand.tolist(), pa.string())})
+
+    def settle(g) -> pa.Table:
+        """cand(side=2) ∩ nodes(side=0) − visited(side=1), deduped."""
+        nodeset = g[g["side"] == 0]["url"].to_numpy(object)
+        seen = g[g["side"] == 1]["url"].to_numpy(object)
+        cand = np.unique(g[g["side"] == 2]["url"].to_numpy(object).astype(str))
+        keep = np.isin(cand, nodeset.astype(str)) & ~np.isin(
+            cand, seen.astype(str)
+        )
+        return pa.table({"url": pa.array(cand[keep].tolist(), pa.string())})
+
+    def sided(ds, side: int, col: str = "url"):
+        return ds.map_batches(
+            lambda b, s=side, c=col: pa.table(
+                {
+                    "url": b[c],
+                    "side": pa.array(np.full(len(b), s, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def verify_new(cand_ds, dist_ds):
+        three = sided(node_ds, 0).union(sided(cand_ds, 2))
+        if dist_ds is not None:
+            three = three.union(sided(dist_ds, 1))
+        return (
+            three.repartition(nb)
+            .map_batches(bucketed("url"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(settle, batch_format="pandas")
+            .materialize()
+        )
+
+    def with_hop(ds, hop: int):
+        return ds.map_batches(
+            lambda b, h=hop: pa.table(
+                {
+                    "url": b["url"],
+                    "hop": pa.array(np.full(len(b), h, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    seed_cand = rd.read_parquet(seeds, columns=["url"])
+    frontier = verify_new(seed_cand, None)  # hop-0: seed urls that are pages
+    dist = with_hop(frontier, 0).materialize()
+
+    for hop in range(1, HOP_MAX + 1):
+        if frontier.count() == 0:
+            break
+        fr_side = frontier.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["url"],
+                    "dst": pa.array([""] * len(b), pa.string()),
+                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cand = (
+            fr_side.union(edges)
+            .repartition(nb)
+            .map_batches(bucketed("src"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(expand, batch_format="pandas")
+        )
+        frontier = verify_new(cand, dist)
+        dist = dist.union(with_hop(frontier, hop)).repartition(nb).materialize()
+
+    return dist
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
+    "seed_hop_distance": q_seed_hop_distance,
 }
 
 
 def build_ml5_oracles() -> dict[str, str]:
+    # seed_hop_distance is fixture-backed; its SQL is built with absolute
+    # fixture paths in oracles_ext.build_extended_oracles
     return {
         "substring_dup_spans": _dupspan_sql(),
     }

@@ -113,3 +113,44 @@ def test_touching_spans_merge(ray_session, tmp_path):
     # repeat — with unique padding the span is exactly the block
     assert by_doc[0][0] == 0 and by_doc[0][1] >= 60
     assert by_doc[1][1] >= 60
+
+
+# -- seed_hop_distance ------------------------------------------------------
+
+
+def test_seed_hop_distance_matches_python_bfs(ray_session):
+    """Engine BFS vs a reference single-process BFS on the tiny fixture."""
+    from collections import deque
+
+    import pyarrow.parquet as pq2
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        HOP_MAX,
+        q_seed_hop_distance,
+    )
+    from mklab_focused_crawler_ray.pipelines.queries_media import fixture_dir_for
+
+    sf = "/root/testdata/sf0.001"  # maps to the tiny fixture tier
+    fdir = fixture_dir_for(sf)
+    pages = pq2.read_table(fdir + "/pages.parquet", columns=["url", "out_links"])
+    urls = pages["url"].to_pylist()
+    adj = dict(zip(urls, pages["out_links"].to_pylist()))
+    seeds = set(
+        pq2.read_table(fdir + "/frontier_seed.parquet", columns=["url"])["url"].to_pylist()
+    ) & set(urls)
+
+    dist = {u: 0 for u in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= HOP_MAX:
+            continue
+        for v in adj.get(u) or ():
+            if v in adj and v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+
+    got = q_seed_hop_distance(sf).to_pandas()
+    got_map = dict(zip(got["url"], got["hop"].astype(int)))
+    assert got_map == dist
+    assert 0 in set(dist.values())  # seeds present
