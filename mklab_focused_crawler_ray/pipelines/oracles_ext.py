@@ -604,6 +604,44 @@ def build_extended_oracles() -> dict[str, str]:
     pages_path = os.path.join(fdir, "pages.parquet")
     sql["pagerank_top20"] = _pagerank_sql(pages_path, PR_ITERS, PR_TOP)
 
+    # HITS hubs/authorities: HITS_ITERS unrolled iterations (DuckDB has no
+    # aggregate-in-recursive-CTE), all-BIGINT with an L1 renormalization
+    # per half-step — bit-identical to the engine's integer kernel
+    from .queries_ml5 import HITS_ITERS, HITS_SCALE, HITS_TOP
+
+    hits_parts = [
+        f"nodes AS (SELECT url FROM read_parquet('{pages_path}'))",
+        f"e0 AS (SELECT url AS src, unnest(out_links) AS dst "
+        f"FROM read_parquet('{pages_path}'))",
+        # multi-edges kept: a url listed twice flows mass twice (engine
+        # keeps them too)
+        "e AS (SELECT e0.src, e0.dst FROM e0 JOIN nodes n ON n.url = e0.dst)",
+        f"h0 AS (SELECT url, CAST({HITS_SCALE} AS BIGINT) AS s FROM nodes)",
+    ]
+    prev_h = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        hits_parts += [
+            f"r{k}a AS (SELECT e.dst AS url, CAST(SUM(h.s) AS BIGINT) AS raw "
+            f"FROM e JOIN {prev_h} h ON h.url = e.src GROUP BY e.dst)",
+            f"t{k}a AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM r{k}a)",
+            f"a{k} AS (SELECT url, raw * {HITS_SCALE} // tot AS s "
+            f"FROM r{k}a, t{k}a)",
+            f"r{k}h AS (SELECT e.src AS url, CAST(SUM(a.s) AS BIGINT) AS raw "
+            f"FROM e JOIN a{k} a ON a.url = e.dst GROUP BY e.src)",
+            f"t{k}h AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM r{k}h)",
+            f"h{k} AS (SELECT url, raw * {HITS_SCALE} // tot AS s "
+            f"FROM r{k}h, t{k}h)",
+        ]
+        prev_h = f"h{k}"
+    sql["hits_top20"] = (
+        "WITH " + ", ".join(hits_parts) + " "
+        f"SELECT n.url, CAST(COALESCE(a{HITS_ITERS}.s, 0) AS BIGINT) AS auth_micro, "
+        f"CAST(COALESCE(h{HITS_ITERS}.s, 0) AS BIGINT) AS hub_micro "
+        f"FROM nodes n LEFT JOIN a{HITS_ITERS} ON a{HITS_ITERS}.url = n.url "
+        f"LEFT JOIN h{HITS_ITERS} ON h{HITS_ITERS}.url = n.url "
+        f"ORDER BY auth_micro DESC, n.url ASC LIMIT {HITS_TOP}"
+    )
+
     # BFS min-hop from the seed frontier over the internal link graph,
     # depth-capped (queries_ml5.HOP_MAX) — recursive CTE; the UNION dedup
     # bounds (url, hop) pairs so cycles terminate

@@ -176,6 +176,131 @@ def _dupspan_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# shared link-graph plumbing (BFS, HITS): bloom-prefiltered edge explode
+# --------------------------------------------------------------------------
+
+
+def _page_bloom_ref(node_ds):
+    """Distributed splitmix64 bloom over page urls (per-block partial
+    bitmaps OR-folded on the driver — O(m) driver memory, never the node
+    array; same construction as pagerank_top20's gate)."""
+    import ray
+
+    from ..functions.bloom import bloom_add, bloom_m_bits
+    from ..functions.urls import url_hash64_vec
+
+    m_bits = bloom_m_bits(node_ds.count())  # metadata count, no collect
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        w = np.zeros(m_bits // 64, np.uint64)
+        bloom_add(w, m_bits, url_hash64_vec(batch["url"].to_pylist()))
+        return pa.table({"words": pa.array([w.view(np.int64).tolist()])})
+
+    words = np.zeros(m_bits // 64, np.uint64)
+    for b in node_ds.map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b["words"].to_pylist():
+            words |= np.asarray(row, np.int64).view(np.uint64)
+    return ray.put((words, m_bits))
+
+
+def _link_explode_fn(bloom_ref):
+    """out_links explode → (src, dst, side=1) rows, bloom-prefiltered so
+    links pointing outside the page set mostly never enter the shuffle
+    (no false negatives; survivors still need an exact check)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.bloom import bloom_contains
+    from ..functions.urls import url_hash64_vec
+
+    def explode(batch: pa.Table) -> pa.Table:
+        bw, bm = ray.get(bloom_ref)
+        links = batch["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links)
+        src = pc.take(batch["url"], parent).to_numpy(zero_copy_only=False)
+        dst = flat.to_numpy(zero_copy_only=False)
+        if len(dst):
+            maybe = bloom_contains(bw, bm, url_hash64_vec(dst.tolist()))
+            src, dst = src[maybe], dst[maybe]
+        return pa.table(
+            {
+                "src": pa.array(src.tolist(), pa.string()),
+                "dst": pa.array(dst.tolist(), pa.string()),
+                "side": pa.array(np.ones(len(dst), np.int64), pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def _bucketed_fn(nb: int):
+    """Deterministic crc32 bucket column factory (python hash() is
+    seed-randomized per worker, which would silently break co-groups)."""
+
+    def bucketed(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = np.array(
+                [zlib.crc32(u.encode()) % nb for u in batch[col].to_pylist()],
+                np.int64,
+            )
+            return batch.append_column("bucket", pa.array(h, pa.int64()))
+
+        return fn
+
+    return bucketed
+
+
+def _internal_edges_exact(pages: str, nb: int):
+    """Exact internal edge list (src, dst): exploded out-links bloom-
+    prefiltered, then bucketed co-group with the node table by hash(dst)
+    kills the bloom's false positives on string equality. Multi-edges
+    (a url listed twice in one page's out_links) are KEPT — mass-flow
+    operators count them, exactly like unnest does SQL-side."""
+    import ray.data as rd
+
+    node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
+    raw = rd.read_parquet(pages, columns=["url", "out_links"]).map_batches(
+        _link_explode_fn(_page_bloom_ref(node_ds)), batch_format="pyarrow"
+    )
+    node_side = node_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.array([""] * len(b), pa.string()),
+                "dst": b["url"],
+                "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    bucketed = _bucketed_fn(nb)
+
+    def verify(g) -> pa.Table:
+        nodeset = g[g["side"] == 0]["dst"].to_numpy(object)
+        ee = g[g["side"] == 1]
+        keep = np.isin(ee["dst"].to_numpy(object), nodeset)
+        return pa.table(
+            {
+                "src": pa.array(ee["src"].to_numpy(object)[keep].tolist(), pa.string()),
+                "dst": pa.array(ee["dst"].to_numpy(object)[keep].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        raw.union(node_side)
+        .repartition(nb)
+        .map_batches(bucketed("dst"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .materialize()
+    ), node_ds
+
+
+# --------------------------------------------------------------------------
 # crawl-depth analysis: BFS hop distance from the seed frontier
 # --------------------------------------------------------------------------
 
@@ -201,12 +326,8 @@ def q_seed_hop_distance(sf_dir: str):
     re-materializes per level (the iteration barrier); every shuffle
     input is re-pinned to ``nb`` partitions first (Ray's sort groupby
     degrades in block count — see pagerank_top20)."""
-    import ray
     import ray.data as rd
-    import pyarrow.compute as pc
 
-    from ..functions.bloom import bloom_add, bloom_contains, bloom_m_bits
-    from ..functions.urls import url_hash64_vec
     from ..scale import derive_buckets_for_paths
     from .queries_media import _pages_path, fixture_dir_for
 
@@ -215,57 +336,13 @@ def q_seed_hop_distance(sf_dir: str):
     nb = derive_buckets_for_paths(pages, floor=32)
 
     node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
-    m_bits = bloom_m_bits(node_ds.count())  # metadata count, no collect
-
-    def bloom_partial(batch: pa.Table) -> pa.Table:
-        w = np.zeros(m_bits // 64, np.uint64)
-        bloom_add(w, m_bits, url_hash64_vec(batch["url"].to_pylist()))
-        return pa.table({"words": pa.array([w.view(np.int64).tolist()])})
-
-    words = np.zeros(m_bits // 64, np.uint64)
-    for b in node_ds.map_batches(
-        bloom_partial, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for row in b["words"].to_pylist():
-            words |= np.asarray(row, np.int64).view(np.uint64)
-    bloom_ref = ray.put((words, m_bits))
-
-    def explode(batch: pa.Table) -> pa.Table:
-        bw, bm = ray.get(bloom_ref)
-        links = batch["out_links"]
-        if isinstance(links, pa.ChunkedArray):
-            links = links.combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links)
-        src = pc.take(batch["url"], parent).to_numpy(zero_copy_only=False)
-        dst = flat.to_numpy(zero_copy_only=False)
-        if len(dst):
-            maybe = bloom_contains(bw, bm, url_hash64_vec(dst.tolist()))
-            src, dst = src[maybe], dst[maybe]
-        return pa.table(
-            {
-                "src": pa.array(src.tolist(), pa.string()),
-                "dst": pa.array(dst.tolist(), pa.string()),
-                "side": pa.array(np.ones(len(dst), np.int64), pa.int64()),
-            }
-        )
-
     edges = (
         rd.read_parquet(pages, columns=["url", "out_links"])
-        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(_link_explode_fn(_page_bloom_ref(node_ds)), batch_format="pyarrow")
         .repartition(nb)
         .materialize()
     )
-
-    def bucketed(col: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            h = np.array(
-                [zlib.crc32(u.encode()) % nb for u in batch[col].to_pylist()],
-                np.int64,
-            )
-            return batch.append_column("bucket", pa.array(h, pa.int64()))
-
-        return fn
+    bucketed = _bucketed_fn(nb)
 
     def expand(g) -> pa.Table:
         """frontier(side=0) ⋈ edges(side=1) on src → unique candidate dsts."""
@@ -349,9 +426,196 @@ def q_seed_hop_distance(sf_dir: str):
     return dist
 
 
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (integer-exact, L1-normalized per half-step)
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 3  # synchronous iterations (each = authority then hub update)
+HITS_TOP = 20
+HITS_SCALE = 1_000_000  # micro units; every half-step renormalizes the
+# L1 mass to ~HITS_SCALE so products stay far inside int64
+
+
+def q_hits_top20(sf_dir: str):
+    """HITS over the fixture link graph: ``HITS_ITERS`` synchronous
+    iterations of authority←Σ-in-hub / hub←Σ-out-authority, each
+    half-step L1-renormalized in integer micro units
+    (``score * SCALE // total``), then the top-``HITS_TOP`` pages by
+    (authority desc, url asc) with both scores. PageRank's companion on
+    the same graph — the reference ranks its frontier by a quality score
+    (RankerBolt, SURVEY §1.1); hubs/authorities is the classic link-
+    analysis alternative a crawl corpus ships.
+
+    All arithmetic is int64 (sums of micro scores; integer floor-div by
+    the global total) so the fixed point is summation-order-free and the
+    unrolled-CTE DuckDB oracle replays it bit-for-bit. Scale shape: the
+    exact internal edge list materializes once (bloom prefilter + exact
+    bucketed verify, multi-edges kept); each half-step is one bucketed
+    co-group (scores ⋈ edges on the flow endpoint) followed by a partial
+    per-endpoint sum and a scalar total — no driver-side node state."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..scale import derive_buckets_for_paths
+    from .queries_media import _pages_path
+
+    pages = _pages_path(sf_dir)
+    nb = derive_buckets_for_paths(pages, floor=32)
+    edges, node_ds = _internal_edges_exact(pages, nb)
+    bucketed = _bucketed_fn(nb)
+
+    edge_side = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["src"],
+                "dst": b["dst"],
+                "s": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def score_side(ds, join_col: str):
+        other = "dst" if join_col == "src" else "src"
+        return ds.map_batches(
+            lambda b, jc=join_col, ot=other: pa.table(
+                {
+                    jc: b["url"],
+                    ot: pa.array([""] * len(b), pa.string()),
+                    "s": b["s"],
+                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                }
+            ).select(["src", "dst", "s", "side"]),
+            batch_format="pyarrow",
+        )
+
+    def flow(join_col: str, out_col: str):
+        """Co-group kernel: edge rows pick up the score at ``join_col``
+        and emit it on the opposite endpoint, partially summed."""
+
+        def fn(g) -> pa.Table:
+            sc = g[g["side"] == 0][[join_col, "s"]].rename(columns={join_col: "k"})
+            ee = g[g["side"] == 1].rename(columns={join_col: "k"})
+            m = ee.merge(sc, on="k", how="inner", suffixes=("", "_sc"))
+            if not len(m):
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "p": pa.array([], pa.int64()),
+                    }
+                )
+            agg = m.groupby(out_col, sort=False)["s_sc"].sum()
+            return pa.table(
+                {
+                    "url": pa.array(agg.index.tolist(), pa.string()),
+                    "p": pa.array(agg.to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        return fn
+
+    def half_step(scores, join_col: str, out_col: str):
+        raw = (
+            score_side(scores, join_col)
+            .union(edge_side)
+            .repartition(nb)
+            .map_batches(bucketed(join_col), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(flow(join_col, out_col), batch_format="pandas")
+            .groupby("url")
+            .aggregate(Sum("p", alias_name="raw"))
+            .materialize()
+        )
+        total = int(raw.sum("raw") or 0)
+        if total <= 0:
+            return raw.map_batches(
+                lambda b: pa.table(
+                    {"url": b["url"], "s": pa.array(np.zeros(len(b), np.int64))}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        return raw.map_batches(
+            lambda b, t=total: pa.table(
+                {
+                    "url": b["url"],
+                    "s": pa.array(
+                        b["raw"].to_numpy(zero_copy_only=False) * HITS_SCALE // t,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = node_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "url": b["url"],
+                "s": pa.array(np.full(len(b), HITS_SCALE, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = None
+    for _ in range(HITS_ITERS):
+        auth = half_step(hub, "src", "dst")  # authority ← Σ hub over in-edges
+        hub = half_step(auth, "dst", "src")  # hub ← Σ authority over out-edges
+
+    # join auth + hub per url (bucketed co-group), top-K by authority
+    a_side = auth.map_batches(
+        lambda b: pa.table(
+            {
+                "url": b["url"],
+                "s": b["s"],
+                "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    h_side = hub.map_batches(
+        lambda b: pa.table(
+            {
+                "url": b["url"],
+                "s": b["s"],
+                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def zip_scores(g) -> pa.Table:
+        import pandas as pd
+
+        a = g[g["side"] == 0][["url", "s"]].rename(columns={"s": "auth_micro"})
+        h = g[g["side"] == 1][["url", "s"]].rename(columns={"s": "hub_micro"})
+        m = a.merge(h, on="url", how="outer")
+        for c in ("auth_micro", "hub_micro"):
+            m[c] = m[c].fillna(0).astype(np.int64)
+        return pa.table(
+            {
+                "url": pa.array(m["url"].tolist(), pa.string()),
+                "auth_micro": pa.array(m["auth_micro"].to_numpy(np.int64)),
+                "hub_micro": pa.array(m["hub_micro"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        a_side.union(h_side)
+        .repartition(nb)
+        .map_batches(bucketed("url"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(zip_scores, batch_format="pandas")
+        .sort(["auth_micro", "url"], descending=[True, False])
+        .limit(HITS_TOP)
+    )
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "seed_hop_distance": q_seed_hop_distance,
+    "hits_top20": q_hits_top20,
 }
 
 

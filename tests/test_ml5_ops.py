@@ -154,3 +154,58 @@ def test_seed_hop_distance_matches_python_bfs(ray_session):
     got_map = dict(zip(got["url"], got["hop"].astype(int)))
     assert got_map == dist
     assert 0 in set(dist.values())  # seeds present
+
+
+# -- hits_top20 -------------------------------------------------------------
+
+
+def test_hits_top20_matches_python_reference(ray_session):
+    """Integer HITS on the tiny fixture vs a dict-based reference."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq2
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        HITS_ITERS,
+        HITS_SCALE,
+        HITS_TOP,
+        q_hits_top20,
+    )
+    from mklab_focused_crawler_ray.pipelines.queries_media import fixture_dir_for
+
+    sf = "/root/testdata/sf0.001"
+    fdir = fixture_dir_for(sf)
+    pages = pq2.read_table(fdir + "/pages.parquet", columns=["url", "out_links"])
+    urls = pages["url"].to_pylist()
+    nodeset = set(urls)
+    edges = [
+        (u, v)
+        for u, links in zip(urls, pages["out_links"].to_pylist())
+        for v in (links or ())
+        if v in nodeset
+    ]
+
+    def half(scores, flip):
+        raw = defaultdict(int)
+        for s, d in edges:
+            k, j = (d, s) if not flip else (s, d)
+            raw[k] += scores.get(j, 0)
+        tot = sum(raw.values())
+        if tot <= 0:
+            return {k: 0 for k in raw}
+        return {k: v * HITS_SCALE // tot for k, v in raw.items()}
+
+    hub = {u: HITS_SCALE for u in urls}
+    for _ in range(HITS_ITERS):
+        auth = half(hub, flip=False)  # authority ← Σ in-hub
+        hub = half(auth, flip=True)  # hub ← Σ out-authority
+    exp = sorted(
+        ((u, auth.get(u, 0), hub.get(u, 0)) for u in urls),
+        key=lambda r: (-r[1], r[0]),
+    )[:HITS_TOP]
+
+    got = q_hits_top20(sf).to_pandas()
+    got_rows = [
+        (r.url, int(r.auth_micro), int(r.hub_micro)) for r in got.itertuples()
+    ]
+    assert got_rows == exp

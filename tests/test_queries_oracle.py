@@ -92,6 +92,7 @@ FIXTURE_BACKED = {
     "pagerank_top20",
     "page_image_join_stats",
     "seed_hop_distance",
+    "hits_top20",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
     "image_embed_dup_pairs",
