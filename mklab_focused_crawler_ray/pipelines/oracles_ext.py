@@ -744,6 +744,34 @@ def build_extended_oracles() -> dict[str, str]:
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d, i) = 1"
     )
 
+    # vision-token cost rollup: same argmin bucket assignment as
+    # image_ar_buckets, bucket → fixed train dims → patch-grid token sum
+    from .queries_ml5 import AR_TARGET_DIMS, VIT_PATCH
+
+    _tc_vals = ", ".join(
+        f"({i}, {bw}, {bh}, {tw}, {th})"
+        for i, ((bw, bh), (tw, th)) in enumerate(zip(AR_BUCKETS, AR_TARGET_DIMS))
+    )
+    sql["image_token_cost"] = (
+        f"WITH b(i, bw, bh, tw, th) AS (VALUES {_tc_vals}), "
+        "a AS (SELECT image_id, caption, CAST(w AS BIGINT)*1000000//h AS ar_ppm "
+        f"FROM {images_rel}), "
+        "j AS (SELECT a.image_id, a.caption, b.i, "
+        "CAST(b.bw AS BIGINT) AS bucket_w, CAST(b.bh AS BIGINT) AS bucket_h, "
+        "CAST(b.tw AS BIGINT) AS tw, CAST(b.th AS BIGINT) AS th, "
+        "abs(a.ar_ppm - CAST(b.bw AS BIGINT)*1000000//b.bh) AS d "
+        "FROM a CROSS JOIN b), "
+        "p AS (SELECT * FROM j "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d, i) = 1) "
+        "SELECT bucket_w, bucket_h, CAST(COUNT(*) AS BIGINT) AS n_images, "
+        f"CAST(SUM((tw//{VIT_PATCH})*(th//{VIT_PATCH}) + 1) AS BIGINT) "
+        "AS vision_tokens, "
+        "CAST(SUM(len(regexp_extract_all(lower(caption), '[a-z0-9]+'))) "
+        "AS BIGINT) AS caption_tokens "
+        "FROM p GROUP BY 1, 2"
+    )
+
+
     # cross-modal retrieval: 5 query captions (alphabetically-first image
     # ids) ranked against every image's materialized shifted-micro embed
     from .queries_media import XMODAL_K, XMODAL_QUERIES

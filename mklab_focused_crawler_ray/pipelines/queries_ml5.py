@@ -612,10 +612,204 @@ def q_hits_top20(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# BPE merge step (tokenizer training over the corpus)
+# --------------------------------------------------------------------------
+
+BPE_TOP = 16  # pairs reported after the merge is applied
+BPE_MERGE_MARK = "\x01"  # single-codepoint stand-in for the merged symbol
+# (outside [a-z0-9], so it can never collide with corpus characters; both
+# numpy and DuckDB rewrite with plain left-to-right non-overlapping replace)
+
+
+def _pair_counts_u16(words_blob: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Adjacent-symbol pair counts over a space-joined word blob (uint8
+    array). Pairs never cross the space separators. Returns (codes,
+    counts) with code = left_byte*256 + right_byte — one bincount, no
+    Python loop."""
+    if len(words_blob) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a, b = words_blob[:-1], words_blob[1:]
+    ok = (a != 32) & (b != 32)
+    codes = a[ok].astype(np.int64) * 256 + b[ok]
+    cnt = np.bincount(codes, minlength=65536)
+    nz = np.flatnonzero(cnt)
+    return nz, cnt[nz].astype(np.int64)
+
+
+def q_bpe_merge_step(sf_dir: str):
+    """ONE BPE TRAINING STEP over the document corpus: count adjacent
+    symbol pairs inside ``[a-z0-9]+`` words (weighted by occurrence),
+    take the most frequent pair (ties → lexicographically smallest),
+    apply that merge corpus-wide (left-to-right non-overlapping, the
+    merged pair becomes the single symbol ``BPE_MERGE_MARK``), and
+    report the top-``BPE_TOP`` pairs of the REWRITTEN corpus — i.e. the
+    candidate set for merge #2. This is byte-pair-encoding vocabulary
+    learning's inner loop (Sennrich et al. 2016) as a distributed batch
+    op; a full tokenizer train iterates it.
+
+    Scale shape: two streaming corpus scans. Each batch joins its words
+    into one byte blob and counts pairs with a single ``bincount`` over
+    the 2-byte code space — the shuffle ships at most 65536 (pair,
+    partial-count) rows per batch and the global aggregate is
+    alphabet²-bounded, so there is no corpus-sized shuffle at any
+    scale. The winning pair is a scalar broadcast into scan 2."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def scan(merge_pair: str | None):
+        def pairs(batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            words: list[str] = []
+            for t in texts:
+                words.extend(TOKEN_RE.findall(t.lower()))
+            if merge_pair is not None:
+                blob = " ".join(words).replace(merge_pair, BPE_MERGE_MARK)
+            else:
+                blob = " ".join(words)
+            codes, cnt = _pair_counts_u16(np.frombuffer(blob.encode(), np.uint8))
+            return pa.table(
+                {
+                    "pair": pa.array(
+                        [chr(c >> 8) + chr(c & 255) for c in codes.tolist()],
+                        pa.string(),
+                    ),
+                    "n": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        return (
+            rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    c1 = scan(None).to_pandas()  # alphabet²-bounded
+    top = c1.sort_values(["n", "pair"], ascending=[False, True]).iloc[0]["pair"]
+
+    c2 = scan(str(top)).to_pandas()
+    c2 = c2.sort_values(["n", "pair"], ascending=[False, True]).head(BPE_TOP)
+    return pa.table(
+        {
+            "pair": pa.array(c2["pair"].tolist(), pa.string()),
+            "n": pa.array(c2["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def _bpe_sql() -> str:
+    mark = "chr(1)"
+    return (
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+        "AS word FROM documents), "
+        "p1 AS (SELECT unnest(list_transform(range(1, length(word)), "
+        "i -> substr(word, i::INT, 2))) AS pair FROM w), "
+        "c1 AS (SELECT pair, count(*) AS n FROM p1 GROUP BY pair), "
+        "top1 AS (SELECT pair FROM c1 ORDER BY n DESC, pair ASC LIMIT 1), "
+        f"w2 AS (SELECT replace(word, (SELECT pair FROM top1), {mark}) AS word "
+        "FROM w), "
+        "p2 AS (SELECT unnest(list_transform(range(1, length(word)), "
+        "i -> substr(word, i::INT, 2))) AS pair FROM w2), "
+        "c2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p2 GROUP BY pair) "
+        f"SELECT pair, n FROM c2 ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}"
+    )
+
+
+# --------------------------------------------------------------------------
+# vision-token cost planning (ViT patch accounting per AR bucket)
+# --------------------------------------------------------------------------
+
+VIT_PATCH = 16  # ViT patch edge; targets below are all patch-divisible
+# target train resolution per AR bucket (SDXL-style ~512² pixel budget);
+# index-aligned with queries_media.AR_BUCKETS
+AR_TARGET_DIMS = [(512, 512), (576, 432), (432, 576), (672, 384), (384, 672)]
+
+
+def q_image_token_cost(sf_dir: str):
+    """VISION-TOKEN BUDGET PLANNING: assign every image to its aspect-
+    ratio bucket (same argmin contract as ``image_ar_buckets``), map the
+    bucket to its fixed patch-divisible train resolution, and roll up
+    per bucket the total multimodal sequence cost a training run will
+    pay: (bucket_w, bucket_h, n_images, vision_tokens, caption_tokens)
+    where vision tokens = (tw/16)·(th/16)+1 per image (patch grid + CLS)
+    and caption tokens = ``[a-z0-9]+`` word count. The table a batch
+    planner sizes its token budget / packing from.
+
+    Scale shape: metadata-only map (bytes never read) with per-batch
+    bincount partials over the 5-bucket key — the shuffle carries ≤5
+    rows per batch at any corpus size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+    from .queries_media import AR_BUCKETS, _images
+
+    bppm = np.array([w * 1_000_000 // h for w, h in AR_BUCKETS], np.int64)
+    vis_per = np.array(
+        [(tw // VIT_PATCH) * (th // VIT_PATCH) + 1 for tw, th in AR_TARGET_DIMS],
+        np.int64,
+    )
+    nbk = len(AR_BUCKETS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        ar = w * 1_000_000 // h
+        pick = np.argmin(np.abs(ar[:, None] - bppm[None, :]), axis=1)
+        cap = np.array(
+            [len(TOKEN_RE.findall(c.lower())) for c in batch["caption"].to_pylist()],
+            np.int64,
+        )
+        n = np.bincount(pick, minlength=nbk)
+        vis = n * vis_per
+        capt = np.bincount(pick, weights=cap, minlength=nbk).astype(np.int64)
+        keep = np.flatnonzero(n)
+        return pa.table(
+            {
+                "bi": pa.array(keep, pa.int64()),
+                "n_images": pa.array(n[keep], pa.int64()),
+                "vision_tokens": pa.array(vis[keep], pa.int64()),
+                "caption_tokens": pa.array(capt[keep], pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(_images(sf_dir), columns=["image_id", "w", "h", "caption"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bi")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("vision_tokens", alias_name="vision_tokens"),
+            Sum("caption_tokens", alias_name="caption_tokens"),
+        )
+    )
+    bw = np.array([b[0] for b in AR_BUCKETS], np.int64)
+    bh = np.array([b[1] for b in AR_BUCKETS], np.int64)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        bi = batch["bi"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket_w": pa.array(bw[bi], pa.int64()),
+                "bucket_h": pa.array(bh[bi], pa.int64()),
+                "n_images": batch["n_images"],
+                "vision_tokens": batch["vision_tokens"],
+                "caption_tokens": batch["caption_tokens"],
+            }
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "seed_hop_distance": q_seed_hop_distance,
     "hits_top20": q_hits_top20,
+    "bpe_merge_step": q_bpe_merge_step,
+    "image_token_cost": q_image_token_cost,
 }
 
 
@@ -624,4 +818,5 @@ def build_ml5_oracles() -> dict[str, str]:
     # fixture paths in oracles_ext.build_extended_oracles
     return {
         "substring_dup_spans": _dupspan_sql(),
+        "bpe_merge_step": _bpe_sql(),
     }

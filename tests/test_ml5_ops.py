@@ -209,3 +209,64 @@ def test_hits_top20_matches_python_reference(ray_session):
         (r.url, int(r.auth_micro), int(r.hub_micro)) for r in got.itertuples()
     ]
     assert got_rows == exp
+
+
+# -- bpe_merge_step ---------------------------------------------------------
+
+
+def test_pair_counts_u16_respects_word_boundaries():
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import _pair_counts_u16
+
+    blob = np.frombuffer(b"ab ab", np.uint8)
+    codes, cnt = _pair_counts_u16(blob)
+    got = {chr(c >> 8) + chr(c & 255): int(n) for c, n in zip(codes, cnt)}
+    assert got == {"ab": 2}  # 'b ' and ' a' masked out
+
+    codes, cnt = _pair_counts_u16(np.frombuffer(b"aaa", np.uint8))
+    got = {chr(c >> 8) + chr(c & 255): int(n) for c, n in zip(codes, cnt)}
+    assert got == {"aa": 2}  # overlapping pair occurrences both count
+
+    codes, cnt = _pair_counts_u16(np.frombuffer(b"x", np.uint8))
+    assert len(codes) == 0
+
+
+def test_bpe_merge_step_tiny_corpus(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        BPE_MERGE_MARK,
+        q_bpe_merge_step,
+    )
+
+    # 'th' is the clear winner; after merging, '\x01e' pairs must surface
+    texts = ["the thin thorn", "then the theme", "other than that"]
+    sf = _write_docs(tmp_path, texts)
+    out = q_bpe_merge_step(sf).to_pandas()
+    pairs = dict(zip(out["pair"], out["n"].astype(int)))
+    assert all(len(p) == 2 for p in pairs)
+    assert "th" not in pairs  # fully merged away
+    assert pairs[BPE_MERGE_MARK + "e"] == 5  # the, then, the, theme, other
+
+
+# -- image_token_cost -------------------------------------------------------
+
+
+def test_image_token_cost_totals(ray_session):
+    import pyarrow.parquet as pq2
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        AR_TARGET_DIMS,
+        VIT_PATCH,
+        q_image_token_cost,
+    )
+    from mklab_focused_crawler_ray.pipelines.queries_media import _images
+
+    sf = "/root/testdata/sf0.001"
+    n_total = pq2.read_table(_images(sf), columns=["image_id"]).num_rows
+    df = q_image_token_cost(sf).to_pandas()
+    assert int(df["n_images"].sum()) == n_total
+    # per-bucket vision tokens are exactly n_images × the bucket constant
+    per = {
+        (tw // VIT_PATCH) * (th // VIT_PATCH) + 1 for tw, th in AR_TARGET_DIMS
+    }
+    for r in df.itertuples():
+        assert int(r.vision_tokens) % int(r.n_images) == 0
+        assert int(r.vision_tokens) // int(r.n_images) in per

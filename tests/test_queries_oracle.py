@@ -93,6 +93,7 @@ FIXTURE_BACKED = {
     "page_image_join_stats",
     "seed_hop_distance",
     "hits_top20",
+    "image_token_cost",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
     "image_embed_dup_pairs",
