@@ -196,6 +196,13 @@ BENCH_QUERIES = [
     "image_ar_buckets",
     "knn_semantic_clusters",
     "curation_funnel",
+    # round 4 continuation (seed_hop_distance and hits_top20 are excluded
+    # like pagerank_top20 — multi-iteration graph jobs, ~18-35 s each,
+    # would drown the per-query signal; timed separately in BASELINE.md)
+    "substring_dup_spans",
+    "bpe_merge_step",
+    "image_token_cost",
+    "curriculum_order",
 ]
 
 

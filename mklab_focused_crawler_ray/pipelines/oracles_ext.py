@@ -552,6 +552,20 @@ def build_extended_oracles() -> dict[str, str]:
     # quality-score gate (functions/text.quality_features mirrored exactly:
     # integer counts, exact double ratios, multiplicative CASE chain)
     sql["doc_quality"] = _quality_sql("documents", "doc_id", "text")
+
+    # language-interleaved quality curriculum: within-lang rank by
+    # (quality desc, doc_id), then the merged order by (rank, lang) —
+    # window functions replay the engine's broadcast-count arithmetic
+    sql["curriculum_order"] = (
+        f"WITH q AS ({sql['doc_quality']}), "
+        "d AS (SELECT dd.doc_id, dd.lang, q.quality_micro "
+        "FROM documents dd JOIN q ON q.doc_id = dd.doc_id), "
+        "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY quality_micro DESC, doc_id) AS lang_rank "
+        "FROM d) "
+        "SELECT doc_id, lang, lang_rank, ROW_NUMBER() OVER "
+        "(ORDER BY lang_rank, lang) AS global_ord FROM r"
+    )
     # the same gate over the multimodal table's caption column
     sql["caption_quality"] = _quality_sql(
         f"read_parquet('{images}')", "image_id", "caption"

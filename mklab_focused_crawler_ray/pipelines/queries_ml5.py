@@ -804,12 +804,120 @@ def q_image_token_cost(sf_dir: str):
     return agg.map_batches(attach, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------------------
+# curriculum ordering: global training order without a global sort
+# --------------------------------------------------------------------------
+
+
+def q_curriculum_order(sf_dir: str):
+    """LANGUAGE-INTERLEAVED QUALITY CURRICULUM: a total training order
+    over all documents — best documents first, languages round-robin
+    interleaved — without ever running a global sort. Per document:
+    (doc_id, lang, lang_rank, global_ord) where lang_rank ranks within
+    the language by (quality_micro desc, doc_id asc) and global_ord is
+    the position in the merged order sorted by (lang_rank, lang).
+
+    Scale shape: the global ordinal is pure arithmetic over broadcast
+    per-language COUNTS — ord(r, l) = Σ_l' min(count_l', r−1) +
+    |{l' < l : count_l' ≥ r}| + 1 — so no stage ever sees the corpus in
+    one place. Within-language ranks come from a two-level split:
+    quality_micro takes a BOUNDED set of values (the score is a product
+    of discrete gate factors), so per-(lang, score) counts are a tiny
+    driver-side table giving each tie-class its rank offset, and only
+    the tie-class itself (grouped by (lang, score)) needs an in-group
+    argsort over doc_id. At 100 TB an oversized tie class range-
+    partitions by doc_id with the same offset trick, one level deeper."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import quality_features
+    from .queries import _micro
+
+    def score(batch: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in batch["text"].to_pylist()]
+        qm = _micro(np.array([f["quality"] for f in feats]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "quality_micro": pa.array(qm, pa.int64()),
+                "ls": pa.array(
+                    [
+                        f"{lg}:{q:012d}"
+                        for lg, q in zip(batch["lang"].to_pylist(), qm.tolist())
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    scored = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    ).map_batches(score, batch_format="pyarrow")
+
+    # tiny (lang, score) histogram → per-class rank offsets + lang totals
+    import pandas as pd
+
+    hist = (
+        scored.map_batches(
+            lambda b: pa.table(
+                {
+                    "ls": b["ls"],
+                    "lang": b["lang"],
+                    "quality_micro": b["quality_micro"],
+                    "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("ls")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    meta = hist["ls"].str.rsplit(":", n=1, expand=True)
+    hist["lang"], hist["q"] = meta[0], meta[1].astype(np.int64)
+    hist = hist.sort_values(["lang", "q"], ascending=[True, False])
+    hist["offset"] = hist.groupby("lang")["n"].cumsum() - hist["n"]
+    offsets = dict(zip(hist["ls"], hist["offset"].astype(int)))
+    langs = sorted(hist["lang"].unique().tolist())
+    counts = np.array(
+        [int(hist.loc[hist["lang"] == lg, "n"].sum()) for lg in langs], np.int64
+    )
+    lang_idx = {lg: i for i, lg in enumerate(langs)}
+    bref = ray.put((offsets, langs, counts, lang_idx))
+
+    def rank_class(g) -> pa.Table:
+        off, lgs, cnts, lidx = ray.get(bref)
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        r_in = np.empty(len(ids), np.int64)
+        r_in[order] = np.arange(1, len(ids) + 1)
+        ls = g["ls"].iloc[0]
+        r = off[ls] + r_in
+        li = lidx[g["lang"].iloc[0]]
+        # ord(r, l) = Σ_l' min(count_l', r−1) + |{l' < l : count_l' ≥ r}| + 1
+        below = np.minimum(cnts[None, :], (r - 1)[:, None]).sum(axis=1)
+        same = (cnts[None, :li] >= r[:, None]).sum(axis=1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(g["lang"].tolist(), pa.string()),
+                "lang_rank": pa.array(r, pa.int64()),
+                "global_ord": pa.array(below + same + 1, pa.int64()),
+            }
+        )
+
+    return scored.groupby("ls").map_groups(rank_class, batch_format="pandas")
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "seed_hop_distance": q_seed_hop_distance,
     "hits_top20": q_hits_top20,
     "bpe_merge_step": q_bpe_merge_step,
     "image_token_cost": q_image_token_cost,
+    "curriculum_order": q_curriculum_order,
 }
 
 

@@ -270,3 +270,52 @@ def test_image_token_cost_totals(ray_session):
     for r in df.itertuples():
         assert int(r.vision_tokens) % int(r.n_images) == 0
         assert int(r.vision_tokens) // int(r.n_images) in per
+
+
+# -- curriculum_order -------------------------------------------------------
+
+
+def test_curriculum_order_brute_force(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.functions.text import quality_features
+    from mklab_focused_crawler_ray.pipelines.queries import _micro
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import q_curriculum_order
+
+    texts = [
+        "a solid quality document with plenty of normal words in it",
+        "short",
+        "another decent length document of ordinary english words here",
+        "x",
+        "mid length words making a fine document overall",
+        "tiny words",
+    ]
+    langs = ["en", "en", "de", "de", "fr", "fr"]
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa2.table(
+            {
+                "doc_id": pa2.array(range(len(texts)), pa2.int64()),
+                "text": pa2.array(texts),
+                "lang": pa2.array(langs),
+                "source": pa2.array(["s"] * len(texts)),
+                "n_chars": pa2.array([len(t) for t in texts], pa2.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    qm = _micro(np.array([quality_features(t)["quality"] for t in texts]))
+    rows = sorted(zip(range(len(texts)), langs, qm), key=lambda r: (r[1], -r[2], r[0]))
+    lang_rank, seen = {}, {}
+    for d, lg, _ in rows:
+        seen[lg] = seen.get(lg, 0) + 1
+        lang_rank[d] = seen[lg]
+    merged = sorted(range(len(texts)), key=lambda d: (lang_rank[d], langs[d]))
+    global_ord = {d: i + 1 for i, d in enumerate(merged)}
+
+    got = q_curriculum_order(str(tmp_path)).to_pandas()
+    for r in got.itertuples():
+        assert int(r.lang_rank) == lang_rank[int(r.doc_id)], r
+        assert int(r.global_ord) == global_ord[int(r.doc_id)], r
+    assert len(got) == len(texts)
