@@ -911,6 +911,96 @@ def q_curriculum_order(sf_dir: str):
     return scored.groupby("ls").map_groups(rank_class, batch_format="pandas")
 
 
+# --------------------------------------------------------------------------
+# balanced output sharding (greedy LPT over per-source weights)
+# --------------------------------------------------------------------------
+
+LPT_SHARDS = 4  # output shard count — part of the contract (the unrolled
+# recursive oracle tracks one load column per shard, so keep it small at
+# fixture scale; a production run raises it with the identical kernel)
+
+
+def _lpt_assign(weights: np.ndarray, n_shards: int) -> np.ndarray:
+    """Greedy longest-processing-time placement: items in the given
+    (already sorted) order each go to the currently-lightest shard,
+    ties → lowest shard index. Returns the shard per item."""
+    loads = np.zeros(n_shards, np.int64)
+    out = np.empty(len(weights), np.int64)
+    for i, w in enumerate(weights):
+        s = int(np.argmin(loads))  # first minimum → lowest index on ties
+        out[i] = s
+        loads[s] += int(w)
+    return out
+
+
+def q_shard_assign_sources(sf_dir: str):
+    """BALANCED OUTPUT SHARDING: assign every document source to one of
+    ``LPT_SHARDS`` output shards so shard byte loads balance — greedy
+    LPT (sources by weight desc, each to the lightest shard so far, ties
+    → smaller source name then lower shard id). Output (source, shard,
+    w_chars). This is the partition-planning step before a resumable
+    partitioned-parquet write: one directory per shard, sized evenly so
+    no straggler shard dominates the write wall-time.
+
+    Scale shape: the per-source weights come from a metadata-only
+    distributed aggregate (SUM(n_chars), never the text column); the
+    greedy itself runs on the driver over the AGGREGATED table — a
+    bounded planning step (sources are registered domains: thousands,
+    not corpus-sized), the same discipline as ``bpe_merge_step``'s
+    top-1 selection and the pack kernel's per-partition serial step."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    w = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Sum("n_chars", alias_name="w_chars"))
+        .to_pandas()  # bounded: one row per source
+        .sort_values(["w_chars", "source"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    shard = _lpt_assign(w["w_chars"].to_numpy(np.int64), LPT_SHARDS)
+    return pa.table(
+        {
+            "source": pa.array(w["source"].tolist(), pa.string()),
+            "shard": pa.array(shard, pa.int64()),
+            "w_chars": pa.array(w["w_chars"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def _lpt_sql() -> str:
+    k = LPT_SHARDS
+    loads = ", ".join(f"l{i}" for i in range(k))
+    # pick = index of the minimal load, lowest index on ties
+    def pick_case() -> str:
+        conds = []
+        for i in range(k):
+            c = " AND ".join(f"st.l{i} <= st.l{j}" for j in range(i + 1, k))
+            conds.append(f"WHEN {c} THEN {i}" if c else f"ELSE {i} END")
+        return "CASE " + " ".join(conds[:-1]) + " " + conds[-1]
+
+    pick = pick_case()
+    load_updates = ", ".join(
+        f"st.l{i} + CASE WHEN ({pick}) = {i} THEN o.w ELSE 0 END" for i in range(k)
+    )
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS l{i}" for i in range(k))
+    return (
+        "WITH RECURSIVE "
+        "s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w "
+        "FROM documents GROUP BY source), "
+        "o AS (SELECT source, w, ROW_NUMBER() OVER "
+        "(ORDER BY w DESC, source) AS rn FROM s), "
+        f"st(rn, src, shard, w, {loads}) AS ("
+        f"SELECT 0, CAST(NULL AS VARCHAR), 0, CAST(0 AS BIGINT), {zeros} "
+        "UNION ALL "
+        f"SELECT o.rn, o.source, ({pick}), o.w, {load_updates} "
+        "FROM st JOIN o ON o.rn = st.rn + 1) "
+        "SELECT src AS source, CAST(shard AS BIGINT) AS shard, "
+        "w AS w_chars FROM st WHERE rn > 0"
+    )
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "seed_hop_distance": q_seed_hop_distance,
@@ -918,6 +1008,7 @@ ML5_QUERIES = {
     "bpe_merge_step": q_bpe_merge_step,
     "image_token_cost": q_image_token_cost,
     "curriculum_order": q_curriculum_order,
+    "shard_assign_sources": q_shard_assign_sources,
 }
 
 
@@ -927,4 +1018,5 @@ def build_ml5_oracles() -> dict[str, str]:
     return {
         "substring_dup_spans": _dupspan_sql(),
         "bpe_merge_step": _bpe_sql(),
+        "shard_assign_sources": _lpt_sql(),
     }

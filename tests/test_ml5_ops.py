@@ -319,3 +319,47 @@ def test_curriculum_order_brute_force(ray_session, tmp_path):
         assert int(r.lang_rank) == lang_rank[int(r.doc_id)], r
         assert int(r.global_ord) == global_ord[int(r.doc_id)], r
     assert len(got) == len(texts)
+
+
+# -- shard_assign_sources ---------------------------------------------------
+
+
+def test_lpt_assign_kernel():
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import _lpt_assign
+
+    # weights pre-sorted desc; classic LPT: 8,7,6,5 over 2 shards → loads 13/13
+    shard = _lpt_assign(np.array([8, 7, 6, 5], np.int64), 2)
+    assert shard.tolist() == [0, 1, 1, 0]
+    # ties pick the lowest shard index
+    shard = _lpt_assign(np.array([1, 1, 1], np.int64), 4)
+    assert shard.tolist() == [0, 1, 2]
+
+
+def test_shard_assign_balances(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        LPT_SHARDS,
+        q_shard_assign_sources,
+    )
+
+    texts = [f"doc body number {i} with some words" for i in range(40)]
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa2.table(
+            {
+                "doc_id": pa2.array(range(40), pa2.int64()),
+                "text": pa2.array(texts),
+                "lang": pa2.array(["en"] * 40),
+                "source": pa2.array([f"s{i % 10}" for i in range(40)]),
+                "n_chars": pa2.array([len(t) * (1 + i % 7) for i, t in enumerate(texts)], pa2.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_shard_assign_sources(str(tmp_path)).to_pandas()
+    assert len(out) == 10
+    assert set(out["shard"]) <= set(range(LPT_SHARDS))
+    loads = out.groupby("shard")["w_chars"].sum()
+    # LPT guarantee: max load ≤ (4/3 − 1/3K)·OPT ≤ 4/3 · total/K + max item
+    assert loads.max() <= (out["w_chars"].sum() // LPT_SHARDS) * 4 // 3 + out["w_chars"].max()
