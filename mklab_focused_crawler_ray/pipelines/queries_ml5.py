@@ -1001,6 +1001,92 @@ def _lpt_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# per-source budget sampling (cumulative prefix gate)
+# --------------------------------------------------------------------------
+
+SRC_BUDGET_CHARS = 4000  # per-source character budget (fixture-scaled:
+# sources carry ~7.5k chars each, so the gate keeps roughly half; a real
+# run raises it per the mixture allocator's output)
+_KNUTH_H = 2654435761  # same multiplicative hash as lang_sample_topk
+
+
+def q_source_budget_docs(sf_dir: str):
+    """PER-SOURCE BUDGET SAMPLING — the sampler the mixture allocator
+    (``lang_token_budget``) feeds: within each source, documents in
+    deterministic hash order (``(doc_id · 2654435761) mod 2³²`` asc,
+    doc_id asc) are kept while the source's cumulative character count
+    BEFORE the document is still under ``SRC_BUDGET_CHARS`` (so the
+    budget may be overshot once, by the crossing document — first-fit).
+    Output kept rows: (doc_id, source, h, cum_before). Domain caps /
+    per-host quotas in crawl curation are this exact kernel.
+
+    Scale shape: metadata-only (doc_id, source, n_chars — text never
+    read); sources hash-bucket into ``nb`` groups and each group runs
+    one vectorized lexsort + segmented cumsum — the per-source prefix
+    recurrence is the irreducible serial unit, sources are the
+    parallelism, same discipline as ``doc_pack_sequences``."""
+    import ray.data as rd
+
+    from ..scale import derive_buckets
+
+    nb = derive_buckets(sf_dir, "documents", floor=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = np.array(
+            [zlib.crc32(s.encode()) % nb for s in batch["source"].to_pylist()],
+            np.int64,
+        )
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def gate(g) -> pa.Table:
+        ids = g["doc_id"].to_numpy(np.int64)
+        src = g["source"].to_numpy(object).astype(str)
+        nch = g["n_chars"].to_numpy(np.int64)
+        h = ((ids.astype(np.uint64) * np.uint64(_KNUTH_H)) % np.uint64(1 << 32)).astype(
+            np.int64
+        )
+        order = np.lexsort((ids, h, src))  # (source, h, doc_id) ascending
+        src_o, h_o, ids_o, nch_o = src[order], h[order], ids[order], nch[order]
+        # segmented cumulative-before: global cumsum minus each source
+        # segment's starting offset (src_o is sorted → segments contiguous)
+        starts = np.flatnonzero(np.concatenate(([True], src_o[1:] != src_o[:-1])))
+        cum = np.cumsum(nch_o)
+        seg_of = np.searchsorted(starts, np.arange(len(src_o)), side="right") - 1
+        seg_base = (cum - nch_o)[starts]  # cumulative before each segment
+        cum_before = (cum - nch_o) - seg_base[seg_of]
+        keep = cum_before < SRC_BUDGET_CHARS
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_o[keep], pa.int64()),
+                "source": pa.array(src_o[keep].tolist(), pa.string()),
+                "h": pa.array(h_o[keep], pa.int64()),
+                "cum_before": pa.array(cum_before[keep], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gate, batch_format="pandas")
+    )
+
+
+def _src_budget_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, source, n_chars, "
+        f"CAST((doc_id * {_KNUTH_H}) % 4294967296 AS BIGINT) AS h "
+        "FROM documents), "
+        "c AS (SELECT doc_id, source, h, "
+        "CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS cum_before FROM d) "
+        "SELECT doc_id, source, h, cum_before FROM c "
+        f"WHERE cum_before < {SRC_BUDGET_CHARS}"
+    )
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "seed_hop_distance": q_seed_hop_distance,
@@ -1009,6 +1095,7 @@ ML5_QUERIES = {
     "image_token_cost": q_image_token_cost,
     "curriculum_order": q_curriculum_order,
     "shard_assign_sources": q_shard_assign_sources,
+    "source_budget_docs": q_source_budget_docs,
 }
 
 
@@ -1019,4 +1106,5 @@ def build_ml5_oracles() -> dict[str, str]:
         "substring_dup_spans": _dupspan_sql(),
         "bpe_merge_step": _bpe_sql(),
         "shard_assign_sources": _lpt_sql(),
+        "source_budget_docs": _src_budget_sql(),
     }

@@ -363,3 +363,38 @@ def test_shard_assign_balances(ray_session, tmp_path):
     loads = out.groupby("shard")["w_chars"].sum()
     # LPT guarantee: max load ≤ (4/3 − 1/3K)·OPT ≤ 4/3 · total/K + max item
     assert loads.max() <= (out["w_chars"].sum() // LPT_SHARDS) * 4 // 3 + out["w_chars"].max()
+
+
+# -- source_budget_docs -----------------------------------------------------
+
+
+def test_source_budget_first_fit_overshoot(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        SRC_BUDGET_CHARS,
+        _KNUTH_H,
+        q_source_budget_docs,
+    )
+
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    # one source, 5 docs of 1500 chars: hash order decides which three
+    # fit (0 + 1500 + 3000 < 4000 ⇒ kept; the third overshoots once)
+    n = 5
+    pq2.write_table(
+        pa2.table(
+            {
+                "doc_id": pa2.array(range(n), pa2.int64()),
+                "text": pa2.array(["x" * 1500] * n),
+                "lang": pa2.array(["en"] * n),
+                "source": pa2.array(["only"] * n),
+                "n_chars": pa2.array([1500] * n, pa2.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_source_budget_docs(str(tmp_path)).to_pandas()
+    hs = sorted(range(n), key=lambda d: ((d * _KNUTH_H) % (1 << 32), d))
+    expect = hs[:3]  # cum_before 0, 1500, 3000 all < 4000; 4500 is not
+    assert sorted(out["doc_id"].tolist()) == sorted(expect)
+    assert out["cum_before"].max() == 3000 < SRC_BUDGET_CHARS
