@@ -871,6 +871,16 @@ def build_extended_oracles() -> dict[str, str]:
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         )
 
+        # simhash_docs itself: expected signatures from the SEQUENTIAL
+        # independently-coded bit-vote loop (r4 flip from [rows], the
+        # image_thumbnails signature-table discipline)
+        from .queries_ml5 import simhash_reference_parquet
+
+        srp = simhash_reference_parquet(_DRIVER_SF01)
+        sql["simhash_docs"] = (
+            f"SELECT doc_id, simhash FROM read_parquet('{srp}')"
+        )
+
     # end-to-end corpus-curation keep decision, composed from the same
     # oracle fragments the individual queries are checked against: quality
     # gate + near-dup-cluster rep keep + 8-gram decontamination. The dup /

@@ -1002,6 +1002,60 @@ def _lpt_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# sequential SimHash reference signatures (flips simhash_docs to [sql])
+# --------------------------------------------------------------------------
+
+
+def simhash_reference_parquet(sf_dir: str) -> str:
+    """Expected (doc_id, simhash) from a SEQUENTIAL, independently-coded
+    SimHash: one plain Python loop per document with integer bit votes —
+    no numpy broadcast kernel, no Ray, no batching — so equality against
+    the distributed ``simhash_docs`` pipeline is a real end-to-end check
+    (the ``image_thumbnails`` signature-table discipline; blake2b itself
+    stays non-SQL-expressible). Cached under /tmp keyed by a content
+    fingerprint (abs path + size + mtime)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import stable_hash64
+    from .queries import TOKEN_RE
+
+    src = _p(sf_dir, "documents")
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"ref:{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    out = os.path.join(
+        "/tmp/mkfc_simhash",
+        f"ref-{os.path.basename(os.path.normpath(sf_dir))}-{fp}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    sigs = []
+    for t in tbl["text"].to_pylist():
+        votes = [0] * 64
+        for tok in TOKEN_RE.findall(t.lower()):
+            hv = int(stable_hash64(tok))
+            for b in range(64):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    pq.write_table(
+        pa.table({"doc_id": tbl["doc_id"], "simhash": pa.array(sigs, pa.int64())}),
+        out + ".tmp",
+    )
+    os.replace(out + ".tmp", out)
+    return out
+
+
+# --------------------------------------------------------------------------
 # per-source budget sampling (cumulative prefix gate)
 # --------------------------------------------------------------------------
 

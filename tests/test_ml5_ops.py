@@ -398,3 +398,22 @@ def test_source_budget_first_fit_overshoot(ray_session, tmp_path):
     expect = hs[:3]  # cum_before 0, 1500, 3000 all < 4000; 4500 is not
     assert sorted(out["doc_id"].tolist()) == sorted(expect)
     assert out["cum_before"].max() == 3000 < SRC_BUDGET_CHARS
+
+
+# -- simhash_docs sequential reference --------------------------------------
+
+
+def test_simhash_reference_matches_engine(ray_session):
+    import pyarrow.parquet as pq2
+
+    from mklab_focused_crawler_ray.pipelines.queries import q_simhash_docs
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        simhash_reference_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ref = pq2.read_table(simhash_reference_parquet(sf)).to_pandas()
+    got = q_simhash_docs(sf).to_pandas()
+    m = ref.merge(got, on="doc_id", suffixes=("_ref", "_eng"))
+    assert len(m) == len(ref) == len(got)
+    assert (m["simhash_ref"] == m["simhash_eng"]).all()
