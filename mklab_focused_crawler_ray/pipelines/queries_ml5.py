@@ -1141,8 +1141,232 @@ def _src_budget_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# substring-dup audit rollup (per-doc coverage of duplicated spans)
+# --------------------------------------------------------------------------
+
+
+def q_substring_dup_stats(sf_dir: str):
+    """Audit rollup of ``substring_dup_spans``: one row per DOCUMENT —
+    (doc_id, n_spans, covered_chars, clean_chars) where clean_chars is
+    what a span-removal stage would keep. Docs with no duplicated span
+    appear with zeros (the removal stage's no-op set; auditors want the
+    full census, not just the affected docs).
+
+    Scale shape: the span stream partial-aggregates per batch, then one
+    bucketed co-group joins it against the metadata-only document census
+    (doc_id, n_chars) — text is never re-read."""
+    import ray.data as rd
+
+    from ..scale import derive_buckets
+
+    nb = derive_buckets(sf_dir, "documents", floor=16)
+
+    spans_side = q_substring_dup_spans(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                "span_len": b["span_len"],
+                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    doc_side = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "span_len": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) % nb
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def rollup(g) -> pa.Table:
+        import pandas as pd
+
+        docs = g[g["side"] == 0][["doc_id", "n_chars"]]
+        sp = g[g["side"] == 1]
+        agg = sp.groupby("doc_id", sort=False)["span_len"].agg(["count", "sum"])
+        m = docs.merge(agg, on="doc_id", how="left").fillna(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_spans": pa.array(m["count"].to_numpy(np.int64), pa.int64()),
+                "covered_chars": pa.array(m["sum"].to_numpy(np.int64), pa.int64()),
+                "clean_chars": pa.array(
+                    (m["n_chars"] - m["sum"]).to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        doc_side.union(spans_side)
+        .repartition(nb)
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
+def _dupstats_sql() -> str:
+    return (
+        f"WITH sp AS ({_dupspan_sql()}), "
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        "CAST(SUM(span_len) AS BIGINT) AS covered_chars FROM sp GROUP BY 1) "
+        "SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans, "
+        "COALESCE(a.covered_chars, 0) AS covered_chars, "
+        "d.n_chars - COALESCE(a.covered_chars, 0) AS clean_chars "
+        "FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search
+# --------------------------------------------------------------------------
+
+PQ_ADC_NQ = 5  # query vectors: vec_id 0..4 (the ann N_QUERIES convention)
+PQ_ADC_K = 10
+
+
+def q_ann_pq_adc_topk(sf_dir: str):
+    """IVF-PQ's SEARCH half: asymmetric-distance (ADC) top-k over the
+    product-quantized corpus — per query, a (subspace × centroid) lookup
+    table of exact integer squared-L2 sub-distances, then every vector's
+    approximate distance is 4 table lookups summed; smallest
+    ``PQ_ADC_K`` per query (ties → vec_id asc), self excluded. Completes
+    the PQ story ``embedding_pq_codes`` started: codes are the memory
+    layer, ADC is how a 100-TB index actually answers queries without
+    touching raw vectors.
+
+    Scale shape: the LUT is (5 × 4 × 8) ints broadcast once; per batch
+    the scan is pure fancy-indexing over the code columns (raw
+    embeddings never leave the read stage after encoding) and each
+    batch pre-reduces to its own bottom-k per query — the shuffle moves
+    k × NQ × n_blocks candidate rows, never the corpus. (adist, vec_id)
+    is a total order, so per-batch bottom-k is exact."""
+    import pyarrow.parquet as pq_mod
+    import ray
+    import ray.data as rd
+
+    from .queries_ml3 import (
+        PQ_NCENTROIDS,
+        PQ_QUANT,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        q_embedding_pq_codes,
+    )
+
+    head = pq_mod.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(PQ_NCENTROIDS, PQ_ADC_NQ))],
+    )
+    order = np.argsort(head["vec_id"].to_numpy())
+    vecs = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in head["embedding"].to_pylist()])[
+            order
+        ]
+        * PQ_QUANT
+        + 0.5
+    ).astype(np.int64)
+    cb = vecs[:PQ_NCENTROIDS].reshape(PQ_NCENTROIDS, PQ_SUBSPACES, PQ_SUBDIM)
+    qs = vecs[:PQ_ADC_NQ].reshape(PQ_ADC_NQ, PQ_SUBSPACES, PQ_SUBDIM)
+    # lut[q, s, c] = ‖query_qs − centroid_cs‖² (integer exact)
+    diff = qs[:, :, None, :] - cb.transpose(1, 0, 2)[None, :, :, :]
+    lut = (diff * diff).sum(axis=3)  # (NQ, S, C)
+    lut_ref = ray.put(lut)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack(
+            [
+                batch[f"code{s}"].to_numpy(zero_copy_only=False).astype(np.int64)
+                for s in range(PQ_SUBSPACES)
+            ],
+            axis=1,
+        )  # (n, S)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(PQ_ADC_NQ):
+            ad = lt[qi][np.arange(PQ_SUBSPACES)[None, :], codes].sum(axis=1)
+            mask = ids != qi  # self excluded
+            vi, di = ids[mask], ad[mask]
+            k = min(PQ_ADC_K, len(vi))
+            if k == 0:
+                continue
+            pick = np.lexsort((vi, di))[:k]  # (adist, vec_id) total order
+            out_q.extend([qi] * k)
+            out_v.extend(vi[pick].tolist())
+            out_d.extend(di[pick].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        g = g.sort_values(["adist", "vec_id"], kind="stable").head(PQ_ADC_K)
+        return pa.table(
+            {
+                "qid": pa.array(g["qid"].to_numpy(np.int64), pa.int64()),
+                "vec_id": pa.array(g["vec_id"].to_numpy(np.int64), pa.int64()),
+                "adist": pa.array(g["adist"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        q_embedding_pq_codes(sf_dir)
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _adc_sql() -> str:
+    from .queries_ml3 import ML3_ORACLE_SQL, PQ_NCENTROIDS, PQ_QUANT, PQ_SUBDIM, PQ_SUBSPACES
+
+    joins = " ".join(
+        f"JOIN lut l{s} ON l{s}.qid = qq.qid AND l{s}.s = {s} "
+        f"AND l{s}.cid = c.code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    dsum = " + ".join(f"l{s}.d" for s in range(PQ_SUBSPACES))
+    return (
+        f"WITH codes AS ({ML3_ORACLE_SQL['embedding_pq_codes']}), "
+        "q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{PQ_QUANT} + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        f"cb AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < {PQ_NCENTROIDS}), "
+        f"qq AS (SELECT vec_id AS qid, e FROM q WHERE vec_id < {PQ_ADC_NQ}), "
+        f"sub AS (SELECT UNNEST(range({PQ_SUBSPACES})) AS s), "
+        "lut AS (SELECT qq.qid, sub.s, cb.cid, "
+        "(SELECT CAST(SUM((z.a - z.b) * (z.a - z.b)) AS BIGINT) FROM "
+        f"(SELECT UNNEST(qq.e[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]) AS a, "
+        f"UNNEST(cb.ce[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]) AS b) z) "
+        "AS d FROM qq CROSS JOIN sub CROSS JOIN cb), "
+        f"ad AS (SELECT qq.qid, c.vec_id, CAST({dsum} AS BIGINT) AS adist "
+        f"FROM qq CROSS JOIN codes c {joins} WHERE c.vec_id <> qq.qid) "
+        "SELECT qid, vec_id, adist FROM ad "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= {PQ_ADC_K}"
+    )
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
+    "substring_dup_stats": q_substring_dup_stats,
     "seed_hop_distance": q_seed_hop_distance,
     "hits_top20": q_hits_top20,
     "bpe_merge_step": q_bpe_merge_step,
@@ -1150,6 +1374,7 @@ ML5_QUERIES = {
     "curriculum_order": q_curriculum_order,
     "shard_assign_sources": q_shard_assign_sources,
     "source_budget_docs": q_source_budget_docs,
+    "ann_pq_adc_topk": q_ann_pq_adc_topk,
 }
 
 
@@ -1161,4 +1386,6 @@ def build_ml5_oracles() -> dict[str, str]:
         "bpe_merge_step": _bpe_sql(),
         "shard_assign_sources": _lpt_sql(),
         "source_budget_docs": _src_budget_sql(),
+        "substring_dup_stats": _dupstats_sql(),
+        "ann_pq_adc_topk": _adc_sql(),
     }

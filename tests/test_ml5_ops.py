@@ -417,3 +417,80 @@ def test_simhash_reference_matches_engine(ray_session):
     m = ref.merge(got, on="doc_id", suffixes=("_ref", "_eng"))
     assert len(m) == len(ref) == len(got)
     assert (m["simhash_ref"] == m["simhash_eng"]).all()
+
+
+# -- substring_dup_stats ----------------------------------------------------
+
+
+def test_substring_dup_stats_census(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        q_substring_dup_stats,
+    )
+
+    rep = "A COMMON BOILER SENTENCE OF LENGTH WELL OVER L CHARS. "
+    texts = [
+        rep + "unique tail one with its own distinct words xyzzy",
+        "different head material then " + rep + "and trailing junk qq",
+        "wholly unique document with nothing repeated at all anywhere",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = q_substring_dup_stats(sf).to_pandas().set_index("doc_id")
+    assert len(out) == 3  # full census, including the clean doc
+    assert out.loc[2, "n_spans"] == 0 and out.loc[2, "covered_chars"] == 0
+    assert out.loc[2, "clean_chars"] == len(texts[2])
+    for d in (0, 1):
+        assert out.loc[d, "n_spans"] >= 1
+        assert (
+            out.loc[d, "clean_chars"]
+            == len(texts[d]) - out.loc[d, "covered_chars"]
+        )
+        assert out.loc[d, "covered_chars"] >= len(rep)
+
+
+# -- ann_pq_adc_topk --------------------------------------------------------
+
+
+def test_ann_pq_adc_matches_brute_force(ray_session):
+    """ADC distances from the engine == brute-force LUT replay in numpy."""
+    import pyarrow.parquet as pq2
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import _p
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import (
+        PQ_NCENTROIDS,
+        PQ_QUANT,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        PQ_ADC_K,
+        PQ_ADC_NQ,
+        q_ann_pq_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq2.read_table(_p(sf, "embeddings"), columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    vecs = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()])[order]
+        * PQ_QUANT
+        + 0.5
+    ).astype(np.int64)
+    ids = ids[order]
+    sub = vecs.reshape(len(vecs), PQ_SUBSPACES, PQ_SUBDIM)
+    cb = sub[:PQ_NCENTROIDS]
+    # brute: code per vector, then ADC per query
+    d_vc = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (n, C, S)
+    codes = d_vc.argmin(axis=1)  # (n, S)
+    expect = {}
+    for qi in range(PQ_ADC_NQ):
+        lut = ((sub[qi][None, :, :] - cb[:, :, :]) ** 2).sum(axis=2)  # (C, S)
+        ad = lut[codes, np.arange(PQ_SUBSPACES)[None, :]].sum(axis=1)
+        mask = ids != qi
+        pick = np.lexsort((ids[mask], ad[mask]))[:PQ_ADC_K]
+        expect[qi] = list(zip(ids[mask][pick], ad[mask][pick]))
+
+    got = q_ann_pq_adc_topk(sf).to_pandas()
+    for qi, rows in expect.items():
+        g = got[got["qid"] == qi].sort_values(["adist", "vec_id"])
+        assert list(zip(g["vec_id"], g["adist"])) == rows
