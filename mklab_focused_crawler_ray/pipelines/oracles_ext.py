@@ -785,6 +785,53 @@ def build_extended_oracles() -> dict[str, str]:
         "FROM p GROUP BY 1, 2"
     )
 
+    # multimodal sequence packing: bucket argmin + token pricing (the
+    # image_token_cost fragments) feeding the recursive next-fit placement
+    # replay (the doc_pack_sequences oracle shape, partitioned by bucket)
+    from .queries_ml4 import PACK_MULT as _mm_mult_src
+    from .queries_ml5 import MM_CONTEXT_LEN, MM_PACK_SHARDS
+
+    _mm_l = MM_CONTEXT_LEN
+    _mm_shards = MM_PACK_SHARDS
+    _mm_mult = _mm_mult_src
+    sql["image_pack_batches"] = (
+        f"WITH RECURSIVE b(i, bw, bh, tw, th) AS (VALUES {_tc_vals}), "
+        "a AS (SELECT image_id, caption, CAST(w AS BIGINT)*1000000//h AS ar_ppm "
+        f"FROM {images_rel}), "
+        "j AS (SELECT a.image_id, a.caption, b.i, "
+        "CAST(b.bw AS BIGINT) AS bucket_w, CAST(b.bh AS BIGINT) AS bucket_h, "
+        "CAST(b.tw AS BIGINT) AS tw, CAST(b.th AS BIGINT) AS th, "
+        "abs(a.ar_ppm - CAST(b.bw AS BIGINT)*1000000//b.bh) AS d "
+        "FROM a CROSS JOIN b), "
+        "p AS (SELECT * FROM j "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d, i) = 1), "
+        "base AS (SELECT i AS bi, "
+        f"CAST((CAST(substr(image_id, 4) AS BIGINT) * {_mm_mult}) "
+        f"% 4294967296 % {_mm_shards} AS BIGINT) AS shard, "
+        "image_id, bucket_w, bucket_h, "
+        f"(tw//{VIT_PATCH})*(th//{VIT_PATCH}) + 1 + "
+        "CAST(len(regexp_extract_all(lower(caption), '[a-z0-9]+')) AS BIGINT) "
+        "AS n_tokens FROM p), "
+        "base2 AS (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY bi, shard ORDER BY image_id) AS rn FROM base), "
+        "packed AS ("
+        "SELECT bi, shard, rn, image_id, bucket_w, bucket_h, n_tokens, "
+        "CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off_tokens, "
+        "n_tokens AS used FROM base2 WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT b2.bi, b2.shard, b2.rn, b2.image_id, b2.bucket_w, "
+        "b2.bucket_h, b2.n_tokens, "
+        f"CASE WHEN p2.used + b2.n_tokens > {_mm_l} THEN p2.seq_id + 1 ELSE p2.seq_id END, "
+        f"CASE WHEN p2.used + b2.n_tokens > {_mm_l} THEN 0 ELSE p2.used END, "
+        f"CASE WHEN p2.used + b2.n_tokens > {_mm_l} THEN b2.n_tokens "
+        "ELSE p2.used + b2.n_tokens END "
+        "FROM base2 b2 JOIN packed p2 ON b2.bi = p2.bi AND b2.shard = p2.shard "
+        "AND b2.rn = p2.rn + 1) "
+        "SELECT image_id, bucket_w, bucket_h, shard, n_tokens, seq_id, "
+        "off_tokens FROM packed"
+    )
+
+
 
     # cross-modal retrieval: 5 query captions (alphabetically-first image
     # ids) ranked against every image's materialized shifted-micro embed

@@ -1364,6 +1364,109 @@ def _adc_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# multimodal sequence packing (images + captions into context windows)
+# --------------------------------------------------------------------------
+
+MM_CONTEXT_LEN = 4096  # multimodal training context (vision + text tokens)
+MM_PACK_SHARDS = 8  # id-hash sub-shards per AR bucket: the SEMANTIC
+# partition grain (like PACK_PARTS) — placement is defined per
+# (bucket, shard), shards are the parallel unit, and the oracle's
+# recursion depth stays bounded by the shard size
+
+
+def q_image_pack_batches(sf_dir: str):
+    """MULTIMODAL BATCH BUILDING: pack images into fixed training
+    context windows within their (aspect-ratio bucket × id-hash shard)
+    partition — per image the cost is its bucket's patch-grid vision
+    tokens (+CLS) plus its caption word count; images in image_id order
+    NEXT-FIT into ``MM_CONTEXT_LEN``-token windows per partition.
+    Output one row per image: (image_id, bucket_w, bucket_h, shard,
+    n_tokens, seq_id, off_tokens) — the placement table an SDXL-style
+    bucketed dataloader consumes (``image_ar_buckets`` chose the
+    bucket, ``image_token_cost`` priced it, this packs it).
+
+    Scale shape: metadata-only scan → (5 × MM_PACK_SHARDS)-way
+    co-group; each partition's next-fit recurrence is the irreducible
+    serial unit (``doc_pack_sequences`` discipline — partitions are the
+    parallelism; a production run raises MM_PACK_SHARDS as a corpus
+    constant)."""
+    import ray.data as rd
+
+    from .queries import TOKEN_RE
+    from .queries_media import AR_BUCKETS, _images
+    from .queries_ml4 import PACK_MULT
+
+    bppm = np.array([w * 1_000_000 // h for w, h in AR_BUCKETS], np.int64)
+    vis_per = np.array(
+        [(tw // VIT_PATCH) * (th // VIT_PATCH) + 1 for tw, th in AR_TARGET_DIMS],
+        np.int64,
+    )
+    bw = np.array([b[0] for b in AR_BUCKETS], np.int64)
+    bh = np.array([b[1] for b in AR_BUCKETS], np.int64)
+
+    def price(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy().astype(np.int64)
+        h = batch["h"].to_numpy().astype(np.int64)
+        ar = w * 1_000_000 // h
+        pick = np.argmin(np.abs(ar[:, None] - bppm[None, :]), axis=1)
+        ids = batch["image_id"].to_pylist()
+        # fixture ids are f"img{i:08d}" — the numeric suffix is the hash key
+        num = np.array([int(s[3:]) for s in ids], np.int64)
+        shard = (
+            (num.astype(np.uint64) * np.uint64(PACK_MULT)) % np.uint64(1 << 32)
+        ).astype(np.int64) % MM_PACK_SHARDS
+        cap = np.array(
+            [len(TOKEN_RE.findall(c.lower())) for c in batch["caption"].to_pylist()],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bs": pa.array(
+                    pick.astype(np.int64) * MM_PACK_SHARDS + shard, pa.int64()
+                ),
+                "n_tokens": pa.array(vis_per[pick] + cap, pa.int64()),
+            }
+        )
+
+    def pack(g) -> pa.Table:
+        g = g.sort_values("image_id", kind="stable")
+        seq, off = _pack_next_fit_tokens(
+            g["n_tokens"].to_numpy(np.int64), MM_CONTEXT_LEN
+        )
+        bs = int(g["bs"].iloc[0])
+        bi, shard = bs // MM_PACK_SHARDS, bs % MM_PACK_SHARDS
+        n = len(g)
+        return pa.table(
+            {
+                "image_id": pa.array(g["image_id"].tolist(), pa.string()),
+                "bucket_w": pa.array(np.full(n, bw[bi]), pa.int64()),
+                "bucket_h": pa.array(np.full(n, bh[bi]), pa.int64()),
+                "shard": pa.array(np.full(n, shard, np.int64), pa.int64()),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64), pa.int64()),
+                "seq_id": pa.array(seq, pa.int64()),
+                "off_tokens": pa.array(off, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_images(sf_dir), columns=["image_id", "w", "h", "caption"])
+        .map_batches(price, batch_format="pyarrow")
+        .groupby("bs")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+def _pack_next_fit_tokens(n_tokens: np.ndarray, context_len: int):
+    """Same greedy next-fit recurrence as queries_ml4._pack_next_fit
+    (re-exported here so the multimodal packer and its tests don't
+    import the text module's private kernel)."""
+    from .queries_ml4 import _pack_next_fit
+
+    return _pack_next_fit(n_tokens, context_len)
+
+
 ML5_QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "substring_dup_stats": q_substring_dup_stats,
@@ -1375,6 +1478,7 @@ ML5_QUERIES = {
     "shard_assign_sources": q_shard_assign_sources,
     "source_budget_docs": q_source_budget_docs,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
+    "image_pack_batches": q_image_pack_batches,
 }
 
 

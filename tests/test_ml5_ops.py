@@ -494,3 +494,27 @@ def test_ann_pq_adc_matches_brute_force(ray_session):
     for qi, rows in expect.items():
         g = got[got["qid"] == qi].sort_values(["adist", "vec_id"])
         assert list(zip(g["vec_id"], g["adist"])) == rows
+
+
+# -- image_pack_batches -----------------------------------------------------
+
+
+def test_image_pack_batches_invariants(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        MM_CONTEXT_LEN,
+        q_image_pack_batches,
+    )
+
+    df = q_image_pack_batches("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    for (_, _, _), g in df.groupby(["bucket_w", "bucket_h", "shard"]):
+        for _, sg in g.groupby("seq_id"):
+            sg = sg.sort_values("off_tokens")
+            # offsets are the prefix sums of the packed chunk costs
+            assert (
+                sg["off_tokens"].to_numpy()
+                == np.concatenate(([0], sg["n_tokens"].cumsum().to_numpy()[:-1]))
+            ).all()
+            used = int(sg["n_tokens"].sum())
+            # a window only exceeds the context if it holds ONE oversize item
+            assert used <= MM_CONTEXT_LEN or len(sg) == 1

@@ -94,6 +94,7 @@ FIXTURE_BACKED = {
     "seed_hop_distance",
     "hits_top20",
     "image_token_cost",
+    "image_pack_batches",
     "simhash_docs",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
