@@ -1365,6 +1365,191 @@ def _adc_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ composed search (coarse probe gate + ADC scoring)
+# --------------------------------------------------------------------------
+
+IVFPQ_NLIST = 16  # coarse centroids: kilo-quantized vectors 0..15
+IVFPQ_NPROBE = 4
+
+
+def q_ann_ivfpq_topk(sf_dir: str):
+    """THE 100-TB ANN INDEX, end to end: IVF coarse routing composed
+    with PQ asymmetric-distance scoring. Every vector belongs to the
+    coarse cell whose centroid is nearest by integer squared-L2 (ties →
+    lower centroid id); a query probes its ``IVFPQ_NPROBE`` nearest
+    cells and ranks ONLY vectors in probed cells by the same integer
+    ADC distance ``ann_pq_adc_topk`` uses — top-``PQ_ADC_K`` per query,
+    self excluded, ties → vec_id asc. ``embedding_pq_codes`` is the
+    memory layer, ``ann_ivf_partitioned_top10`` the storage layout;
+    this is the index actually answering queries while scanning only
+    nprobe/nlist of the corpus.
+
+    Scale shape: coarse centroids + probe table + ADC LUT are tiny
+    broadcasts; the scan is one vectorized pass (two matmul-free
+    integer distance evaluations per row) with per-batch exact bottom-k
+    — in the partitioned layout the probe gate becomes a READ filter
+    (only probed cell files are opened), which is the documented path
+    past single-table scans."""
+    import pyarrow.parquet as pq_mod
+    import ray
+    import ray.data as rd
+
+    from .queries_ml3 import PQ_NCENTROIDS, PQ_QUANT, PQ_SUBDIM, PQ_SUBSPACES
+
+    head = pq_mod.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(IVFPQ_NLIST, PQ_NCENTROIDS, PQ_ADC_NQ))],
+    )
+    order = np.argsort(head["vec_id"].to_numpy())
+    vecs = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in head["embedding"].to_pylist()])[
+            order
+        ]
+        * PQ_QUANT
+        + 0.5
+    ).astype(np.int64)
+    coarse = vecs[:IVFPQ_NLIST]  # (nlist, 64)
+    cb = vecs[:PQ_NCENTROIDS].reshape(PQ_NCENTROIDS, PQ_SUBSPACES, PQ_SUBDIM)
+    qs = vecs[:PQ_ADC_NQ]
+    qs_sub = qs.reshape(PQ_ADC_NQ, PQ_SUBSPACES, PQ_SUBDIM)
+    lut = ((qs_sub[:, :, None, :] - cb.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(
+        axis=3
+    )  # (NQ, S, C)
+    # probe table: per query the NPROBE nearest coarse cells (integer L2,
+    # ties → lower centroid id via stable argsort)
+    qd = ((qs[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)  # (NQ, nlist)
+    probe_mask = np.zeros((IVFPQ_NLIST, PQ_ADC_NQ), bool)
+    for qi in range(PQ_ADC_NQ):
+        probe_mask[np.argsort(qd[qi], kind="stable")[:IVFPQ_NPROBE], qi] = True
+    side = ray.put((lut, coarse, probe_mask))
+
+    # the PQ-codes dataset does not retain raw embeddings, so the coarse
+    # assignment re-derives from the quantized source column — one extra
+    # read-stage column, dropped immediately after the integer argmin
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lt, co, pm = ray.get(side)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.floor(
+            np.stack(
+                [np.asarray(v, np.float64) for v in batch["embedding"].to_pylist()]
+            )
+            * PQ_QUANT
+            + 0.5
+        ).astype(np.int64)
+        cd = ((emb[:, None, :] - co[None, :, :]) ** 2).sum(axis=2)  # (n, nlist)
+        assign = cd.argmin(axis=1)  # ties → lowest id
+        sub = emb.reshape(len(emb), PQ_SUBSPACES, PQ_SUBDIM)
+        dviac = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = dviac.argmin(axis=1)  # (n, S) — same PQ assignment rule
+        out_q, out_v, out_d = [], [], []
+        for qi in range(PQ_ADC_NQ):
+            allowed = pm[assign, qi] & (ids != qi)
+            if not allowed.any():
+                continue
+            ad = lt[qi][np.arange(PQ_SUBSPACES)[None, :], codes[allowed]].sum(axis=1)
+            vi = ids[allowed]
+            k = min(PQ_ADC_K, len(vi))
+            pick = np.lexsort((vi, ad))[:k]
+            out_q.extend([qi] * k)
+            out_v.extend(vi[pick].tolist())
+            out_d.extend(ad[pick].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        g = g.sort_values(["adist", "vec_id"], kind="stable").head(PQ_ADC_K)
+        return pa.table(
+            {
+                "qid": pa.array(g["qid"].to_numpy(np.int64), pa.int64()),
+                "vec_id": pa.array(g["vec_id"].to_numpy(np.int64), pa.int64()),
+                "adist": pa.array(g["adist"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _ivfpq_sql() -> str:
+    from .queries_ml3 import PQ_NCENTROIDS, PQ_QUANT, PQ_SUBDIM, PQ_SUBSPACES
+
+    l2 = (
+        "(SELECT CAST(SUM((z.a - z.b) * (z.a - z.b)) AS BIGINT) FROM "
+        "(SELECT UNNEST({x}) AS a, UNNEST({y}) AS b) z)"
+    )
+    joins = " ".join(
+        f"JOIN lut l{s} ON l{s}.qid = qq.qid AND l{s}.s = {s} "
+        f"AND l{s}.cid = cd.code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    dsum = " + ".join(f"l{s}.d" for s in range(PQ_SUBSPACES))
+    return (
+        "WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{PQ_QUANT} + 0.5) AS BIGINT)) AS e "
+        "FROM embeddings), "
+        f"cb AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < {PQ_NCENTROIDS}), "
+        f"co AS (SELECT vec_id AS ccid, e AS ge FROM q WHERE vec_id < {IVFPQ_NLIST}), "
+        f"qq AS (SELECT vec_id AS qid, e FROM q WHERE vec_id < {PQ_ADC_NQ}), "
+        f"sub AS (SELECT UNNEST(range({PQ_SUBSPACES})) AS s), "
+        # PQ code per vector (subspace argmin, ties → lowest centroid)
+        "pd AS (SELECT q.vec_id, sub.s, cb.cid, "
+        + l2.format(
+            x=f"q.e[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]",
+            y=f"cb.ce[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]",
+        )
+        + " AS dist FROM q CROSS JOIN sub CROSS JOIN cb), "
+        "best AS (SELECT vec_id, s, cid FROM pd "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s "
+        "ORDER BY dist ASC, cid ASC) = 1), "
+        "cd AS (SELECT vec_id, "
+        + ", ".join(
+            f"CAST(MAX(CASE WHEN s = {s} THEN cid END) AS BIGINT) AS code{s}"
+            for s in range(PQ_SUBSPACES)
+        )
+        + " FROM best GROUP BY 1), "
+        # coarse cell per vector (full-dim integer L2 argmin)
+        "gd AS (SELECT q.vec_id, co.ccid, "
+        + l2.format(x="q.e", y="co.ge")
+        + " AS dist FROM q CROSS JOIN co), "
+        "cell AS (SELECT vec_id, ccid FROM gd "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY dist ASC, ccid ASC) = 1), "
+        # per-query probe set
+        "qd AS (SELECT qq.qid, co.ccid, "
+        + l2.format(x="qq.e", y="co.ge")
+        + " AS dist FROM qq CROSS JOIN co), "
+        "probes AS (SELECT qid, ccid FROM qd "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY qid "
+        f"ORDER BY dist ASC, ccid ASC) <= {IVFPQ_NPROBE}), "
+        # ADC lut per (query, subspace, centroid)
+        "lut AS (SELECT qq.qid, sub.s, cb.cid, "
+        + l2.format(
+            x=f"qq.e[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]",
+            y=f"cb.ce[sub.s*{PQ_SUBDIM}+1 : sub.s*{PQ_SUBDIM}+{PQ_SUBDIM}]",
+        )
+        + " AS d FROM qq CROSS JOIN sub CROSS JOIN cb), "
+        f"ad AS (SELECT qq.qid, cd.vec_id, CAST({dsum} AS BIGINT) AS adist "
+        f"FROM qq CROSS JOIN cd {joins} "
+        "JOIN cell ON cell.vec_id = cd.vec_id "
+        "JOIN probes p ON p.qid = qq.qid AND p.ccid = cell.ccid "
+        "WHERE cd.vec_id <> qq.qid) "
+        "SELECT qid, vec_id, adist FROM ad "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= {PQ_ADC_K}"
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal sequence packing (images + captions into context windows)
 # --------------------------------------------------------------------------
 
@@ -1478,6 +1663,7 @@ ML5_QUERIES = {
     "shard_assign_sources": q_shard_assign_sources,
     "source_budget_docs": q_source_budget_docs,
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_pack_batches": q_image_pack_batches,
 }
 
@@ -1492,4 +1678,5 @@ def build_ml5_oracles() -> dict[str, str]:
         "source_budget_docs": _src_budget_sql(),
         "substring_dup_stats": _dupstats_sql(),
         "ann_pq_adc_topk": _adc_sql(),
+        "ann_ivfpq_topk": _ivfpq_sql(),
     }

@@ -518,3 +518,47 @@ def test_image_pack_batches_invariants(ray_session):
             used = int(sg["n_tokens"].sum())
             # a window only exceeds the context if it holds ONE oversize item
             assert used <= MM_CONTEXT_LEN or len(sg) == 1
+
+
+# -- ann_ivfpq_topk ---------------------------------------------------------
+
+
+def test_ann_ivfpq_subset_of_adc_with_probe_gate(ray_session):
+    """IVF-PQ results == ADC results restricted to probed coarse cells."""
+    import pyarrow.parquet as pq2
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml2 import _p
+    from mklab_focused_crawler_ray.pipelines.queries_ml3 import PQ_QUANT
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        IVFPQ_NLIST,
+        IVFPQ_NPROBE,
+        PQ_ADC_NQ,
+        q_ann_ivfpq_topk,
+        q_ann_pq_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq2.read_table(_p(sf, "embeddings"), columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    vecs = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()])[order]
+        * PQ_QUANT
+        + 0.5
+    ).astype(np.int64)
+    ids = ids[order]
+    coarse = vecs[:IVFPQ_NLIST]
+    cd = ((vecs[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    cell = cd.argmin(axis=1)
+    cell_of = dict(zip(ids, cell))
+
+    ivf = q_ann_ivfpq_topk(sf).to_pandas()
+    adc = q_ann_pq_adc_topk(sf).to_pandas()
+    for qi in range(PQ_ADC_NQ):
+        probed = set(np.argsort(cd[qi], kind="stable")[:IVFPQ_NPROBE].tolist())
+        g = ivf[ivf["qid"] == qi]
+        # every returned vector's coarse cell is probed by the query
+        assert all(cell_of[v] in probed for v in g["vec_id"])
+        # and each result is at least as distant as the unrestricted ADC kth
+        a = adc[adc["qid"] == qi]["adist"]
+        assert g["adist"].min() >= a.min()
