@@ -203,6 +203,12 @@ BENCH_QUERIES = [
     "bpe_merge_step",
     "image_token_cost",
     "curriculum_order",
+    "substring_dup_stats",
+    "shard_assign_sources",
+    "source_budget_docs",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "image_pack_batches",
 ]
 
 

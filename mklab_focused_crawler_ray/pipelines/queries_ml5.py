@@ -1365,6 +1365,114 @@ def _adc_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# positional winnowing fingerprints (Schleimer et al., MOSS)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 16  # k-gram width (chars) — shared with doc_fingerprints
+WINNOW_W = 8  # winnowing window: any match of ≥ W+K-1 chars is guaranteed
+# to share at least one selected fingerprint (the paper's guarantee)
+
+
+def _rk_hash_array(text: str, k: int) -> np.ndarray:
+    """Per-position Rabin-Karp hashes of all k-char windows (mod 2^61−1,
+    base 257 — the functions/text.rabin_karp_fingerprints arithmetic,
+    kept positional instead of sorted/truncated). Python-int loop: the
+    modulus exceeds float53 so numpy can't carry the product."""
+    from ..functions.text import _RK_BASE, _RK_MOD
+
+    data = text.encode("utf-8")
+    n = len(data)
+    if n < k:
+        return np.empty(0, np.int64)
+    pow_k = pow(_RK_BASE, k - 1, _RK_MOD)
+    out = np.empty(n - k + 1, np.int64)
+    h = 0
+    for i in range(n):
+        h = (h * _RK_BASE + data[i]) % _RK_MOD
+        if i >= k - 1:
+            out[i - k + 1] = h
+            h = (h - data[i - k + 1] * pow_k) % _RK_MOD
+    return out
+
+
+def q_doc_winnow_fingerprints(sf_dir: str):
+    """POSITIONAL WINNOWING (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): per document, slide a ``WINNOW_W``-wide window over the
+    ``WINNOW_K``-gram Rabin-Karp hash sequence and select each window's
+    minimum (rightmost position on ties); the deduped (doc_id, pos, fp)
+    set is the document's local fingerprint — any shared substring of
+    ≥ W+K−1 chars between two documents is GUARANTEED to surface as a
+    shared fp, which is what makes this the standard containment /
+    plagiarism primitive (``doc_fingerprints`` keeps a global bottom-k
+    sketch; this keeps positional evidence).
+
+    Scale shape: pure map-side — one vectorized sliding-window argmin
+    per document, no shuffle anywhere; a containment join then
+    hash-buckets on fp exactly like the gram-family operators."""
+    import ray.data as rd
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        out_d, out_p, out_f = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hv = _rk_hash_array(t, WINNOW_K)
+            if not len(hv):
+                continue
+            if len(hv) <= WINNOW_W:
+                # single window: rightmost min
+                rev = hv[::-1]
+                p = len(hv) - 1 - int(np.argmin(rev))
+                sel = np.array([p], np.int64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(hv, WINNOW_W)
+                # rightmost tie: argmin over the reversed window
+                picks = (WINNOW_W - 1) - np.argmin(win[:, ::-1], axis=1)
+                sel = np.unique(np.arange(len(win)) + picks)
+            out_d.extend([int(d)] * len(sel))
+            out_p.extend(sel.tolist())
+            out_f.extend(hv[sel].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "fp": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(winnow, batch_format="pyarrow")
+
+
+def _winnow_sql() -> str:
+    from ..functions.text import _RK_MOD
+
+    k, w = WINNOW_K, WINNOW_W
+    fold = (
+        "CAST(list_reduce(list_transform(range(1, length(win) + 1), "
+        "j -> CAST(ascii(substring(win, CAST(j AS INT), 1)) AS HUGEINT)), "
+        f"(acc, x) -> (acc * 257 + x) % {_RK_MOD}) AS BIGINT)"
+    )
+    return (
+        "WITH g AS (SELECT doc_id, unnest(list_transform("
+        f"range(0, greatest(length(text) - {k} + 1, 0)), "
+        f"i -> {{'pos': i, 'win': substr(text, (i+1)::INT, {k})}})) AS u "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, u.pos AS pos, {fold.replace('win', 'u.win')} AS fp "
+        "FROM g), "
+        "n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh FROM h GROUP BY 1), "
+        # windows: start s in [0, max(nh - W, 0)]; tiny docs get one window
+        "s AS (SELECT doc_id, unnest(range(0, greatest(nh - "
+        f"{w} + 1, 1))) AS ws FROM n), "
+        "x AS (SELECT s.doc_id, s.ws, h.pos, h.fp FROM s JOIN h "
+        f"ON h.doc_id = s.doc_id AND h.pos >= s.ws AND h.pos < s.ws + {w}), "
+        "pick AS (SELECT doc_id, pos, fp FROM x "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, ws "
+        "ORDER BY fp ASC, pos DESC) = 1) "
+        "SELECT DISTINCT doc_id, pos, fp FROM pick"
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF-PQ composed search (coarse probe gate + ADC scoring)
 # --------------------------------------------------------------------------
 
@@ -1665,6 +1773,7 @@ ML5_QUERIES = {
     "ann_pq_adc_topk": q_ann_pq_adc_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "image_pack_batches": q_image_pack_batches,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
 }
 
 
@@ -1679,4 +1788,5 @@ def build_ml5_oracles() -> dict[str, str]:
         "substring_dup_stats": _dupstats_sql(),
         "ann_pq_adc_topk": _adc_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
+        "doc_winnow_fingerprints": _winnow_sql(),
     }

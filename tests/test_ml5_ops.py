@@ -562,3 +562,34 @@ def test_ann_ivfpq_subset_of_adc_with_probe_gate(ray_session):
         # and each result is at least as distant as the unrestricted ADC kth
         a = adc[adc["qid"] == qi]["adist"]
         assert g["adist"].min() >= a.min()
+
+
+# -- doc_winnow_fingerprints ------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring(ray_session, tmp_path):
+    """MOSS guarantee: a shared substring of ≥ W+K−1 chars must yield at
+    least one shared (fp) selection in both documents."""
+    from mklab_focused_crawler_ray.pipelines.queries_ml5 import (
+        WINNOW_K,
+        WINNOW_W,
+        q_doc_winnow_fingerprints,
+    )
+
+    shared = "THIS EXACT SHARED RUN IS WELL OVER TWENTYTHREE CHARS"
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    texts = [
+        "prefix junk one " + shared + " suffix padding alpha",
+        "totally different head " + shared + " other tail material",
+        "no overlap at all in this third document body here",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    df = q_doc_winnow_fingerprints(sf).to_pandas()
+    fp0 = set(df[df["doc_id"] == 0]["fp"])
+    fp1 = set(df[df["doc_id"] == 1]["fp"])
+    fp2 = set(df[df["doc_id"] == 2]["fp"])
+    assert fp0 & fp1, "shared substring must share a fingerprint"
+    assert not (fp0 & fp2) or len(fp0 & fp2) < len(fp0 & fp1)
+    # density sanity: winnowing keeps ~2/(W+1) of positions
+    n0 = len(texts[0]) - WINNOW_K + 1
+    assert len(df[df["doc_id"] == 0]) <= n0
