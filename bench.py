@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "image_pack_batches",
+    "bm25_topk",
+    "doc_oov_rate",
+    "source_vocab_overlap",
+    "lang_token_fertility",
 ]
 
 

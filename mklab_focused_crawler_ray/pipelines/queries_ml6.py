@@ -1,0 +1,487 @@
+"""Round-4 (cont.) corpus-audit and retrieval operators: BM25 top-k
+retrieval, out-of-vocabulary rate against the corpus vocabulary,
+per-source vocabulary overlap, and per-language tokenizer fertility.
+
+These are the dataset-audit / retrieval counterparts of the curation
+chain: BM25 is the classic bag-of-words ranking function (Robertson &
+Spärck Jones probabilistic relevance framework, the Lucene/Elasticsearch
+default) over the same token stream the reference's TextIndexerBolt
+family indexes (bolts/*/TextIndexerBolt.java — see SURVEY.md §2.9); the
+other three are the corpus-health rollups a training-data pipeline runs
+before mixing (tokenizer fertility per language, vocabulary coverage,
+cross-source contamination of vocabularies).
+
+House oracle discipline: every score is integer micro/ppm units computed
+with division-free-until-the-final-floor rational arithmetic (BM25's
+k1=1.2, b=0.75 become the exact rationals 6/5 and 3/4, and the idf is
+the log-free RSJ weight (N-df+0.5)/(df+0.5) so both sides stay in
+integers end-to-end — Python ints engine-side, HUGEINT oracle-side).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .queries_ml2 import _p
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval
+# --------------------------------------------------------------------------
+
+# Fixed query — part of the output contract (like DUPSPAN_L), not a knob.
+# Terms chosen from the fixture vocabulary so every tier scores non-trivially.
+BM25_TERMS = ("table", "scan", "merge", "window", "hash")
+BM25_TOPK = 10
+_BM25_MICRO = 1_000_000
+
+
+def _bm25_idf_micro(n_docs: int, df: int) -> int:
+    """Log-free RSJ idf in micro units: floor(1e6*(N-df+0.5)/(df+0.5)) =
+    floor(1e6*(2(N-df)+1)/(2df+1)) — exact integer arithmetic."""
+    return (_BM25_MICRO * (2 * (n_docs - df) + 1)) // (2 * df + 1)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 TOP-K RETRIEVAL: score every document against the fixed query
+    ``BM25_TERMS`` with BM25 (k1=6/5, b=3/4, log-free RSJ idf) and return
+    the ``BM25_TOPK`` best as (doc_id, score_micro), ordered
+    (score desc, doc_id asc), zero-score docs excluded.
+
+    Integer-exact scoring: with T = total corpus tokens, N = docs,
+    dl = doc tokens, multiplying the BM25 term through by 10·T gives
+
+      term_micro = floor( idf_micro·tf·22·T / (10·T·tf + 3·T + 9·dl·N) )
+
+    — Python big-int engine-side, HUGEINT oracle-side, so there is no
+    float summation anywhere and the DuckDB replay is bit-exact.
+
+    Scale shape: pass 1 streams one partial-stats row per batch
+    (N, T, df per query term — the query is a constant handful of terms,
+    so the stats frame is batch-count-bounded); pass 2 re-scans documents
+    map-side with the five broadcast integers and emits a per-batch
+    partial top-k (global top-k ⊆ union of per-batch top-k), finished on
+    a k×n_batches-bounded driver frame. Two streaming scans, no shuffle.
+    At production scale pass 2's tf comes from the token-bucketed
+    inverted index (stages/text_index.py) instead of a rescan."""
+    import ray.data as rd
+
+    from .queries import TOKEN_RE
+
+    terms = list(BM25_TERMS)
+    tset = frozenset(terms)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tok = 0
+        df = dict.fromkeys(terms, 0)
+        for t in texts:
+            toks = TOKEN_RE.findall(t.lower())
+            n_tok += len(toks)
+            for w in tset.intersection(toks):
+                df[w] += 1
+        cols = {"n_docs": [len(texts)], "n_tokens": [n_tok]}
+        for i, w in enumerate(terms):
+            cols[f"df{i}"] = [df[w]]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    st = docs.map_batches(stats, batch_format="pyarrow").to_pandas().sum()
+    n_docs, total = int(st["n_docs"]), int(st["n_tokens"])
+    idf = [_bm25_idf_micro(n_docs, int(st[f"df{i}"])) for i in range(len(terms))]
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = TOKEN_RE.findall(t.lower())
+            dl = len(toks)
+            if not dl:
+                continue
+            tf = dict.fromkeys(terms, 0)
+            for w in toks:
+                if w in tset:
+                    tf[w] += 1
+            s = 0
+            for i, w in enumerate(terms):
+                f = tf[w]
+                if f:
+                    s += (idf[i] * f * 22 * total) // (
+                        10 * total * f + 3 * total + 9 * dl * n_docs
+                    )
+            if s > 0:
+                out.append((s, int(d)))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        out = out[:BM25_TOPK]
+        return pa.table(
+            {
+                "doc_id": pa.array([d for _, d in out], pa.int64()),
+                "score_micro": pa.array([s for s, _ in out], pa.int64()),
+            }
+        )
+
+    pool = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    top = pool.sort_values(
+        ["score_micro", "doc_id"], ascending=[False, True]
+    ).head(BM25_TOPK)
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+            "score_micro": pa.array(
+                top["score_micro"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    m = _BM25_MICRO
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents), "
+        "consts AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(len(tk)) AS HUGEINT) AS t FROM toks), "
+        "dl AS (SELECT doc_id, CAST(len(tk) AS HUGEINT) AS dl FROM toks), "
+        f"terms(term) AS (VALUES {vals}), "
+        "tok AS (SELECT doc_id, unnest(tk) AS term FROM toks), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf "
+        "FROM tok JOIN terms USING (term) GROUP BY 1, 2), "
+        "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS df "
+        "FROM tf GROUP BY 1), "
+        "idf AS (SELECT t.term, "
+        f"(CAST({m} AS HUGEINT) * (2*(c.n - COALESCE(d.df, 0)) + 1)) "
+        "// (2*COALESCE(d.df, 0) + 1) AS idf_micro "
+        "FROM terms t LEFT JOIN df d USING (term) CROSS JOIN consts c), "
+        "scored AS (SELECT tf.doc_id, SUM("
+        "(i.idf_micro * tf.tf * 22 * c.t) "
+        "// (10*c.t*tf.tf + 3*c.t + 9*dl.dl*c.n)) AS s "
+        "FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id) "
+        "CROSS JOIN consts c GROUP BY 1) "
+        "SELECT doc_id, CAST(s AS BIGINT) AS score_micro FROM scored "
+        f"WHERE s > 0 ORDER BY s DESC, doc_id LIMIT {BM25_TOPK}"
+    )
+
+
+# --------------------------------------------------------------------------
+# out-of-vocabulary rate vs the corpus top-V vocabulary
+# --------------------------------------------------------------------------
+
+OOV_VOCAB_V = 16  # top-V tokens by (count desc, token asc); the fixture
+# vocabulary is ~31 tokens, so V=16 leaves a non-trivial OOV tail at
+# every tier. Part of the output contract.
+
+
+def q_doc_oov_rate(sf_dir: str):
+    """OOV RATE (tokenizer/vocabulary audit): build the corpus top-``V``
+    vocabulary by token frequency (ties broken by token asc), then report
+    per document (doc_id, n_tokens, n_oov, oov_ppm) where oov_ppm =
+    floor(1e6·n_oov/n_tokens) (0 for empty docs). The pre-flight check
+    run before committing to a tokenizer vocabulary size.
+
+    Scale shape: pass 1 is the standard vocabulary-bounded count shuffle
+    (per-batch np.unique combiner so the shuffle moves each distinct
+    token once per batch, never occurrences); the top-V vocabulary is
+    V-bounded and broadcasts as one sorted array; pass 2 re-scans
+    documents map-side with searchsorted membership. Two streaming scans,
+    one vocabulary-bounded shuffle."""
+    import ray.data as rd
+
+    from .queries import TOKEN_RE
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(t.lower()))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.array(toks, object).astype(str), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(u.tolist(), pa.string()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    tot = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .to_pandas()  # vocabulary-bounded
+    )
+    tot = tot.sort_values(["sum(cnt)", "token"], ascending=[False, True])
+    vocab = np.sort(tot["token"].to_numpy(str)[:OOV_VOCAB_V])
+
+    def rate(batch: pa.Table) -> pa.Table:
+        ids, ntk, nov, ppm = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = TOKEN_RE.findall(t.lower())
+            n = len(toks)
+            if n:
+                ta = np.array(toks, object).astype(str)
+                pos = np.searchsorted(vocab, ta)
+                inv = (pos < len(vocab)) & (
+                    vocab[np.clip(pos, 0, max(len(vocab) - 1, 0))] == ta
+                )
+                oov = int(n - inv.sum())
+            else:
+                oov = 0
+            ids.append(int(d))
+            ntk.append(n)
+            nov.append(oov)
+            ppm.append((oov * 1_000_000) // n if n else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntk, pa.int64()),
+                "n_oov": pa.array(nov, pa.int64()),
+                "oov_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rate, batch_format="pyarrow")
+
+
+def _oov_sql() -> str:
+    v = OOV_VOCAB_V
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents), "
+        "tok AS (SELECT doc_id, unnest(tk) AS token FROM toks), "
+        "vocab AS (SELECT token FROM ("
+        "SELECT token, COUNT(*) AS c FROM tok GROUP BY 1) "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= {v}), "
+        "per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov "
+        "FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1) "
+        "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, "
+        "COALESCE(p.n_oov, 0) AS n_oov, "
+        "CAST(CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0 "
+        "ELSE (p.n_oov * 1000000) // p.n_tokens END AS BIGINT) AS oov_ppm "
+        "FROM documents d LEFT JOIN per p USING (doc_id)"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source vocabulary overlap (cross-source contamination audit)
+# --------------------------------------------------------------------------
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """SOURCE VOCABULARY OVERLAP: pairwise Jaccard similarity between the
+    distinct-token vocabularies of every pair of sources — the
+    dataset-mixing audit that flags near-identical feeds before they are
+    weighted as independent sources. One row per unordered pair with a
+    non-empty intersection: (src_a, src_b, n_inter, n_union, jaccard_ppm),
+    src_a < src_b, jaccard_ppm = floor(1e6·|∩|/|∪|).
+
+    Scale shape: per-batch (source, token) dedup, then ONE token-hash
+    bucketed shuffle; each bucket owns its tokens exclusively, so bucket-
+    local pair counting (self-merge on token) and per-source distinct
+    counts are exact partials; the finisher frame is |sources|²-bounded.
+    Never an all-pairs join over rows — tokens are the join key and each
+    token contributes its source-pair combinations inside one bucket."""
+    import ray.data as rd
+
+    from ..scale import derive_buckets
+    from .queries import TOKEN_RE
+
+    nb = derive_buckets(sf_dir, "documents", floor=64)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in set(TOKEN_RE.findall(t.lower())):
+                seen.add((s, w))
+        srcs = [s for s, _ in seen]
+        toks = [w for _, w in seen]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [zlib.crc32(w.encode()) % nb for w in toks], pa.int64()
+                ),
+                "source": pa.array(srcs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    def bucket_partials(g) -> pa.Table:
+        g = g.drop_duplicates(["source", "token"])
+        m = g.merge(g, on="token")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = (
+            m.groupby(["source_x", "source_y"], sort=False).size().reset_index(name="c")
+        )
+        size = g.groupby("source", sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "src_a": pa.array(
+                    inter["source_x"].tolist() + size["source"].tolist(), pa.string()
+                ),
+                "src_b": pa.array(
+                    inter["source_y"].tolist() + size["source"].tolist(), pa.string()
+                ),
+                "c": pa.array(
+                    inter["c"].astype(np.int64).tolist()
+                    + size["c"].astype(np.int64).tolist(),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+    agg = (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .groupby(["src_a", "src_b"])
+        .sum("c")
+        .to_pandas()  # |sources|²-bounded
+    )
+    sizes = {
+        r["src_a"]: int(r["sum(c)"])
+        for _, r in agg[agg["src_a"] == agg["src_b"]].iterrows()
+    }
+    pa_, pb_, ni, nu, jp = [], [], [], [], []
+    cross = agg[agg["src_a"] < agg["src_b"]].sort_values(["src_a", "src_b"])
+    for _, r in cross.iterrows():
+        inter = int(r["sum(c)"])
+        union = sizes[r["src_a"]] + sizes[r["src_b"]] - inter
+        pa_.append(r["src_a"])
+        pb_.append(r["src_b"])
+        ni.append(inter)
+        nu.append(union)
+        jp.append((inter * 1_000_000) // union)
+    return pa.table(
+        {
+            "src_a": pa.array(pa_, pa.string()),
+            "src_b": pa.array(pb_, pa.string()),
+            "n_inter": pa.array(ni, pa.int64()),
+            "n_union": pa.array(nu, pa.int64()),
+            "jaccard_ppm": pa.array(jp, pa.int64()),
+        }
+    )
+
+
+def _overlap_sql() -> str:
+    return (
+        "WITH st AS (SELECT DISTINCT source, token FROM ("
+        "SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+        "AS token FROM documents)), "
+        "sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1), "
+        "inter AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_inter FROM st a "
+        "JOIN st b ON a.token = b.token AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT i.src_a, i.src_b, i.n_inter, "
+        "CAST(za.n + zb.n - i.n_inter AS BIGINT) AS n_union, "
+        "CAST((i.n_inter * 1000000) // (za.n + zb.n - i.n_inter) AS BIGINT) "
+        "AS jaccard_ppm "
+        "FROM inter i JOIN sz za ON za.source = i.src_a "
+        "JOIN sz zb ON zb.source = i.src_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-language tokenizer fertility (bytes per token)
+# --------------------------------------------------------------------------
+
+
+def q_lang_token_fertility(sf_dir: str):
+    """TOKENIZER FERTILITY per language: (lang, n_docs, total_bytes,
+    total_words, total_ws_tokens, bytes_per_token_ppm) where
+    bytes_per_token_ppm = floor(1e6·total_bytes/total_ws_tokens) — the
+    bytes-per-token audit that decides per-language token budgets (a
+    script the tokenizer fragments shows up as high fertility).
+
+    Scale shape: the hot pass is PURE Arrow kernels (binary_length for
+    UTF-8 bytes, count_substring_regex for word and whitespace-token runs
+    — the same RE2 class proven char-exact against str.split in
+    functions/text.py), grouped per batch to one partial row per
+    language; the finisher frame is |langs|×n_batches-bounded. One
+    streaming scan, no Python loop anywhere."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.text import count_tokens_ws_arrow
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "b": pc.cast(pc.binary_length(batch["text"]), pa.int64()),
+                "w": pc.cast(
+                    pc.count_substring_regex(
+                        pc.utf8_lower(batch["text"]), "[a-z0-9]+"
+                    ),
+                    pa.int64(),
+                ),
+                "ws": count_tokens_ws_arrow(batch["text"]),
+                "one": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate(
+            [("one", "sum"), ("b", "sum"), ("w", "sum"), ("ws", "sum")]
+        )
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+    df = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()  # |langs| × n_batches-bounded
+        .groupby("lang", sort=True)
+        .sum()
+        .reset_index()
+    )
+    tb = df["b_sum"].to_numpy(np.int64)
+    tws = df["ws_sum"].to_numpy(np.int64)
+    ppm = np.where(tws > 0, (tb * 1_000_000) // np.maximum(tws, 1), 0)
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"].tolist(), pa.string()),
+            "n_docs": pa.array(df["one_sum"].to_numpy(np.int64), pa.int64()),
+            "total_bytes": pa.array(tb, pa.int64()),
+            "total_words": pa.array(df["w_sum"].to_numpy(np.int64), pa.int64()),
+            "total_ws_tokens": pa.array(tws, pa.int64()),
+            "bytes_per_token_ppm": pa.array(ppm, pa.int64()),
+        }
+    )
+
+
+def _fertility_sql() -> str:
+    from ..functions.text import _NONWS_RUN_RE2
+
+    ws = _NONWS_RUN_RE2
+    return (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes, "
+        "CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) "
+        "AS total_words, "
+        f"CAST(SUM(len(regexp_extract_all(text, '{ws}'))) AS BIGINT) "
+        "AS total_ws_tokens, "
+        "CAST(CASE WHEN "
+        f"SUM(len(regexp_extract_all(text, '{ws}'))) = 0 THEN 0 "
+        "ELSE (SUM(strlen(text)) * 1000000) "
+        f"// SUM(len(regexp_extract_all(text, '{ws}'))) END AS BIGINT) "
+        "AS bytes_per_token_ppm "
+        "FROM documents GROUP BY 1"
+    )
+
+
+ML6_QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "doc_oov_rate": q_doc_oov_rate,
+    "source_vocab_overlap": q_source_vocab_overlap,
+    "lang_token_fertility": q_lang_token_fertility,
+}
+
+
+def build_ml6_oracles() -> dict[str, str]:
+    return {
+        "bm25_topk": _bm25_sql(),
+        "doc_oov_rate": _oov_sql(),
+        "source_vocab_overlap": _overlap_sql(),
+        "lang_token_fertility": _fertility_sql(),
+    }

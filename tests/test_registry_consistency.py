@@ -44,7 +44,6 @@ def test_rows_only_remainder_is_the_documented_set():
         "crawl_trace",
         "image_embed",
         "image_visual_clusters_parallel",
-        "simhash_docs",
     ], rows_only
 
 
