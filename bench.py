@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "doc_oov_rate",
     "source_vocab_overlap",
     "lang_token_fertility",
+    "dsir_importance_docs",
+    "embedding_centroid_outliers",
 ]
 
 

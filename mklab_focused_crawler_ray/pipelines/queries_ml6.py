@@ -470,11 +470,233 @@ def _fertility_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (hashed-n-gram importance resampling,
+# rational-arithmetic variant)
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  # the exemplar target domain — part of the
+# output contract (in production the target is the curated seed corpus)
+
+
+def q_dsir_importance_docs(sf_dir: str):
+    """IMPORTANCE WEIGHTS for domain-targeted data selection (the shape of
+    Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how target-domain-like its
+    token distribution is, with the target domain = documents from
+    ``DSIR_TARGET_SOURCE``. Rational-arithmetic variant: instead of the
+    paper's log-likelihood ratio, each token contributes the add-one-
+    smoothed count ratio
+
+      ratio_micro(tok) = floor(1e6·(cnt_target+1)/(cnt_all+1))
+
+    and imp_micro(doc) = Σ_occurrences ratio_micro(tok) — integer-exact,
+    order-free, and monotone in the same direction as the LLR score.
+    One row per document: (doc_id, n_tokens, imp_micro).
+
+    Scale shape: pass 1 is one vocabulary-bounded count shuffle carrying
+    (token, c_all_partial, c_target_partial) per batch (the target count
+    rides the same rows — no second scan, no second shuffle); the ratio
+    map is vocabulary-bounded and broadcasts; pass 2 re-scans documents
+    map-side with searchsorted. With a hashed feature space (the paper's
+    10^5 hash buckets) the "vocabulary" is the bucket space and the same
+    two passes apply verbatim."""
+    import ray.data as rd
+
+    from .queries import TOKEN_RE
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        tgt: list[str] = []
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            tk = TOKEN_RE.findall(t.lower())
+            toks.extend(tk)
+            if s == DSIR_TARGET_SOURCE:
+                tgt.extend(tk)
+        if not toks:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "c_all": pa.array([], pa.int64()),
+                    "c_tgt": pa.array([], pa.int64()),
+                }
+            )
+        ua, ca = np.unique(np.array(toks, object).astype(str), return_counts=True)
+        ct = np.zeros(len(ua), np.int64)
+        if tgt:
+            ut, c2 = np.unique(np.array(tgt, object).astype(str), return_counts=True)
+            ct[np.searchsorted(ua, ut)] = c2
+        return pa.table(
+            {
+                "token": pa.array(ua.tolist(), pa.string()),
+                "c_all": pa.array(ca.astype(np.int64), pa.int64()),
+                "c_tgt": pa.array(ct, pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    )
+    from ray.data.aggregate import Sum
+
+    cnt = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_all", alias_name="c_all"), Sum("c_tgt", alias_name="c_tgt"))
+        .to_pandas()  # vocabulary-bounded
+        .sort_values("token")
+    )
+    vocab = cnt["token"].to_numpy(str)
+    ratio = (
+        (cnt["c_tgt"].to_numpy(np.int64) + 1) * 1_000_000
+    ) // (cnt["c_all"].to_numpy(np.int64) + 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, ntk, imp = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            tk = TOKEN_RE.findall(t.lower())
+            if tk:
+                ta = np.array(tk, object).astype(str)
+                pos = np.searchsorted(vocab, ta)  # every token is in vocab
+                s = int(ratio[pos].sum())
+            else:
+                s = 0
+            ids.append(int(d))
+            ntk.append(len(tk))
+            imp.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntk, pa.int64()),
+                "imp_micro": pa.array(imp, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _dsir_sql() -> str:
+    s = DSIR_TARGET_SOURCE
+    return (
+        "WITH tok AS (SELECT doc_id, source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_all, "
+        f"CAST(COUNT(*) FILTER (WHERE source = '{s}') AS BIGINT) AS c_tgt "
+        "FROM tok GROUP BY 1), "
+        "per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(((c.c_tgt + 1) * 1000000) // (c.c_all + 1)) AS BIGINT) AS imp "
+        "FROM tok t JOIN cnt c USING (token) GROUP BY 1) "
+        "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, "
+        "COALESCE(p.imp, 0) AS imp_micro "
+        "FROM documents d LEFT JOIN per p USING (doc_id)"
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding centroid-dot outliers (bottom-1% against the corpus direction)
+# --------------------------------------------------------------------------
+
+
+def q_embedding_centroid_outliers(sf_dir: str):
+    """EMBEDDING OUTLIER FILTER: the bottom-1% of vectors by alignment
+    with the corpus centroid direction — the cheap first-pass anomaly
+    gate (mislabeled/corrupt vectors point away from the bulk). The
+    fixture's vectors are unit-normalized, so norm-based outliers are
+    degenerate; the centroid dot is the meaningful signal. Score is
+    INTEGER-exact and division-free: with mi = micro-quantized
+    components (the embedding_norm_stats discipline) and S_d = Σ over
+    ALL vectors of mi_d (the UN-normalized integer centroid),
+
+      dot_sum(v) = Σ_d mi_d(v) · S_d
+
+    — order-free integer arithmetic, monotone in cosine-to-centroid for
+    unit vectors. Output: the k = ceil(n/100) = (n+99)//100 lowest by
+    (dot_sum asc, vec_id asc), as (vec_id, dot_sum).
+
+    Scale shape: pass 1 reduces each batch to ONE per-dim int64 sum row
+    (dim-bounded shuffle: one row per batch); S broadcasts as one
+    int64[dim]; pass 2 is a per-batch integer matmul emitting a partial
+    bottom-k (global bottom-k ⊆ union of per-batch bottom-k), finished
+    on a k×n_batches-bounded frame. int64 headroom: |dot_sum| ≤
+    dim·max|mi|²·n ≈ 6·10¹⁴ at fixture scale; past ~10⁸ vectors the
+    accumulator must widen (the oracle already computes in HUGEINT)."""
+    import ray.data as rd
+
+    from ..stages.ann import _batch_embeddings
+
+    def dim_sums(batch: pa.Table) -> pa.Table:
+        mi = np.floor(
+            _batch_embeddings(batch) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        s = mi.sum(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(s), dtype=np.int64)),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    emb = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sd = (
+        emb.map_batches(dim_sums, batch_format="pyarrow")
+        .groupby("dim")
+        .sum("s")
+        .to_pandas()  # dim-bounded
+        .sort_values("dim")
+    )
+    S = sd["sum(s)"].to_numpy(np.int64)
+    n = int(emb.count())
+    k = (n + 99) // 100
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        mi = np.floor(
+            _batch_embeddings(batch) * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        dots = mi @ S
+        ids = batch["vec_id"].to_numpy()
+        order = np.lexsort((ids, dots))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order].astype(np.int64), pa.int64()),
+                "dot_sum": pa.array(dots[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    pool = emb.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+    out = pool.sort_values(["dot_sum", "vec_id"]).head(k)
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64), pa.int64()),
+            "dot_sum": pa.array(out["dot_sum"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def _centroid_outliers_sql() -> str:
+    return (
+        "WITH m AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS mi "
+        "FROM embeddings), "
+        "pos AS (SELECT vec_id, i, mi[i] AS v FROM m, "
+        "unnest(range(1, len(mi) + 1)) AS t(i)), "
+        "s AS (SELECT i, CAST(SUM(v) AS HUGEINT) AS sd FROM pos GROUP BY 1), "
+        "sc AS (SELECT p.vec_id, SUM(CAST(p.v AS HUGEINT) * s.sd) AS dot "
+        "FROM pos p JOIN s USING (i) GROUP BY 1), "
+        "n AS (SELECT COUNT(*) AS n FROM m) "
+        "SELECT vec_id, CAST(dot AS BIGINT) AS dot_sum FROM sc, n "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY dot ASC, vec_id ASC) "
+        "<= (n.n + 99) // 100"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
     "source_vocab_overlap": q_source_vocab_overlap,
     "lang_token_fertility": q_lang_token_fertility,
+    "dsir_importance_docs": q_dsir_importance_docs,
+    "embedding_centroid_outliers": q_embedding_centroid_outliers,
 }
 
 
@@ -484,4 +706,6 @@ def build_ml6_oracles() -> dict[str, str]:
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),
+        "dsir_importance_docs": _dsir_sql(),
+        "embedding_centroid_outliers": _centroid_outliers_sql(),
     }

@@ -159,3 +159,71 @@ def test_fertility_empty_lang_group(tmp_path, ray_session):
     got = q_lang_token_fertility(sf).to_pandas().set_index("lang")
     assert got.loc["em"]["total_ws_tokens"] == 0
     assert got.loc["em"]["bytes_per_token_ppm"] == 0
+
+
+def test_dsir_importance_brute_force(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml6 import (
+        DSIR_TARGET_SOURCE,
+        q_dsir_importance_docs,
+    )
+
+    texts = ["aa bb aa", "bb cc", "", "aa aa aa", "dd"]
+    sources = [DSIR_TARGET_SOURCE, "other", DSIR_TARGET_SOURCE, "other", "other"]
+    sf = _write_docs(tmp_path, texts, sources=sources)
+    got = (
+        q_dsir_importance_docs(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    per = [TOKEN_RE.findall(t.lower()) for t in texts]
+    c_all, c_tgt = Counter(), Counter()
+    for tk, s in zip(per, sources):
+        c_all.update(tk)
+        if s == DSIR_TARGET_SOURCE:
+            c_tgt.update(tk)
+    for d, tk in enumerate(per):
+        imp = sum(((c_tgt[w] + 1) * 1_000_000) // (c_all[w] + 1) for w in tk)
+        assert got.iloc[d]["n_tokens"] == len(tk)
+        assert got.iloc[d]["imp_micro"] == imp
+
+
+def _write_embeddings(tmp_path, vecs):
+    import numpy as np
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_centroid_outliers_bottom_k_with_ties(tmp_path, ray_session):
+    import numpy as np
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml6 import (
+        q_embedding_centroid_outliers,
+    )
+
+    # 150 aligned vectors + 2 anti-aligned outliers + an exact tie pair:
+    # k = (152+99)//100 = 2, and the tie must resolve by vec_id asc
+    vecs = [[1.0, 0.0]] * 148 + [[0.0, 1.0], [0.0, 1.0], [-1.0, 0.0], [-1.0, 0.0]]
+    sf = _write_embeddings(tmp_path, vecs)
+    got = q_embedding_centroid_outliers(sf).to_pandas()
+    mi = np.floor(np.array(vecs, np.float64) * 1_000_000.0 + 0.5).astype(np.int64)
+    S = mi.sum(axis=0)
+    dots = mi @ S
+    k = (len(vecs) + 99) // 100
+    order = np.lexsort((np.arange(len(vecs)), dots))[:k]
+    assert got["vec_id"].tolist() == order.tolist()
+    assert got["dot_sum"].tolist() == dots[order].tolist()
+    assert len(got) == 2  # both anti-aligned vectors, ids 150 & 151
