@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "lang_token_fertility",
     "dsir_importance_docs",
     "embedding_centroid_outliers",
+    "langid_confusion",
 ]
 
 

@@ -493,6 +493,13 @@ def build_extended_oracles() -> dict[str, str]:
     # language-ID stopword-profile argmax (first-profile-wins ties)
     sql["langid_detect"] = _langid_sql()
 
+    # langid confusion matrix: gold label × the SAME spliced prediction SQL
+    sql["langid_confusion"] = (
+        "WITH p AS (" + _langid_sql() + ") "
+        "SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2"
+    )
+
     # TokenizationBolt ALL + bigram shingles ('_' separator)
     sql["items_bigrams"] = (
         "WITH t AS (SELECT id, list_filter(list_transform("

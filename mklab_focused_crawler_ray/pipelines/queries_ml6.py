@@ -594,6 +594,64 @@ def _dsir_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# language-ID confusion matrix (gold label × prediction)
+# --------------------------------------------------------------------------
+
+
+def q_langid_confusion(sf_dir: str):
+    """LANGUAGE-ID QUALITY AUDIT: the confusion matrix of the stopword-
+    profile detector against the fixture's gold ``lang`` labels — one row
+    per observed (lang, lang_pred) cell with its document count. The
+    audit run before trusting the detector's output as a mixing key
+    (``lang_token_budget`` et al. consume lang_pred downstream).
+
+    Scale shape: pure map-side — each batch reduces to at most
+    |langs|·(|profiles|+1) partial rows, and the final shuffle moves only
+    those cells (matrix-bounded). The oracle splices the SAME langid SQL
+    the ``langid_detect`` query is checked against (oracles_ext), so the
+    heuristic's argmax/tie-break semantics are pinned in one place."""
+    import ray.data as rd
+
+    from ..functions.text import detect_language
+
+    def cells(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pylist(),
+                    "lang_pred": [
+                        detect_language(t) for t in batch["text"].to_pylist()
+                    ],
+                }
+            )
+            .groupby(["lang", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .sum("n_docs")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b["lang"],
+                    "lang_pred": b["lang_pred"],
+                    "n_docs": b["sum(n_docs)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding centroid-dot outliers (bottom-1% against the corpus direction)
 # --------------------------------------------------------------------------
 
@@ -697,6 +755,7 @@ ML6_QUERIES = {
     "lang_token_fertility": q_lang_token_fertility,
     "dsir_importance_docs": q_dsir_importance_docs,
     "embedding_centroid_outliers": q_embedding_centroid_outliers,
+    "langid_confusion": q_langid_confusion,
 }
 
 

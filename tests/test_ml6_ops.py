@@ -227,3 +227,24 @@ def test_centroid_outliers_bottom_k_with_ties(tmp_path, ray_session):
     assert got["vec_id"].tolist() == order.tolist()
     assert got["dot_sum"].tolist() == dots[order].tolist()
     assert len(got) == 2  # both anti-aligned vectors, ids 150 & 151
+
+
+def test_langid_confusion_cells(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml6 import q_langid_confusion
+
+    texts = [
+        "the cat and the dog",   # en-profile words → pred en
+        "der hund und die katze",  # de-profile words → pred de
+        "qqq www zzz",           # no profile hit → pred und
+        "the und",               # 1 en vs 1 de hit: first profile wins → en
+    ]
+    langs = ["en", "de", "de", "fr"]
+    sf = _write_docs(tmp_path, texts, langs=langs)
+    got = q_langid_confusion(sf).to_pandas()
+    cells = {(r["lang"], r["lang_pred"]): int(r["n_docs"]) for _, r in got.iterrows()}
+    assert cells == {
+        ("en", "en"): 1,
+        ("de", "de"): 1,
+        ("de", "und"): 1,
+        ("fr", "en"): 1,
+    }
