@@ -705,6 +705,18 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{thumbnail_signature_parquet(fdir)}')"
     )
 
+    # embedding signatures: same discipline as image_thumbnails — the
+    # expected table comes from the SEQUENTIAL single-process codec +
+    # pseudo_embed path (embed_signature_parquet); equality proves the
+    # distributed actor-pool embed stage reproduces the float32 bytes
+    # bit-for-bit (r4 'Next round' #2: flipped from no_oracle)
+    from .queries_media import embed_signature_parquet
+
+    sql["image_embed"] = (
+        "SELECT image_id, emb_hash, e0_micro, norm_ppm "
+        f"FROM read_parquet('{embed_signature_parquet(fdir)}')"
+    )
+
     # caption–image alignment: DuckDB replays the integer dot + per-char
     # normalization + gate over the ENGINE-materialized shifted-micro
     # embeds (pixel decode is not SQL-expressible; same discipline as the

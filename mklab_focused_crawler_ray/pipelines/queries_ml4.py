@@ -538,9 +538,9 @@ def q_knn_graph_edges(sf_dir: str):
     Scale shape: ONE map-side pass — the normalized matrix broadcasts
     (``ray.put`` once, zero-copy per task) and each batch computes the
     FINAL top-k for its own rows against it, so there is no shuffle at
-    all. The broadcast side caps this at ~10^7 vectors; past that the
-    IVF-bucketed layout (stages/ann.py) is the scale path — each probe
-    batch scans only its nprobe partitions, same per-batch top-k."""
+    all. The broadcast side caps this at ~10^7 vectors; past that,
+    :func:`q_knn_graph_edges_ivf` (stages/ann.py ``knn_graph_ivf``) is
+    the scale path — no full-matrix side, bounded (1+nprobe)× shuffle."""
     import ray
     import ray.data as rd
 
@@ -588,6 +588,32 @@ def q_knn_graph_edges(sf_dir: str):
     return rd.read_parquet(
         _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     ).map_batches(knn, batch_format="pyarrow")
+
+
+KNN_IVF_NLIST = 4
+KNN_IVF_NPROBE = 4  # == nlist at fixture scale → recall exactly 1.0, so
+# the SAME exhaustive SQL oracle applies (knn_graph_ivf docstring)
+
+
+def q_knn_graph_edges_ivf(sf_dir: str):
+    """k-NN GRAPH, IVF-bucketed scale path (VERDICT r4 'Next round' #1):
+    same output contract as :func:`q_knn_graph_edges` — one row per
+    (node, rank): (vec_id, nbr_id, knn_rank, cos_micro) — built WITHOUT
+    broadcasting the full embedding matrix, so it has no ~10^7-vector
+    cap. Pinned at ``nprobe == nlist`` here so recall is exactly 1.0 and
+    the exhaustive DuckDB oracle checks the full explode → per-cell
+    co-group → merge machinery end-to-end; the pruned (``nprobe <
+    nlist``) behavior and its recall bound are pinned by
+    tests/test_ann.py. See ``stages.ann.knn_graph_ivf`` for the
+    three-stage shuffle shape and the recall argument."""
+    from ..stages.ann import knn_graph_ivf
+
+    return knn_graph_ivf(
+        _p(sf_dir, "embeddings"),
+        k=KNN_K,
+        nlist=KNN_IVF_NLIST,
+        nprobe=KNN_IVF_NPROBE,
+    )
 
 
 def _knn_sql() -> str:
@@ -706,8 +732,10 @@ def q_knn_semantic_clusters(sf_dir: str):
     per cluster. One row per vector that participates in at least one
     gated edge: (vec_id, cluster_rep) with rep = component min id.
 
-    Scale shape: the k-NN pass is the shuffle-free broadcast map of
-    ``knn_graph_edges``; the gated edge list is bounded by k·(semantic-
+    Scale shape: the k-NN pass is the IVF-bucketed graph build
+    (``q_knn_graph_edges_ivf`` — no full-matrix broadcast, so the
+    semantic-dedup path inherits no ~10^7-vector cap; r4 'Next round'
+    #1); the gated edge list is bounded by k·(semantic-
     dup rate)·N — at real thresholds a small fraction of the corpus — so
     component labelling runs as the same vectorized min-label
     pointer-jumping kernel ``dup_clusters`` uses (O(edges) memory; beyond
@@ -717,7 +745,7 @@ def q_knn_semantic_clusters(sf_dir: str):
     from .queries import cc_min_label
 
     edges = (
-        q_knn_graph_edges(sf_dir)
+        q_knn_graph_edges_ivf(sf_dir)
         .filter(expr=f"cos_micro >= {SEM_THRESH_MICRO}")
         .to_pandas()
     )
@@ -754,6 +782,7 @@ ML4_QUERIES = {
     "boilerplate_gram_docs": q_boilerplate_gram_docs,
     "delta_tokenset_dedup": q_delta_tokenset_dedup,
     "knn_graph_edges": q_knn_graph_edges,
+    "knn_graph_edges_ivf": q_knn_graph_edges_ivf,
     "knn_semantic_clusters": q_knn_semantic_clusters,
     "curation_funnel": q_curation_funnel,
 }
@@ -767,5 +796,6 @@ def build_ml4_oracles() -> dict[str, str]:
         "boilerplate_gram_docs": _boiler_sql(),
         "delta_tokenset_dedup": _delta_sql(),
         "knn_graph_edges": _knn_sql(),
+        "knn_graph_edges_ivf": _knn_sql(),
         "knn_semantic_clusters": _knn_clusters_sql(),
     }

@@ -221,7 +221,9 @@ def q_doc_oov_rate(sf_dir: str):
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             toks = TOKEN_RE.findall(t.lower())
             n = len(toks)
-            if n:
+            if n and len(vocab) == 0:
+                oov = n  # tokens but no vocabulary: everything is OOV
+            elif n:
                 ta = np.array(toks, object).astype(str)
                 pos = np.searchsorted(vocab, ta)
                 inv = (pos < len(vocab)) & (
@@ -437,7 +439,15 @@ def q_lang_token_fertility(sf_dir: str):
     )
     tb = df["b_sum"].to_numpy(np.int64)
     tws = df["ws_sum"].to_numpy(np.int64)
-    ppm = np.where(tws > 0, (tb * 1_000_000) // np.maximum(tws, 1), 0)
+    # ppm numerator in PYTHON ints (object dtype): total_bytes * 1e6 wraps
+    # int64 once a language group passes ~9.2 TB of text; the DuckDB oracle
+    # sums in HUGEINT, so exact arbitrary-precision division here keeps the
+    # engine byte-identical at scale (the quotient itself always fits int64)
+    ppm = np.where(
+        tws > 0,
+        (tb.astype(object) * 1_000_000) // np.maximum(tws, 1).astype(object),
+        0,
+    ).astype(np.int64)
     return pa.table(
         {
             "lang": pa.array(df["lang"].tolist(), pa.string()),
@@ -547,9 +557,15 @@ def q_dsir_importance_docs(sf_dir: str):
         .sort_values("token")
     )
     vocab = cnt["token"].to_numpy(str)
+    # ratio intermediate in PYTHON ints (object dtype): (c_tgt+1) * 1e6
+    # wraps int64 once a token passes ~9.2e12 occurrences; the quotient is
+    # ≤ 1e6 so the RESULT array is safely int64 (oracle divides in HUGEINT)
     ratio = (
-        (cnt["c_tgt"].to_numpy(np.int64) + 1) * 1_000_000
-    ) // (cnt["c_all"].to_numpy(np.int64) + 1)
+        (
+            (cnt["c_tgt"].to_numpy(np.int64).astype(object) + 1) * 1_000_000
+        )
+        // (cnt["c_all"].to_numpy(np.int64).astype(object) + 1)
+    ).astype(np.int64)
 
     def score(batch: pa.Table) -> pa.Table:
         ids, ntk, imp = [], [], []

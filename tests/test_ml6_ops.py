@@ -92,8 +92,12 @@ def test_bm25_excludes_zero_scores_and_orders_desc(tmp_path, ray_session):
 
 
 def test_oov_rate_edge_docs(tmp_path, ray_session):
-    # vocab-filler docs so top-V is deterministic, plus the edges
-    texts = ["common word here"] * 5 + ["", "common", "rareword common"]
+    # >OOV_VOCAB_V distinct fillers with distinct counts so the top-V cut
+    # is deterministic AND leaves a genuine OOV tail (w16..w19, 'common',
+    # 'rareword' fall below the cut → nonzero n_oov rows)
+    assert OOV_VOCAB_V == 16
+    filler = " ".join(f"w{i:02d}" for i in range(20) for _ in range(20 - i))
+    texts = [filler, "", "common", "rareword common w19 w00"]
     sf = _write_docs(tmp_path, texts)
     got = (
         q_doc_oov_rate(sf)

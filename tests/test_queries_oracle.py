@@ -89,6 +89,7 @@ FIXTURE_BACKED = {
     "caption_to_image_topk",
     "image_ar_buckets",
     "image_thumbnails",
+    "image_embed",
     "pagerank_top20",
     "page_image_join_stats",
     "seed_hop_distance",
@@ -138,7 +139,7 @@ def test_rows_only_queries_run(ray_session):
         "doc_fingerprints": {"doc_id", "fingerprint"},
         "simhash_dup_pairs": {"doc_a", "doc_b"},
         "image_clusters": {"image_id", "cluster_id"},
-        "image_embed": {"image_id", "embedding"},
+        "image_embed": {"image_id", "emb_hash"},
         "image_thumbnails": {"image_id", "thumb", "mean_r_x100"},
         "ann_ivf_top10": {"query_id", "vec_id", "cos_micro"},
         "ann_lsh_top10": {"query_id", "vec_id", "cos_micro"},

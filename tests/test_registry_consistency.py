@@ -42,7 +42,6 @@ def test_rows_only_remainder_is_the_documented_set():
         "approx_distinct_users",
         "crawl_status_counts",
         "crawl_trace",
-        "image_embed",
         "image_visual_clusters_parallel",
     ], rows_only
 
