@@ -35,31 +35,26 @@ def entry() -> Any:
     from mklab_focused_crawler_ray.functions.text import (
         count_tokens_bpeish,
         count_tokens_ws_arrow,
-        detect_language,
-        quality_features,
+        lang_quality_batch,
     )
     from mklab_focused_crawler_ray.pipelines.queries import TOKEN_RE
 
     def enrich(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        # whitespace token count is a pure Arrow kernel (zero Python loop);
-        # langid/quality/BPE-ish stay per-row (dict-returning heuristics,
-        # distributed across batches) — VERDICT r2 "What's wrong" #6
+        # whitespace token count is a pure Arrow kernel; langid + quality are
+        # the vectorized batch kernel (one WORD_RE pass per doc, numpy/Arrow
+        # for all scoring — bit-identical to the per-row heuristics, pinned
+        # by tests/test_text_batch.py); only the BPE-ish regex count and the
+        # simhash token pass remain per-doc C regex calls
         nws = count_tokens_ws_arrow(batch["text"])
-        langs, quals, nwords, nbpe = [], [], [], []
-        thl = []
-        for t in texts:
-            langs.append(detect_language(t))
-            q = quality_features(t)
-            quals.append(q["quality"])
-            nwords.append(q["n_words"])
-            nbpe.append(count_tokens_bpeish(t))
-            thl.append(token_hashes(TOKEN_RE.findall(t.lower())))
+        lq = lang_quality_batch(texts)
+        nbpe = [count_tokens_bpeish(t) for t in texts]
+        thl = [token_hashes(TOKEN_RE.findall(t.lower())) for t in texts]
         sims = simhash64(thl).view(np.int64)
         return (
-            batch.append_column("lang_pred", pa.array(langs, pa.string()))
-            .append_column("quality", pa.array(quals, pa.float64()))
-            .append_column("n_words", pa.array(nwords, pa.int64()))
+            batch.append_column("lang_pred", pa.array(lq["lang"].tolist(), pa.string()))
+            .append_column("quality", pa.array(lq["quality"], pa.float64()))
+            .append_column("n_words", pa.array(lq["n_words"], pa.int64()))
             .append_column("n_ws_tokens", nws)
             .append_column("n_bpe_tokens", pa.array(nbpe, pa.int64()))
             .append_column("simhash", pa.array(sims, pa.int64()))

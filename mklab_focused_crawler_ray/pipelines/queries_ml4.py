@@ -657,8 +657,8 @@ def q_curation_funnel(sf_dir: str):
     from .queries import (
         QUALITY_KEEP_MICRO,
         TOKEN_RE,
+        _decontam_hits_cached,
         _micro,
-        q_decontam_8gram_hits,
         q_dup_clusters,
     )
 
@@ -666,7 +666,7 @@ def q_curation_funnel(sf_dir: str):
     drop_near = cl.loc[cl["doc_id"] != cl["cluster_rep"], "doc_id"].to_numpy(
         np.int64
     )
-    cont = q_decontam_8gram_hits(sf_dir).to_pandas()["doc_id"].to_numpy(np.int64)
+    cont = _decontam_hits_cached(sf_dir)["doc_id"].to_numpy(np.int64)
     drop_ref = ray.put(
         (np.sort(drop_near), np.sort(cont))
     )
