@@ -105,9 +105,9 @@ BENCH_QUERIES = [
     "decontam_neardup_hits",
     "approx_distinct_users",
     "session_overlap_pairs",
-    # round-3 continuation (multimodal profiling + window/join/pivot shapes;
-    # pagerank_top20 is excluded — its 5 materialized iterations (~25 s)
-    # would drown the per-query signal; it is timed separately in BASELINE.md)
+    # round-3 continuation (multimodal profiling + window/join/pivot
+    # shapes; the iterative graph ops were excluded here until round 5 —
+    # see the round-5 block at the end of this list)
     "image_format_stats",
     "image_aspect_stats",
     "image_phash_dup_groups",
@@ -196,9 +196,7 @@ BENCH_QUERIES = [
     "image_ar_buckets",
     "knn_semantic_clusters",
     "curation_funnel",
-    # round 4 continuation (seed_hop_distance and hits_top20 are excluded
-    # like pagerank_top20 — multi-iteration graph jobs, ~18-35 s each,
-    # would drown the per-query signal; timed separately in BASELINE.md)
+    # round 4 continuation
     "substring_dup_spans",
     "bpe_merge_step",
     "image_token_cost",
@@ -216,6 +214,16 @@ BENCH_QUERIES = [
     "dsir_importance_docs",
     "embedding_centroid_outliers",
     "langid_confusion",
+    # round 5: the iterative graph ops moved to stationary-edge shard
+    # actors (stages/pregel.py) and dropped from ~18-86 s to ~3-6 s, so
+    # they now fit the per-query suite (they were excluded-and-timed-in-
+    # BASELINE.md before); image_embed + the IVF kNN graph are new oracled
+    # surfaces this round
+    "pagerank_top20",
+    "seed_hop_distance",
+    "hits_top20",
+    "knn_graph_edges_ivf",
+    "image_embed",
 ]
 
 

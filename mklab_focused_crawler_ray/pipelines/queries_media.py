@@ -1192,7 +1192,7 @@ PR_TOP = 20  # pages kept
 
 
 def q_pagerank_top20(sf_dir: str):
-    """ITERATIVE graph algorithm: integer-exact PageRank over the fixture's
+    """ITERATIVE graph algorithm: integer-exact PageRank over the fixture\'s
     page link graph (``pages.out_links``), top-``PR_TOP`` pages after
     ``PR_ITERS`` synchronous iterations.
 
@@ -1201,295 +1201,20 @@ def q_pagerank_top20(sf_dir: str):
     the fixed point is order-independent and the unrolled-CTE DuckDB oracle
     reproduces it bit-for-bit — no float summation-order hazard.
 
-    Scale shape: edges and ranks co-partition by hash(src) into
-    ``pr_buckets`` fixed buckets each iteration (never per-key groups);
-    inbound mass partial-aggregates inside the bucket before the per-dst
-    shuffle; ranks re-materialize once per iteration (the standard
-    iteration barrier — without it the lazy lineage re-executes every prior
-    iteration). Internal-edge filtering is bloom-gated (r3 'What's wrong'
-    #3 closed): a splitmix64 bloom over node url-hashes — built
-    DISTRIBUTED as per-block partial bitmaps OR-folded on the driver
-    (O(m) driver memory, never the node array; at 10^10 nodes the fold
-    becomes a tree reduce, same partials) — prefilters out-links with no
-    false negatives, and an exact in-bucket verify against the node table
-    removes the ~0.01% false positives, so the edge set is bit-identical
-    to the old broadcast-sorted-array gate."""
-    import pyarrow.compute as pc
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    Scale shape: STATIONARY edge shards (stages/pregel.py) over the graph
+    layout shared with seed_hop_distance / hits_top20 — the exact internal
+    edge list (bloom-prefiltered + exactly verified, the r3 gate) is
+    materialized once, out-degrees precompute per shard, and an iteration
+    is one emit (locally-combined ``r//d`` partial sums per dst) + one
+    node-shaped exchange + a vectorized update for every own node; the
+    loop-invariant edges never re-shuffle (extends r4 \'Next round\' #7 to
+    PageRank; the former Dataset loop paid two bucketed co-groups + a
+    re-materialization per iteration). Top-k merges per-shard local top-k."""
+    from ..stages.pregel import pagerank_top
+    from .queries_ml5 import _graph_layout
 
-    from ..functions.bloom import bloom_add, bloom_contains, bloom_m_bits
-    from ..functions.urls import url_hash64_vec
-
-    pages = _pages_path(sf_dir)
-    pr_buckets = derive_buckets_for_paths(pages, floor=64)
-
-    node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
-    m_bits = bloom_m_bits(node_ds.count())  # metadata count, no collect
-
-    def bloom_partial(batch: pa.Table) -> pa.Table:
-        w = np.zeros(m_bits // 64, np.uint64)
-        bloom_add(w, m_bits, url_hash64_vec(batch["url"].to_pylist()))
-        return pa.table({"words": pa.array([w.view(np.int64).tolist()])})
-
-    words = np.zeros(m_bits // 64, np.uint64)
-    for b in node_ds.map_batches(
-        bloom_partial, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for row in b["words"].to_pylist():
-            words |= np.asarray(row, np.int64).view(np.uint64)
-    bloom_ref = ray.put((words, m_bits))
-
-    def explode(batch: pa.Table) -> pa.Table:
-        bw, bm = ray.get(bloom_ref)
-        links = batch["out_links"]
-        if isinstance(links, pa.ChunkedArray):
-            links = links.combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links)
-        src = pc.take(batch["url"], parent)
-        dst = flat.to_numpy(zero_copy_only=False)
-        srcn = src.to_numpy(zero_copy_only=False)
-        if len(dst):
-            maybe = bloom_contains(bw, bm, url_hash64_vec(dst.tolist()))
-            srcn, dst = srcn[maybe], dst[maybe]
-        return pa.table(
-            {
-                "src": pa.array(srcn.tolist(), pa.string()),
-                "dst": pa.array(dst.tolist(), pa.string()),
-                "side": pa.array(np.ones(len(dst), np.int64), pa.int64()),
-            }
-        )
-
-    # exact verify: bloom survivors co-grouped with the node table by
-    # crc32(dst) — false positives (hash or bloom) die on string equality
-    def node_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "src": pa.array([""] * n, pa.string()),
-                "dst": batch["url"],
-                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
-            }
-        )
-
-    def vbucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "bucket", _bucket_vec(batch["dst"], pr_buckets)
-        )
-
-    def verify(g) -> pa.Table:
-        nodeset = g[g["side"] == 0]["dst"].to_numpy(object)
-        ee = g[g["side"] == 1]
-        keep = np.isin(ee["dst"].to_numpy(object), nodeset)
-        return pa.table(
-            {
-                "src": pa.array(ee["src"].to_numpy(object)[keep].tolist(), pa.string()),
-                "dst": pa.array(ee["dst"].to_numpy(object)[keep].tolist(), pa.string()),
-            }
-        )
-
-    edges = (
-        rd.read_parquet(pages, columns=["url", "out_links"])
-        .map_batches(explode, batch_format="pyarrow")
-        .union(node_ds.map_batches(node_rows, batch_format="pyarrow"))
-        .repartition(pr_buckets)
-        .map_batches(vbucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-        .materialize()
-    )
-
-    # out-degree rides on each edge row once, up front
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("src").aggregate([([], "count_all")])
-        return g.select(["src", "count_all"]).rename_columns(["src", "pd"])
-
-    deg = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("src")
-        .aggregate(Sum("pd", alias_name="d"))
-    )
-
-    def bucketed(col: str):
-        # deterministic cross-process hash (python hash() is seed-randomized
-        # per worker, which would silently break the co-group)
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "bucket", _bucket_vec(batch[col], pr_buckets)
-            )
-
-        return fn
-
-    # edges ⋈ deg by src (once): co-group on hash(src)
-    def attach_deg(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = g.to_pandas()
-        dd = df[df["side"] == 0][["src", "d"]]
-        ee = df[df["side"] == 1][["src", "dst"]]
-        m = ee.merge(dd, on="src", how="inner")
-        return pa.table(
-            {
-                "src": pa.array(m["src"].tolist(), pa.string()),
-                "dst": pa.array(m["dst"].tolist(), pa.string()),
-                "d": pa.array(m["d"].to_numpy(np.int64), pa.int64()),
-            }
-        )
-
-    deg_side = deg.map_batches(
-        lambda b: pa.table(
-            {
-                "src": b["src"],
-                "dst": pa.array([""] * len(b), pa.string()),
-                "d": b["d"],
-                "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    edge_side = edges.map_batches(
-        lambda b: pa.table(
-            {
-                "src": b["src"],
-                "dst": b["dst"],
-                "d": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    # block counts compound across per-iteration unions (64 → 128 → 384 …)
-    # and Ray's sort-based groupby degrades quadratically in input block
-    # count (measured 0.5 s at 128 blocks → 25 s at 384), so every shuffle
-    # input is re-pinned to pr_buckets partitions first
-    edges_d = (
-        deg_side.union(edge_side)
-        .repartition(pr_buckets)
-        .map_batches(bucketed("src"), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(attach_deg, batch_format="pyarrow")
-        .materialize()
-    )
-
-    node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
-    ranks = node_ds.map_batches(
-        lambda b: b.append_column(
-            "r", pa.array(np.full(len(b), 1_000_000, np.int64), pa.int64())
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    def contrib(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = g.to_pandas()
-        rr = df[df["side"] == 0][["src", "r"]]
-        ee = df[df["side"] == 1][["src", "dst", "d"]]
-        m = ee.merge(rr, on="src", how="inner")
-        c = m["r"].to_numpy(np.int64) // m["d"].to_numpy(np.int64)
-        out = (
-            pd.DataFrame({"dst": m["dst"].to_numpy(object), "pc": c})
-            .groupby("dst", sort=False)["pc"]
-            .sum()
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "dst": pa.array(out["dst"].tolist(), pa.string()),
-                "pc": pa.array(out["pc"].to_numpy(np.int64), pa.int64()),
-            }
-        )
-
-    def apply_update(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = g.to_pandas()
-        nn = df[df["side"] == 0][["url"]]
-        mm = df[df["side"] == 1][["url", "c"]]
-        m = nn.merge(mm, on="url", how="left")
-        c = m["c"].fillna(0).to_numpy(np.int64)
-        r = 150_000 + (85 * c) // 100
-        return pa.table(
-            {
-                "url": pa.array(m["url"].tolist(), pa.string()),
-                "r": pa.array(r, pa.int64()),
-            }
-        )
-
-    for _ in range(PR_ITERS):
-        rank_side = ranks.map_batches(
-            lambda b: pa.table(
-                {
-                    "src": b["url"],
-                    "dst": pa.array([""] * len(b), pa.string()),
-                    "d": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                    "r": b["r"],
-                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        e_side = edges_d.map_batches(
-            lambda b: pa.table(
-                {
-                    "src": b["src"],
-                    "dst": b["dst"],
-                    "d": b["d"],
-                    "r": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                    "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        mass = (
-            rank_side.union(e_side)
-            .repartition(pr_buckets)
-            .map_batches(bucketed("src"), batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(contrib, batch_format="pyarrow")
-            .repartition(pr_buckets)
-            .groupby("dst")
-            .aggregate(Sum("pc", alias_name="c"))
-        )
-        n_side = node_ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "url": b["url"],
-                    "c": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        m_side = mass.map_batches(
-            lambda b: pa.table(
-                {
-                    "url": b["dst"],
-                    "c": b["c"],
-                    "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        ranks = (
-            n_side.union(m_side)
-            .repartition(pr_buckets)
-            .map_batches(bucketed("url"), batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(apply_update, batch_format="pyarrow")
-            .materialize()
-        )
-
-    return (
-        ranks.map_batches(
-            lambda b: pa.table({"url": b["url"], "rank_micro": b["r"]}),
-            batch_format="pyarrow",
-        )
-        .sort(["rank_micro", "url"], descending=[True, False])
-        .limit(PR_TOP)
-    )
+    layout, nb = _graph_layout(sf_dir)
+    return pagerank_top(layout, nb, PR_ITERS, PR_TOP)
 
 
 def _pages_path(sf_dir: str) -> str:

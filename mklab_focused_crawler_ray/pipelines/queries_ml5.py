@@ -308,6 +308,33 @@ HOP_MAX = 8  # BFS depth cap — part of the output contract (reference
 # crawls bound their depth the same way; SURVEY §1.1 frontier rounds)
 
 
+def _graph_layout(sf_dir: str) -> tuple[str, int]:
+    """Stationary per-shard graph layout for the iterative ops (BFS,
+    HITS): exact internal edges hive-partitioned by src AND dst bucket
+    plus nodes by url bucket, materialized ONCE per pages-table content
+    fingerprint + bucket count and shared by every iterative query
+    (stages/pregel.py; VERDICT r4 'Next round' #7 — the loop-invariant
+    edge table stops re-shuffling through every iteration)."""
+    import hashlib
+
+    from ..scale import derive_buckets_for_paths
+    from ..stages.pregel import build_graph_layout
+    from .queries_media import _pages_path
+
+    pages = _pages_path(sf_dir)
+    nb = derive_buckets_for_paths(pages, floor=32)
+    st = os.stat(pages)
+    fp = hashlib.blake2b(
+        f"{os.path.abspath(pages)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    out = os.path.join("/tmp/mkfc_graph_layout", f"{fp}-nb{nb}")
+    if not os.path.isdir(out):
+        edges, node_ds = _internal_edges_exact(pages, nb)
+        build_graph_layout(edges, node_ds, out, nb)
+    return out, nb
+
+
 def q_seed_hop_distance(sf_dir: str):
     """CRAWL-DEPTH ANALYSIS: minimum link-hop distance from the seed
     frontier to every reachable page, depth-capped at ``HOP_MAX`` —
@@ -316,114 +343,25 @@ def q_seed_hop_distance(sf_dir: str):
     SURVEY §1.1); this is the batch replay of that reachability, and the
     standard "crawl depth" audit a corpus pipeline reports.
 
-    Scale shape: synchronous distributed BFS. The internal edge list
-    (out-links pointing at known pages) is exploded once behind the same
-    splitmix64 bloom prefilter PageRank uses (per-block partial bitmaps
-    OR-folded — never a driver node array); each level then runs TWO
-    bucketed co-groups: (1) frontier ⋈ edges by hash(src) → candidate
-    dsts (deduped in-bucket), (2) candidates ⋈ nodes ⋈ visited by
-    hash(url) → page-verified, not-yet-visited frontier. Visited
-    re-materializes per level (the iteration barrier); every shuffle
-    input is re-pinned to ``nb`` partitions first (Ray's sort groupby
-    degrades in block count — see pagerank_top20)."""
-    import ray.data as rd
+    Scale shape: synchronous distributed BFS over STATIONARY edge shards
+    (stages/pregel.py): the exact internal edge list materializes once
+    into the shared hive-partitioned layout, each shard actor loads only
+    its own partitions, and a level is ONE actor round — settle (dedupe −
+    visited, node-verified at hop 0; later candidates come from the
+    pre-verified edges) + expand, exchanging only locally-combined
+    frontier messages keyed by url hash. Replaces the former two bucketed
+    co-groups per level that re-shuffled the loop-invariant edge table
+    (r4 'Next round' #7); result rows are identical (same hash routing,
+    same set algebra — the unchanged recursive-CTE oracle pins it)."""
+    import pyarrow.parquet as pq_
 
-    from ..scale import derive_buckets_for_paths
-    from .queries_media import _pages_path, fixture_dir_for
+    from ..stages.pregel import bfs_hops
+    from .queries_media import fixture_dir_for
 
-    pages = _pages_path(sf_dir)
-    seeds = os.path.join(fixture_dir_for(sf_dir), "frontier_seed.parquet")
-    nb = derive_buckets_for_paths(pages, floor=32)
-
-    node_ds = rd.read_parquet(pages, columns=["url"]).materialize()
-    edges = (
-        rd.read_parquet(pages, columns=["url", "out_links"])
-        .map_batches(_link_explode_fn(_page_bloom_ref(node_ds)), batch_format="pyarrow")
-        .repartition(nb)
-        .materialize()
-    )
-    bucketed = _bucketed_fn(nb)
-
-    def expand(g) -> pa.Table:
-        """frontier(side=0) ⋈ edges(side=1) on src → unique candidate dsts."""
-        fr = g[g["side"] == 0]["src"].to_numpy(object)
-        ee = g[g["side"] == 1]
-        hit = np.isin(ee["src"].to_numpy(object), fr)
-        cand = np.unique(ee["dst"].to_numpy(object)[hit].astype(str))
-        return pa.table({"url": pa.array(cand.tolist(), pa.string())})
-
-    def settle(g) -> pa.Table:
-        """cand(side=2) ∩ nodes(side=0) − visited(side=1), deduped."""
-        nodeset = g[g["side"] == 0]["url"].to_numpy(object)
-        seen = g[g["side"] == 1]["url"].to_numpy(object)
-        cand = np.unique(g[g["side"] == 2]["url"].to_numpy(object).astype(str))
-        keep = np.isin(cand, nodeset.astype(str)) & ~np.isin(
-            cand, seen.astype(str)
-        )
-        return pa.table({"url": pa.array(cand[keep].tolist(), pa.string())})
-
-    def sided(ds, side: int, col: str = "url"):
-        return ds.map_batches(
-            lambda b, s=side, c=col: pa.table(
-                {
-                    "url": b[c],
-                    "side": pa.array(np.full(len(b), s, np.int64), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-
-    def verify_new(cand_ds, dist_ds):
-        three = sided(node_ds, 0).union(sided(cand_ds, 2))
-        if dist_ds is not None:
-            three = three.union(sided(dist_ds, 1))
-        return (
-            three.repartition(nb)
-            .map_batches(bucketed("url"), batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(settle, batch_format="pandas")
-            .materialize()
-        )
-
-    def with_hop(ds, hop: int):
-        return ds.map_batches(
-            lambda b, h=hop: pa.table(
-                {
-                    "url": b["url"],
-                    "hop": pa.array(np.full(len(b), h, np.int64), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-
-    seed_cand = rd.read_parquet(seeds, columns=["url"])
-    frontier = verify_new(seed_cand, None)  # hop-0: seed urls that are pages
-    dist = with_hop(frontier, 0).materialize()
-
-    for hop in range(1, HOP_MAX + 1):
-        if frontier.count() == 0:
-            break
-        fr_side = frontier.map_batches(
-            lambda b: pa.table(
-                {
-                    "src": b["url"],
-                    "dst": pa.array([""] * len(b), pa.string()),
-                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        cand = (
-            fr_side.union(edges)
-            .repartition(nb)
-            .map_batches(bucketed("src"), batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(expand, batch_format="pandas")
-        )
-        frontier = verify_new(cand, dist)
-        dist = dist.union(with_hop(frontier, hop)).repartition(nb).materialize()
-
-    return dist
+    seeds_path = os.path.join(fixture_dir_for(sf_dir), "frontier_seed.parquet")
+    layout, nb = _graph_layout(sf_dir)
+    seeds = pq_.read_table(seeds_path, columns=["url"])["url"].to_pylist()
+    return bfs_hops(layout, nb, np.array(seeds, object), HOP_MAX)
 
 
 # --------------------------------------------------------------------------
@@ -448,168 +386,20 @@ def q_hits_top20(sf_dir: str):
 
     All arithmetic is int64 (sums of micro scores; integer floor-div by
     the global total) so the fixed point is summation-order-free and the
-    unrolled-CTE DuckDB oracle replays it bit-for-bit. Scale shape: the
-    exact internal edge list materializes once (bloom prefilter + exact
-    bucketed verify, multi-edges kept); each half-step is one bucketed
-    co-group (scores ⋈ edges on the flow endpoint) followed by a partial
-    per-endpoint sum and a scalar total — no driver-side node state."""
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    unrolled-CTE DuckDB oracle replays it bit-for-bit. Scale shape:
+    STATIONARY edge shards (stages/pregel.py, shared layout with
+    seed_hop_distance): the exact internal edge list materializes once
+    in both orientations; a half-step is one emit (locally-combined
+    per-endpoint partial sums) + one exchange of node-shaped score
+    messages + a scalar global total — the loop-invariant edges never
+    re-shuffle (r4 'Next round' #7). Urls that receive no flow row drop
+    out of that half-step\'s score table, exactly like the former
+    inner-merge co-group; the final top-k merges per-shard local top-k
+    (selection is merge-safe)."""
+    from ..stages.pregel import hits_scores
 
-    from ..scale import derive_buckets_for_paths
-    from .queries_media import _pages_path
-
-    pages = _pages_path(sf_dir)
-    nb = derive_buckets_for_paths(pages, floor=32)
-    edges, node_ds = _internal_edges_exact(pages, nb)
-    bucketed = _bucketed_fn(nb)
-
-    edge_side = edges.map_batches(
-        lambda b: pa.table(
-            {
-                "src": b["src"],
-                "dst": b["dst"],
-                "s": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    def score_side(ds, join_col: str):
-        other = "dst" if join_col == "src" else "src"
-        return ds.map_batches(
-            lambda b, jc=join_col, ot=other: pa.table(
-                {
-                    jc: b["url"],
-                    ot: pa.array([""] * len(b), pa.string()),
-                    "s": b["s"],
-                    "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-                }
-            ).select(["src", "dst", "s", "side"]),
-            batch_format="pyarrow",
-        )
-
-    def flow(join_col: str, out_col: str):
-        """Co-group kernel: edge rows pick up the score at ``join_col``
-        and emit it on the opposite endpoint, partially summed."""
-
-        def fn(g) -> pa.Table:
-            sc = g[g["side"] == 0][[join_col, "s"]].rename(columns={join_col: "k"})
-            ee = g[g["side"] == 1].rename(columns={join_col: "k"})
-            m = ee.merge(sc, on="k", how="inner", suffixes=("", "_sc"))
-            if not len(m):
-                return pa.table(
-                    {
-                        "url": pa.array([], pa.string()),
-                        "p": pa.array([], pa.int64()),
-                    }
-                )
-            agg = m.groupby(out_col, sort=False)["s_sc"].sum()
-            return pa.table(
-                {
-                    "url": pa.array(agg.index.tolist(), pa.string()),
-                    "p": pa.array(agg.to_numpy(np.int64), pa.int64()),
-                }
-            )
-
-        return fn
-
-    def half_step(scores, join_col: str, out_col: str):
-        raw = (
-            score_side(scores, join_col)
-            .union(edge_side)
-            .repartition(nb)
-            .map_batches(bucketed(join_col), batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(flow(join_col, out_col), batch_format="pandas")
-            .groupby("url")
-            .aggregate(Sum("p", alias_name="raw"))
-            .materialize()
-        )
-        total = int(raw.sum("raw") or 0)
-        if total <= 0:
-            return raw.map_batches(
-                lambda b: pa.table(
-                    {"url": b["url"], "s": pa.array(np.zeros(len(b), np.int64))}
-                ),
-                batch_format="pyarrow",
-            ).materialize()
-        return raw.map_batches(
-            lambda b, t=total: pa.table(
-                {
-                    "url": b["url"],
-                    "s": pa.array(
-                        b["raw"].to_numpy(zero_copy_only=False) * HITS_SCALE // t,
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-
-    hub = node_ds.map_batches(
-        lambda b: pa.table(
-            {
-                "url": b["url"],
-                "s": pa.array(np.full(len(b), HITS_SCALE, np.int64), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    auth = None
-    for _ in range(HITS_ITERS):
-        auth = half_step(hub, "src", "dst")  # authority ← Σ hub over in-edges
-        hub = half_step(auth, "dst", "src")  # hub ← Σ authority over out-edges
-
-    # join auth + hub per url (bucketed co-group), top-K by authority
-    a_side = auth.map_batches(
-        lambda b: pa.table(
-            {
-                "url": b["url"],
-                "s": b["s"],
-                "side": pa.array(np.zeros(len(b), np.int64), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    h_side = hub.map_batches(
-        lambda b: pa.table(
-            {
-                "url": b["url"],
-                "s": b["s"],
-                "side": pa.array(np.ones(len(b), np.int64), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-
-    def zip_scores(g) -> pa.Table:
-        import pandas as pd
-
-        a = g[g["side"] == 0][["url", "s"]].rename(columns={"s": "auth_micro"})
-        h = g[g["side"] == 1][["url", "s"]].rename(columns={"s": "hub_micro"})
-        m = a.merge(h, on="url", how="outer")
-        for c in ("auth_micro", "hub_micro"):
-            m[c] = m[c].fillna(0).astype(np.int64)
-        return pa.table(
-            {
-                "url": pa.array(m["url"].tolist(), pa.string()),
-                "auth_micro": pa.array(m["auth_micro"].to_numpy(np.int64)),
-                "hub_micro": pa.array(m["hub_micro"].to_numpy(np.int64)),
-            }
-        )
-
-    return (
-        a_side.union(h_side)
-        .repartition(nb)
-        .map_batches(bucketed("url"), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(zip_scores, batch_format="pandas")
-        .sort(["auth_micro", "url"], descending=[True, False])
-        .limit(HITS_TOP)
-    )
+    layout, nb = _graph_layout(sf_dir)
+    return hits_scores(layout, nb, HITS_ITERS, HITS_TOP)
 
 
 # --------------------------------------------------------------------------

