@@ -319,17 +319,17 @@ def q_doc_quality(sf_dir: str):
     arithmetic so the DuckDB oracle reproduces it bit-for-bit."""
     import ray.data as rd
 
-    from ..functions.text import quality_features
+    from ..functions.text import lang_quality_batch
 
     def qf(batch: pa.Table) -> pa.Table:
-        feats = [quality_features(t) for t in batch["text"].to_pylist()]
+        # vectorized batch kernel — bit-identical to the per-row
+        # quality_features (tests/test_text_batch.py)
+        lq = lang_quality_batch(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_words": pa.array([f["n_words"] for f in feats], pa.int64()),
-                "quality_micro": pa.array(
-                    _micro(np.array([f["quality"] for f in feats])), pa.int64()
-                ),
+                "n_words": pa.array(lq["n_words"], pa.int64()),
+                "quality_micro": pa.array(_micro(lq["quality"]), pa.int64()),
             }
         )
 
@@ -565,14 +565,15 @@ def simhash_parquet_for(sf_dir: str) -> str:
 def q_langid_detect(sf_dir: str):
     import ray.data as rd
 
-    from ..functions.text import detect_language
+    from ..functions.text import lang_quality_batch
 
     def lid(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(
-                    [detect_language(t) for t in batch["text"].to_pylist()], pa.string()
+                    lang_quality_batch(batch["text"].to_pylist())["lang"].tolist(),
+                    pa.string(),
                 ),
             }
         )
@@ -1339,7 +1340,7 @@ def q_dup_cluster_best_rep(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..functions.text import quality_features
+    from ..functions.text import lang_quality_batch
 
     clusters = q_dup_clusters(sf_dir)
     if len(clusters) == 0:
@@ -1359,10 +1360,10 @@ def q_dup_cluster_best_rep(sf_dir: str):
         idx = np.clip(np.searchsorted(m, ids), 0, len(m) - 1)
         keep = m[idx] == ids
         b = batch.filter(pa.array(keep))
-        qm = [
-            int(np.floor(quality_features(t)["quality"] * 1_000_000 + 0.5))
-            for t in b["text"].to_pylist()
-        ]
+        qm = np.floor(
+            lang_quality_batch(b["text"].to_pylist())["quality"] * 1_000_000
+            + 0.5
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -1518,7 +1519,7 @@ def q_corpus_filter_kept(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..functions.text import detect_language, quality_features
+    from ..functions.text import lang_quality_batch
 
     cl = q_dup_clusters(sf_dir)
     drop_near = cl.loc[cl["doc_id"] != cl["cluster_rep"], "doc_id"].to_numpy(np.int64)
@@ -1531,13 +1532,7 @@ def q_corpus_filter_kept(sf_dir: str):
         drop = ray.get(drop_ref)
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        qm = _micro(
-            np.fromiter(
-                (quality_features(t)["quality"] for t in texts),
-                np.float64,
-                len(texts),
-            )
-        )
+        qm = _micro(lang_quality_batch(texts)["quality"])
         keep = qm >= QUALITY_KEEP_MICRO
         if len(drop):
             pos = np.searchsorted(drop, ids).clip(max=len(drop) - 1)
@@ -1547,7 +1542,8 @@ def q_corpus_filter_kept(sf_dir: str):
             {
                 "doc_id": pa.array(ids[k], pa.int64()),
                 "lang_pred": pa.array(
-                    [detect_language(texts[i]) for i in k], pa.string()
+                    lang_quality_batch([texts[i] for i in k])["lang"].tolist(),
+                    pa.string(),
                 ),
                 "quality_micro": pa.array(qm[k], pa.int64()),
             }

@@ -1610,10 +1610,11 @@ def q_multimodal_filter_kept(sf_dir: str):
     ``phash_buckets`` groups — fixed shuffle cardinality, shuffle volume
     O(distinct phash), never the image bytes, which are never read — each
     bucket resolves global keepers in one vectorized pass, and the
-    (python-heuristic) caption scorer runs only on surviving keepers."""
+    caption scorer (the vectorized batch kernel since r5) runs only on
+    surviving keepers."""
     import ray.data as rd
 
-    from ..functions.text import quality_features
+    from ..functions.text import lang_quality_batch
 
     phash_buckets = derive_buckets_for_paths(_images(sf_dir), floor=64)
 
@@ -1659,10 +1660,8 @@ def q_multimodal_filter_kept(sf_dir: str):
         )
 
     def score(batch: pa.Table) -> pa.Table:
-        feats = [quality_features(t) for t in batch["caption"].to_pylist()]
-        qm = np.floor(
-            np.array([f["quality"] for f in feats]) * 1_000_000.0 + 0.5
-        ).astype(np.int64)
+        lq = lang_quality_batch(batch["caption"].to_pylist())
+        qm = np.floor(lq["quality"] * 1_000_000.0 + 0.5).astype(np.int64)
         ok = qm >= CAPTION_KEEP_MICRO
         b = batch.filter(pa.array(ok))
         return pa.table(
@@ -1781,18 +1780,18 @@ def q_caption_quality(sf_dir: str):
     arithmetic so DuckDB reproduces it bit-for-bit."""
     import ray.data as rd
 
-    from ..functions.text import quality_features
+    from ..functions.text import lang_quality_batch
 
     def qf(batch: pa.Table) -> pa.Table:
-        feats = [quality_features(t) for t in batch["caption"].to_pylist()]
+        # vectorized batch kernel — bit-identical to per-row
+        # quality_features (tests/test_text_batch.py)
+        lq = lang_quality_batch(batch["caption"].to_pylist())
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "n_words": pa.array([f["n_words"] for f in feats], pa.int64()),
+                "n_words": pa.array(lq["n_words"], pa.int64()),
                 "quality_micro": pa.array(
-                    np.floor(
-                        np.array([f["quality"] for f in feats]) * 1_000_000.0 + 0.5
-                    ).astype(np.int64),
+                    np.floor(lq["quality"] * 1_000_000.0 + 0.5).astype(np.int64),
                     pa.int64(),
                 ),
             }

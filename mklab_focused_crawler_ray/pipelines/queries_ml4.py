@@ -653,7 +653,7 @@ def q_curation_funnel(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..functions.text import quality_features
+    from ..functions.text import lang_quality_batch
     from .queries import (
         QUALITY_KEEP_MICRO,
         TOKEN_RE,
@@ -675,13 +675,7 @@ def q_curation_funnel(sf_dir: str):
         dropn, contn = ray.get(drop_ref)
         did = batch["doc_id"].to_numpy().astype(np.int64)
         texts = batch["text"].to_pylist()
-        qm = _micro(
-            np.fromiter(
-                (quality_features(t)["quality"] for t in texts),
-                np.float64,
-                len(texts),
-            )
-        )
+        qm = _micro(lang_quality_batch(texts)["quality"])
         ntok = np.fromiter(
             (len(TOKEN_RE.findall(t.lower())) for t in texts),
             np.int64,

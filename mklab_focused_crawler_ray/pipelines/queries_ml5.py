@@ -621,12 +621,11 @@ def q_curriculum_order(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ..functions.text import quality_features
+    from ..functions.text import lang_quality_batch
     from .queries import _micro
 
     def score(batch: pa.Table) -> pa.Table:
-        feats = [quality_features(t) for t in batch["text"].to_pylist()]
-        qm = _micro(np.array([f["quality"] for f in feats]))
+        qm = _micro(lang_quality_batch(batch["text"].to_pylist())["quality"])
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

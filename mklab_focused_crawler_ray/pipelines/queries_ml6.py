@@ -628,7 +628,7 @@ def q_langid_confusion(sf_dir: str):
     heuristic's argmax/tie-break semantics are pinned in one place."""
     import ray.data as rd
 
-    from ..functions.text import detect_language
+    from ..functions.text import lang_quality_batch
 
     def cells(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -637,9 +637,9 @@ def q_langid_confusion(sf_dir: str):
             pd.DataFrame(
                 {
                     "lang": batch["lang"].to_pylist(),
-                    "lang_pred": [
-                        detect_language(t) for t in batch["text"].to_pylist()
-                    ],
+                    "lang_pred": lang_quality_batch(
+                        batch["text"].to_pylist()
+                    )["lang"],
                 }
             )
             .groupby(["lang", "lang_pred"], sort=False)
