@@ -360,10 +360,10 @@ def candidate_events_dataset(counts_ds, windows: int = EVENT_WINDOWS):
             if sh.shape[0] >= 2 and not np.all(sh[1:] >= sh[:-1]):
                 continue  # IDF-shift not non-decreasing
             out.append(int(win_sorted[i]))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "window": pd.Series(out, dtype=np.int64),
-                "token": pd.Series([tok] * len(out), dtype="string"),
+                "window": pa.array(out, pa.int64()),
+                "token": pa.array([tok] * len(out), pa.string()),
             }
         )
 
