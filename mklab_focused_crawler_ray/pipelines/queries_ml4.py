@@ -594,6 +594,26 @@ KNN_IVF_NLIST = 4
 KNN_IVF_NPROBE = 4  # == nlist at fixture scale → recall exactly 1.0, so
 # the SAME exhaustive SQL oracle applies (knn_graph_ivf docstring)
 
+KNN_BROADCAST_MAX = 1_000_000  # size-adaptive dispatch threshold: below
+# this the broadcast map is both exact and cheaper (one shuffle-free
+# pass); above it the IVF path avoids the documented ~10^7-vector
+# broadcast cap. Well under the cap so the switch happens long before
+# the broadcast becomes a memory risk.
+
+
+def knn_graph_edges_auto(sf_dir: str):
+    """Size-adaptive k-NN graph: broadcast map under
+    ``KNN_BROADCAST_MAX`` vectors (exact, shuffle-free, fastest at small
+    N), IVF-bucketed build above it (no broadcast cap). Both paths are
+    oracle-equal at fixture scale (tests/test_ann.py pins IVF==broadcast
+    row-for-row), so consumers see one contract."""
+    import pyarrow.parquet as pq_
+
+    n = pq_.read_metadata(_p(sf_dir, "embeddings")).num_rows
+    if n <= KNN_BROADCAST_MAX:
+        return q_knn_graph_edges(sf_dir)
+    return q_knn_graph_edges_ivf(sf_dir)
+
 
 def q_knn_graph_edges_ivf(sf_dir: str):
     """k-NN GRAPH, IVF-bucketed scale path (VERDICT r4 'Next round' #1):
@@ -726,8 +746,9 @@ def q_knn_semantic_clusters(sf_dir: str):
     per cluster. One row per vector that participates in at least one
     gated edge: (vec_id, cluster_rep) with rep = component min id.
 
-    Scale shape: the k-NN pass is the IVF-bucketed graph build
-    (``q_knn_graph_edges_ivf`` — no full-matrix broadcast, so the
+    Scale shape: the k-NN pass is the SIZE-ADAPTIVE graph build
+    (:func:`knn_graph_edges_auto` — broadcast map at fixture scale, the
+    IVF-bucketed build past ``KNN_BROADCAST_MAX`` vectors, so the
     semantic-dedup path inherits no ~10^7-vector cap; r4 'Next round'
     #1); the gated edge list is bounded by k·(semantic-
     dup rate)·N — at real thresholds a small fraction of the corpus — so
@@ -739,7 +760,7 @@ def q_knn_semantic_clusters(sf_dir: str):
     from .queries import cc_min_label
 
     edges = (
-        q_knn_graph_edges_ivf(sf_dir)
+        knn_graph_edges_auto(sf_dir)
         .filter(expr=f"cos_micro >= {SEM_THRESH_MICRO}")
         .to_pandas()
     )
