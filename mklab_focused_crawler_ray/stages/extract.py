@@ -118,3 +118,106 @@ def parse_page(url: str, html: str) -> dict:
 
 
 MEDIA_STRUCT = None  # set lazily in stages/fetch.py (pyarrow struct type)
+
+
+def extract_all_images(url: str, html: str, shares: int = 0) -> list[dict]:
+    """Whole-document <img> walk — ArticleExtractionBolt.extractAllImages
+    (ArticleExtractionBolt.java:475-549; DEAD CODE at reference HEAD — the
+    call at :379 is commented out — implemented for completeness, unit-
+    tested, not wired into any topology, matching the reference).
+
+    Faithful quirks, in reference order:
+      * missing/empty width or height attr → skip (:491-492);
+      * NON-NUMERIC width/height → the parse error is logged and execution
+        FALLS THROUGH (no ``continue`` in the catch, :501-503), so such an
+        image bypasses the size filter entirely (w=h=-1 fall-through);
+      * numeric dims below MIN_DIM/MIN_AREA → skip (:498-499);
+      * resolved url longer than MAX_MEDIA_URL or ending .gif → skip
+        (:509-514);
+      * Jsoup ``attr`` returns "" for a missing alt, so the reference's
+        ``alt == null → title`` fallback (:520-522) is unreachable; we
+        mirror that (empty alt stays empty);
+      * id = "Web#" + (javaHashCode(url.trim()) & 0x7FFFFFFF), type=image,
+        thumbnail=url, description=page title (:524-539).
+    """
+    from .html_extract import first_tag, iter_nodes, node_text, parse_dom
+
+    root = parse_dom(html)
+    tnode = first_tag(root, "title")
+    title = node_text(tnode).strip() if tnode is not None else ""
+    out: list[dict] = []
+    for n in iter_nodes(root):
+        if n.tag != "img":
+            continue
+        src = n.attrs.get("src")
+        if not src:
+            continue
+        w_s, h_s = n.attrs.get("width", ""), n.attrs.get("height", "")
+        if w_s == "" or h_s == "":
+            continue  # missing dims (:491-492)
+        try:
+            w, h = int(w_s), int(h_s)
+            if w < MIN_DIM or h < MIN_DIM or w * h < MIN_AREA:
+                continue  # size filter (:498-499)
+        except ValueError:
+            w, h = -1, -1  # logged fall-through, NOT filtered (:501-503)
+        resolved = urljoin(url, src)
+        if len(resolved) > MAX_MEDIA_URL:
+            continue  # overlong (:509-510)
+        if resolved.lower().endswith(".gif"):
+            continue  # .gif (:512-513)
+        out.append(
+            {
+                "media_id": web_media_id(resolved),
+                "media_url": resolved,
+                "type": "image",
+                "width": w,
+                "height": h,
+                "alt": n.attrs.get("alt", "").strip(),
+                "page_url": url,
+                "description": title,
+                "shares": int(shares),
+            }
+        )
+    return out
+
+
+def extract_videos(
+    url: str, html: str, shares: int = 0, reference_bug_compatible: bool = False
+) -> list[dict]:
+    """<object data=...> video walk — ArticleExtractionBolt.extractVideos
+    (ArticleExtractionBolt.java:552-596; DEAD CODE at reference HEAD, and
+    ALSO buggy there: the built MediaItem is never added to the returned
+    list, so the reference method always returns []). We implement the
+    evident intent (return the extracted items); pass
+    ``reference_bug_compatible=True`` for the bug-faithful empty result.
+
+    Semantics per the reference: every <object> element's ``data`` attr
+    (skipped when missing/empty, :566-570), id =
+    "Web#{pageHash}_{videoHash}" with both hashes javaHashCode & 0x7FFFFFFF
+    (:557, :575-576), type=video, thumbnail=data url, pageUrl=base, shares.
+    """
+    from ..functions.javahash import java_string_hashcode
+    from .html_extract import iter_nodes, parse_dom
+
+    page_hash = java_string_hashcode(url) & 0x7FFFFFFF
+    out: list[dict] = []
+    for n in iter_nodes(parse_dom(html)):
+        if n.tag != "object":
+            continue
+        data = n.attrs.get("data")
+        if not data:
+            continue
+        resolved = urljoin(url, data)
+        vid_hash = java_string_hashcode(resolved) & 0x7FFFFFFF
+        out.append(
+            {
+                "media_id": f"Web#{page_hash}_{vid_hash}",
+                "media_url": resolved,
+                "type": "video",
+                "thumbnail": resolved,
+                "page_url": url,
+                "shares": int(shares),
+            }
+        )
+    return [] if reference_bug_compatible else out
