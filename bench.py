@@ -224,6 +224,8 @@ BENCH_QUERIES = [
     "hits_top20",
     "knn_graph_edges_ivf",
     "image_embed",
+    "audio_clip_stats",
+    "video_frame_stats",
 ]
 
 

@@ -404,6 +404,108 @@ def gen_items(n: int, seed: int = 42, n_users: int = 50, window_s: int = 60, win
     )
 
 
+def gen_audio(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic mono PCM-16 WAV clips (stdlib codec — stages/av.py):
+    1-3 sine tones + mild noise per clip, row i depends only on (seed, i)."""
+    from ..stages.av import encode_wav_pcm16
+
+    ids, blobs, srs, nss, caps = [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng([seed, 50_000, i])
+        sr = 8000
+        n_samples = int(rng.integers(sr // 5, sr))  # 0.2 – 1.0 s
+        t = np.arange(n_samples, dtype=np.float64) / sr
+        x = np.zeros(n_samples, np.float64)
+        for _ in range(int(rng.integers(1, 4))):
+            freq = float(rng.uniform(80.0, 1200.0))
+            amp = float(rng.uniform(0.1, 0.5))
+            x += amp * np.sin(2 * np.pi * freq * t + float(rng.uniform(0, 2 * np.pi)))
+        x += rng.normal(0, 0.01, n_samples)
+        samples = np.clip(x * 12000.0, -32768, 32767).astype(np.int16)
+        ids.append(f"clip{i:07d}")
+        blobs.append(encode_wav_pcm16(samples, sr))
+        srs.append(sr)
+        nss.append(n_samples)
+        caps.append(_caption(rng))
+    return pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sr": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(nss, pa.int32()),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+
+
+def gen_videos(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic RVID1 clips (raw zlib frame container — stages/av.py):
+    a seeded gradient base frame rolled horizontally per frame with a
+    brightness ramp, so frames are related-but-distinct. Row i depends
+    only on (seed, i)."""
+    from ..stages.av import encode_rvid
+
+    ids, blobs, ws, hs, nfs, fpss, caps = [], [], [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng([seed, 60_000, i])
+        w = int(rng.integers(32, 65))
+        h = int(rng.integers(32, 65))
+        n_frames = int(rng.integers(6, 25))
+        fps = int(rng.integers(10, 31))
+        base = _image(rng, w, h).astype(np.int64)
+        shift = int(rng.integers(1, 5))
+        frames = np.empty((n_frames, h, w, 3), np.uint8)
+        for f in range(n_frames):
+            frames[f] = np.clip(
+                np.roll(base, (f * shift) % w, axis=1) + 2 * f, 0, 255
+            ).astype(np.uint8)
+        ids.append(f"vid{i:06d}")
+        blobs.append(encode_rvid(frames, fps))
+        ws.append(w)
+        hs.append(h)
+        nfs.append(n_frames)
+        fpss.append(fps)
+        caps.append(_caption(rng))
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "fps": pa.array(fpss, pa.int32()),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+
+
+AV_TIERS = {
+    # tier: (n_clips, n_videos) — decode cost stays a few seconds at
+    # "small" (the driver's sf0.01 tier); binary payloads are modest
+    # (clips ≤ 16 KB, videos ≤ ~150 KB compressed gradients)
+    "tiny": (40, 16),
+    "small": (600, 200),
+    "medium": (600, 200),
+    "bench": (600, 200),
+}
+
+
+def ensure_av_tables(tier: str, out_dir: str, seed: int = 42) -> str:
+    """Idempotently add audio.parquet / videos.parquet to a fixture tier
+    (separate marker so tiers generated before these tables existed gain
+    them without a full regeneration)."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_AV_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    n_clips, n_videos = AV_TIERS.get(tier, AV_TIERS["small"])
+    pq.write_table(gen_audio(n_clips, seed=seed), os.path.join(out_dir, "audio.parquet"))
+    pq.write_table(gen_videos(n_videos, seed=seed), os.path.join(out_dir, "videos.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"tier={tier} seed={seed} clips={n_clips} videos={n_videos}\n")
+    return out_dir
+
+
 TIERS = {
     # name: (frontier seeds, url universe, images, hosts)
     "tiny": dict(n_urls=600, n_seeds=200, n_images=100, n_hosts=12),

@@ -717,6 +717,22 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{embed_signature_parquet(fdir)}')"
     )
 
+    # audio / video payload stages: same sequential-signature discipline —
+    # the expected tables come from the no-Ray stdlib-WAV / RVID1 decode
+    # loops (audio_signature_parquet / video_signature_parquet); equality
+    # proves the distributed actor-pool stages (batching, actor state,
+    # exploded flat-map output) reproduce the reference decode exactly
+    from .queries_media import audio_signature_parquet, video_signature_parquet
+
+    sql["audio_clip_stats"] = (
+        "SELECT clip_id, sr, n_samples, rms, peak, zero_cross "
+        f"FROM read_parquet('{audio_signature_parquet(fdir)}')"
+    )
+    sql["video_frame_stats"] = (
+        "SELECT video_id, frame_idx, frame_hash, mean_lum_milli "
+        f"FROM read_parquet('{video_signature_parquet(fdir)}')"
+    )
+
     # caption–image alignment: DuckDB replays the integer dot + per-char
     # normalization + gate over the ENGINE-materialized shifted-micro
     # embeds (pixel decode is not SQL-expressible; same discipline as the

@@ -1802,6 +1802,149 @@ def q_caption_quality(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# audio / video payload stages (stages/av.py — real fixture codecs)
+# --------------------------------------------------------------------------
+
+VIDEO_EVERY_N = 5
+
+
+def _av_fixture_dir(sf_dir: str) -> str:
+    """Fixture dir with audio.parquet / videos.parquet present (lazily
+    added to tiers generated before these tables existed)."""
+    fdir = fixture_dir_for(sf_dir)
+    from ..fixtures.generate import ensure_av_tables
+
+    return ensure_av_tables(os.path.basename(os.path.normpath(fdir)), fdir)
+
+
+def q_audio_clip_stats(sf_dir: str):
+    """Integer clip features (sr, n_samples, rms, peak, zero_cross) from a
+    REAL PCM-16 WAV decode in an actor-pool stage (stages/av.AudioFeatures;
+    the brief's audio feature-extract plumbing, stdlib codec). ORACLE: the
+    SEQUENTIAL no-Ray decode of the same clips (audio_signature_parquet) —
+    the image_thumbnails signature discipline applied to audio.
+
+    Scale shape: column-pruned read of (clip_id, bytes), small batches
+    (binary payloads), map-side only — no shuffle; output is one row per
+    clip. Reference: no audio path exists in the reference (brief addition).
+    """
+    import ray.data as rd
+
+    from ..stages.av import AudioFeatures
+
+    fdir = _av_fixture_dir(sf_dir)
+    return rd.read_parquet(
+        os.path.join(fdir, "audio.parquet"), columns=["clip_id", "bytes"]
+    ).map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
+def q_video_frame_stats(sf_dir: str):
+    """Every-5th-frame sample of the RVID1 fixture videos → exploded rows
+    (video_id, frame_idx, frame_hash, mean_lum_milli) from a REAL container
+    decode (stages/av.VideoFrameSample; unsampled frames are seeked past,
+    never decompressed). ORACLE: the SEQUENTIAL no-Ray decode
+    (video_signature_parquet), same signature discipline.
+
+    Scale shape: flat-map explosion (one row in → n_frames/5 rows out),
+    small batches on the decode stage, no shuffle. Reference: the only
+    video-shaped reference code is the dead extractVideos metadata walk
+    (ArticleExtractionBolt.java:552-596); payload decode is a brief
+    addition."""
+    import ray.data as rd
+
+    from ..stages.av import VideoFrameSample
+
+    fdir = _av_fixture_dir(sf_dir)
+    return rd.read_parquet(
+        os.path.join(fdir, "videos.parquet"), columns=["video_id", "bytes"]
+    ).map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every_n": VIDEO_EVERY_N},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 8),
+    )
+
+
+def audio_signature_parquet(fdir: str) -> str:
+    """Expected audio features from the SEQUENTIAL stdlib decode (no Ray),
+    cached next to the fixture — the oracle's ground truth, independent of
+    the actor-pool pipeline's batching/distribution."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures.generate import ensure_av_tables
+    from ..stages.av import audio_features, decode_wav_pcm16
+
+    ensure_av_tables(os.path.basename(os.path.normpath(fdir)), fdir)
+    path = os.path.join(fdir, "audio_signatures.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(os.path.join(fdir, "audio.parquet"), columns=["clip_id", "bytes"])
+    rows = {"clip_id": [], "sr": [], "n_samples": [], "rms": [], "peak": [], "zero_cross": []}
+    for cid, blob in zip(src["clip_id"].to_pylist(), src["bytes"].to_pylist()):
+        samples, sr = decode_wav_pcm16(blob)
+        feats = audio_features(samples, sr)
+        rows["clip_id"].append(cid)
+        for k in ("sr", "n_samples", "rms", "peak", "zero_cross"):
+            rows[k].append(feats[k])
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(rows["clip_id"], pa.string()),
+                **{
+                    k: pa.array(rows[k], pa.int64())
+                    for k in ("sr", "n_samples", "rms", "peak", "zero_cross")
+                },
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def video_signature_parquet(fdir: str) -> str:
+    """Expected frame signatures from the SEQUENTIAL RVID1 decode (no Ray),
+    cached next to the fixture; every_n matches q_video_frame_stats."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures.generate import ensure_av_tables
+    from ..stages.av import decode_rvid_frames, frame_signature
+
+    ensure_av_tables(os.path.basename(os.path.normpath(fdir)), fdir)
+    path = os.path.join(fdir, "video_signatures.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(os.path.join(fdir, "videos.parquet"), columns=["video_id", "bytes"])
+    vids, idxs, hashes, lums = [], [], [], []
+    for vid, blob in zip(src["video_id"].to_pylist(), src["bytes"].to_pylist()):
+        for idx, frame in decode_rvid_frames(blob, VIDEO_EVERY_N):
+            hsh, lum = frame_signature(frame)
+            vids.append(vid)
+            idxs.append(idx)
+            hashes.append(hsh)
+            lums.append(lum)
+    pq.write_table(
+        pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame_hash": pa.array(hashes, pa.int64()),
+                "mean_lum_milli": pa.array(lums, pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 MEDIA_QUERIES = {
     "media_stream_users": q_media_stream_users,
     "image_decode_check": q_image_decode_check,
@@ -1846,6 +1989,8 @@ MEDIA_QUERIES = {
     "platform_media_extract": q_platform_media_extract,
     "items_json_roundtrip": q_items_json_roundtrip,
     "crawl_trace": q_crawl_trace,
+    "audio_clip_stats": q_audio_clip_stats,
+    "video_frame_stats": q_video_frame_stats,
 }
 
 MEDIA_ORACLE_SQL = {

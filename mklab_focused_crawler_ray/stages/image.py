@@ -29,13 +29,9 @@ Ray-Data restatement of the reference's media pipeline
   runs driver-side; labels are then broadcast-joined back in a
   ``map_batches`` over the full table.
 
-Multimodal stubs (plumbing is real, codec body is gated):
-
-- :class:`ExtAudioFeatures` / :class:`ExtVideoFrameSample` — actor-pool
-  stages whose Ray-side contract (schema in/out, batch sizing, actor
-  ``__init__`` state) is tested, but whose media decode raises
-  ``NotImplementedError`` unless the optional library import succeeded
-  (none are installed in this sandbox).
+Audio / video stages moved to :mod:`stages.av` — now REAL decoders for
+the fixture codecs (stdlib WAV PCM-16, the RVID1 raw-frame container)
+with optional soundfile/PyAV slots for compressed formats.
 """
 
 from __future__ import annotations
@@ -410,65 +406,3 @@ def cluster_images(images_parquet: str, max_hamming: int = 8):
     )
 
 
-# --------------------------------------------------------------------------
-# multimodal stubs (audio / video) — plumbing real, codec gated
-# --------------------------------------------------------------------------
-
-try:  # pragma: no cover - not installed in this sandbox
-    import soundfile as _soundfile  # type: ignore
-except Exception:
-    _soundfile = None
-
-try:  # pragma: no cover
-    import av as _pyav  # type: ignore
-except Exception:
-    _pyav = None
-
-
-class ExtAudioFeatures:
-    """Actor stage: (clip_id, bytes) → (clip_id, n_samples, rms_x1000).
-
-    The Ray-side contract (schema, batch sizing, per-actor init) is real and
-    tested; the decode requires the optional ``soundfile`` library, absent
-    here → NotImplementedError (clearly-marked stub per the build brief)."""
-
-    def __init__(self):
-        self.backend = _soundfile
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend is None:
-            raise NotImplementedError(
-                "audio decode needs the optional 'soundfile' library "
-                "(not installed in this environment)"
-            )
-        out_n, out_r = [], []
-        for blob in batch["bytes"].to_pylist():  # pragma: no cover
-            import io
-
-            data, _sr = self.backend.read(io.BytesIO(blob))
-            out_n.append(len(data))
-            out_r.append(int(np.sqrt(np.mean(np.square(data))) * 1000))
-        return pa.table(
-            {
-                "clip_id": batch["clip_id"],
-                "n_samples": pa.array(out_n, pa.int64()),
-                "rms_x1000": pa.array(out_r, pa.int64()),
-            }
-        )
-
-
-class ExtVideoFrameSample:
-    """Actor stage: (video_id, bytes, every_n) → exploded frame rows
-    (video_id, frame_idx, frame_png). Needs optional 'av'; stubbed here."""
-
-    def __init__(self, every_n: int = 30):
-        self.backend = _pyav
-        self.every_n = every_n
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend is None:
-            raise NotImplementedError(
-                "video decode needs the optional 'av' (PyAV) library "
-                "(not installed in this environment)"
-            )
-        raise NotImplementedError  # pragma: no cover

@@ -14,8 +14,6 @@ import pytest
 from mklab_focused_crawler_ray.fixtures.codecs import phash_distance
 from mklab_focused_crawler_ray.stages.image import (
     DecodeValidate,
-    ExtAudioFeatures,
-    ExtVideoFrameSample,
     PseudoEmbed,
     cluster_images,
     decode_validate,
@@ -169,9 +167,5 @@ def test_image_embedding_dup_pairs_match_brute_force(ray_session):
     assert got == expected
 
 
-def test_multimodal_stubs_raise_cleanly():
-    batch = pa.table({"clip_id": ["a"], "bytes": [b"\x00"]})
-    with pytest.raises(NotImplementedError):
-        ExtAudioFeatures()(batch)
-    with pytest.raises(NotImplementedError):
-        ExtVideoFrameSample()(pa.table({"video_id": ["v"], "bytes": [b"\x00"]}))
+# audio/video stages moved to stages/av.py (real fixture codecs) —
+# covered by tests/test_av_stages.py
