@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "image_embed",
     "audio_clip_stats",
     "video_frame_stats",
+    "doc_bigram_logprob",
+    "doc_novel_grams",
 ]
 
 

@@ -25,6 +25,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..scale import derive_buckets
 from .queries_ml2 import _p
 
 # --------------------------------------------------------------------------
@@ -764,6 +765,278 @@ def _centroid_outliers_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# bigram language-model document scoring (CCNet-style perplexity proxy)
+# --------------------------------------------------------------------------
+
+
+def q_doc_bigram_logprob(sf_dir: str):
+    """Bigram language-model scoring with add-one (Laplace) smoothing: per
+    document, the summed log10 P(b|a) over its consecutive token pairs,
+    P(b|a) = (c(a,b)+1)/(ctx(a)+V) — the CCNet/KenLM-style perplexity
+    proxy one tier above ``doc_unigram_logprob``. Docs with <2 tokens
+    emit nothing (no bigrams), mirroring the unigram query's empty-doc
+    rule. Output: (doc_id, n_bigrams, logprob_micro).
+
+    Scale shape: context counts ctx(a) and the vocabulary size V are
+    token-vocabulary-bounded (one small shuffle + a broadcast, the same
+    cost class as the unigram LM); the corpus-shaped work is ONE
+    bigram-hash-bucketed shuffle of (doc_id, bigram, n) rows — inside a
+    bucket every occurrence of a bigram is co-located, so c(a,b), the
+    smoothed lp, and per-doc partial sums all happen in one vectorized
+    pass; the final groupby is doc-bounded. The bigram LM itself is never
+    broadcast (unlike the unigram lp map) — at web scale the bigram
+    vocabulary is corpus-shaped and must stay sharded.
+
+    Reference: no LM scoring exists in the reference (its text scoring is
+    the shares/pubtime ranker, RankerBolt.java:78-92); this is the build
+    brief's quality-scoring tier."""
+    bg_buckets = derive_buckets(sf_dir, "documents", floor=64)
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    # pass 1 (vocabulary-bounded): ctx(a) = occurrences of token a as a
+    # bigram head, V = |distinct tokens| (including bigram-less docs')
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ctx: Counter = Counter()
+        toks: set = set()
+        for t in batch["text"].to_pylist():
+            tk = TOKEN_RE.findall(t.lower())
+            toks.update(tk)
+            ctx.update(tk[:-1])
+        keys = sorted(toks)
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "pc": pa.array([ctx.get(k, 0) for k in keys], pa.int64()),
+                "one": pa.array(np.ones(len(keys), np.int64), pa.int64()),
+            }
+        )
+
+    vt = (
+        docs.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pc", alias_name="ctx"))
+        .to_pandas()  # |vocab| rows
+    )
+    v_size = len(vt)
+    ctx_ref = ray.put(
+        (
+            vt["token"].to_numpy(str),
+            vt["ctx"].to_numpy(np.int64),
+        )
+    )
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_b, out_g, out_d, out_n = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist()):
+            tk = TOKEN_RE.findall(t.lower())
+            if len(tk) < 2:
+                continue
+            c = Counter(
+                tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1)
+            )
+            for g, n in c.items():
+                out_b.append(zlib.crc32(g.encode()) % bg_buckets)
+                out_g.append(g)
+                out_d.append(int(d))
+                out_n.append(n)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "bigram": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def score_bucket(g) -> pa.Table:
+        tokens_s, ctx_c = ray.get(ctx_ref)
+        bg = g["bigram"].to_numpy(object).astype(str)
+        n = g["n"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        # c(a,b): every occurrence of a bigram is in this bucket
+        uniq, inv = np.unique(bg, return_inverse=True)
+        c_ab = np.bincount(inv, weights=n).astype(np.int64)
+        heads = np.array([u.split(" ", 1)[0] for u in uniq], object).astype(str)
+        pos = np.searchsorted(tokens_s, heads)
+        ctx_a = ctx_c[np.clip(pos, 0, max(len(tokens_s) - 1, 0))]
+        lp_u = np.floor(
+            np.log10((c_ab + 1.0) / (ctx_a + float(v_size))) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        # per-doc partials inside the bucket
+        import pandas as pd
+
+        part = (
+            pd.DataFrame({"doc_id": did, "pn": n, "plp": lp_u[inv] * n})
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].to_numpy(np.int64), pa.int64()),
+                "pn": pa.array(part["pn"].to_numpy(np.int64), pa.int64()),
+                "plp": pa.array(part["plp"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(bigram_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("pn", alias_name="n_bigrams"),
+            Sum("plp", alias_name="logprob_micro"),
+        )
+    )
+
+
+def _bigram_lp_sql() -> str:
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return (
+        f"WITH tok AS (SELECT doc_id, {tok} AS l FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+        "i -> l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1])) AS bigram "
+        "FROM tok WHERE len(l) >= 2), "
+        "cb AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1), "
+        "ctx AS (SELECT split_part(bigram, ' ', 1) AS a, "
+        "CAST(SUM(c) AS BIGINT) AS ca FROM cb GROUP BY 1), "
+        "vocab AS (SELECT COUNT(DISTINCT t) AS v FROM "
+        "(SELECT unnest(l) AS t FROM tok)), "
+        "lp AS (SELECT bigram, CAST(FLOOR(LOG10((cb.c + 1.0) / "
+        "(ctx.ca + vocab.v)) * 1000000 + 0.5) AS BIGINT) AS lp "
+        "FROM cb JOIN ctx ON ctx.a = split_part(cb.bigram, ' ', 1) "
+        "CROSS JOIN vocab) "
+        "SELECT doc_id, COUNT(*) AS n_bigrams, "
+        "CAST(SUM(lp.lp) AS BIGINT) AS logprob_micro "
+        "FROM bg JOIN lp USING (bigram) GROUP BY doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# novel n-gram fraction (first-occurrence novelty)
+# --------------------------------------------------------------------------
+
+NOVEL_W = 8  # word-gram width — same as the decontamination standard
+
+
+def q_doc_novel_grams(sf_dir: str):
+    """FIRST-OCCURRENCE NOVELTY: for each document, the fraction of its
+    distinct word-8-grams whose corpus-wide first occurrence (minimum
+    doc_id) is this document — the dedup-effectiveness / freshness signal
+    (a doc full of already-seen grams is boilerplate-shaped even when no
+    single document duplicates it). Output: (doc_id, n_grams, n_novel,
+    novel_ppm); docs with <8 tokens emit nothing.
+
+    Scale shape: ONE gram-hash-bucketed shuffle of distinct (doc_id,
+    gram) pairs (the chunk_dedup_groups exchange); inside a bucket the
+    owning min-doc per gram and the per-doc partial counts are one
+    lexsort pass; the final groupby is doc-bounded. Gram strings shuffle
+    verbatim (exact, like chunk_dedup_groups) rather than as 64-bit
+    hashes, so the oracle's string grouping is replayed literally."""
+    gram_buckets = derive_buckets(sf_dir, "documents", floor=64)
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_b, out_g, out_d = [], [], []
+        for d, t in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist()):
+            tk = TOKEN_RE.findall(t.lower())
+            if len(tk) < NOVEL_W:
+                continue
+            grams = {
+                " ".join(tk[i : i + NOVEL_W])
+                for i in range(len(tk) - NOVEL_W + 1)
+            }
+            for g in grams:
+                out_b.append(zlib.crc32(g.encode()) % gram_buckets)
+                out_g.append(g)
+                out_d.append(int(d))
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int64()),
+                "gram": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def novelty_bucket(g) -> pa.Table:
+        import pandas as pd
+
+        gram = g["gram"].to_numpy(object).astype(str)
+        did = g["doc_id"].to_numpy(np.int64)
+        uniq, inv = np.unique(gram, return_inverse=True)
+        owner = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(owner, inv, did)
+        part = (
+            pd.DataFrame({"doc_id": did, "pn": 1, "pnov": (owner[inv] == did).astype(np.int64)})
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].to_numpy(np.int64), pa.int64()),
+                "pn": pa.array(part["pn"].to_numpy(np.int64), pa.int64()),
+                "pnov": pa.array(part["pnov"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_grams"].to_numpy().astype(np.int64)
+        nov = batch["n_novel"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n, pa.int64()),
+                "n_novel": pa.array(nov, pa.int64()),
+                "novel_ppm": pa.array(nov * 1_000_000 // n, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(novelty_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("pn", alias_name="n_grams"),
+            Sum("pnov", alias_name="n_novel"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _novel_grams_sql() -> str:
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return (
+        f"WITH tok AS (SELECT doc_id, {tok} AS l FROM documents), "
+        f"g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(l) - {NOVEL_W - 2}), "
+        f"i -> array_to_string(l[CAST(i AS INT):CAST(i AS INT)+{NOVEL_W - 1}], ' '))) AS gram "
+        f"FROM tok WHERE len(l) >= {NOVEL_W}), "
+        "own AS (SELECT gram, MIN(doc_id) AS owner FROM g GROUP BY 1) "
+        "SELECT doc_id, COUNT(*) AS n_grams, "
+        "CAST(SUM(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+        "CAST(SUM(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) * 1000000 "
+        "// COUNT(*) AS BIGINT) AS novel_ppm "
+        "FROM g JOIN own USING (gram) GROUP BY doc_id"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
@@ -772,12 +1045,16 @@ ML6_QUERIES = {
     "dsir_importance_docs": q_dsir_importance_docs,
     "embedding_centroid_outliers": q_embedding_centroid_outliers,
     "langid_confusion": q_langid_confusion,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
+    "doc_novel_grams": q_doc_novel_grams,
 }
 
 
 def build_ml6_oracles() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_sql(),
+        "doc_bigram_logprob": _bigram_lp_sql(),
+        "doc_novel_grams": _novel_grams_sql(),
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),

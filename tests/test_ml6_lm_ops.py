@@ -1,0 +1,88 @@
+"""Bigram-LM document scoring and first-occurrence gram novelty
+(pipelines/queries_ml6.py) vs independent brute-force references on tiny
+corpora with the edge cases the sf-fixture oracles can't isolate (empty
+docs, single-token docs, full-duplicate docs, repeated bigrams)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+
+from mklab_focused_crawler_ray.pipelines.queries_ml6 import (
+    NOVEL_W,
+    q_doc_bigram_logprob,
+    q_doc_novel_grams,
+)
+from tests.test_ml6_ops import _write_docs
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _brute_bigram_lp(texts):
+    toks = [TOKEN_RE.findall(t.lower()) for t in texts]
+    vocab = {w for tk in toks for w in tk}
+    ctx: Counter = Counter()
+    cb: Counter = Counter()
+    for tk in toks:
+        ctx.update(tk[:-1])
+        cb.update(zip(tk[:-1], tk[1:]))
+    lp = {
+        g: int(
+            math.floor(
+                math.log10((c + 1.0) / (ctx[g[0]] + len(vocab))) * 1_000_000 + 0.5
+            )
+        )
+        for g, c in cb.items()
+    }
+    out = {}
+    for d, tk in enumerate(toks):
+        if len(tk) < 2:
+            continue
+        grams = list(zip(tk[:-1], tk[1:]))
+        out[d] = (len(grams), sum(lp[g] for g in grams))
+    return out
+
+
+def test_bigram_logprob_matches_brute_force(tmp_path, ray_session):
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat",  # shares bigrams with doc 0
+        "",  # no tokens: excluded
+        "single",  # one token, no bigrams: excluded
+        "mat mat mat mat",  # repeated bigram within one doc
+        "completely unrelated words here now",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = q_doc_bigram_logprob(sf).to_pandas().set_index("doc_id")
+    want = _brute_bigram_lp(texts)
+    assert set(got.index) == set(want)
+    for d, (n, s) in want.items():
+        assert (got.loc[d, "n_bigrams"], got.loc[d, "logprob_micro"]) == (n, s)
+    # smoothing sanity: a unique bigram in a doc full of repeats scores
+    # lower than the corpus-frequent 'the cat'
+    assert got.loc[5, "logprob_micro"] < got.loc[1, "logprob_micro"]
+
+
+def test_novel_grams_ownership_and_edges(tmp_path, ray_session):
+    base = " ".join(f"w{i}" for i in range(12))  # 12 tokens → 5 grams @ W=8
+    texts = [
+        base,  # doc 0: owns all its grams
+        base,  # doc 1: exact dup → zero novel
+        base + " extra token0",  # doc 2: tail grams novel, head grams owned by 0
+        "too short",  # <8 tokens: excluded
+        " ".join(f"q{i}" for i in range(NOVEL_W)),  # exactly W tokens → 1 novel gram
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = q_doc_novel_grams(sf).to_pandas().set_index("doc_id").sort_index()
+    assert set(got.index) == {0, 1, 2, 4}
+    n0 = 12 - NOVEL_W + 1
+    assert got.loc[0].tolist() == [n0, n0, 1_000_000]
+    assert got.loc[1].tolist() == [n0, 0, 0]
+    # doc 2 has 14 tokens → 7 grams; the 5 grams of `base` are owned by
+    # doc 0, the 2 grams touching the appended tokens are novel
+    assert got.loc[2].tolist() == [7, 2, 2 * 1_000_000 // 7]
+    assert got.loc[4].tolist() == [1, 1, 1_000_000]
+    assert np.issubdtype(got["novel_ppm"].dtype, np.integer)
