@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "video_frame_stats",
     "doc_bigram_logprob",
     "doc_novel_grams",
+    "containment_dup_pairs",
 ]
 
 

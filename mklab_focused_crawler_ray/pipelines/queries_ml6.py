@@ -1037,6 +1037,194 @@ def _novel_grams_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# directed Jaccard-containment near-dup pairs (Broder containment)
+# --------------------------------------------------------------------------
+
+CONTAIN_NUM, CONTAIN_DEN = 7, 10  # C(a→b) ≥ 0.7
+
+
+def q_containment_dup_pairs(sf_dir: str):
+    """DIRECTED CONTAINMENT self-join (Broder 1997's second resemblance
+    measure): pairs (doc_a, doc_b) where C(a→b) = |A∩B| / |A| ≥ 0.7 over
+    word-3-gram shingle sets — the subset/quote-expansion detector that
+    symmetric Jaccard structurally misses (a short doc fully embedded in
+    a long one has tiny Jaccard but containment ≈ 1). Output: (doc_a,
+    doc_b, containment_ppm), doc_a the CONTAINED side, both directions
+    possible for identical docs.
+
+    Scale shape: candidate generation is COMPLETE by the asymmetric
+    prefix-filter rule — C(a→b) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A's
+    size-(|A| − ⌈t·|A|⌉ + 1) prefix (in the canonical hash order) must
+    intersect B's FULL set. One shingle-hash-bucketed shuffle co-locates
+    prefix rows with full rows; per-bucket bipartite pairing is
+    prefix×full (≈ (1−t)·|A| of the index volume on the probe side);
+    candidates are pairs-shaped and exact-verified against the
+    output-bounded shingle store. Same skew discipline as
+    allpairs_jaccard_pairs: no silent caps — a hot shingle costs its
+    true bipartite product. Reference: no content dedup exists in the
+    reference (StatusCheckBolt is id-equality only); brief addition."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import word_ngram_hashes
+
+    buckets = derive_buckets(sf_dir, "documents", floor=64)
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_b, out_s, out_d, out_p = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist()):
+            h = word_ngram_hashes(text, 3)  # sorted unique uint64
+            n = len(h)
+            if n == 0:
+                continue
+            plen = n - math.ceil(CONTAIN_NUM * n / CONTAIN_DEN) + 1
+            hi = h.view(np.int64)
+            out_b.append((h % np.uint64(buckets)).astype(np.int64))
+            out_s.append(hi)
+            out_d.append(np.full(n, did, np.int64))
+            pref = np.zeros(n, np.int64)
+            pref[:plen] = 1  # h is sorted: the prefix is the first plen hashes
+            out_p.append(pref)
+        if not out_s:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "is_prefix": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+                "shingle": pa.array(np.concatenate(out_s), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "is_prefix": pa.array(np.concatenate(out_p), pa.int64()),
+            }
+        )
+
+    def cands(g) -> pa.Table:
+        sh = g["shingle"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        pref = g["is_prefix"].to_numpy(np.int64)
+        order = np.argsort(sh, kind="stable")
+        sh, did, pref = sh[order], did[order], pref[order]
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1, len(sh)]
+        pa_l, pb_l = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            pd_ = did[s:e][pref[s:e] == 1]
+            if len(pd_) == 0 or e - s < 2:
+                continue
+            fd = did[s:e]
+            a = np.repeat(pd_, len(fd))
+            b = np.tile(fd, len(pd_))
+            keep = a != b
+            pa_l.append(a[keep])
+            pb_l.append(b[keep])
+        if not pa_l:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        ab = np.unique(
+            np.stack([np.concatenate(pa_l), np.concatenate(pb_l)], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(ab[:, 0], pa.int64()),
+                "doc_b": pa.array(ab[:, 1], pa.int64()),
+            }
+        )
+
+    cand = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cands, batch_format="pandas")
+        .to_pandas()  # candidate pairs — pairs-shaped, the
+        # _pairs_distributed output contract (bounded by true pair volume
+        # × prefix redundancy, never corpus-shaped)
+    )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "containment_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if cand.empty:
+        return rd.from_arrow(empty)
+    ab = np.unique(
+        np.stack(
+            [cand["doc_a"].to_numpy(np.int64), cand["doc_b"].to_numpy(np.int64)],
+            axis=1,
+        ),
+        axis=0,
+    )
+    from ..stages.dedup import _shingle_hash_store
+
+    involved = np.unique(ab)
+    store_ids, store_offs, store_vals = _shingle_hash_store(docs, involved, "word3")
+    store_ref = ray.put((store_ids, store_offs, store_vals))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids, offs, vals = ray.get(store_ref)
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        cm = np.empty(len(a), np.int64)
+        keep = np.zeros(len(a), bool)
+        for r in range(len(a)):
+            ha = vals[offs[ia[r]] : offs[ia[r] + 1]]
+            hb = vals[offs[ib[r]] : offs[ib[r] + 1]]
+            if len(ha) == 0:
+                continue
+            pos = np.clip(np.searchsorted(hb, ha), 0, max(0, len(hb) - 1))
+            inter = int(np.count_nonzero((hb[pos] == ha) if len(hb) else np.zeros(0, bool)))
+            keep[r] = inter * CONTAIN_DEN >= CONTAIN_NUM * len(ha)
+            cm[r] = int(np.floor(inter / len(ha) * 1e6 + 0.5))
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "containment_ppm": pa.array(cm, pa.int64()),
+                "k": pa.array(keep),
+            }
+        )
+        return out.filter(pc.equal(out["k"], True)).select(
+            ["doc_a", "doc_b", "containment_ppm"]
+        )
+
+    pair_tbl = pa.table(
+        {"doc_a": pa.array(ab[:, 0], pa.int64()), "doc_b": pa.array(ab[:, 1], pa.int64())}
+    )
+    n_blocks = max(1, min(64, len(ab) // 8192))
+    return rd.from_arrow(pair_tbl, override_num_blocks=n_blocks).map_batches(
+        verify, batch_format="pyarrow"
+    )
+
+
+def _containment_sql() -> str:
+    from .oracles_ext import _WORD3_CTE
+
+    return (
+        f"WITH {_WORD3_CTE}, "
+        "d AS (SELECT DISTINCT doc_id, s FROM sh), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "FROM d a JOIN d b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "CAST(FLOOR(CAST(i AS DOUBLE)/sa.n*1000000 + 0.5) AS BIGINT) AS containment_ppm "
+        "FROM inter JOIN sz sa ON sa.doc_id = doc_a "
+        f"WHERE i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sa.n"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
@@ -1047,6 +1235,7 @@ ML6_QUERIES = {
     "langid_confusion": q_langid_confusion,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_novel_grams": q_doc_novel_grams,
+    "containment_dup_pairs": q_containment_dup_pairs,
 }
 
 
@@ -1055,6 +1244,7 @@ def build_ml6_oracles() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "doc_bigram_logprob": _bigram_lp_sql(),
         "doc_novel_grams": _novel_grams_sql(),
+        "containment_dup_pairs": _containment_sql(),
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),

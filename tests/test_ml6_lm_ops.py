@@ -86,3 +86,24 @@ def test_novel_grams_ownership_and_edges(tmp_path, ray_session):
     assert got.loc[2].tolist() == [7, 2, 2 * 1_000_000 // 7]
     assert got.loc[4].tolist() == [1, 1, 1_000_000]
     assert np.issubdtype(got["novel_ppm"].dtype, np.integer)
+
+
+def test_containment_catches_subset_jaccard_misses(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml6 import (
+        q_containment_dup_pairs,
+    )
+
+    quote = " ".join(f"s{i}" for i in range(10))  # 10 tokens → 8 word-3-grams
+    texts = [
+        quote,  # doc 0: fully contained in doc 1
+        quote + " " + " ".join(f"t{i}" for i in range(40)),  # doc 1: superset
+        "unrelated words entirely different content here",  # doc 2
+        "",  # empty: excluded
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = q_containment_dup_pairs(sf).to_pandas()
+    rows = {(int(a), int(b)): int(p) for a, b, p in got.itertuples(index=False)}
+    # 0 ⊂ 1 at containment 1.0; the reverse direction fails (1's grams
+    # mostly absent from 0); symmetric Jaccard would be ~8/48 ≈ 0.17
+    assert rows.get((0, 1)) == 1_000_000
+    assert (1, 0) not in rows and (2, 0) not in rows and (0, 2) not in rows
