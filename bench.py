@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "doc_bigram_logprob",
     "doc_novel_grams",
     "containment_dup_pairs",
+    "source_weighted_sample",
 ]
 
 

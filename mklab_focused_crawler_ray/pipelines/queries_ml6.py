@@ -1225,6 +1225,91 @@ def _containment_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# weighted reservoir sampling (Efraimidis–Spirakis exponential keys)
+# --------------------------------------------------------------------------
+
+WS_K = 32  # sample size per source
+_WS_KNUTH = 2654435761  # the multiplicative hash lang_sample_topk pins
+
+
+def q_source_weighted_sample(sf_dir: str):
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    IPL 2006): per source, keep the ``WS_K`` docs with the smallest
+    exponential key e/w, where e = −ln(u) with u a deterministic
+    multiplicative-hash uniform and w = n_chars — longer docs
+    proportionally likelier, the size-weighted data-mixing primitive one
+    tier above the uniform ``lang_sample_topk``. Output (source, doc_id,
+    wkey, sample_rank); zero-length docs are excluded (zero weight).
+
+    Determinism/oracle discipline: u = ((doc_id·2654435761) mod 2³² + 1)
+    / 2³² (never 0), e is floored at MICRO scale (−ln(u)·10⁶ ≤ 2.3e7 —
+    well inside the float-replay envelope the unigram-LM oracle
+    established; a 1e12 scale would put libm's last-ulp differences above
+    the floor threshold), and the sort key is the exact integer
+    e·10⁶ // w. Scale shape: identical to lang_sample_topk — per-batch
+    bottom-k per source prunes the shuffle to k × sources × blocks rows,
+    the key is order-free so partial bottom-k is exact on any block
+    split."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        w = batch["n_chars"].to_numpy().astype(np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        src = np.asarray(batch["source"].to_pylist(), object)[keep]
+        u = (
+            ((ids.astype(np.uint64) * np.uint64(_WS_KNUTH)) % np.uint64(1 << 32)).astype(
+                np.float64
+            )
+            + 1.0
+        ) / float(1 << 32)
+        e = np.floor(-np.log(u) * 1_000_000).astype(np.int64)
+        wkey = e * 1_000_000 // w
+        df = pd.DataFrame({"source": src, "doc_id": ids, "wkey": wkey})
+        df = df.sort_values(["source", "wkey", "doc_id"], kind="stable")
+        df = df[df.groupby("source", sort=False).cumcount() < WS_K]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g) -> "pa.Table":
+        g = g.sort_values(["wkey", "doc_id"], kind="stable").head(WS_K)
+        g = g.reset_index(drop=True)
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+                "wkey": pa.array(g["wkey"].to_numpy(np.int64), pa.int64()),
+                "sample_rank": pa.array(np.arange(len(g), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    return (
+        "WITH k AS (SELECT source, doc_id, "
+        f"CAST(FLOOR(-LN((((doc_id * {_WS_KNUTH}) % 4294967296) + 1.0) "
+        "/ 4294967296) * 1000000) AS BIGINT) * 1000000 // n_chars AS wkey "
+        "FROM documents WHERE n_chars > 0) "
+        "SELECT source, doc_id, wkey, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY wkey, doc_id) "
+        "- 1 AS BIGINT) AS sample_rank FROM k "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY wkey, doc_id) "
+        f"<= {WS_K}"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
@@ -1236,6 +1321,7 @@ ML6_QUERIES = {
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_novel_grams": q_doc_novel_grams,
     "containment_dup_pairs": q_containment_dup_pairs,
+    "source_weighted_sample": q_source_weighted_sample,
 }
 
 
@@ -1245,6 +1331,7 @@ def build_ml6_oracles() -> dict[str, str]:
         "doc_bigram_logprob": _bigram_lp_sql(),
         "doc_novel_grams": _novel_grams_sql(),
         "containment_dup_pairs": _containment_sql(),
+        "source_weighted_sample": _weighted_sample_sql(),
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),

@@ -107,3 +107,33 @@ def test_containment_catches_subset_jaccard_misses(tmp_path, ray_session):
     # mostly absent from 0); symmetric Jaccard would be ~8/48 ≈ 0.17
     assert rows.get((0, 1)) == 1_000_000
     assert (1, 0) not in rows and (2, 0) not in rows and (0, 2) not in rows
+
+
+def test_weighted_sample_favors_heavy_docs_and_is_deterministic(
+    tmp_path, ray_session
+):
+    import math
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml6 import (
+        WS_K,
+        _WS_KNUTH,
+        q_source_weighted_sample,
+    )
+
+    # 100 docs in one source: doc 0..49 tiny (w=1), 50..99 huge (w=10000).
+    # A-ES with these weights picks essentially only huge docs.
+    texts = ["x" * 1 for _ in range(50)] + ["y" * 10_000 for _ in range(50)]
+    sf = _write_docs(tmp_path, texts)
+    got = q_source_weighted_sample(sf).to_pandas()
+    assert len(got) == WS_K
+    assert (got["doc_id"] >= 50).mean() > 0.9  # weight dominates
+    assert got["sample_rank"].tolist() == list(range(WS_K))
+    # keys replay the documented arithmetic exactly
+    for d, wk in zip(got["doc_id"], got["wkey"]):
+        u = ((d * _WS_KNUTH) % (1 << 32) + 1.0) / (1 << 32)
+        e = int(np.floor(-math.log(u) * 1_000_000))
+        w = 1 if d < 50 else 10_000
+        assert wk == e * 1_000_000 // w
+    # deterministic across reruns
+    again = q_source_weighted_sample(sf).to_pandas()
+    assert got.equals(again)
