@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "doc_novel_grams",
     "containment_dup_pairs",
     "source_weighted_sample",
+    "source_token_entropy",
 ]
 
 

@@ -1310,6 +1310,95 @@ def _weighted_sample_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# per-source token-distribution entropy (corpus diversity audit)
+# --------------------------------------------------------------------------
+
+
+def q_source_token_entropy(sf_dir: str):
+    """SHANNON ENTROPY of each source's token distribution (micro-nats in
+    log10 — i.e. Hartleys×10⁶): H_s = −Σ_t (c_t/T_s)·log10(c_t/T_s),
+    reported as (source, n_tokens, n_types, entropy_micro) — the
+    diversity/degeneracy audit (a boilerplate-heavy source shows low
+    entropy for its size; compare against log10(n_types) as the maximum).
+
+    Integer discipline: per-token lp_t = floor(log10(c_t/T_s)·10⁶ + 0.5)
+    (the unigram-LM float-replay envelope), then
+    entropy_micro = −(Σ_t c_t·lp_t) // T_s in exact big-int arithmetic —
+    the only float is the same last-ulp-safe log10 both engines replay.
+
+    Scale shape: one (source, token) count shuffle (vocabulary × sources
+    bounded, map-side partial counts), then a per-source vectorized
+    finisher on the vocabulary-sized frame. Reference: no corpus
+    analytics exist in the reference; brief addition."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in TOKEN_RE.findall(t.lower()):
+                c[(s, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "pc": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        c = g["c"].to_numpy(np.int64)
+        t = int(c.sum())
+        lp = np.floor(np.log10(c / float(t)) * 1_000_000 + 0.5).astype(np.int64)
+        # divide a POSITIVE sum (−lp ≥ 0): floor-vs-truncate division
+        # semantics then agree between Python and DuckDB's `//`
+        ent = int((c * -lp).sum()) // t
+        return pa.table(
+            {
+                "source": pa.array([str(g["source"].iloc[0])], pa.string()),
+                "n_tokens": pa.array([t], pa.int64()),
+                "n_types": pa.array([len(c)], pa.int64()),
+                "entropy_micro": pa.array([ent], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _entropy_sql() -> str:
+    return (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "uc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tok GROUP BY 1, 2), "
+        "tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t, "
+        "CAST(COUNT(*) AS BIGINT) AS n_types FROM uc GROUP BY 1), "
+        "lp AS (SELECT uc.source, uc.c, "
+        "CAST(FLOOR(LOG10(CAST(uc.c AS DOUBLE)/tot.t)*1000000 + 0.5) AS BIGINT) AS lp "
+        "FROM uc JOIN tot USING (source)) "
+        "SELECT lp.source, tot.t AS n_tokens, tot.n_types, "
+        "CAST(SUM(CAST(lp.c AS HUGEINT) * -lp.lp) // tot.t AS BIGINT) AS entropy_micro "
+        "FROM lp JOIN tot ON tot.source = lp.source "
+        "GROUP BY lp.source, tot.t, tot.n_types"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
@@ -1322,6 +1411,7 @@ ML6_QUERIES = {
     "doc_novel_grams": q_doc_novel_grams,
     "containment_dup_pairs": q_containment_dup_pairs,
     "source_weighted_sample": q_source_weighted_sample,
+    "source_token_entropy": q_source_token_entropy,
 }
 
 
@@ -1332,6 +1422,7 @@ def build_ml6_oracles() -> dict[str, str]:
         "doc_novel_grams": _novel_grams_sql(),
         "containment_dup_pairs": _containment_sql(),
         "source_weighted_sample": _weighted_sample_sql(),
+        "source_token_entropy": _entropy_sql(),
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),

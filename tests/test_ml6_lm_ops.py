@@ -137,3 +137,19 @@ def test_weighted_sample_favors_heavy_docs_and_is_deterministic(
     # deterministic across reruns
     again = q_source_weighted_sample(sf).to_pandas()
     assert got.equals(again)
+
+
+def test_source_entropy_degenerate_and_uniform(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml6 import (
+        q_source_token_entropy,
+    )
+
+    texts = ["aaa aaa aaa aaa", "b0 b1 b2 b3"]
+    sf = _write_docs(tmp_path, texts, sources=["mono", "uni"])
+    got = q_source_token_entropy(sf).to_pandas().set_index("source")
+    # single-token source: H = 0 exactly
+    assert got.loc["mono"].tolist() == [4, 1, 0]
+    # uniform over 4 types: H = log10(4) ≈ 0.602060 Hartleys
+    n_tok, n_types, ent = got.loc["uni"]
+    assert (n_tok, n_types) == (4, 4)
+    assert ent == int(np.floor(np.log10(0.25) * 1_000_000 + 0.5)) * -1
