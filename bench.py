@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "containment_dup_pairs",
     "source_weighted_sample",
     "source_token_entropy",
+    "curated_pack_manifest",
 ]
 
 

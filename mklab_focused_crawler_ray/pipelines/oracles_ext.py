@@ -1010,6 +1010,47 @@ def build_extended_oracles() -> dict[str, str]:
         "AND q.doc_id NOT IN (SELECT doc_id FROM cont)"
     )
 
+    # the end-to-end training-data build manifest: kept docs → split →
+    # chunks → next-fit packing keyed by (split, part) — every fragment
+    # spliced from the SQL the component queries are checked against
+    from .queries_ml3 import SPLIT_MULT, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+    from .queries_ml4 import PACK_CONTEXT_LEN, PACK_MULT, PACK_PARTS
+
+    _L = PACK_CONTEXT_LEN
+    sql["curated_pack_manifest"] = (
+        "WITH RECURSIVE "
+        # MATERIALIZED is load-bearing: without it DuckDB re-inlines these
+        # CTEs into every iteration of the packing recursion, re-running
+        # the dup-clusters transitive closure per rn level (observed: the
+        # un-hinted query runs minutes, the hinted one ~1 s)
+        f"kept AS MATERIALIZED (SELECT doc_id FROM ({sql['corpus_filter_kept']})), "
+        f"ch AS (SELECT c.* FROM ({_base_sql['doc_chunks']}) c "
+        "JOIN kept USING (doc_id)), "
+        "base AS MATERIALIZED (SELECT split, part, doc_id, chunk_idx, n_chunk_tokens, "
+        "ROW_NUMBER() OVER (PARTITION BY split, part "
+        "ORDER BY doc_id, chunk_idx) AS rn FROM ("
+        f"SELECT CASE WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100 "
+        f"< {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100 "
+        f"< {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END AS split, "
+        f"CAST((doc_id * {PACK_MULT}) % 4294967296 % {PACK_PARTS} AS BIGINT) "
+        "AS part, doc_id, chunk_idx, n_chunk_tokens FROM ch)), "
+        "packed AS ("
+        "SELECT split, part, rn, doc_id, chunk_idx, n_chunk_tokens, "
+        "CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off_tokens, "
+        "n_chunk_tokens AS used FROM base WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT b.split, b.part, b.rn, b.doc_id, b.chunk_idx, b.n_chunk_tokens, "
+        f"CASE WHEN p.used + b.n_chunk_tokens > {_L} THEN p.seq_id + 1 ELSE p.seq_id END, "
+        f"CASE WHEN p.used + b.n_chunk_tokens > {_L} THEN 0 ELSE p.used END, "
+        f"CASE WHEN p.used + b.n_chunk_tokens > {_L} THEN b.n_chunk_tokens "
+        "ELSE p.used + b.n_chunk_tokens END "
+        "FROM base b JOIN packed p ON b.split = p.split AND b.part = p.part "
+        "AND b.rn = p.rn + 1) "
+        "SELECT split, part, doc_id, chunk_idx, n_chunk_tokens, seq_id, "
+        "off_tokens FROM packed"
+    )
+
     # per-stage curation funnel, composed from the SAME oracle fragments
     # the individual gate queries are checked against (+ the pii stage)
     from .queries_ml4 import _pii_sql

@@ -790,7 +790,115 @@ def _knn_clusters_sql() -> str:
     )
 
 
+def q_curated_pack_manifest(sf_dir: str):
+    """THE END-TO-END TRAINING-DATA BUILD, composed from this engine's own
+    operators into one manifest: curation keep decision
+    (quality ∧ near-dup-rep ∧ decontamination — exactly
+    ``corpus_filter_kept``'s predicate) → deterministic train/val/test
+    split (``doc_split_assign``'s hash rule) → context-window chunking
+    (``doc_chunks``) → next-fit sequence packing (``doc_pack_sequences``)
+    PARTITIONED BY (split, part) so train/val/test never share a packed
+    sequence. One row per placed chunk: (split, part, doc_id, chunk_idx,
+    n_chunk_tokens, seq_id, off_tokens) — the table a dataloader consumes.
+
+    Scale shape: the keep gate is the same shuffle-free streaming filter
+    over two output-bounded broadcast drop-sets corpus_filter_kept
+    documents; split/part/chunking are map-side integer expressions; the
+    ONLY shuffle routes chunk-count rows (never text) to their
+    3×PACK_PARTS packing partitions, each packed by the serial next-fit
+    kernel. The oracle splices the SAME SQL fragments the component
+    queries are checked against, with the packing recurrence keyed by
+    (split, part)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import lang_quality_batch
+    from .queries import (
+        CHUNK_W,
+        QUALITY_KEEP_MICRO,
+        TOKEN_RE,
+        _decontam_hits_cached,
+        _micro,
+        q_dup_clusters,
+    )
+    from .queries_ml3 import SPLIT_MULT, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    cl = q_dup_clusters(sf_dir)
+    drop_near = cl.loc[cl["doc_id"] != cl["cluster_rep"], "doc_id"].to_numpy(np.int64)
+    cont = _decontam_hits_cached(sf_dir)["doc_id"].to_numpy(np.int64)
+    drop_ref = ray.put(np.unique(np.concatenate([drop_near, cont])))
+
+    def chunks_kept(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        texts = batch["text"].to_pylist()
+        qm = _micro(lang_quality_batch(texts)["quality"])
+        keep = qm >= QUALITY_KEEP_MICRO
+        if len(drop):
+            pos = np.searchsorted(drop, ids).clip(max=len(drop) - 1)
+            keep &= drop[pos] != ids
+        out_s, out_p, out_d, out_ci, out_nt = [], [], [], [], []
+        for i in np.flatnonzero(keep):
+            n = len(TOKEN_RE.findall(texts[i].lower()))
+            if n == 0:
+                continue
+            did = int(ids[i])
+            h = (did * SPLIT_MULT) % (1 << 32) % 100
+            split = (
+                "train"
+                if h < SPLIT_TRAIN_PCT
+                else ("val" if h < SPLIT_VAL_PCT else "test")
+            )
+            part = (did * PACK_MULT) % (1 << 32) % PACK_PARTS
+            n_chunks = (n + CHUNK_W - 1) // CHUNK_W
+            for ci in range(n_chunks):
+                out_s.append(split)
+                out_p.append(part)
+                out_d.append(did)
+                out_ci.append(ci)
+                out_nt.append(min(CHUNK_W, n - ci * CHUNK_W))
+        return pa.table(
+            {
+                "split": pa.array(out_s, pa.string()),
+                "part": pa.array(out_p, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "chunk_idx": pa.array(out_ci, pa.int64()),
+                "n_chunk_tokens": pa.array(out_nt, pa.int64()),
+            }
+        )
+
+    def pack(g) -> pa.Table:
+        did = g["doc_id"].to_numpy(np.int64)
+        cix = g["chunk_idx"].to_numpy(np.int64)
+        ntk = g["n_chunk_tokens"].to_numpy(np.int64)
+        order = np.lexsort((cix, did))
+        did, cix, ntk = did[order], cix[order], ntk[order]
+        seq, off = _pack_next_fit(ntk, PACK_CONTEXT_LEN)
+        n = len(did)
+        return pa.table(
+            {
+                "split": pa.array([str(g["split"].iloc[0])] * n, pa.string()),
+                "part": pa.array(
+                    np.full(n, int(g["part"].iloc[0]), np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(did, pa.int64()),
+                "chunk_idx": pa.array(cix, pa.int64()),
+                "n_chunk_tokens": pa.array(ntk, pa.int64()),
+                "seq_id": pa.array(seq, pa.int64()),
+                "off_tokens": pa.array(off, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(chunks_kept, batch_format="pyarrow")
+        .groupby(["split", "part"])
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
 ML4_QUERIES = {
+    "curated_pack_manifest": q_curated_pack_manifest,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_stats": q_doc_pack_stats,
     "doc_pii_scrub": q_doc_pii_scrub,

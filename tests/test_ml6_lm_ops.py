@@ -153,3 +153,28 @@ def test_source_entropy_degenerate_and_uniform(tmp_path, ray_session):
     n_tok, n_types, ent = got.loc["uni"]
     assert (n_tok, n_types) == (4, 4)
     assert ent == int(np.floor(np.log10(0.25) * 1_000_000 + 0.5)) * -1
+
+
+def test_curated_pack_manifest_invariants(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml4 import (
+        PACK_CONTEXT_LEN,
+        q_curated_pack_manifest,
+    )
+
+    df = q_curated_pack_manifest("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    # a packed sequence belongs to exactly one (split, part)
+    key = df.groupby(["split", "part", "seq_id"])
+    # placement never overflows the context window (oversize chunks alone)
+    fits = df[df["n_chunk_tokens"] <= PACK_CONTEXT_LEN]
+    assert (
+        fits["off_tokens"] + fits["n_chunk_tokens"] <= PACK_CONTEXT_LEN
+    ).all()
+    # offsets within a sequence are strictly increasing contiguous sums
+    for (_s, _p, _q), g in list(key)[:50]:
+        g = g.sort_values(["doc_id", "chunk_idx"])
+        offs = g["off_tokens"].to_numpy()
+        toks = g["n_chunk_tokens"].to_numpy()
+        assert (offs[1:] == (offs[:-1] + toks[:-1])).all()
+    # every split present, and no doc appears in two splits
+    assert df.groupby("doc_id")["split"].nunique().max() == 1
