@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "source_weighted_sample",
     "source_token_entropy",
     "curated_pack_manifest",
+    "split_leakage_pairs",
 ]
 
 

@@ -1399,6 +1399,77 @@ def _entropy_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# split-leakage audit (near-dup pairs crossing the train/val/test boundary)
+# --------------------------------------------------------------------------
+
+
+def q_split_leakage_pairs(sf_dir: str):
+    """EVAL-HYGIENE AUDIT: near-duplicate document pairs whose members
+    land in DIFFERENT train/val/test splits — the leakage a random split
+    always creates (a test doc with a train near-dup inflates eval).
+    Composes two already-oracled operators: the EXACT AllPairs word-3-gram
+    Jaccard ≥ 0.5 self-join and doc_split_assign's multiplicative-hash
+    split rule. Output: (doc_a, doc_b, split_a, split_b, jaccard_micro),
+    cross-split pairs only, doc_a < doc_b.
+
+    Scale shape: rides allpairs_jaccard_pairs (complete prefix-filter
+    candidates + distributed exact verify); the split labels are a pure
+    map-side hash of the ids already in the pair rows — no extra scan, no
+    extra shuffle. Reference: n/a (brief addition; the audit every
+    training-data release runs before publishing a split)."""
+    import ray.data as rd
+
+    from ..stages.dedup import allpairs_jaccard_pairs
+    from .queries_ml3 import SPLIT_MULT, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    def label(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def split_of(ids: np.ndarray) -> np.ndarray:
+            h = (ids.astype(np.int64) * SPLIT_MULT) % (1 << 32) % 100
+            return np.where(
+                h < SPLIT_TRAIN_PCT,
+                "train",
+                np.where(h < SPLIT_VAL_PCT, "val", "test"),
+            )
+
+        sa = split_of(batch["doc_a"].to_numpy())
+        sb = split_of(batch["doc_b"].to_numpy())
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "split_a": pa.array(sa.tolist(), pa.string()),
+                "split_b": pa.array(sb.tolist(), pa.string()),
+                "jaccard_micro": batch["jaccard_micro"],
+            }
+        )
+        return out.filter(pc.invert(pc.equal(out["split_a"], out["split_b"])))
+
+    return allpairs_jaccard_pairs(
+        _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
+    ).map_batches(label, batch_format="pyarrow")
+
+
+def _split_leakage_sql() -> str:
+    from .oracles_ext import _WORD3_CTE, _jaccard_pairs_sql
+    from .queries_ml3 import SPLIT_MULT, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    case = (
+        f"CASE WHEN ({{c}} * {SPLIT_MULT}) % 4294967296 % 100 "
+        f"< {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN ({{c}} * {SPLIT_MULT}) % 4294967296 % 100 "
+        f"< {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    return (
+        f"WITH pairs AS ({_jaccard_pairs_sql(_WORD3_CTE, 1, 2)}) "
+        f"SELECT doc_a, doc_b, {case.format(c='doc_a')} AS split_a, "
+        f"{case.format(c='doc_b')} AS split_b, jaccard_micro FROM pairs "
+        f"WHERE {case.format(c='doc_a')} <> {case.format(c='doc_b')}"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
@@ -1412,6 +1483,7 @@ ML6_QUERIES = {
     "containment_dup_pairs": q_containment_dup_pairs,
     "source_weighted_sample": q_source_weighted_sample,
     "source_token_entropy": q_source_token_entropy,
+    "split_leakage_pairs": q_split_leakage_pairs,
 }
 
 
@@ -1423,6 +1495,7 @@ def build_ml6_oracles() -> dict[str, str]:
         "containment_dup_pairs": _containment_sql(),
         "source_weighted_sample": _weighted_sample_sql(),
         "source_token_entropy": _entropy_sql(),
+        "split_leakage_pairs": _split_leakage_sql(),
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),
