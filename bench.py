@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "source_token_entropy",
     "curated_pack_manifest",
     "split_leakage_pairs",
+    "events_upsert_roundtrip",
 ]
 
 

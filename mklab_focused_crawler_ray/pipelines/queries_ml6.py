@@ -1470,6 +1470,99 @@ def _split_leakage_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# upsert-sink round-trip (keyed_merge_write → read_upserted == argmax SQL)
+# --------------------------------------------------------------------------
+
+
+def q_events_upsert_roundtrip(sf_dir: str):
+    """UPSERT SINK ROUND-TRIP: the WebPagesUpdaterBolt/MediaUpdaterBolt
+    keyed-merge semantics (stages/sink.py — last-write-wins per key,
+    bucket-partitioned parquet, merge-on-read across generations) proven
+    equal to the declarative argmax: events split into two generations
+    (even/odd event_id), each upserted by user_id with version
+    v = ms·2²² + event_id (the oracle's (ms DESC, event_id DESC) order as
+    ONE integer; loud overflow guard), then merged on read. Output
+    (user_id, event_id, ms) — byte-equal to latest_event_per_user's SQL.
+
+    Scale shape: each generation's dedup is one user-bucketed shuffle;
+    the write is partitioned parquet (one directory per bucket — the
+    resumable layout); merge-on-read unions G generations and keeps the
+    max-version row per key. The physical write/read cycle is the point:
+    this is the engine's sink path under oracle check, not a cached
+    frame."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.sink import keyed_merge_write, read_upserted
+
+    src = _p(sf_dir, "events")
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    base = os.path.join("/tmp/mkfc_upsert", fp)
+    shutil.rmtree(base, ignore_errors=True)  # re-runs must not append
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ms = batch["ts"].cast(pa.int64()).to_numpy() // 1000
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        if eid.max(initial=0) >= (1 << 22):
+            raise ValueError(
+                "event_id exceeds the 22-bit version-composite headroom — "
+                "widen the composite before running at this scale"
+            )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": pa.array(eid, pa.int64()),
+                "ms": pa.array(ms, pa.int64()),
+                "v": pa.array(ms * (1 << 22) + eid, pa.int64()),
+            }
+        )
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    ).map_batches(prep, batch_format="pyarrow")
+    def parity(want: int):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.equal(pc.bit_wise_and(batch["event_id"], 1), want)
+            return batch.filter(keep)
+
+        return f
+
+    d0 = keyed_merge_write(
+        ev.map_batches(parity(0), batch_format="pyarrow"), "user_id",
+        os.path.join(base, "gen0"), version_col="v",
+    )
+    d1 = keyed_merge_write(
+        ev.map_batches(parity(1), batch_format="pyarrow"), "user_id",
+        os.path.join(base, "gen1"), version_col="v",
+    )
+
+    def out_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "event_id", "ms"])
+
+    return read_upserted([d0, d1], "user_id", version_col="v").map_batches(
+        out_cols, batch_format="pyarrow"
+    )
+
+
+def _upsert_roundtrip_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events) "
+        "SELECT user_id, event_id, ms FROM e "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ms DESC, event_id DESC) = 1"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
@@ -1484,6 +1577,7 @@ ML6_QUERIES = {
     "source_weighted_sample": q_source_weighted_sample,
     "source_token_entropy": q_source_token_entropy,
     "split_leakage_pairs": q_split_leakage_pairs,
+    "events_upsert_roundtrip": q_events_upsert_roundtrip,
 }
 
 
@@ -1496,6 +1590,7 @@ def build_ml6_oracles() -> dict[str, str]:
         "source_weighted_sample": _weighted_sample_sql(),
         "source_token_entropy": _entropy_sql(),
         "split_leakage_pairs": _split_leakage_sql(),
+        "events_upsert_roundtrip": _upsert_roundtrip_sql(),
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),
