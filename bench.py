@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "curated_pack_manifest",
     "split_leakage_pairs",
     "events_upsert_roundtrip",
+    "video_dup_pairs",
 ]
 
 

@@ -438,27 +438,46 @@ def gen_audio(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def gen_videos(n: int, seed: int = 42) -> pa.Table:
+def gen_videos(n: int, seed: int = 42, dup_frac: float = 0.2) -> pa.Table:
     """Deterministic RVID1 clips (raw zlib frame container — stages/av.py):
     a seeded gradient base frame rolled horizontally per frame with a
     brightness ramp, so frames are related-but-distinct. Row i depends
-    only on (seed, i)."""
+    only on (seed, i) and the recent-original ring (the images-table
+    dup-planting discipline): with probability ``dup_frac`` a clip reuses
+    an earlier clip's frames — either verbatim (re-encode at a different
+    fps) or truncated to a prefix — planting the near/contained
+    duplicates video_dup_pairs mines."""
     from ..stages.av import encode_rvid
 
     ids, blobs, ws, hs, nfs, fpss, caps = [], [], [], [], [], [], []
+    originals: list[np.ndarray] = []
     for i in range(n):
         rng = np.random.default_rng([seed, 60_000, i])
-        w = int(rng.integers(32, 65))
-        h = int(rng.integers(32, 65))
-        n_frames = int(rng.integers(6, 25))
-        fps = int(rng.integers(10, 31))
-        base = _image(rng, w, h).astype(np.int64)
-        shift = int(rng.integers(1, 5))
-        frames = np.empty((n_frames, h, w, 3), np.uint8)
-        for f in range(n_frames):
-            frames[f] = np.clip(
-                np.roll(base, (f * shift) % w, axis=1) + 2 * f, 0, 255
-            ).astype(np.uint8)
+        if i > 0 and rng.random() < dup_frac and originals:
+            src = originals[int(rng.integers(0, len(originals)))]
+            if rng.random() < 0.5:
+                frames = src  # verbatim re-encode
+            else:
+                k = max(4, int(len(src) * float(rng.uniform(0.5, 0.95))))
+                frames = src[:k]  # prefix truncation (contained dup)
+            fps = int(rng.integers(10, 31))
+            h, w = frames.shape[1], frames.shape[2]
+            n_frames = len(frames)
+        else:
+            w = int(rng.integers(32, 65))
+            h = int(rng.integers(32, 65))
+            n_frames = int(rng.integers(6, 25))
+            fps = int(rng.integers(10, 31))
+            base = _image(rng, w, h).astype(np.int64)
+            shift = int(rng.integers(1, 5))
+            frames = np.empty((n_frames, h, w, 3), np.uint8)
+            for f in range(n_frames):
+                frames[f] = np.clip(
+                    np.roll(base, (f * shift) % w, axis=1) + 2 * f, 0, 255
+                ).astype(np.uint8)
+            if len(originals) >= 32:
+                originals.pop(0)
+            originals.append(frames)
         ids.append(f"vid{i:06d}")
         blobs.append(encode_rvid(frames, fps))
         ws.append(w)
@@ -490,19 +509,31 @@ AV_TIERS = {
 }
 
 
+AV_VERSION = 2  # v2: videos plant near/contained duplicates (dup_frac)
+
+
 def ensure_av_tables(tier: str, out_dir: str, seed: int = 42) -> str:
     """Idempotently add audio.parquet / videos.parquet to a fixture tier
-    (separate marker so tiers generated before these tables existed gain
-    them without a full regeneration)."""
+    (separate versioned marker so tiers generated before these tables —
+    or before the current generation rules — regenerate them, and their
+    derived signature caches, without a full tier rebuild)."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_AV_DONE")
-    if os.path.exists(marker):
+    want = f"v={AV_VERSION}"
+    if os.path.exists(marker) and want in open(marker).read():
         return out_dir
     n_clips, n_videos = AV_TIERS.get(tier, AV_TIERS["small"])
     pq.write_table(gen_audio(n_clips, seed=seed), os.path.join(out_dir, "audio.parquet"))
     pq.write_table(gen_videos(n_videos, seed=seed), os.path.join(out_dir, "videos.parquet"))
+    for stale in ("audio_signatures.parquet", "video_signatures.parquet"):
+        try:
+            os.remove(os.path.join(out_dir, stale))
+        except FileNotFoundError:
+            pass
     with open(marker, "w") as f:
-        f.write(f"tier={tier} seed={seed} clips={n_clips} videos={n_videos}\n")
+        f.write(
+            f"{want} tier={tier} seed={seed} clips={n_clips} videos={n_videos}\n"
+        )
     return out_dir
 
 

@@ -733,6 +733,24 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{video_signature_parquet(fdir)}')"
     )
 
+    # video near-dup pairs: brute-force Jaccard self-join over the same
+    # SEQUENTIAL signature table (fixture plants verbatim-re-encode and
+    # prefix-truncation dups); threshold check in exact integer arithmetic
+    sql["video_dup_pairs"] = (
+        "WITH s AS (SELECT DISTINCT video_id, frame_hash "
+        f"FROM read_parquet('{video_signature_parquet(fdir)}')), "
+        "sz AS (SELECT video_id, COUNT(*) AS n FROM s GROUP BY 1), "
+        "inter AS (SELECT a.video_id AS video_a, b.video_id AS video_b, "
+        "COUNT(*) AS i FROM s a JOIN s b ON a.frame_hash = b.frame_hash "
+        "AND a.video_id < b.video_id GROUP BY 1, 2) "
+        "SELECT video_a, video_b, "
+        "CAST(FLOOR(CAST(i AS DOUBLE)/(sa.n + sb.n - i)*1000000 + 0.5) AS BIGINT) "
+        "AS jaccard_micro FROM inter "
+        "JOIN sz sa ON sa.video_id = video_a "
+        "JOIN sz sb ON sb.video_id = video_b "
+        "WHERE i * 2 >= sa.n + sb.n - i"
+    )
+
     # caption–image alignment: DuckDB replays the integer dot + per-char
     # normalization + gate over the ENGINE-materialized shifted-micro
     # embeds (pixel decode is not SQL-expressible; same discipline as the

@@ -1945,6 +1945,144 @@ def video_signature_parquet(fdir: str) -> str:
     return path
 
 
+def q_video_dup_pairs(sf_dir: str):
+    """VIDEO NEAR-DUP MINING over sampled-frame signatures: pairs of
+    videos whose every-Nth-frame hash sets (the video_frame_stats
+    signature space) have Jaccard ≥ 0.5 — catches the verbatim re-encodes
+    and prefix-truncated copies the fixture plants (re-encoded fps
+    changes the container, not the frames, so frame hashes collide
+    exactly; the phash-band discipline applied to video). Output:
+    (video_a, video_b, jaccard_micro), video_a < video_b.
+
+    Scale shape: the signature explosion is the frame-sample stage (1/N
+    of decode cost); candidate pairing runs inside ONE frame-hash-bucketed
+    shuffle (all holders of a hash are co-located, per-hash pair expansion
+    bounded by holders²), pair partials collapse in a pairs-shaped
+    groupby, and the per-video set sizes are a videos-bounded broadcast
+    join. Oracle: brute-force Jaccard self-join over the SEQUENTIAL
+    signature table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..scale import derive_buckets_for_paths
+
+    fdir = _av_fixture_dir(sf_dir)
+    vids = os.path.join(fdir, "videos.parquet")
+    nb = derive_buckets_for_paths(vids, floor=32)
+
+    stats = q_video_frame_stats(sf_dir)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = batch["frame_hash"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (h.view(np.uint64) % np.uint64(nb)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "frame_hash": batch["frame_hash"],
+                "video_id": batch["video_id"],
+            }
+        )
+
+    def pair_partials(g) -> pa.Table:
+        hh = g["frame_hash"].to_numpy(np.int64)
+        vv = g["video_id"].to_numpy(object).astype(str)
+        # distinct (hash, video)
+        uniq = np.unique(np.stack([hh.astype(str), vv], axis=1), axis=0)
+        hh, vv = uniq[:, 0], uniq[:, 1]
+        order = np.lexsort((vv, hh))
+        hh, vv = hh[order], vv[order]
+        starts = np.r_[0, np.flatnonzero(hh[1:] != hh[:-1]) + 1, len(hh)]
+        a_l, b_l = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            vs = vv[s:e]
+            if len(vs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(vs), k=1)
+            a_l.append(vs[ii])
+            b_l.append(vs[jj])
+        if not a_l:
+            return pa.table(
+                {
+                    "video_a": pa.array([], pa.string()),
+                    "video_b": pa.array([], pa.string()),
+                    "pi": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        part = (
+            pd.DataFrame(
+                {"video_a": np.concatenate(a_l), "video_b": np.concatenate(b_l)}
+            )
+            .groupby(["video_a", "video_b"], sort=False)
+            .size()
+            .reset_index(name="pi")
+        )
+        return pa.table(
+            {
+                "video_a": pa.array(part["video_a"], pa.string()),
+                "video_b": pa.array(part["video_b"], pa.string()),
+                "pi": pa.array(part["pi"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    inter = (
+        stats.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby(["video_a", "video_b"])
+        .aggregate(Sum("pi", alias_name="i"))
+    )
+
+    # per-video distinct-signature sizes: videos-bounded broadcast
+    import ray
+
+    sizes = (
+        stats.groupby("video_id")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "video_id": pa.array([str(g["video_id"].iloc[0])], pa.string()),
+                    "n": pa.array([int(g["frame_hash"].nunique())], pa.int64()),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("video_id")
+    )
+    sz_ref = ray.put(
+        (sizes["video_id"].to_numpy(str), sizes["n"].to_numpy(np.int64))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids_s, n_s = ray.get(sz_ref)
+        a = np.asarray(batch["video_a"].to_pylist(), object).astype(str)
+        b = np.asarray(batch["video_b"].to_pylist(), object).astype(str)
+        i = batch["i"].to_numpy().astype(np.int64)
+        na = n_s[np.searchsorted(ids_s, a)]
+        nb_ = n_s[np.searchsorted(ids_s, b)]
+        union = na + nb_ - i
+        jm = np.floor(i / union * 1e6 + 0.5).astype(np.int64)
+        out = pa.table(
+            {
+                "video_a": batch["video_a"],
+                "video_b": batch["video_b"],
+                "jaccard_micro": pa.array(jm, pa.int64()),
+                "k": pa.array(2 * i >= union),
+            }
+        )
+        return out.filter(pc.equal(out["k"], True)).select(
+            ["video_a", "video_b", "jaccard_micro"]
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
 MEDIA_QUERIES = {
     "media_stream_users": q_media_stream_users,
     "image_decode_check": q_image_decode_check,
@@ -1991,6 +2129,7 @@ MEDIA_QUERIES = {
     "crawl_trace": q_crawl_trace,
     "audio_clip_stats": q_audio_clip_stats,
     "video_frame_stats": q_video_frame_stats,
+    "video_dup_pairs": q_video_dup_pairs,
 }
 
 MEDIA_ORACLE_SQL = {

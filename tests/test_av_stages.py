@@ -165,3 +165,18 @@ def test_av_queries_through_ray(ray_session):
         .reset_index(drop=True)
     )
     assert gotv.equals(expv[gotv.columns.tolist()])
+
+
+def test_video_dup_pairs_finds_planted_dups(ray_session):
+    """The v2 fixture plants verbatim-re-encode and prefix-truncation
+    dups; the miner must recover at least the verbatim ones (identical
+    sampled frame hashes → Jaccard 1.0)."""
+    from mklab_focused_crawler_ray.pipelines.queries_media import (
+        q_video_dup_pairs,
+    )
+
+    got = q_video_dup_pairs("/root/testdata/sf0.001").to_pandas()
+    assert len(got) >= 1
+    assert (got["video_a"] < got["video_b"]).all()
+    assert (got["jaccard_micro"] >= 500_000).all()
+    assert (got["jaccard_micro"] <= 1_000_000).all()
