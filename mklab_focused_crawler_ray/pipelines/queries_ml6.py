@@ -1359,8 +1359,11 @@ def q_source_token_entropy(sf_dir: str):
         t = int(c.sum())
         lp = np.floor(np.log10(c / float(t)) * 1_000_000 + 0.5).astype(np.int64)
         # divide a POSITIVE sum (−lp ≥ 0): floor-vs-truncate division
-        # semantics then agree between Python and DuckDB's `//`
-        ent = int((c * -lp).sum()) // t
+        # semantics then agree between Python and DuckDB's `//`. The
+        # product accumulates in PYTHON ints (object dtype): Σ c·(−lp)
+        # wraps int64 once a source passes ~10¹² tokens, and the oracle
+        # sums in HUGEINT (the lang_token_fertility ADVICE-r4 fix).
+        ent = int((c.astype(object) * (-lp).astype(object)).sum()) // t
         return pa.table(
             {
                 "source": pa.array([str(g["source"].iloc[0])], pa.string()),
