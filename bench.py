@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "split_leakage_pairs",
     "events_upsert_roundtrip",
     "video_dup_pairs",
+    "token_cms_estimates",
 ]
 
 

@@ -1566,6 +1566,139 @@ def _upsert_roundtrip_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Count-Min Sketch (mergeable counter grid, fully SQL-replayable)
+# --------------------------------------------------------------------------
+
+CMS_D, CMS_W = 4, 512  # depth × width — part of the output contract
+CMS_MULTS = (31, 37, 41, 43)  # per-row polynomial multipliers
+_CMS_MOD = 1 << 31
+
+
+def _cms_hash(token: str, mult: int) -> int:
+    """Byte-fold polynomial hash h = (h·mult + byte) mod 2³¹ — chosen
+    because DuckDB replays it exactly via list_reduce over ascii codes
+    (verified bit-identical), so the whole sketch is SQL-checkable."""
+    h = 0
+    for ch in token:
+        h = (h * mult + ord(ch)) % _CMS_MOD
+    return h
+
+
+def q_token_cms_estimates(sf_dir: str):
+    """COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005): a ``CMS_D``דCMS_W``
+    counter grid over the corpus token stream, probed at the top-20 true
+    tokens. Output: (token, true_count, cms_estimate) — the one-sided
+    overestimate invariant (cms ≥ true) and the collision error are the
+    point; this is the mergeable-sketch counterpart of the EXACT
+    heavy_hitter_tokens pass.
+
+    Scale shape: each batch folds its token counts into a LOCAL 4×512
+    grid and emits only nonzero cells — the shuffle moves ≤ D·W rows per
+    batch regardless of vocabulary (the sketch's whole value); cell
+    partials merge by integer addition (CMS is exactly mergeable), and
+    the probe step reads the final 2048-cell grid driver-side (constant).
+    True counts ride the existing vocabulary-bounded count shuffle.
+    Oracle: DuckDB rebuilds the identical grid from per-token counts and
+    replays the byte-fold hash via list_reduce — bit-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(TOKEN_RE.findall(t.lower()))
+        grid = np.zeros((CMS_D, CMS_W), np.int64)
+        tok_counts: Counter = Counter()
+        for tok, n in c.items():
+            tok_counts[tok] += n
+            for r, m in enumerate(CMS_MULTS):
+                grid[r, _cms_hash(tok, m) % CMS_W] += n
+        r_idx, j_idx = np.nonzero(grid)
+        out = {
+            "kind": ["cell"] * len(r_idx) + ["tok"] * len(tok_counts),
+            "r": list(r_idx) + [0] * len(tok_counts),
+            "j": list(j_idx) + [0] * len(tok_counts),
+            "token": [""] * len(r_idx) + list(tok_counts.keys()),
+            "pc": [int(grid[r, j]) for r, j in zip(r_idx, j_idx)]
+            + list(tok_counts.values()),
+        }
+        return pa.table(
+            {
+                "kind": pa.array(out["kind"], pa.string()),
+                "r": pa.array(np.asarray(out["r"], np.int64), pa.int64()),
+                "j": pa.array(np.asarray(out["j"], np.int64), pa.int64()),
+                "token": pa.array(out["token"], pa.string()),
+                "pc": pa.array(np.asarray(out["pc"], np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby(["kind", "r", "j", "token"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .to_pandas()  # ≤ D·W cells + |vocab| token rows — bounded
+    )
+    cells = merged[merged["kind"] == "cell"]
+    grid = np.zeros((CMS_D, CMS_W), np.int64)
+    grid[cells["r"].to_numpy(np.int64), cells["j"].to_numpy(np.int64)] = cells[
+        "c"
+    ].to_numpy(np.int64)
+    toks = (
+        merged[merged["kind"] == "tok"]
+        .sort_values(["c", "token"], ascending=[False, True], kind="stable")
+        .head(20)
+    )
+    est = [
+        int(min(grid[r, _cms_hash(t, m) % CMS_W] for r, m in enumerate(CMS_MULTS)))
+        for t in toks["token"]
+    ]
+    return pa.table(
+        {
+            "token": pa.array(toks["token"].tolist(), pa.string()),
+            "true_count": pa.array(toks["c"].to_numpy(np.int64), pa.int64()),
+            "cms_estimate": pa.array(np.asarray(est, np.int64), pa.int64()),
+        }
+    )
+
+
+def _cms_sql() -> str:
+    def hsql(mult: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, length(token)+1), "
+            "i -> CAST(ascii(substring(token, CAST(i AS INT), 1)) AS BIGINT))), "
+            f"(a, b) -> (a * {mult} + b) % {_CMS_MOD}) % {CMS_W}"
+        )
+
+    cnts = ", ".join(
+        f"cnt{r} AS (SELECT b{r} AS j, CAST(SUM(true_count) AS BIGINT) AS c "
+        "FROM tb GROUP BY 1)"
+        for r in range(CMS_D)
+    )
+    joins = " ".join(f"JOIN cnt{r} c{r} ON c{r}.j = p.b{r}" for r in range(CMS_D))
+    least = "least(" + ", ".join(f"c{r}.c" for r in range(CMS_D)) + ")"
+    bcols = ", ".join(f"{hsql(m)} AS b{r}" for r, m in enumerate(CMS_MULTS))
+    return (
+        "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS token FROM documents), "
+        "tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count "
+        "FROM tok GROUP BY 1), "
+        f"tb AS (SELECT token, true_count, {bcols} FROM tc), "
+        f"{cnts}, "
+        "probes AS (SELECT * FROM tb "
+        "ORDER BY true_count DESC, token LIMIT 20) "
+        f"SELECT p.token, p.true_count, CAST({least} AS BIGINT) AS cms_estimate "
+        f"FROM probes p {joins}"
+    )
+
+
 ML6_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_oov_rate": q_doc_oov_rate,
@@ -1581,6 +1714,7 @@ ML6_QUERIES = {
     "source_token_entropy": q_source_token_entropy,
     "split_leakage_pairs": q_split_leakage_pairs,
     "events_upsert_roundtrip": q_events_upsert_roundtrip,
+    "token_cms_estimates": q_token_cms_estimates,
 }
 
 
@@ -1594,6 +1728,7 @@ def build_ml6_oracles() -> dict[str, str]:
         "source_token_entropy": _entropy_sql(),
         "split_leakage_pairs": _split_leakage_sql(),
         "events_upsert_roundtrip": _upsert_roundtrip_sql(),
+        "token_cms_estimates": _cms_sql(),
         "doc_oov_rate": _oov_sql(),
         "source_vocab_overlap": _overlap_sql(),
         "lang_token_fertility": _fertility_sql(),

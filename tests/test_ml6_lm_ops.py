@@ -178,3 +178,18 @@ def test_curated_pack_manifest_invariants(ray_session):
         assert (offs[1:] == (offs[:-1] + toks[:-1])).all()
     # every split present, and no doc appears in two splits
     assert df.groupby("doc_id")["split"].nunique().max() == 1
+
+
+def test_cms_overestimate_invariant_and_merge(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml6 import (
+        q_token_cms_estimates,
+    )
+
+    texts = ["alpha " * 30 + "beta " * 10 + "gamma", "alpha beta delta epsilon"]
+    sf = _write_docs(tmp_path, texts)
+    got = q_token_cms_estimates(sf).to_pandas()
+    # one-sided error: a CMS never undercounts
+    assert (got["cms_estimate"] >= got["true_count"]).all()
+    # with a tiny vocab there are no collisions → estimates exact
+    assert (got["cms_estimate"] == got["true_count"]).all()
+    assert got.iloc[0]["token"] == "alpha" and got.iloc[0]["true_count"] == 31
