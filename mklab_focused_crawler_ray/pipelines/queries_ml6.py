@@ -1,15 +1,18 @@
-"""Round-4 (cont.) corpus-audit and retrieval operators: BM25 top-k
-retrieval, out-of-vocabulary rate against the corpus vocabulary,
-per-source vocabulary overlap, and per-language tokenizer fertility.
+"""Corpus-audit, retrieval and LM-scoring operators (rounds 4–5): BM25
+top-k, OOV rate, source vocabulary overlap, tokenizer fertility, DSIR
+weights, centroid outliers, langid confusion (round 4); bigram-LM
+scoring, first-occurrence gram novelty, directed Jaccard containment,
+Efraimidis–Spirakis weighted sampling, per-source token entropy, the
+cross-split leakage audit, the upsert-sink round-trip, and a
+SQL-replayable Count-Min Sketch (round 5).
 
 These are the dataset-audit / retrieval counterparts of the curation
 chain: BM25 is the classic bag-of-words ranking function (Robertson &
 Spärck Jones probabilistic relevance framework, the Lucene/Elasticsearch
 default) over the same token stream the reference's TextIndexerBolt
 family indexes (bolts/*/TextIndexerBolt.java — see SURVEY.md §2.9); the
-other three are the corpus-health rollups a training-data pipeline runs
-before mixing (tokenizer fertility per language, vocabulary coverage,
-cross-source contamination of vocabularies).
+rest are the corpus-health rollups and sampling/scoring primitives a
+training-data pipeline runs before mixing.
 
 House oracle discipline: every score is integer micro/ppm units computed
 with division-free-until-the-final-floor rational arithmetic (BM25's
