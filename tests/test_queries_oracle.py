@@ -96,6 +96,11 @@ FIXTURE_BACKED = {
     "hits_top20",
     "image_token_cost",
     "image_pack_batches",
+    # audio/video oracles read the small fixture's sequential-signature
+    # tables by absolute path (same discipline as image_thumbnails)
+    "audio_clip_stats",
+    "video_frame_stats",
+    "video_dup_pairs",
     "simhash_docs",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
