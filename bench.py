@@ -236,6 +236,16 @@ BENCH_QUERIES = [
     "events_upsert_roundtrip",
     "video_dup_pairs",
     "token_cms_estimates",
+    # round-5 third wave (queries_ml7): corpus statistics + SRP-LSH
+    "vocab_coverage_curve",
+    "embedding_srp_pairs",
+    "source_unigram_kl",
+    "source_kmv_distinct",
+    "zipf_fit_sources",
+    "ccnet_perplexity_buckets",
+    "minhash_jaccard_estimates",
+    "event_rate_anomalies",
+    "user_activity_gini",
 ]
 
 

@@ -1,0 +1,1224 @@
+"""Corpus-statistics and embedding-LSH operators (round 5, third wave):
+vocabulary coverage curve, SQL-replayable SRP (signed-random-projection)
+embedding near-dup pairs, per-source unigram KL divergence, KMV distinct
+estimation, Zipf-slope fits, and CCNet-style per-language perplexity
+terciles.
+
+These close the remaining corpus-health column of the training-data
+brief: coverage/Zipf answer "is this tokenizer's vocabulary sized
+right / is this source natural language", KL and the perplexity buckets
+are the CCNet mixing-and-filtering primitives, KMV is the mergeable
+distinct-count sketch (the cardinality sibling of ml6's Count-Min), and
+the SRP pairs flip embedding-cosine near-dup from rows-only
+(stages/dedup.embedding_cosine_pairs, numpy-RNG hyperplanes) to a fully
+DuckDB-replayable [sql] operator by deriving the hyperplanes from an
+integer hash and verifying with integer-quantized cosine.
+
+House oracle discipline (same as ml6): micro/ppm integer units; floats
+appear only inside the shared last-ulp-safe ``floor(f(x)·10⁶ + 0.5)``
+envelope both engines replay; every division is performed on positive
+operands (or sign-split into a portable floor) because DuckDB's ``//``
+truncates toward zero on negatives while Python floors; big sums
+accumulate in Python ints engine-side and HUGEINT oracle-side.
+
+Reference: no corpus analytics exist in MKLab-ITI/mklab-focused-crawler
+(its statistics surface is the counter bolts, MediaCounterBolt.java /
+ItemsCounterBolt.java); every operator here is a build-brief addition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .queries_ml2 import _p
+from .queries_ml6 import _CMS_MOD, _cms_hash
+
+# --------------------------------------------------------------------------
+# vocabulary coverage curve
+# --------------------------------------------------------------------------
+
+# rank cutoffs — part of the output contract (one row per cutoff)
+COVERAGE_CUTOFFS = (10, 100, 1000, 10000)
+
+
+def q_vocab_coverage_curve(sf_dir: str):
+    """VOCABULARY COVERAGE CURVE: for each rank cutoff R in
+    ``COVERAGE_CUTOFFS``, the fraction of the corpus token stream covered
+    by the R most frequent tokens (ties broken token-asc). Output one row
+    per cutoff: (rank_cutoff, covered_types, covered_tokens,
+    total_tokens, coverage_ppm) — the "how big must the vocabulary be"
+    audit behind every tokenizer-size decision (and the empirical side of
+    the Zipf fit below).
+
+    Scale shape: one vocabulary-bounded (token → count) shuffle; then
+    each count block emits its partial top-max(R) under the final total
+    order (count desc, token asc) plus one (total, n_types) summary row —
+    valid because post-groupby every token lives in exactly one block, so
+    the global top-R is a subset of the union of per-block top-Rs. The
+    single-group finisher sees ≤ blocks·max(R) + blocks rows (not the
+    vocabulary) and emits |COVERAGE_CUTOFFS| rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    top_n = max(COVERAGE_CUTOFFS)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(TOKEN_RE.findall(t.lower()))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "pc": pa.array(
+                    np.fromiter((c[t] for t in toks), np.int64, len(toks)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        # unicode dtype so np.lexsort's tie order is byte order — identical
+        # to SQL's ORDER BY token for this [a-z0-9]+ token alphabet
+        toks = np.asarray(batch["token"].to_pylist(), dtype=str)
+        c = np.asarray(batch["c"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((toks, -c))[:top_n]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order) + 1, np.int64), pa.int64()),
+                "kind": pa.array(["top"] * len(order) + ["sum"], pa.string()),
+                "token": pa.array(list(toks[order]) + [""], pa.string()),
+                "c": pa.array(
+                    np.concatenate([c[order], [int(c.sum())]]), pa.int64()
+                ),
+                "nt": pa.array(
+                    np.concatenate([np.zeros(len(order), np.int64), [len(c)]]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        total = int(g.loc[g["kind"] == "sum", "c"].sum())
+        n_types = int(g.loc[g["kind"] == "sum", "nt"].sum())
+        t = g[g["kind"] == "top"].sort_values(
+            ["c", "token"], ascending=[False, True], kind="stable"
+        )
+        counts = t["c"].to_numpy(np.int64)
+        rows = []
+        for cut in COVERAGE_CUTOFFS:
+            cov = int(counts[:cut].sum())
+            rows.append(
+                (
+                    cut,
+                    min(cut, n_types),
+                    cov,
+                    total,
+                    (cov * 1_000_000) // total if total else 0,
+                )
+            )
+        arr = np.asarray(rows, np.int64)
+        return pa.table(
+            {
+                "rank_cutoff": pa.array(arr[:, 0], pa.int64()),
+                "covered_types": pa.array(arr[:, 1], pa.int64()),
+                "covered_tokens": pa.array(arr[:, 2], pa.int64()),
+                "total_tokens": pa.array(arr[:, 3], pa.int64()),
+                "coverage_ppm": pa.array(arr[:, 4], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pc", alias_name="c"))
+        .map_batches(block_top, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _coverage_sql() -> str:
+    cuts = ", ".join(f"({c})" for c in COVERAGE_CUTOFFS)
+    return (
+        "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS token FROM documents), "
+        "tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tok GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, "
+        "CAST(COUNT(*) AS BIGINT) AS nt FROM tc), "
+        "ranked AS (SELECT c, ROW_NUMBER() OVER "
+        "(ORDER BY c DESC, token ASC) AS rk FROM tc) "
+        "SELECT CAST(v.cut AS BIGINT) AS rank_cutoff, "
+        "CAST(LEAST(v.cut, tot.nt) AS BIGINT) AS covered_types, "
+        "CAST(SUM(r.c) AS BIGINT) AS covered_tokens, tot.t AS total_tokens, "
+        "CAST(CAST(SUM(r.c) AS HUGEINT) * 1000000 // tot.t AS BIGINT) "
+        "AS coverage_ppm "
+        f"FROM ranked r CROSS JOIN (VALUES {cuts}) v(cut) CROSS JOIN tot "
+        "WHERE r.rk <= v.cut GROUP BY v.cut, tot.t, tot.nt"
+    )
+
+
+# --------------------------------------------------------------------------
+# SRP (signed random projection) embedding near-dup pairs — [sql]
+# --------------------------------------------------------------------------
+
+# Contract constants. 32 signature bits in 4 bands of 8 → for a pair at
+# angle θ the per-bit collision probability is p = 1 − θ/π and the
+# candidate recall is 1 − (1 − p⁸)⁴ (Charikar 2002 SimHash bound); at
+# the verify threshold cos ≥ 0.4 that is ≈ 10% — candidate generation is
+# the operator, and the oracle replays it exactly, so the recall/cost
+# trade sits in these constants, not in any nondeterminism. The
+# hyperplane entries are ±1 signs derived from the splitmix64
+# golden-ratio multiplier so DuckDB regenerates them bit-identically.
+SRP_BITS = 32
+SRP_BAND_BITS = 8
+SRP_MULT = 11400714819323198485  # floor(2^64/φ), forced odd — public constant
+SRP_COS2_PPM_MIN = 160_000  # cos ≥ 0.4 ⟺ dot > 0 ∧ 25·dot² ≥ 4·|a|²·|b|²
+_SRP_M64 = 1 << 64
+SRP_BUCKET_CAP = 4096  # per-(band,key) member cap — logged when hit
+
+
+def _srp_signs(dim: int) -> np.ndarray:
+    """(SRP_BITS × dim) ±1 hyperplane matrix: sign k·dim+d is +1 iff
+    ((k·dim+d+1)·SRP_MULT mod 2⁶⁴) < 2⁶³ — replayed in SQL via HUGEINT
+    modular arithmetic."""
+    idx = np.arange(SRP_BITS * dim, dtype=object) + 1
+    return (
+        np.where(((idx * SRP_MULT) % _SRP_M64) < (1 << 63), 1, -1)
+        .astype(np.int64)
+        .reshape(SRP_BITS, dim)
+    )
+
+
+def q_embedding_srp_pairs(sf_dir: str):
+    """EMBEDDING NEAR-DUP PAIRS via SRP-LSH, fully SQL-replayable: each
+    vector is micro-quantized (qe = floor(e·10⁶ + 0.5), so the signature
+    and the verify are exact integer arithmetic with no float sign risk),
+    signed against ``SRP_BITS`` hash-derived ±1 hyperplanes, and banded
+    into ``SRP_BITS/SRP_BAND_BITS`` keys; vectors sharing a band key are
+    candidates, and a candidate pair is emitted iff its integer-quantized
+    cosine passes cos ≥ 0.4 (dot > 0 and 25·dot² ≥ 4·na²·nb²). Output:
+    (doc_a, doc_b, cos2_ppm) with doc_a < doc_b and
+    cos2_ppm = dot²·10⁶ // (na²·nb²).
+
+    This is the [sql]-oracled counterpart of
+    stages/dedup.embedding_cosine_pairs (whose Gaussian hyperplanes come
+    from numpy RNG and therefore cannot be replayed by DuckDB): same
+    bucket-then-verify shape, deterministic-from-arithmetic planes.
+
+    Scale shape: one streaming signature pass (the sign matrix is a
+    per-actor constant), then a (band, key) groupby whose buckets hold
+    1/2⁸ of each band's vectors in expectation; in-bucket verify is an
+    int64 matmul (dot ≤ dim·10¹² « 2⁶³) with the square promoted to
+    Python ints only for the ≤cap²/2 candidate entries; buckets beyond
+    ``SRP_BUCKET_CAP`` members are truncated (vec_id asc) with logged
+    dropped coverage — the hot-bucket guard every LSH stage here carries.
+    Cross-band duplicate pairs collapse in a dup-shaped final groupby."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..stages.dedup import _log_overflow
+
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    sign_cache: dict[int, np.ndarray] = {}
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy()
+        emb = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]
+        )
+        q = np.floor(emb * 1_000_000.0 + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        signs = sign_cache.get(dim)
+        if signs is None:
+            signs = _srp_signs(dim)
+            sign_cache[dim] = signs
+        bits = (q @ signs.T > 0).astype(np.int64)  # (B, SRP_BITS)
+        keys = np.zeros((len(vids), n_bands), np.int64)
+        for k in range(SRP_BITS):
+            keys[:, k // SRP_BAND_BITS] |= bits[:, k] << (k % SRP_BAND_BITS)
+        band = np.repeat(np.arange(n_bands, dtype=np.int64), len(vids))
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int64()),
+                "key": pa.array(keys.T.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.tile(vids, n_bands), pa.int64()),
+                "qe": pa.array(
+                    [r.tolist() for r in q] * n_bands, pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "cos2_ppm": pd.Series(dtype=np.int64),
+            }
+        )
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) > SRP_BUCKET_CAP:
+            _log_overflow(
+                "embedding_srp_pairs",
+                (int(g["band"].iloc[0]), int(g["key"].iloc[0])),
+                len(g),
+                SRP_BUCKET_CAP,
+            )
+            g = g.iloc[:SRP_BUCKET_CAP]
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy(np.int64)
+        q = np.stack([np.asarray(e, np.int64) for e in g["qe"]])
+        dots = q @ q.T  # exact: |dot| ≤ dim·(10⁶)² « 2⁶³
+        n2 = np.einsum("ij,ij->i", q, q)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        d = dots[ii, jj]
+        pos = d > 0
+        ii, jj, d = ii[pos], jj[pos], d[pos].astype(object)
+        if len(d) == 0:
+            return empty
+        na2 = n2[ii].astype(object)
+        nb2 = n2[jj].astype(object)
+        keep = 25 * d * d >= 4 * na2 * nb2
+        ii, jj, d = ii[keep], jj[keep], d[keep]
+        if len(d) == 0:
+            return empty
+        ppm = np.fromiter(
+            (
+                int(dd) * int(dd) * 1_000_000 // (int(a) * int(b))
+                for dd, a, b in zip(d, na2[keep], nb2[keep])
+            ),
+            np.int64,
+            len(d),
+        )
+        return pd.DataFrame(
+            {"doc_a": ids[ii], "doc_b": ids[jj], "cos2_ppm": ppm}
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(signatures, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(verify, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        # the ppm value is identical in every band that emitted the pair
+        .aggregate(Max("cos2_ppm", alias_name="cos2_ppm"))
+    )
+
+
+def _srp_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qe "
+        "FROM embeddings), "
+        "bits AS (SELECT vec_id, k, CASE WHEN "
+        "list_sum(list_transform(range(0, len(qe)), d -> "
+        "qe[CAST(d AS INT)+1] * (CASE WHEN "
+        f"(CAST(k*len(qe)+d+1 AS HUGEINT)*{SRP_MULT}) % {_SRP_M64} "
+        f"< {1 << 63} THEN 1 ELSE -1 END))) > 0 THEN 1 ELSE 0 END AS bit "
+        f"FROM q, (SELECT unnest(range(0, {SRP_BITS})) AS k)), "
+        f"bands AS (SELECT vec_id, k // {SRP_BAND_BITS} AS band, "
+        f"CAST(SUM(bit << (k % {SRP_BAND_BITS})) AS BIGINT) AS key "
+        "FROM bits GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.vec_id < b.vec_id), "
+        "v AS (SELECT c.va, c.vb, "
+        "CAST(list_sum(list_transform(range(0, len(qa.qe)), i -> "
+        "CAST(qa.qe[CAST(i AS INT)+1] AS HUGEINT)*qb.qe[CAST(i AS INT)+1])) "
+        "AS HUGEINT) AS dot, "
+        "CAST(list_sum(list_transform(qa.qe, x -> CAST(x AS HUGEINT)*x)) "
+        "AS HUGEINT) AS na2, "
+        "CAST(list_sum(list_transform(qb.qe, x -> CAST(x AS HUGEINT)*x)) "
+        "AS HUGEINT) AS nb2 "
+        "FROM cand c JOIN q qa ON qa.vec_id = c.va "
+        "JOIN q qb ON qb.vec_id = c.vb) "
+        "SELECT va AS doc_a, vb AS doc_b, "
+        "CAST(dot*dot*1000000 // (na2*nb2) AS BIGINT) AS cos2_ppm "
+        "FROM v WHERE dot > 0 AND 25*dot*dot >= 4*na2*nb2"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source unigram KL divergence vs the corpus distribution
+# --------------------------------------------------------------------------
+
+
+def q_source_unigram_kl(sf_dir: str):
+    """KL DIVERGENCE KL(P_source ‖ P_corpus) in micro-Hartleys: for each
+    source, Σ_t c_st·(lp_s(t) − lp_c(t)) // T_s where
+    lp_s(t) = floor(log10(c_st/T_s)·10⁶ + 0.5) and lp_c uses the corpus
+    count/total — "how far does this source's token distribution sit
+    from the mixture", the quantity DoReMi/DSIR-style mixing weights are
+    built from (a near-zero KL source adds nothing; a huge-KL source is
+    either gold domain data or garbage). Output:
+    (source, n_tokens, kl_micro).
+
+    Every token present in a source is present in the corpus, so both
+    floored log terms are always defined; the per-token difference can be
+    negative, so the final division is sign-split into a portable floor
+    (S // T if S ≥ 0 else −((−S + T − 1) // T)) — DuckDB's ``//``
+    truncates toward zero on negatives while Python floors.
+
+    Scale shape: one (source, token) count shuffle (vocabulary×sources
+    bounded) materialized once and reused; per-source totals are a
+    source-count-bounded broadcast; corpus counts C_t come from a
+    token-keyed map_groups over the SAME bounded table (each group is
+    ≤ |sources| rows); the per-source finisher accumulates Σ c·Δlp in
+    Python ints (int64 wraps once c·Δlp passes ~10¹⁹ — the
+    lang_token_fertility ADVICE-r4 rule)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in TOKEN_RE.findall(t.lower()):
+                c[(s, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "pc": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .materialize()  # vocabulary×sources bounded — reused twice below
+    )
+    tot_df = (
+        counts.groupby("source").aggregate(Sum("c", alias_name="t")).to_pandas()
+    )
+    t_s = {str(r.source): int(r.t) for r in tot_df.itertuples(index=False)}
+    t_corpus = sum(t_s.values())
+    ts_ref = ray.put((t_s, t_corpus))
+
+    def per_token(g) -> pa.Table:
+        ts_map, t_all = ray.get(ts_ref)
+        c = g["c"].to_numpy(np.int64)
+        ct = int(c.sum())
+        lp_c = int(np.floor(np.log10(ct / float(t_all)) * 1_000_000 + 0.5))
+        srcs = g["source"].tolist()
+        lp_s = np.floor(
+            np.log10(c / np.asarray([float(ts_map[s]) for s in srcs]))
+            * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "c": pa.array(c, pa.int64()),
+                "dlp": pa.array(lp_s - lp_c, pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        ts_map, _ = ray.get(ts_ref)
+        src = str(g["source"].iloc[0])
+        t = ts_map[src]
+        c = g["c"].to_numpy(np.int64).astype(object)
+        dlp = g["dlp"].to_numpy(np.int64).astype(object)
+        s = int((c * dlp).sum())
+        kl = s // t if s >= 0 else -((-s + t - 1) // t)
+        return pa.table(
+            {
+                "source": pa.array([src], pa.string()),
+                "n_tokens": pa.array([t], pa.int64()),
+                "kl_micro": pa.array([kl], pa.int64()),
+            }
+        )
+
+    return (
+        counts.groupby("token")
+        .map_groups(per_token, batch_format="pandas")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _kl_sql() -> str:
+    return (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "uc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tok GROUP BY 1, 2), "
+        "st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM uc GROUP BY 1), "
+        "gt AS (SELECT CAST(SUM(c) AS BIGINT) AS t_all, "
+        "token FROM uc GROUP BY token), "
+        "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t_corpus FROM uc), "
+        "d AS (SELECT uc.source, uc.c, "
+        "CAST(FLOOR(LOG10(CAST(uc.c AS DOUBLE)/st.t)*1000000 + 0.5) AS BIGINT) "
+        "- CAST(FLOOR(LOG10(CAST(gt.t_all AS DOUBLE)/tt.t_corpus)*1000000 "
+        "+ 0.5) AS BIGINT) AS dlp "
+        "FROM uc JOIN st USING (source) JOIN gt USING (token) CROSS JOIN tt), "
+        "agg AS (SELECT d.source, st.t, "
+        "CAST(SUM(CAST(d.c AS HUGEINT) * d.dlp) AS HUGEINT) AS s "
+        "FROM d JOIN st ON st.source = d.source GROUP BY 1, 2) "
+        "SELECT source, t AS n_tokens, "
+        "CAST(CASE WHEN s >= 0 THEN s // t "
+        "ELSE -((-s + t - 1) // t) END AS BIGINT) AS kl_micro FROM agg"
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct estimation per source
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+# KMV orders hashes on the FULL [0, 2³¹) range, so unlike the CMS (which
+# only buckets mod W) the byte-fold needs range uniformity: use the glibc
+# LCG multiplier/increment as the fold step plus one finishing LCG round,
+# which spreads even 1-char tokens across the range (measured ≤ a few %
+# error at 200–5000 cardinalities) while staying list_reduce-replayable.
+KMV_MULT = 1103515245
+KMV_INC = 12345
+
+
+def _kmv_hash(token: str) -> int:
+    h = _cms_hash(token, KMV_MULT)
+    return (h * KMV_MULT + KMV_INC) % _CMS_MOD
+
+
+def q_source_kmv_distinct(sf_dir: str):
+    """KMV DISTINCT-COUNT SKETCH (Bar-Yossef et al. 2002): estimate each
+    source's distinct-token count from the ``KMV_K`` smallest distinct
+    byte-fold hashes: est = (K−1)·2³¹ // max(h_K, 1) (exact distinct-hash
+    count when fewer than K hashes exist). Output:
+    (source, n_types, kmv_estimate) — true vs estimate side by side, the
+    cardinality sibling of ml6's Count-Min (same replayable hash family,
+    multiplier ``KMV_MULT``).
+
+    Note the estimator's truth is DISTINCT HASHES: two tokens colliding
+    mod 2³¹ count once inside the sketch on both engines (n_types is the
+    exact token-distinct count and may exceed it).
+
+    Scale shape: each batch emits its per-source k smallest distinct
+    hashes (k-min of a union is the k-min of the union of per-part
+    k-mins) plus the batch's distinct (source, token) pairs for the exact
+    side — the true-count rows ride the same vocabulary-bounded shuffle
+    CMS uses; the sketch side is K rows per (source, batch)."""
+    import ray.data as rd
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        per_src: dict[str, set] = {}
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            per_src.setdefault(s, set()).update(TOKEN_RE.findall(t.lower()))
+        srcs, kinds, toks, hs = [], [], [], []
+        for s, words in per_src.items():
+            hset = set()
+            for w in words:
+                srcs.append(s)
+                kinds.append("t")
+                toks.append(w)
+                hs.append(0)
+                hset.add(_kmv_hash(w))
+            for h in sorted(hset)[:KMV_K]:
+                srcs.append(s)
+                kinds.append("h")
+                toks.append("")
+                hs.append(h)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "h": pa.array(np.asarray(hs, np.int64), pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        src = str(g["source"].iloc[0])
+        n_types = int(g.loc[g["kind"] == "t", "token"].nunique())
+        hashes = np.unique(g.loc[g["kind"] == "h", "h"].to_numpy(np.int64))
+        if len(hashes) < KMV_K:
+            est = len(hashes)
+        else:
+            hk = int(hashes[KMV_K - 1])
+            est = (KMV_K - 1) * _CMS_MOD // max(hk, 1)
+        return pa.table(
+            {
+                "source": pa.array([src], pa.string()),
+                "n_types": pa.array([n_types], pa.int64()),
+                "kmv_estimate": pa.array([est], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _kmv_sql() -> str:
+    hsql = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(token)+1), "
+        "i -> CAST(ascii(substring(token, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(a, b) -> (a * {KMV_MULT} + b) % {_CMS_MOD}) "
+        f"* {KMV_MULT} + {KMV_INC}) % {_CMS_MOD}"
+    )
+    return (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "dd AS (SELECT DISTINCT source, token FROM tok), "
+        f"dh AS (SELECT DISTINCT source, {hsql} AS h FROM dd), "
+        "rk AS (SELECT source, h, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY h ASC) AS rn FROM dh), "
+        "agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd, "
+        f"CAST(MAX(CASE WHEN rn = {KMV_K} THEN h END) AS BIGINT) AS hk "
+        "FROM rk GROUP BY 1), "
+        "nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types "
+        "FROM dd GROUP BY 1) "
+        "SELECT a.source, nt.n_types, "
+        f"CAST(CASE WHEN a.nd < {KMV_K} THEN a.nd "
+        f"ELSE {(KMV_K - 1) * _CMS_MOD} // GREATEST(a.hk, 1) END AS BIGINT) "
+        "AS kmv_estimate "
+        "FROM agg a JOIN nt ON nt.source = a.source"
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf-slope fit per source
+# --------------------------------------------------------------------------
+
+
+def q_zipf_fit_sources(sf_dir: str):
+    """ZIPF-LAW FIT per source: ordinary-least-squares slope of
+    log10(count) against log10(rank) over the full rank–frequency curve
+    (rank by count desc, token asc) — natural language sits near slope
+    −1; boilerplate or generated text drifts far from it, making this the
+    corpus-shape sibling of the coverage curve above. Output:
+    (source, n_types, slope_neg_micro) with
+    slope_neg_micro = (Σx·Σy − n·Σxy)·10⁶ // (n·Σx² − (Σx)²) — the
+    NEGATED slope so the numerator is positive for any decreasing curve
+    and the floor division is portable; x/y are the shared
+    floor(log10·10⁶ + 0.5) envelope. A pathological increasing fit would
+    go negative, so the division is sign-split like the KL above.
+    Sources with a single token type are excluded (zero variance in x).
+
+    Scale shape: one vocabulary-bounded (source, token) count shuffle,
+    then a per-source map_groups over its count column (the token strings
+    matter only for tie-stable ranking); all five OLS sums accumulate in
+    Python ints (Σxy over a 10⁹-type vocabulary passes int64)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in TOKEN_RE.findall(t.lower()):
+                c[(s, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "pc": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    def fit(g) -> pa.Table:
+        n = len(g)
+        if n < 2:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_types": pa.array([], pa.int64()),
+                    "slope_neg_micro": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_values(["c", "token"], ascending=[False, True], kind="stable")
+        c = g["c"].to_numpy(np.int64)
+        rank = np.arange(1, n + 1, dtype=np.float64)
+        x = np.floor(np.log10(rank) * 1_000_000 + 0.5).astype(np.int64).astype(object)
+        y = (
+            np.floor(np.log10(c.astype(np.float64)) * 1_000_000 + 0.5)
+            .astype(np.int64)
+            .astype(object)
+        )
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        num = (sx * sy - n * sxy) * 1_000_000
+        den = n * sxx - sx * sx
+        slope = num // den if num >= 0 else -((-num + den - 1) // den)
+        return pa.table(
+            {
+                "source": pa.array([str(g["source"].iloc[0])], pa.string()),
+                "n_types": pa.array([n], pa.int64()),
+                "slope_neg_micro": pa.array([slope], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .groupby("source")
+        .map_groups(fit, batch_format="pandas")
+    )
+
+
+def _zipf_sql() -> str:
+    return (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "uc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tok GROUP BY 1, 2), "
+        "rk AS (SELECT source, c, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY c DESC, token ASC) AS rank FROM uc), "
+        "xy AS (SELECT source, "
+        "CAST(FLOOR(LOG10(CAST(rank AS DOUBLE))*1000000 + 0.5) AS HUGEINT) AS x, "
+        "CAST(FLOOR(LOG10(CAST(c AS DOUBLE))*1000000 + 0.5) AS HUGEINT) AS y "
+        "FROM rk), "
+        "agg AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx "
+        "FROM xy GROUP BY 1), "
+        "fit AS (SELECT source, n, (sx*sy - n*sxy) * 1000000 AS num, "
+        "n*sxx - sx*sx AS den FROM agg WHERE n >= 2) "
+        "SELECT source, CAST(n AS BIGINT) AS n_types, "
+        "CAST(CASE WHEN num >= 0 THEN num // den "
+        "ELSE -((-num + den - 1) // den) END AS BIGINT) AS slope_neg_micro "
+        "FROM fit"
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style per-language perplexity terciles
+# --------------------------------------------------------------------------
+
+
+def q_ccnet_perplexity_buckets(sf_dir: str):
+    """CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020): rank each language's
+    documents by bigram-LM perplexity and cut into head/middle/tail
+    terciles with SQL NTILE(3) semantics (the first n mod 3 buckets take
+    the extra document). The per-token score is
+    ppt = (−logprob_micro)·10⁶ // n_bigrams over the already-oracled
+    ``doc_bigram_logprob`` output (positive, so the floor is portable),
+    ordered (ppt asc, doc_id asc). Docs with <2 tokens have no bigram
+    score and are excluded (the component query's empty-doc rule).
+    Output: (lang, bucket, n_docs, ppt_min, ppt_max) with bucket 1=head.
+
+    Scale shape: composes the bigram-LM pass (one bigram-bucketed
+    shuffle, LM never broadcast); the language labels join in via a
+    doc-bounded groupby carrying only (lang | ppt) marker rows; the
+    tercile cut is a per-language map_groups over (ppt, doc_id) pairs —
+    16 bytes per doc inside the group. At 100 TB the cut would switch to
+    a distributed sort + counted NTILE boundaries per language; the
+    group here carries scores only, never text."""
+    import pandas as pd
+    import ray.data as rd
+
+    lp = q_doc_bigram_logprob_shared(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lpm = np.asarray(
+            batch["logprob_micro"].to_numpy(zero_copy_only=False), np.int64
+        ).astype(object)
+        nb = np.asarray(
+            batch["n_bigrams"].to_numpy(zero_copy_only=False), np.int64
+        ).astype(object)
+        ppt = np.fromiter(
+            (int(-l) * 1_000_000 // int(n) for l, n in zip(lpm, nb)),
+            np.int64,
+            len(lpm),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kind": pa.array(["s"] * len(ppt), pa.string()),
+                "lang": pa.array([""] * len(ppt), pa.string()),
+                "ppt": pa.array(ppt, pa.int64()),
+            }
+        )
+
+    def lang_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kind": pa.array(["l"] * n, pa.string()),
+                "lang": batch["lang"],
+                "ppt": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    langs = rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang"]
+    ).map_batches(lang_rows, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["kind"] == "s"]
+        if len(s) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype=str),
+                    "ppt": pd.Series(dtype=np.int64),
+                    "doc_id": pd.Series(dtype=np.int64),
+                }
+            )
+        lang = str(g.loc[g["kind"] == "l", "lang"].iloc[0])
+        return pd.DataFrame(
+            {
+                "lang": [lang],
+                "ppt": [int(s["ppt"].iloc[0])],
+                "doc_id": [int(g["doc_id"].iloc[0])],
+            }
+        )
+
+    def terciles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ppt", "doc_id"], kind="stable").reset_index(drop=True)
+        n = len(g)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if b < extra else 0) for b in range(3)]
+        rows = []
+        pos = 0
+        for b, sz in enumerate(sizes, start=1):
+            if sz == 0:
+                continue
+            chunk = g.iloc[pos : pos + sz]
+            rows.append(
+                (
+                    str(g["lang"].iloc[0]),
+                    b,
+                    sz,
+                    int(chunk["ppt"].min()),
+                    int(chunk["ppt"].max()),
+                )
+            )
+            pos += sz
+        return pd.DataFrame(
+            rows, columns=["lang", "bucket", "n_docs", "ppt_min", "ppt_max"]
+        )
+
+    return (
+        lp.map_batches(score, batch_format="pyarrow")
+        .union(langs)
+        .groupby("doc_id")
+        .map_groups(join, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(terciles, batch_format="pandas")
+    )
+
+
+def q_doc_bigram_logprob_shared(sf_dir: str):
+    """The ml6 bigram-LM Dataset, importable without a pipelines import
+    cycle (ml6 already imports from ml2; this module sits after both)."""
+    from .queries_ml6 import q_doc_bigram_logprob
+
+    return q_doc_bigram_logprob(sf_dir)
+
+
+def _ccnet_sql() -> str:
+    from .queries_ml6 import _bigram_lp_sql
+
+    return (
+        f"WITH lp AS ({_bigram_lp_sql()}), "
+        "sc AS (SELECT l.doc_id, d.lang, "
+        "CAST(CAST(-l.logprob_micro AS HUGEINT) * 1000000 // l.n_bigrams "
+        "AS BIGINT) AS ppt "
+        "FROM lp l JOIN documents d ON d.doc_id = l.doc_id), "
+        "nt AS (SELECT lang, doc_id, ppt, NTILE(3) OVER "
+        "(PARTITION BY lang ORDER BY ppt ASC, doc_id ASC) AS bucket FROM sc) "
+        "SELECT lang, CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(MIN(ppt) AS BIGINT) AS ppt_min, "
+        "CAST(MAX(ppt) AS BIGINT) AS ppt_max "
+        "FROM nt GROUP BY 1, 2"
+    )
+
+
+ML7_QUERIES = {
+    "vocab_coverage_curve": q_vocab_coverage_curve,
+    "embedding_srp_pairs": q_embedding_srp_pairs,
+    "source_unigram_kl": q_source_unigram_kl,
+    "source_kmv_distinct": q_source_kmv_distinct,
+    "zipf_fit_sources": q_zipf_fit_sources,
+    "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+}
+
+
+def build_ml7_oracles() -> dict[str, str]:
+    out = {
+        "vocab_coverage_curve": _coverage_sql(),
+        "embedding_srp_pairs": _srp_sql(),
+        "source_unigram_kl": _kl_sql(),
+        "source_kmv_distinct": _kmv_sql(),
+        "zipf_fit_sources": _zipf_sql(),
+        "ccnet_perplexity_buckets": _ccnet_sql(),
+    }
+    # wave-4 builders live below this function; resolved at call time
+    out.update({name: fn() for name, fn in _ML7_ORACLES_EXTRA.items()})
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash Jaccard estimates vs truth (the similarity-sketch audit)
+# --------------------------------------------------------------------------
+
+# Contract constants: K permutations, the Mersenne prime 2³¹−1, and the
+# Knuth/Fibonacci multipliers that derive (a_k, b_k) — all public.
+MINHASH_EST_K = 32
+MINHASH_P = 2_147_483_647
+MINHASH_A_MULT = 2_654_435_761
+MINHASH_B_MULT = 40_503
+MINHASH_PROBE_N = 20  # probe pairs among doc_id < N
+
+
+def _minhash_ab(k: int) -> tuple[int, int]:
+    a = ((k + 1) * MINHASH_A_MULT) % MINHASH_P
+    return (a if a else 1, ((k + 1) * MINHASH_B_MULT) % MINHASH_P)
+
+
+def q_minhash_jaccard_estimates(sf_dir: str):
+    """MINHASH SIMILARITY-SKETCH AUDIT (Broder 1997): for every pair of
+    probe documents (doc_id < ``MINHASH_PROBE_N``, both non-empty),
+    compare the true unigram-set Jaccard against the K-permutation
+    MinHash estimate — est_ppm = matches·10⁶ // K with
+    h_k(t) = (a_k·x(t) + b_k) mod (2³¹−1) over the KMV byte-fold token
+    hash x(t). Output: (doc_a, doc_b, true_jaccard_ppm,
+    minhash_est_ppm). This completes the sketch-audit family: Count-Min
+    (frequency), KMV (cardinality), MinHash (similarity) — each with
+    truth and estimate side by side and a bit-exact DuckDB replay.
+
+    Scale shape: signatures are map-side per doc (K running minima over
+    the token stream — this is the part that scales; the same pass
+    feeds LSH banding in stages/dedup.py); the probe side is
+    output-bounded — only the N probe docs' distinct-token hash sets
+    leave the scan, and the pairwise fold runs on that N-doc frame.
+    Hash collisions fold two tokens into one element consistently on
+    both engines (the KMV rule); truth here is Jaccard over hashed
+    element sets, which is what the sketch actually estimates."""
+    import ray.data as rd
+
+    from .queries import TOKEN_RE
+
+    ab = [_minhash_ab(k) for k in range(MINHASH_EST_K)]
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        ids_out, hs_out = [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if did >= MINHASH_PROBE_N:
+                continue
+            xs = sorted({_kmv_hash(w) for w in TOKEN_RE.findall(t.lower())})
+            if not xs:
+                continue
+            ids_out.append(did)
+            hs_out.append(xs)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "hashes": pa.array(hs_out, pa.list_(pa.int64())),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(probe_rows, batch_format="pyarrow")
+        .to_pandas()  # ≤ MINHASH_PROBE_N rows — output-bounded
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sets = {
+        int(r.doc_id): frozenset(int(x) for x in r.hashes)
+        for r in rows.itertuples(index=False)
+    }
+    sigs = {
+        d: [min((a * x + b) % MINHASH_P for x in s) for a, b in ab]
+        for d, s in sets.items()
+    }
+    out = []
+    ids = sorted(sets)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            sa, sb = sets[da], sets[db]
+            true_ppm = len(sa & sb) * 1_000_000 // len(sa | sb)
+            matches = sum(
+                1 for x, y in zip(sigs[da], sigs[db]) if x == y
+            )
+            out.append(
+                (da, db, true_ppm, matches * 1_000_000 // MINHASH_EST_K)
+            )
+    arr = np.asarray(out, np.int64).reshape(-1, 4)
+    return pa.table(
+        {
+            "doc_a": pa.array(arr[:, 0], pa.int64()),
+            "doc_b": pa.array(arr[:, 1], pa.int64()),
+            "true_jaccard_ppm": pa.array(arr[:, 2], pa.int64()),
+            "minhash_est_ppm": pa.array(arr[:, 3], pa.int64()),
+        }
+    )
+
+
+def _minhash_est_sql() -> str:
+    hsql = (
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(token)+1), "
+        "i -> CAST(ascii(substring(token, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(a, b) -> (a * {KMV_MULT} + b) % {_CMS_MOD}) "
+        f"* {KMV_MULT} + {KMV_INC}) % {_CMS_MOD}"
+    )
+    a_expr = (
+        f"CASE WHEN ((k+1) * {MINHASH_A_MULT}) % {MINHASH_P} = 0 THEN 1 "
+        f"ELSE ((k+1) * {MINHASH_A_MULT}) % {MINHASH_P} END"
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        f"FROM documents WHERE doc_id < {MINHASH_PROBE_N}), "
+        f"dh AS (SELECT DISTINCT doc_id, {hsql} AS x FROM tok), "
+        "sig AS (SELECT doc_id, k, "
+        f"MIN((({a_expr}) * x + ((k+1) * {MINHASH_B_MULT}) % {MINHASH_P}) "
+        f"% {MINHASH_P}) AS mh "
+        f"FROM dh, (SELECT unnest(range(0, {MINHASH_EST_K})) AS k) "
+        "GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        "CAST(COUNT(*) AS BIGINT) AS i FROM dh a JOIN dh b "
+        "ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT sa.doc_id AS da, sb.doc_id AS db, sa.n AS na, "
+        "sb.n AS nb, COALESCE(i.i, 0) AS i FROM sz sa JOIN sz sb "
+        "ON sa.doc_id < sb.doc_id LEFT JOIN inter i "
+        "ON i.da = sa.doc_id AND i.db = sb.doc_id), "
+        "mm AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        "CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS m "
+        "FROM sig a JOIN sig b ON a.k = b.k AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT p.da AS doc_a, p.db AS doc_b, "
+        "CAST(p.i * 1000000 // (p.na + p.nb - p.i) AS BIGINT) "
+        "AS true_jaccard_ppm, "
+        f"CAST(mm.m * 1000000 // {MINHASH_EST_K} AS BIGINT) AS minhash_est_ppm "
+        "FROM pairs p JOIN mm ON mm.da = p.da AND mm.db = p.db"
+    )
+
+
+# --------------------------------------------------------------------------
+# event-rate anomaly flags (integer z²-test, no sqrt)
+# --------------------------------------------------------------------------
+
+
+def q_event_rate_anomalies(sf_dir: str):
+    """EVENT-RATE ANOMALIES: flag (event_type, hour) buckets whose event
+    count deviates from the type's hourly mean by more than 3σ — computed
+    ENTIRELY in integers by clearing denominators: with n hours observed
+    for the type, s = Σx and q = Σx², the test (x − s/n)² > 9·σ² becomes
+    (n·x − s)² > 9·(n·q − s²) after multiplying through by n². No sqrt,
+    no float, no division — bit-exact on both engines. Output: flagged
+    rows (event_type, hour_idx, n_events) with
+    hour_idx = epoch_ms(ts) // 3 600 000.
+
+    This is the ops-side anomaly gate (traffic spike / outage detection
+    over the crawl's event stream) next to the curation-side outlier
+    gates (event_value_outliers' exact percentiles, the MAD gate, the
+    centroid-dot gate).
+
+    Scale shape: per-(type, hour) counts are a calendar-bounded shuffle
+    (types × hours, tiny vs the event stream) built from map-side partial
+    counts; the per-type flag pass is a map_groups over that bounded
+    frame. Hours with zero events simply don't exist in the frame — the
+    contract is over OBSERVED hours (both engines agree by
+    construction)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch["ts"]
+        # epoch µs → epoch days; timestamps are post-1970 in every tier
+        hour = pc.divide(pc.cast(ts, pa.int64()), 3_600_000_000)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_idx": pc.cast(hour, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "hour_idx"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "hour_idx", "pc"])
+
+    def flag(g) -> pa.Table:
+        x = g["n"].to_numpy(np.int64).astype(object)
+        n = len(x)
+        s, q = int(x.sum()), int((x * x).sum())
+        lhs = (n * x - s) ** 2
+        rhs = 9 * (n * q - s * s)
+        keep = np.fromiter((int(v) > rhs for v in lhs), bool, n)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [str(g["event_type"].iloc[0])] * int(keep.sum()),
+                    pa.string(),
+                ),
+                "hour_idx": pa.array(
+                    g["hour_idx"].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                "n_events": pa.array(
+                    g["n"].to_numpy(np.int64)[keep], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "hour_idx"])
+        .aggregate(Sum("pc", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(flag, batch_format="pandas")
+    )
+
+
+def _anomaly_sql() -> str:
+    return (
+        "WITH d AS (SELECT event_type, "
+        "epoch_ms(ts) // 3600000 AS hour_idx FROM events), "
+        "c AS (SELECT event_type, hour_idx, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM d GROUP BY 1, 2), "
+        "st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(n_events) AS HUGEINT) AS s, "
+        "CAST(SUM(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS q "
+        "FROM c GROUP BY 1) "
+        "SELECT c.event_type, c.hour_idx, c.n_events "
+        "FROM c JOIN st USING (event_type) "
+        "WHERE (st.n * c.n_events - st.s) * (st.n * c.n_events - st.s) "
+        "> 9 * (st.n * st.q - st.s * st.s)"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-event-type user-activity Gini coefficient (skew audit)
+# --------------------------------------------------------------------------
+
+
+def q_user_activity_gini(sf_dir: str):
+    """USER-ACTIVITY GINI per event type: inequality of the per-user
+    event-count distribution, gini_ppm = (Σᵢ (2i − n − 1)·x₍ᵢ₎)·10⁶ //
+    (n·Σx) with x sorted ascending (1-based i) — 0 for perfectly uniform
+    activity, →1 when one user generates everything. This is the
+    hot-key/skew audit in statistical form: the same number that says a
+    groupby on user_id will have a straggler says a community has a
+    power-law contributor curve (the reference's MediaCounterBolt rolls
+    plain counts; this is its distributional summary). The coefficient
+    sum over any run of equal x values is permutation-invariant, so no
+    tie rule is needed. Output: (event_type, n_users, n_events,
+    gini_ppm).
+
+    Scale shape: one (type, user) count shuffle (users-bounded, built
+    from map-side partials), then a per-type map_groups over 16-byte
+    (user, count) pairs; the ascending-sort numerator accumulates in
+    Python ints (Σ i·x reaches n²·x̄, past int64 at ~10¹⁰ users)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "event_type": batch["event_type"],
+                    "user_id": batch["user_id"],
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "user_id", "pc"])
+
+    def gini(g) -> pa.Table:
+        x = np.sort(g["n"].to_numpy(np.int64))
+        n = len(x)
+        tot = int(x.sum())
+        xo = x.astype(object)
+        coef = (2 * np.arange(1, n + 1, dtype=object) - n - 1)
+        num = int((coef * xo).sum()) * 1_000_000
+        den = n * tot
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [str(g["event_type"].iloc[0])], pa.string()
+                ),
+                "n_users": pa.array([n], pa.int64()),
+                "n_events": pa.array([tot], pa.int64()),
+                "gini_ppm": pa.array([num // den], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("pc", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(gini, batch_format="pandas")
+    )
+
+
+def _gini_sql() -> str:
+    return (
+        "WITH uc AS (SELECT event_type, user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "rk AS (SELECT event_type, n, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY n ASC, user_id ASC) AS i FROM uc), "
+        "cnt AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS nu, "
+        "CAST(SUM(n) AS HUGEINT) AS tot FROM uc GROUP BY 1), "
+        "agg AS (SELECT rk.event_type, cnt.nu, cnt.tot, "
+        "SUM((2*CAST(rk.i AS HUGEINT) - cnt.nu - 1) * rk.n) AS num "
+        "FROM rk JOIN cnt USING (event_type) "
+        "GROUP BY 1, 2, 3) "
+        "SELECT event_type, CAST(nu AS BIGINT) AS n_users, "
+        "CAST(tot AS BIGINT) AS n_events, "
+        "CAST(num * 1000000 // (nu * tot) AS BIGINT) AS gini_ppm FROM agg"
+    )
+
+
+ML7_QUERIES.update(
+    {
+        "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
+        "event_rate_anomalies": q_event_rate_anomalies,
+        "user_activity_gini": q_user_activity_gini,
+    }
+)
+
+_ML7_ORACLES_EXTRA = {
+    "minhash_jaccard_estimates": _minhash_est_sql,
+    "event_rate_anomalies": _anomaly_sql,
+    "user_activity_gini": _gini_sql,
+}
