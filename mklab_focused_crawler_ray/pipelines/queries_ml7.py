@@ -737,18 +737,24 @@ def q_ccnet_perplexity_buckets(sf_dir: str):
     Output: (lang, bucket, n_docs, ppt_min, ppt_max) with bucket 1=head.
 
     Scale shape: composes the bigram-LM pass (one bigram-bucketed
-    shuffle, LM never broadcast); the language labels join in via a
-    doc-bounded groupby carrying only (lang | ppt) marker rows; the
-    tercile cut is a per-language map_groups over (ppt, doc_id) pairs —
-    16 bytes per doc inside the group. At 100 TB the cut would switch to
-    a distributed sort + counted NTILE boundaries per language; the
-    group here carries scores only, never text."""
+    shuffle, LM never broadcast — materialized once per corpus via
+    :func:`q_doc_bigram_logprob_shared`); the language labels join in via
+    ONE doc-id-bucketed co-group with a vectorized in-bucket merge
+    (neither side broadcast, 16 bytes per doc on the wire); the tercile
+    cut is a per-language map_groups over (ppt, doc_id) pairs. At 100 TB
+    the cut would switch to a distributed sort + counted NTILE
+    boundaries per language; the group here carries scores only, never
+    text."""
     import pandas as pd
     import ray.data as rd
 
+    from ..scale import derive_buckets
+
+    nb_buckets = derive_buckets(sf_dir, "documents", floor=16)
     lp = q_doc_bigram_logprob_shared(sf_dir)
 
     def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         lpm = np.asarray(
             batch["logprob_micro"].to_numpy(zero_copy_only=False), np.int64
         ).astype(object)
@@ -762,8 +768,11 @@ def q_ccnet_perplexity_buckets(sf_dir: str):
         )
         return pa.table(
             {
+                "bucket": pa.array(
+                    np.asarray(ids, np.int64) % nb_buckets, pa.int64()
+                ),
                 "doc_id": batch["doc_id"],
-                "kind": pa.array(["s"] * len(ppt), pa.string()),
+                "side": pa.array(np.zeros(len(ppt), np.int64), pa.int64()),
                 "lang": pa.array([""] * len(ppt), pa.string()),
                 "ppt": pa.array(ppt, pa.int64()),
             }
@@ -771,10 +780,12 @@ def q_ccnet_perplexity_buckets(sf_dir: str):
 
     def lang_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), np.int64)
         return pa.table(
             {
+                "bucket": pa.array(ids % nb_buckets, pa.int64()),
                 "doc_id": batch["doc_id"],
-                "kind": pa.array(["l"] * n, pa.string()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
                 "lang": batch["lang"],
                 "ppt": pa.array(np.zeros(n, np.int64), pa.int64()),
             }
@@ -785,23 +796,10 @@ def q_ccnet_perplexity_buckets(sf_dir: str):
     ).map_batches(lang_rows, batch_format="pyarrow")
 
     def join(g: pd.DataFrame) -> pd.DataFrame:
-        s = g[g["kind"] == "s"]
-        if len(s) == 0:
-            return pd.DataFrame(
-                {
-                    "lang": pd.Series(dtype=str),
-                    "ppt": pd.Series(dtype=np.int64),
-                    "doc_id": pd.Series(dtype=np.int64),
-                }
-            )
-        lang = str(g.loc[g["kind"] == "l", "lang"].iloc[0])
-        return pd.DataFrame(
-            {
-                "lang": [lang],
-                "ppt": [int(s["ppt"].iloc[0])],
-                "doc_id": [int(g["doc_id"].iloc[0])],
-            }
-        )
+        s = g[g["side"] == 0][["doc_id", "ppt"]]
+        l = g[g["side"] == 1][["doc_id", "lang"]]
+        m = s.merge(l, on="doc_id", how="inner")
+        return m[["lang", "ppt", "doc_id"]]
 
     def terciles(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ppt", "doc_id"], kind="stable").reset_index(drop=True)
@@ -831,7 +829,7 @@ def q_ccnet_perplexity_buckets(sf_dir: str):
     return (
         lp.map_batches(score, batch_format="pyarrow")
         .union(langs)
-        .groupby("doc_id")
+        .groupby("bucket")
         .map_groups(join, batch_format="pandas")
         .groupby("lang")
         .map_groups(terciles, batch_format="pandas")
@@ -839,11 +837,31 @@ def q_ccnet_perplexity_buckets(sf_dir: str):
 
 
 def q_doc_bigram_logprob_shared(sf_dir: str):
-    """The ml6 bigram-LM Dataset, importable without a pipelines import
-    cycle (ml6 already imports from ml2; this module sits after both)."""
+    """The ml6 bigram-LM output as a Dataset, materialized ONCE per corpus
+    fingerprint to a parquet under /tmp and streamed back on every
+    composition that needs it (the r4 basket-pass-sharing discipline,
+    commit dbde684: compositions must not re-run their component's
+    shuffle). The cache is a parquet file, not a driver frame, so the
+    composed query still streams; `doc_bigram_logprob` itself keeps its
+    honest uncached pipeline."""
+    import os
+
+    import ray.data as rd
+
+    from .queries import _corpus_cache_path
     from .queries_ml6 import q_doc_bigram_logprob
 
-    return q_doc_bigram_logprob(sf_dir)
+    path = _corpus_cache_path(sf_dir, "bigram_lp_pq")
+    if not os.path.isdir(path):
+        # streamed write (doc-shaped output never lands on the driver),
+        # tmp-dir + rename so a crashed writer can't leave a half cache
+        tmp = path + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        q_doc_bigram_logprob(sf_dir).write_parquet(tmp)
+        os.replace(tmp, path)
+    return rd.read_parquet(path)
 
 
 def _ccnet_sql() -> str:
