@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "minhash_jaccard_estimates",
     "event_rate_anomalies",
     "user_activity_gini",
+    "embedding_int8_quant_error",
+    "event_value_winsorized",
 ]
 
 

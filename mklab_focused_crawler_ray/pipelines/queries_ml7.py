@@ -1240,3 +1240,194 @@ _ML7_ORACLES_EXTRA = {
     "event_rate_anomalies": _anomaly_sql,
     "user_activity_gini": _gini_sql,
 }
+
+
+# --------------------------------------------------------------------------
+# int8 embedding-quantization error audit
+# --------------------------------------------------------------------------
+
+
+def q_embedding_int8_quant_error(sf_dir: str):
+    """INT8 QUANTIZATION-ERROR AUDIT: per vector, how much cosine survives
+    symmetric per-vector int8 quantization — q8_d = floor(e_d·127/maxabs
+    + 0.5) with maxabs = max|e_d| — reported as
+    cos2_ppm = dot²·10⁶ // (Σqm²·Σq8²) between the micro-quantized
+    reference (qm, the SRP/ANN envelope) and the int8 vector. This is
+    the go/no-go measurement before shipping an int8 ANN index (the PQ
+    and IVF-PQ stages quantize harder; this is the lossless-looking
+    baseline everyone deploys first). Output: (vec_id, maxabs_micro,
+    cos2_ppm); all-zero vectors carry no direction and are excluded.
+
+    Scale shape: pure map-side — one streaming pass, no shuffle at all;
+    the two quantized dots are exact int64 (|qm·q8| ≤ dim·10⁶·127) with
+    only the squares promoted to Python ints. Floats appear in the two
+    shared floor envelopes (·10⁶ and ·127/maxabs) both engines replay
+    verbatim."""
+    import ray.data as rd
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_id, out_ma, out_cos = [], [], []
+        for vid, e in zip(ids, batch["embedding"].to_pylist()):
+            v = np.asarray(e, np.float64)
+            maxabs = float(np.abs(v).max()) if len(v) else 0.0
+            if maxabs == 0.0:
+                continue
+            qm = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
+            q8 = np.floor(v * 127.0 / maxabs + 0.5).astype(np.int64)
+            dot = int((qm * q8).sum())
+            na2 = int((qm.astype(object) * qm.astype(object)).sum())
+            nb2 = int((q8 * q8).sum())
+            if na2 == 0 or nb2 == 0:
+                continue
+            cos2 = dot * dot * 1_000_000 // (na2 * nb2)
+            out_id.append(int(vid))
+            out_ma.append(int(np.floor(maxabs * 1_000_000.0 + 0.5)))
+            out_cos.append(int(cos2))
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id, pa.int64()),
+                "maxabs_micro": pa.array(out_ma, pa.int64()),
+                "cos2_ppm": pa.array(out_cos, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(audit, batch_format="pyarrow")
+
+
+def _int8_quant_sql() -> str:
+    return (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        "m AS (SELECT vec_id, e, "
+        "list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v), "
+        "q AS (SELECT vec_id, maxabs, "
+        "list_transform(e, x -> CAST(FLOOR(x*1000000 + 0.5) AS BIGINT)) AS qm, "
+        "list_transform(e, x -> CAST(FLOOR(x*127/maxabs + 0.5) AS BIGINT)) AS q8 "
+        "FROM m WHERE maxabs > 0), "
+        "d AS (SELECT vec_id, maxabs, "
+        "CAST(list_sum(list_transform(range(0, len(qm)), i -> "
+        "CAST(qm[CAST(i AS INT)+1] AS HUGEINT)*q8[CAST(i AS INT)+1])) "
+        "AS HUGEINT) AS dot, "
+        "CAST(list_sum(list_transform(qm, x -> CAST(x AS HUGEINT)*x)) "
+        "AS HUGEINT) AS na2, "
+        "CAST(list_sum(list_transform(q8, x -> CAST(x AS HUGEINT)*x)) "
+        "AS HUGEINT) AS nb2 FROM q) "
+        "SELECT vec_id, "
+        "CAST(FLOOR(maxabs*1000000 + 0.5) AS BIGINT) AS maxabs_micro, "
+        "CAST(dot*dot*1000000 // (na2*nb2) AS BIGINT) AS cos2_ppm "
+        "FROM d WHERE na2 > 0 AND nb2 > 0"
+    )
+
+
+# --------------------------------------------------------------------------
+# winsorized robust mean of event values
+# --------------------------------------------------------------------------
+
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def q_event_value_winsorized(sf_dir: str):
+    """WINSORIZED MEAN per event type: clamp cents = floor(value·100+0.5)
+    to the exact [P5, P95] percentiles (the event_value_quantiles rank
+    rule — smallest v whose cumulative count ≥ ⌈q·n/100⌉) and average the
+    clamped values — the robust-mean counterpart of the MAD and
+    percentile gates (one fat-fingered 10⁹ value cannot move it). Output:
+    (event_type, n, lo_cents, hi_cents, wmean_cents) with
+    wmean_cents = Σ clamp(v)·cnt // n, sign-split for the portable floor
+    (values may be negative).
+
+    Scale shape: identical to event_value_quantiles — the shuffle moves
+    the per-(type, cents) HISTOGRAM, never rows; one per-type finisher
+    cumsums the sorted histogram, picks both cut ranks, and folds the
+    clamped sum in Python ints."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(), "cents": cents}
+        )
+        g = (
+            df.groupby(["event_type", "cents"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(g) -> pa.Table:
+        g = g.sort_values("cents", kind="stable")
+        c = g["cnt"].to_numpy(np.int64)
+        v = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, -(-WINSOR_LO_PCT * n // 100))])
+        hi = int(v[np.searchsorted(cum, -(-WINSOR_HI_PCT * n // 100))])
+        s = int((np.clip(v, lo, hi).astype(object) * c.astype(object)).sum())
+        wm = s // n if s >= 0 else -((-s + n - 1) // n)
+        return pa.table(
+            {
+                "event_type": pa.array([str(g["event_type"].iloc[0])], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "lo_cents": pa.array([lo], pa.int64()),
+                "hi_cents": pa.array([hi], pa.int64()),
+                "wmean_cents": pa.array([wm], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _winsorized_sql() -> str:
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events), "
+        "n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1), "
+        "r AS (SELECT event_type, cents, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rk FROM c), "
+        "cuts AS (SELECT r.event_type, ANY_VALUE(n.n) AS n, "
+        f"MIN(CASE WHEN rk >= ({WINSOR_LO_PCT} * n.n + 99) // 100 "
+        "THEN cents END) AS lo_cents, "
+        f"MIN(CASE WHEN rk >= ({WINSOR_HI_PCT} * n.n + 99) // 100 "
+        "THEN cents END) AS hi_cents "
+        "FROM r JOIN n USING (event_type) GROUP BY 1), "
+        "agg AS (SELECT c.event_type, "
+        "CAST(SUM(CAST(LEAST(GREATEST(c.cents, k.lo_cents), k.hi_cents) "
+        "AS HUGEINT)) AS HUGEINT) AS s "
+        "FROM c JOIN cuts k USING (event_type) GROUP BY 1) "
+        "SELECT k.event_type, k.n, k.lo_cents, k.hi_cents, "
+        "CAST(CASE WHEN a.s >= 0 THEN a.s // k.n "
+        "ELSE -((-a.s + k.n - 1) // k.n) END AS BIGINT) AS wmean_cents "
+        "FROM cuts k JOIN agg a USING (event_type)"
+    )
+
+
+ML7_QUERIES.update(
+    {
+        "embedding_int8_quant_error": q_embedding_int8_quant_error,
+        "event_value_winsorized": q_event_value_winsorized,
+    }
+)
+
+_ML7_ORACLES_EXTRA.update(
+    {
+        "embedding_int8_quant_error": _int8_quant_sql,
+        "event_value_winsorized": _winsorized_sql,
+    }
+)

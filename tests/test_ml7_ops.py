@@ -425,3 +425,78 @@ def test_gini_uniform_zero_and_concentrated_high(tmp_path, ray_session):
     assert int(df.loc["skew", "gini_ppm"]) == num // (n * tot)
     assert int(df.loc["skew", "n_users"]) == 4
     assert int(df.loc["skew", "n_events"]) == 12
+
+
+# --------------------------------------------------------------------------
+# int8 quantization error audit
+# --------------------------------------------------------------------------
+
+
+def test_int8_quant_error_brute_force_and_zero_vector(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_embedding_int8_quant_error,
+    )
+
+    vecs = [
+        [0.5, -0.25, 0.125, 0.0],
+        [0.0, 0.0, 0.0, 0.0],  # no direction → excluded
+        [1.0, 1.0, 1.0, 1.0],
+    ]
+    sf = _write_embeddings(tmp_path, vecs)
+    df = q_embedding_int8_quant_error(sf).to_pandas().set_index("vec_id")
+    assert 1 not in df.index and set(df.index) == {0, 2}
+    for vid in (0, 2):
+        v = np.asarray(vecs[vid], np.float64)
+        ma = np.abs(v).max()
+        qm = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        q8 = np.floor(v * 127.0 / ma + 0.5).astype(np.int64)
+        dot = int((qm * q8).sum())
+        cos2 = dot * dot * 1_000_000 // (
+            int((qm.astype(object) ** 2).sum()) * int((q8 * q8).sum())
+        )
+        assert int(df.loc[vid, "cos2_ppm"]) == cos2
+        assert int(df.loc[vid, "maxabs_micro"]) == int(
+            np.floor(ma * 1e6 + 0.5)
+        )
+    # a constant vector maps to a proportional int8 vector → cos² = 1;
+    # the mixed vector pays real rounding (0.125·127/0.5 = 31.75 → 32)
+    assert int(df.loc[2, "cos2_ppm"]) == 1_000_000
+    assert 990_000 < int(df.loc[0, "cos2_ppm"]) < 1_000_000
+
+
+# --------------------------------------------------------------------------
+# winsorized mean
+# --------------------------------------------------------------------------
+
+
+def test_winsorized_mean_clamps_planted_outlier(tmp_path, ray_session):
+    import datetime as dt
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_event_value_winsorized,
+    )
+
+    # 99 values of 1.00 and one 10⁷ outlier: the P95 cut clamps it to 100
+    values = [1.0] * 99 + [10_000_000.0]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(100), pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1)] * 100, pa.timestamp("us")
+                ),
+                "user_id": pa.array([0] * 100, pa.int64()),
+                "event_type": pa.array(["pay"] * 100, pa.string()),
+                "value": pa.array(values, pa.float64()),
+                "props": pa.array(["{}"] * 100, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = q_event_value_winsorized(str(tmp_path)).to_pandas()
+    r = df.iloc[0]
+    # lo = hi = 100 cents (P5 and P95 both land on the 1.00 mass) → the
+    # outlier contributes 100, not 10⁹ cents
+    assert int(r["lo_cents"]) == 100 and int(r["hi_cents"]) == 100
+    assert int(r["wmean_cents"]) == 100
+    assert int(r["n"]) == 100
