@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "user_activity_gini",
     "embedding_int8_quant_error",
     "event_value_winsorized",
+    "cross_source_dup_matrix",
+    "token_burstiness",
+    "dup_cluster_size_hist",
 ]
 
 

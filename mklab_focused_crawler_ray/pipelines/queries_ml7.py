@@ -1431,3 +1431,282 @@ _ML7_ORACLES_EXTRA.update(
         "event_value_winsorized": _winsorized_sql,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# cross-source duplication matrix (provenance audit over the exact join)
+# --------------------------------------------------------------------------
+
+
+def q_cross_source_dup_matrix(sf_dir: str):
+    """CROSS-SOURCE DUPLICATION MATRIX: which sources copy from which —
+    the exact AllPairs word-3-gram Jaccard ≥ 0.5 near-dup pairs rolled up
+    by unordered source pair: (source_a, source_b, n_pairs) with
+    source_a ≤ source_b. A heavy off-diagonal cell means two feeds
+    syndicate the same text (dedup them jointly, or drop one); the
+    diagonal is within-source duplication. Same composition discipline as
+    ``split_leakage_pairs``, but the labels must be READ (source is a
+    column, not a hash of the id), so the involved docs' labels ride an
+    output-bounded broadcast lookup.
+
+    Scale shape: pair discovery is the complete prefix-filter AllPairs
+    join (distributed, no LSH recall caveat); the pair list is dup-shaped
+    and the label lookup scans documents once with an involved-id mask
+    (searchsorted against a broadcast sorted array — the
+    _shingle_hash_store trick), collecting only involved (doc_id, source)
+    rows; the matrix fold is |sources|²-bounded."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import allpairs_jaccard_pairs
+    from .queries import pairs_to_df
+
+    pairs = pairs_to_df(
+        allpairs_jaccard_pairs(
+            _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
+        ),
+        ["doc_a", "doc_b", "jaccard_micro"],
+    )
+    if pairs.empty:
+        return pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+    involved = np.unique(
+        np.concatenate(
+            [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
+        )
+    )
+    inv_ref = ray.put(involved)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        idx = np.clip(np.searchsorted(inv, ids), 0, max(0, len(inv) - 1))
+        m = (inv[idx] == ids) if len(inv) else np.zeros(len(ids), bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "source": pa.array(
+                    np.asarray(batch["source"].to_pylist(), dtype=object)[m].tolist(),
+                    pa.string(),
+                ),
+            }
+        )
+
+    lab = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+        .map_batches(lookup, batch_format="pyarrow")
+        .to_pandas()  # involved-set bounded
+    )
+    smap = dict(zip(lab["doc_id"].astype(np.int64), lab["source"].astype(str)))
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for a, b in zip(
+        pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)
+    ):
+        sa, sb = smap[int(a)], smap[int(b)]
+        cnt[(min(sa, sb), max(sa, sb))] += 1
+    keys = sorted(cnt)
+    return pa.table(
+        {
+            "source_a": pa.array([k[0] for k in keys], pa.string()),
+            "source_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_pairs": pa.array([cnt[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def _dup_matrix_sql() -> str:
+    from .oracles_ext import _WORD3_CTE, _jaccard_pairs_sql
+
+    return (
+        f"WITH p AS ({_jaccard_pairs_sql(_WORD3_CTE, 1, 2)}) "
+        "SELECT LEAST(da.source, db.source) AS source_a, "
+        "GREATEST(da.source, db.source) AS source_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM p JOIN documents da ON da.doc_id = p.doc_a "
+        "JOIN documents db ON db.doc_id = p.doc_b GROUP BY 1, 2"
+    )
+
+
+# --------------------------------------------------------------------------
+# token burstiness (Church–Gale / Katz): occurrences per containing doc
+# --------------------------------------------------------------------------
+
+BURSTINESS_TOPN = 20
+
+
+def q_token_burstiness(sf_dir: str):
+    """TOKEN BURSTINESS for the ``BURSTINESS_TOPN`` most frequent tokens:
+    burst_micro = c·10⁶ // df — the Church–Gale/Katz statistic (mean
+    occurrences per document that contains the token). Function words sit
+    near their frequency-predicted value; topical/bursty tokens
+    concentrate (a doc that mentions them mentions them often), which is
+    why burstiness separates content terms from stopwords when raw
+    frequency cannot. Output: (token, c, df, burst_micro), the top-N by
+    (c desc, token asc).
+
+    Scale shape: one vocabulary-bounded shuffle carrying BOTH sufficient
+    statistics (per-batch token count and containing-doc count); each
+    post-groupby block emits its partial top-N under the final total
+    order (each token lives in one block), and the single-group finisher
+    folds a blocks·N-bounded frame."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        dfc: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            tk = TOKEN_RE.findall(t.lower())
+            c.update(tk)
+            dfc.update(set(tk))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "pc": pa.array(
+                    np.fromiter((c[t] for t in toks), np.int64, len(toks)),
+                    pa.int64(),
+                ),
+                "pdf": pa.array(
+                    np.fromiter((dfc[t] for t in toks), np.int64, len(toks)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        toks = np.asarray(batch["token"].to_pylist(), dtype=str)
+        c = np.asarray(batch["c"].to_numpy(zero_copy_only=False), np.int64)
+        dfv = np.asarray(batch["df"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((toks, -c))[:BURSTINESS_TOPN]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), np.int64), pa.int64()),
+                "token": pa.array(list(toks[order]), pa.string()),
+                "c": pa.array(c[order], pa.int64()),
+                "df": pa.array(dfv[order], pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        g = g.sort_values(["c", "token"], ascending=[False, True], kind="stable")
+        g = g.head(BURSTINESS_TOPN)
+        c = g["c"].to_numpy(np.int64).astype(object)
+        dfv = g["df"].to_numpy(np.int64).astype(object)
+        burst = np.fromiter(
+            (int(a) * 1_000_000 // int(b) for a, b in zip(c, dfv)),
+            np.int64,
+            len(g),
+        )
+        return pa.table(
+            {
+                "token": pa.array(g["token"].tolist(), pa.string()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                "df": pa.array(g["df"].to_numpy(np.int64), pa.int64()),
+                "burst_micro": pa.array(burst, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pc", alias_name="c"), Sum("pdf", alias_name="df"))
+        .map_batches(block_top, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _burstiness_sql() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1) "
+        "SELECT token, c, df, "
+        "CAST(CAST(c AS HUGEINT) * 1000000 // df AS BIGINT) AS burst_micro "
+        f"FROM tc ORDER BY c DESC, token ASC LIMIT {BURSTINESS_TOPN}"
+    )
+
+
+# --------------------------------------------------------------------------
+# dup-cluster size histogram (log2 buckets, exact integer bucketing)
+# --------------------------------------------------------------------------
+
+
+def q_dup_cluster_size_hist(sf_dir: str):
+    """NEAR-DUP CLUSTER SIZE HISTOGRAM: how the fuzzy-dedup mass is
+    distributed — cluster sizes from ``dup_clusters`` bucketed by
+    size_log2 = bit_length(size) − 1 (EXACT integer bucketing, no float
+    log), one row per occupied bucket: (size_log2, n_clusters, n_docs).
+    A fat tail here (mega-clusters) is what turns 'drop the dups' from a
+    rounding error into most of the corpus — the report every dedup run
+    ships next to its keep list.
+
+    Scale shape: rides the cached near-dup pair pass and the distributed
+    min-label components (both output-bounded); the histogram fold is a
+    groupby over cluster-count-bounded rows."""
+    from collections import Counter
+
+    from .queries import q_dup_clusters
+
+    cl = q_dup_clusters(sf_dir)
+    sizes = Counter(cl["cluster_rep"].to_numpy(np.int64).tolist())
+    hist_c: Counter = Counter()
+    hist_d: Counter = Counter()
+    for _rep, n in sizes.items():
+        b = int(n).bit_length() - 1
+        hist_c[b] += 1
+        hist_d[b] += n
+    buckets = sorted(hist_c)
+    return pa.table(
+        {
+            "size_log2": pa.array(buckets, pa.int64()),
+            "n_clusters": pa.array([hist_c[b] for b in buckets], pa.int64()),
+            "n_docs": pa.array([hist_d[b] for b in buckets], pa.int64()),
+        }
+    )
+
+
+def _cluster_hist_sql() -> str:
+    from .queries import ORACLE_SQL
+
+    return (
+        f"WITH cl AS ({ORACLE_SQL['dup_clusters']}), "
+        "sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM cl GROUP BY 1) "
+        "SELECT CAST(LENGTH(PRINTF('%b', n)) - 1 AS BIGINT) AS size_log2, "
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(SUM(n) AS BIGINT) AS n_docs "
+        "FROM sz GROUP BY 1"
+    )
+
+
+ML7_QUERIES.update(
+    {
+        "cross_source_dup_matrix": q_cross_source_dup_matrix,
+        "token_burstiness": q_token_burstiness,
+        "dup_cluster_size_hist": q_dup_cluster_size_hist,
+    }
+)
+
+_ML7_ORACLES_EXTRA.update(
+    {
+        "cross_source_dup_matrix": _dup_matrix_sql,
+        "token_burstiness": _burstiness_sql,
+        "dup_cluster_size_hist": _cluster_hist_sql,
+    }
+)

@@ -500,3 +500,75 @@ def test_winsorized_mean_clamps_planted_outlier(tmp_path, ray_session):
     assert int(r["lo_cents"]) == 100 and int(r["hi_cents"]) == 100
     assert int(r["wmean_cents"]) == 100
     assert int(r["n"]) == 100
+
+
+# --------------------------------------------------------------------------
+# cross-source duplication matrix
+# --------------------------------------------------------------------------
+
+
+def test_dup_matrix_counts_planted_cross_source_pair(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_cross_source_dup_matrix,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [dup, dup, "totally different words here now", dup]
+    sources = ["s1", "s2", "s1", "s2"]
+    sf = _write_docs(tmp_path, texts, sources=sources)
+    df = q_cross_source_dup_matrix(sf).to_pandas()
+    cells = {
+        (r.source_a, r.source_b): int(r.n_pairs)
+        for r in df.itertuples(index=False)
+    }
+    # pairs among docs {0,1,3}: (0,1)=s1×s2, (0,3)=s1×s2, (1,3)=s2×s2
+    assert cells == {("s1", "s2"): 2, ("s2", "s2"): 1}
+
+
+# --------------------------------------------------------------------------
+# token burstiness
+# --------------------------------------------------------------------------
+
+
+def test_burstiness_brute_force_with_concentrated_token(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_token_burstiness,
+    )
+
+    # "zz" appears 6× in ONE doc (bursty); "aa" once in each of 3 docs
+    texts = ["zz zz zz zz zz zz aa", "aa bb", "aa bb"]
+    sf = _write_docs(tmp_path, texts)
+    df = q_token_burstiness(sf).to_pandas().set_index("token")
+    assert int(df.loc["zz", "c"]) == 6 and int(df.loc["zz", "df"]) == 1
+    assert int(df.loc["zz", "burst_micro"]) == 6_000_000
+    assert int(df.loc["aa", "c"]) == 3 and int(df.loc["aa", "df"]) == 3
+    assert int(df.loc["aa", "burst_micro"]) == 1_000_000
+    # ordering contract: by (c desc, token asc)
+    assert list(df.index) == ["zz", "aa", "bb"]
+
+
+# --------------------------------------------------------------------------
+# dup-cluster size histogram
+# --------------------------------------------------------------------------
+
+
+def test_cluster_hist_log2_buckets_from_planted_clusters(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_dup_cluster_size_hist,
+    )
+
+    d1 = "the quick brown fox jumps over the lazy dog again and again"
+    d2 = "completely unrelated sentence about database engines and arrow"
+    # a 2-cluster (bucket 1) and a 4-cluster (bucket 2), plus singletons
+    # (docs with no near-dup pair never enter dup_clusters)
+    texts = [d1, d1, d2, d2, d2, d2, "lone wolf text one", "other lone text"]
+    sf = _write_docs(tmp_path, texts)
+    df = (
+        q_dup_cluster_size_hist(sf)
+        .to_pandas()
+        .set_index("size_log2")
+        .sort_index()
+    )
+    assert list(df.index) == [1, 2]
+    assert int(df.loc[1, "n_clusters"]) == 1 and int(df.loc[1, "n_docs"]) == 2
+    assert int(df.loc[2, "n_clusters"]) == 1 and int(df.loc[2, "n_docs"]) == 4
