@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "cross_source_dup_matrix",
     "token_burstiness",
     "dup_cluster_size_hist",
+    "embedding_dim_stats",
+    "source_doclen_hist",
 ]
 
 

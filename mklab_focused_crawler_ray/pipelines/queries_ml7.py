@@ -1710,3 +1710,190 @@ _ML7_ORACLES_EXTRA.update(
         "dup_cluster_size_hist": _cluster_hist_sql,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# per-dimension embedding health stats (collapse / dead-dim audit)
+# --------------------------------------------------------------------------
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """PER-DIMENSION EMBEDDING STATS: for every coordinate d, the mean and
+    population variance of the micro-quantized values — the
+    representation-collapse audit (a dead dimension shows ~zero variance;
+    a runaway one dominates every distance). Integer-exact: with
+    qm = floor(e·10⁶ + 0.5), mean_micro = Σqm // n (sign-split portable
+    floor — embeddings are signed) and
+    var_micro2 = (n·Σqm² − (Σqm)²) // n² (non-negative by
+    Cauchy–Schwarz, so plain floor). Output: (dim, n_vecs, mean_micro,
+    var_micro2).
+
+    Scale shape: each batch folds to ONE partial-row set of 3·dim
+    integers (Σqm, Σqm², count per dimension) — the shuffle is
+    dimension-bounded regardless of corpus size; the finisher is a
+    dim-row groupby. Σqm² accumulates in Python ints (10¹² per element
+    crosses int64 at ~10⁷ vectors — the fertility rule)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]
+        )
+        qm = np.floor(emb * 1_000_000.0 + 0.5).astype(np.int64)
+        n, dim = qm.shape
+        qo = qm.astype(object)
+        s = qo.sum(axis=0)
+        s2 = (qo * qo).sum(axis=0)
+        # Σqm fits int64 far beyond any batch; Σqm² is kept as decimal
+        # strings through the shuffle would be overkill — per-BATCH sums
+        # fit int64 comfortably (10¹²·10⁴ rows), and the groupby Sum
+        # re-aggregates in int64: guard loudly rather than wrap silently
+        if any(abs(int(v)) > (1 << 62) for v in s2):
+            raise OverflowError(
+                "embedding_dim_stats: per-batch Σq² exceeds int64 headroom"
+            )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+                "pn": pa.array(np.full(dim, n, np.int64), pa.int64()),
+                "ps": pa.array(np.fromiter((int(v) for v in s), np.int64, dim), pa.int64()),
+                "ps2": pa.array(np.fromiter((int(v) for v in s2), np.int64, dim), pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        n = int(g["n"].iloc[0])
+        s = int(g["s"].iloc[0])
+        s2 = int(g["s2"].iloc[0])
+        mean = s // n if s >= 0 else -((-s + n - 1) // n)
+        var = (n * s2 - s * s) // (n * n)
+        return pa.table(
+            {
+                "dim": pa.array([int(g["dim"].iloc[0])], pa.int64()),
+                "n_vecs": pa.array([n], pa.int64()),
+                "mean_micro": pa.array([mean], pa.int64()),
+                "var_micro2": pa.array([var], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("ps", alias_name="s"),
+            Sum("ps2", alias_name="s2"),
+        )
+        .groupby("dim")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _dim_stats_sql() -> str:
+    return (
+        "WITH q AS (SELECT list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qm "
+        "FROM embeddings), "
+        "ex AS (SELECT CAST(d AS BIGINT) AS dim, qm[CAST(d AS INT)+1] AS v "
+        "FROM q, (SELECT unnest(range(0, (SELECT len(qm) FROM q LIMIT 1))) AS d)), "
+        "agg AS (SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(v) AS HUGEINT) AS s, "
+        "CAST(SUM(CAST(v AS HUGEINT)*v) AS HUGEINT) AS s2 FROM ex GROUP BY 1) "
+        "SELECT dim, CAST(n AS BIGINT) AS n_vecs, "
+        "CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s + n - 1) // n) END "
+        "AS BIGINT) AS mean_micro, "
+        "CAST((n*s2 - s*s) // (n*n) AS BIGINT) AS var_micro2 FROM agg"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source document-length histogram (padding / packing planner input)
+# --------------------------------------------------------------------------
+
+
+def q_source_doclen_hist(sf_dir: str):
+    """PER-SOURCE DOCUMENT-LENGTH HISTOGRAM in exact log2 buckets:
+    len_log2 = bit_length(n_tokens) − 1 (so bucket b holds docs with
+    2^b ≤ n_tokens < 2^(b+1)); zero-token docs carry no length and are
+    excluded on both engines. Output: (source, len_log2, n_docs,
+    n_tokens_total) — the planner input for sequence packing and padding
+    budgets (doc_pack_stats reports the achieved fill; this is the
+    distribution it packs from).
+
+    Scale shape: map-side bucketing, one (source, bucket) groupby over a
+    sources×~40-bucket-bounded key space."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        nd: Counter = Counter()
+        nt: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            n = len(TOKEN_RE.findall(t.lower()))
+            if n == 0:
+                continue
+            k = (s, n.bit_length() - 1)
+            nd[k] += 1
+            nt[k] += n
+        keys = list(nd.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "len_log2": pa.array(
+                    np.asarray([k[1] for k in keys], np.int64), pa.int64()
+                ),
+                "pd": pa.array(
+                    np.fromiter((nd[k] for k in keys), np.int64, len(keys)),
+                    pa.int64(),
+                ),
+                "pt": pa.array(
+                    np.fromiter((nt[k] for k in keys), np.int64, len(keys)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "len_log2"])
+        .aggregate(
+            Sum("pd", alias_name="n_docs"), Sum("pt", alias_name="n_tokens_total")
+        )
+    )
+
+
+def _doclen_hist_sql() -> str:
+    return (
+        "WITH t AS (SELECT source, "
+        "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents) "
+        "SELECT source, "
+        "CAST(LENGTH(PRINTF('%b', n)) - 1 AS BIGINT) AS len_log2, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n) AS BIGINT) AS n_tokens_total "
+        "FROM t WHERE n > 0 GROUP BY 1, 2"
+    )
+
+
+ML7_QUERIES.update(
+    {
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "source_doclen_hist": q_source_doclen_hist,
+    }
+)
+
+_ML7_ORACLES_EXTRA.update(
+    {
+        "embedding_dim_stats": _dim_stats_sql,
+        "source_doclen_hist": _doclen_hist_sql,
+    }
+)

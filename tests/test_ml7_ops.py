@@ -572,3 +572,65 @@ def test_cluster_hist_log2_buckets_from_planted_clusters(tmp_path, ray_session):
     assert list(df.index) == [1, 2]
     assert int(df.loc[1, "n_clusters"]) == 1 and int(df.loc[1, "n_docs"]) == 2
     assert int(df.loc[2, "n_clusters"]) == 1 and int(df.loc[2, "n_docs"]) == 4
+
+
+# --------------------------------------------------------------------------
+# per-dimension embedding stats
+# --------------------------------------------------------------------------
+
+
+def test_dim_stats_dead_and_live_dimensions(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_embedding_dim_stats,
+    )
+
+    # dim0 constant (dead: var 0), dim1 symmetric ±0.5 (mean 0),
+    # dim2 negative-mean (sign-split floor path)
+    vecs = [
+        [0.25, 0.5, -0.5],
+        [0.25, -0.5, -0.25],
+        [0.25, 0.5, -0.75],
+        [0.25, -0.5, -0.5],
+    ]
+    sf = _write_embeddings(tmp_path, vecs)
+    df = q_embedding_dim_stats(sf).to_pandas().set_index("dim").sort_index()
+    assert int(df.loc[0, "var_micro2"]) == 0
+    assert int(df.loc[0, "mean_micro"]) == 250_000
+    assert int(df.loc[1, "mean_micro"]) == 0
+    vals = np.array([-500_000, -250_000, -750_000, -500_000], dtype=object)
+    n, s, s2 = 4, int(vals.sum()), int((vals * vals).sum())
+    expect_mean = s // n  # Python floor == the sign-split contract
+    expect_var = (n * s2 - s * s) // (n * n)
+    assert int(df.loc[2, "mean_micro"]) == expect_mean
+    assert int(df.loc[2, "var_micro2"]) == expect_var
+    assert (df["n_vecs"] == 4).all()
+
+
+# --------------------------------------------------------------------------
+# per-source doc-length histogram
+# --------------------------------------------------------------------------
+
+
+def test_doclen_hist_buckets_and_zero_token_exclusion(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_source_doclen_hist,
+    )
+
+    texts = [
+        "one",  # 1 token  → bucket 0
+        "two tokens",  # 2 → bucket 1
+        "three of them here",  # 4 → bucket 2
+        "a b c d e f g",  # 7 → bucket 2
+        "",  # 0 tokens → excluded
+    ]
+    sf = _write_docs(tmp_path, texts)
+    df = (
+        q_source_doclen_hist(sf)
+        .to_pandas()
+        .set_index("len_log2")
+        .sort_index()
+    )
+    assert list(df.index) == [0, 1, 2]
+    assert int(df.loc[0, "n_docs"]) == 1 and int(df.loc[0, "n_tokens_total"]) == 1
+    assert int(df.loc[1, "n_docs"]) == 1 and int(df.loc[1, "n_tokens_total"]) == 2
+    assert int(df.loc[2, "n_docs"]) == 2 and int(df.loc[2, "n_tokens_total"]) == 11
