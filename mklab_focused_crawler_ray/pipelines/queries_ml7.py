@@ -1,15 +1,24 @@
-"""Corpus-statistics and embedding-LSH operators (round 5, third wave):
-vocabulary coverage curve, SQL-replayable SRP (signed-random-projection)
-embedding near-dup pairs, per-source unigram KL divergence, KMV distinct
-estimation, Zipf-slope fits, and CCNet-style per-language perplexity
-terciles.
+"""Corpus-statistics, sketch-audit and embedding-LSH operators (round 5,
+waves 3–7): vocabulary coverage curve, SQL-replayable SRP
+(signed-random-projection) embedding near-dup pairs, per-source unigram
+KL divergence, KMV distinct estimation, Zipf-slope fits, CCNet-style
+per-language perplexity terciles, MinHash Jaccard estimates vs truth,
+integer z²-test event-rate anomalies, user-activity Gini, int8
+quantization-error audit, winsorized robust means, the cross-source
+duplication matrix, token burstiness, dup-cluster size histograms,
+per-dimension embedding health stats, and per-source document-length
+histograms.
 
 These close the remaining corpus-health column of the training-data
-brief: coverage/Zipf answer "is this tokenizer's vocabulary sized
-right / is this source natural language", KL and the perplexity buckets
-are the CCNet mixing-and-filtering primitives, KMV is the mergeable
-distinct-count sketch (the cardinality sibling of ml6's Count-Min), and
-the SRP pairs flip embedding-cosine near-dup from rows-only
+brief: coverage/Zipf/burstiness/doclen answer "is this tokenizer's
+vocabulary sized right / is this source natural language / what does
+the packer pack", KL and the perplexity buckets are the CCNet
+mixing-and-filtering primitives, the sketch audits put truth and
+estimate side by side for all three classic sketches (Count-Min =
+frequency in ml6, KMV = cardinality, MinHash = similarity), the
+anomaly/Gini/winsorized trio is the ops-side robust-stats kit, the
+dim-stats and int8 audits are the embedding-health gates, and the SRP
+pairs flip embedding-cosine near-dup from rows-only
 (stages/dedup.embedding_cosine_pairs, numpy-RNG hyperplanes) to a fully
 DuckDB-replayable [sql] operator by deriving the hyperplanes from an
 integer hash and verifying with integer-quantized cosine.
