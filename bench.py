@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "dup_cluster_size_hist",
     "embedding_dim_stats",
     "source_doclen_hist",
+    "quality_decile_dup_rate",
+    "corpus_token_info_gain",
 ]
 
 

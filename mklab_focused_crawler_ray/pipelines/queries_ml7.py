@@ -1906,3 +1906,262 @@ _ML7_ORACLES_EXTRA.update(
         "source_doclen_hist": _doclen_hist_sql,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# quality-decile duplication rate (does low quality predict duplication?)
+# --------------------------------------------------------------------------
+
+
+def q_quality_decile_dup_rate(sf_dir: str):
+    """QUALITY×DUPLICATION CALIBRATION: cut the corpus into quality
+    deciles (NTILE(10) over (quality_micro asc, doc_id asc) — decile 1 is
+    the worst text) and report each decile's near-dup membership rate
+    (doc participates in ≥1 char-5-shingle Jaccard ≥ 0.5 pair, the
+    ``dup_clusters`` relation). Output: (decile, n_docs, n_dup_docs,
+    dup_rate_ppm). If duplication concentrates in the low deciles the
+    quality gate is already doing half the dedup's work — the
+    calibration every curation pipeline checks before ordering its
+    stages (cheap-gate-first vs dedup-first).
+
+    Scale shape: quality is a streaming map-side score; the dup-member
+    set is output-bounded (the cached pair pass) and broadcast; the
+    decile cut is one map_groups over (quality, doc_id, flag) triples —
+    ~17 bytes per doc, the ccnet-tercile caveat applies (at 100 TB:
+    distributed sort + counted NTILE boundaries)."""
+    import ray
+    import ray.data as rd
+
+    from .queries import _minhash_pairs_cached, q_doc_quality
+
+    pairs = _minhash_pairs_cached(sf_dir)
+    involved = (
+        np.unique(
+            np.concatenate(
+                [
+                    pairs["doc_a"].to_numpy(np.int64),
+                    pairs["doc_b"].to_numpy(np.int64),
+                ]
+            )
+        )
+        if not pairs.empty
+        else np.empty(0, np.int64)
+    )
+    inv_ref = ray.put(involved)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        idx = np.clip(np.searchsorted(inv, ids), 0, max(0, len(inv) - 1))
+        m = (inv[idx] == ids) if len(inv) else np.zeros(len(ids), bool)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "doc_id": batch["doc_id"],
+                "quality_micro": batch["quality_micro"],
+                "is_dup": pa.array(m.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deciles(g) -> pa.Table:
+        g = g.sort_values(["quality_micro", "doc_id"], kind="stable").reset_index(
+            drop=True
+        )
+        n = len(g)
+        base, extra = divmod(n, 10)
+        rows = []
+        pos = 0
+        for b in range(1, 11):
+            sz = base + (1 if b <= extra else 0)
+            if sz == 0:
+                continue
+            chunk = g.iloc[pos : pos + sz]
+            nd = int(chunk["is_dup"].sum())
+            rows.append((b, sz, nd, nd * 1_000_000 // sz))
+            pos += sz
+        arr = np.asarray(rows, np.int64).reshape(-1, 4)
+        return pa.table(
+            {
+                "decile": pa.array(arr[:, 0], pa.int64()),
+                "n_docs": pa.array(arr[:, 1], pa.int64()),
+                "n_dup_docs": pa.array(arr[:, 2], pa.int64()),
+                "dup_rate_ppm": pa.array(arr[:, 3], pa.int64()),
+            }
+        )
+
+    return (
+        q_doc_quality(sf_dir)
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(deciles, batch_format="pandas")
+    )
+
+
+def _quality_dup_sql() -> str:
+    from .oracles_ext import _quality_sql
+    from .queries import ORACLE_SQL
+
+    return (
+        f"WITH q AS ({_quality_sql('documents', 'doc_id', 'text')}), "
+        f"cl AS (SELECT DISTINCT doc_id FROM ({ORACLE_SQL['dup_clusters']})), "
+        "nt AS (SELECT q.doc_id, "
+        "NTILE(10) OVER (ORDER BY q.quality_micro ASC, q.doc_id ASC) AS decile, "
+        "CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup "
+        "FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id) "
+        "SELECT CAST(decile AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs, "
+        "CAST(CAST(SUM(is_dup) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) "
+        "AS dup_rate_ppm "
+        "FROM nt GROUP BY 1"
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus information gain of the source partition (entropy decomposition)
+# --------------------------------------------------------------------------
+
+
+def q_corpus_token_info_gain(sf_dir: str):
+    """INFORMATION GAIN of the source partition over the token
+    distribution: IG = H(corpus) − Σ_s (T_s/T)·H(source_s) — how many
+    micro-Hartleys of token uncertainty the source label explains (the
+    mutual information I(token; source), the single number behind the
+    per-source KL table). Every term uses the entropy envelope
+    (lp = floor(log10(c/T)·10⁶ + 0.5), H = Σ c·(−lp) // T), and the
+    mixture is h_within = Σ T_s·H_s // T — all floors on positive
+    operands, so IG is the exact difference of two already-floored
+    integers (it can be ±1 µHartley off the unfloored truth, never
+    more than the envelope). Output one row:
+    (n_tokens, h_corpus_micro, h_within_micro, info_gain_micro).
+
+    Scale shape: ONE (source, token) count shuffle materialized and
+    reused (the KL discipline): per-source entropies are per-source
+    map_groups over vocabulary-bounded frames; the corpus entropy is a
+    single-group map_groups over the token-marginal counts; the final
+    fold is a sources-bounded driver frame."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in TOKEN_RE.findall(t.lower()):
+                c[(s, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "pc": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .materialize()  # vocabulary×sources bounded — reused twice
+    )
+
+    def _h(c: np.ndarray) -> tuple[int, int]:
+        t = int(c.sum())
+        lp = np.floor(np.log10(c / float(t)) * 1_000_000 + 0.5).astype(np.int64)
+        return t, int((c.astype(object) * (-lp).astype(object)).sum()) // t
+
+    def per_source(g) -> pa.Table:
+        t, h = _h(g["c"].to_numpy(np.int64))
+        return pa.table(
+            {
+                "t": pa.array([t], pa.int64()),
+                "h": pa.array([h], pa.int64()),
+            }
+        )
+
+    src = counts.groupby("source").map_groups(
+        per_source, batch_format="pandas"
+    ).to_pandas()  # sources-bounded
+
+    def marginal(g) -> pa.Table:
+        t, h = _h(g["c"].to_numpy(np.int64))
+        return pa.table(
+            {"t": pa.array([t], pa.int64()), "h": pa.array([h], pa.int64())}
+        )
+
+    corp = (
+        counts.groupby("token")
+        .aggregate(Sum("c", alias_name="pc"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "g": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                    "c": b["pc"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(marginal, batch_format="pandas")
+        .to_pandas()  # exactly one row
+    )
+    t_all = int(corp["t"].iloc[0])
+    h_corpus = int(corp["h"].iloc[0])
+    h_within = (
+        sum(int(r.t) * int(r.h) for r in src.itertuples(index=False)) // t_all
+    )
+    return pa.table(
+        {
+            "n_tokens": pa.array([t_all], pa.int64()),
+            "h_corpus_micro": pa.array([h_corpus], pa.int64()),
+            "h_within_micro": pa.array([h_within], pa.int64()),
+            "info_gain_micro": pa.array([h_corpus - h_within], pa.int64()),
+        }
+    )
+
+
+def _info_gain_sql() -> str:
+    return (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "uc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tok GROUP BY 1, 2), "
+        "tm AS (SELECT token, CAST(SUM(c) AS BIGINT) AS c FROM uc GROUP BY 1), "
+        "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tm), "
+        "hc AS (SELECT CAST(SUM(CAST(tm.c AS HUGEINT) * "
+        "-CAST(FLOOR(LOG10(CAST(tm.c AS DOUBLE)/tt.t)*1000000 + 0.5) AS BIGINT)) "
+        "// ANY_VALUE(tt.t) AS BIGINT) AS h FROM tm CROSS JOIN tt), "
+        "st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM uc GROUP BY 1), "
+        "hs AS (SELECT uc.source, ANY_VALUE(st.t) AS t, "
+        "CAST(SUM(CAST(uc.c AS HUGEINT) * "
+        "-CAST(FLOOR(LOG10(CAST(uc.c AS DOUBLE)/st.t)*1000000 + 0.5) AS BIGINT)) "
+        "// ANY_VALUE(st.t) AS BIGINT) AS h "
+        "FROM uc JOIN st USING (source) GROUP BY 1), "
+        "hw AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * h) "
+        "// (SELECT t FROM tt) AS BIGINT) AS h FROM hs) "
+        "SELECT tt.t AS n_tokens, hc.h AS h_corpus_micro, "
+        "hw.h AS h_within_micro, hc.h - hw.h AS info_gain_micro "
+        "FROM tt CROSS JOIN hc CROSS JOIN hw"
+    )
+
+
+ML7_QUERIES.update(
+    {
+        "quality_decile_dup_rate": q_quality_decile_dup_rate,
+        "corpus_token_info_gain": q_corpus_token_info_gain,
+    }
+)
+
+_ML7_ORACLES_EXTRA.update(
+    {
+        "quality_decile_dup_rate": _quality_dup_sql,
+        "corpus_token_info_gain": _info_gain_sql,
+    }
+)

@@ -634,3 +634,68 @@ def test_doclen_hist_buckets_and_zero_token_exclusion(tmp_path, ray_session):
     assert int(df.loc[0, "n_docs"]) == 1 and int(df.loc[0, "n_tokens_total"]) == 1
     assert int(df.loc[1, "n_docs"]) == 1 and int(df.loc[1, "n_tokens_total"]) == 2
     assert int(df.loc[2, "n_docs"]) == 2 and int(df.loc[2, "n_tokens_total"]) == 11
+
+
+# --------------------------------------------------------------------------
+# quality-decile dup rate
+# --------------------------------------------------------------------------
+
+
+def test_quality_decile_dup_rate_counts_planted_dups(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_quality_decile_dup_rate,
+    )
+
+    dup = "copy paste copy paste copy paste copy paste copy paste"
+    # the non-dup docs must share (almost) no char-5 shingles — distinct
+    # character material per doc, not a common template
+    distinct = [
+        "zebra quilt jumbo flask wren",
+        "ochre viper lurid gnash brisk",
+        "plumb waxen fjord kudzu nymph",
+        "squib molar tryst evoke dwarf",
+        "girth ankle rupee shove claim",
+        "toxic bagel proxy dunce whale",
+        "vixen crumb slosh primp jaded",
+        "khaki outdo blurb femur swoop",
+    ]
+    texts = [dup, dup] + distinct
+    sf = _write_docs(tmp_path, texts)
+    df = q_quality_decile_dup_rate(sf).to_pandas()
+    # NTILE(10) over 10 docs → one doc per decile; exactly 2 dup members
+    assert len(df) == 10 and (df["n_docs"] == 1).all()
+    assert int(df["n_dup_docs"].sum()) == 2
+    flagged = df[df["n_dup_docs"] == 1]
+    assert (flagged["dup_rate_ppm"] == 1_000_000).all()
+
+
+# --------------------------------------------------------------------------
+# corpus information gain
+# --------------------------------------------------------------------------
+
+
+def test_info_gain_zero_for_identical_sources_positive_for_disjoint(
+    tmp_path, ray_session
+):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_corpus_token_info_gain,
+    )
+
+    # identical token distributions → the source label explains nothing
+    sf = _write_docs(
+        tmp_path, ["aa bb cc", "aa bb cc"], sources=["s1", "s2"]
+    )
+    row = q_corpus_token_info_gain(sf).to_pandas().iloc[0]
+    assert int(row["info_gain_micro"]) == 0
+    assert int(row["h_corpus_micro"]) == int(row["h_within_micro"])
+
+    # fully disjoint vocabularies → IG = H(corpus) − H(within), large
+    sf2 = _write_docs(
+        tmp_path, ["aa aa bb bb", "cc cc dd dd"], sources=["s1", "s2"]
+    )
+    row2 = q_corpus_token_info_gain(sf2).to_pandas().iloc[0]
+    # corpus: 4 tokens uniform → H = log10(4); within: each source
+    # 2-token uniform → H = log10(2); IG ≈ log10(2) ≈ 301030 µHartley
+    assert abs(int(row2["h_corpus_micro"]) - 602060) <= 2
+    assert abs(int(row2["h_within_micro"]) - 301030) <= 2
+    assert abs(int(row2["info_gain_micro"]) - 301030) <= 4
