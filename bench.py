@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "source_doclen_hist",
     "quality_decile_dup_rate",
     "corpus_token_info_gain",
+    "srp_semantic_clusters",
+    "jaccard_threshold_curve",
+    "embedding_srp_multiprobe_pairs",
 ]
 
 

@@ -2165,3 +2165,302 @@ _ML7_ORACLES_EXTRA.update(
         "corpus_token_info_gain": _info_gain_sql,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# SRP semantic clusters (fully-[sql] embedding dedup end-to-end)
+# --------------------------------------------------------------------------
+
+
+def q_srp_semantic_clusters(sf_dir: str):
+    """SEMANTIC CLUSTERS over the SRP pair graph: connected components of
+    ``embedding_srp_pairs`` (cos ≥ 0.4 through 4×8-bit SRP banding), one
+    row per vector that participates in ≥1 pair: (vec_id, cluster_rep)
+    with rep = component-min id. This makes the WHOLE embedding-dedup
+    path [sql]-checkable end-to-end — signatures, banding, integer
+    verify, AND the component closure (knn_semantic_clusters checks the
+    kNN variant; its pair step is float-broadcast, this one's is the
+    hash-derived LSH).
+
+    Scale shape: pair discovery is the banded SRP pipeline; the pair
+    list is dup-shaped, and labelling is the shared vectorized min-label
+    pointer-jumping kernel (O(pairs) memory, O(log diameter) rounds)."""
+    import pandas as pd
+
+    from .queries import cc_min_label, pairs_to_df
+
+    pairs = pairs_to_df(
+        q_embedding_srp_pairs(sf_dir), ["doc_a", "doc_b", "cos2_ppm"]
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster_rep": pd.Series(dtype=np.int64),
+            }
+        )
+    nodes, rep = cc_min_label(
+        pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)
+    )
+    return pd.DataFrame({"vec_id": nodes, "cluster_rep": rep})
+
+
+def _srp_clusters_sql() -> str:
+    return (
+        f"WITH RECURSIVE p AS ({_srp_sql()}), "
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM p "
+        "UNION SELECT doc_b, doc_a FROM p), "
+        "reach AS (SELECT a AS src, b AS dst FROM e "
+        "UNION SELECT r.src, e2.b FROM reach r JOIN e e2 ON e2.a = r.dst) "
+        "SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_rep "
+        "FROM reach GROUP BY src"
+    )
+
+
+# --------------------------------------------------------------------------
+# Jaccard threshold curve (dedup-aggressiveness tuning from ONE pair pass)
+# --------------------------------------------------------------------------
+
+JACCARD_CURVE_PPM = (500_000, 600_000, 700_000, 800_000, 900_000)
+
+
+def q_jaccard_threshold_curve(sf_dir: str):
+    """DEDUP THRESHOLD CURVE: how many near-dup pairs survive at each
+    Jaccard cutoff in ``JACCARD_CURVE_PPM`` — computed from ONE exact
+    AllPairs pass at the loosest threshold (its jaccard_micro column is
+    exact, so the tighter counts are pure filters, not re-joins). Output:
+    (threshold_ppm, n_pairs, n_docs_involved). This is the knob-tuning
+    table every dedup run consults: pairs lost per notch of tightening,
+    and how many docs stop being touched at all.
+
+    Scale shape: the pair pass is the complete prefix-filter join; the
+    curve fold runs over the dup-shaped pair frame (5 cumulative counts
+    + per-threshold distinct-doc counts on a bounded edge list)."""
+    from ..stages.dedup import allpairs_jaccard_pairs
+    from .queries import pairs_to_df
+
+    pairs = pairs_to_df(
+        allpairs_jaccard_pairs(
+            _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
+        ),
+        ["doc_a", "doc_b", "jaccard_micro"],
+    )
+    j = pairs["jaccard_micro"].to_numpy(np.int64) if not pairs.empty else np.empty(0, np.int64)
+    a = pairs["doc_a"].to_numpy(np.int64) if not pairs.empty else np.empty(0, np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64) if not pairs.empty else np.empty(0, np.int64)
+    rows = []
+    for thr in JACCARD_CURVE_PPM:
+        keep = j >= thr
+        nd = len(np.unique(np.concatenate([a[keep], b[keep]]))) if keep.any() else 0
+        rows.append((thr, int(keep.sum()), nd))
+    arr = np.asarray(rows, np.int64)
+    return pa.table(
+        {
+            "threshold_ppm": pa.array(arr[:, 0], pa.int64()),
+            "n_pairs": pa.array(arr[:, 1], pa.int64()),
+            "n_docs_involved": pa.array(arr[:, 2], pa.int64()),
+        }
+    )
+
+
+def _jaccard_curve_sql() -> str:
+    from .oracles_ext import _WORD3_CTE, _jaccard_pairs_sql
+
+    cuts = ", ".join(f"({t})" for t in JACCARD_CURVE_PPM)
+    return (
+        f"WITH p AS ({_jaccard_pairs_sql(_WORD3_CTE, 1, 2)}) "
+        "SELECT CAST(v.thr AS BIGINT) AS threshold_ppm, "
+        "CAST(COUNT(*) FILTER (WHERE p.jaccard_micro >= v.thr) AS BIGINT) "
+        "AS n_pairs, "
+        "CAST(COUNT(DISTINCT CASE WHEN p.jaccard_micro >= v.thr "
+        "THEN p.doc_a END) "
+        "+ COUNT(DISTINCT CASE WHEN p.jaccard_micro >= v.thr "
+        "THEN p.doc_b END) "
+        "- COUNT(DISTINCT CASE WHEN p.jaccard_micro >= v.thr "
+        "AND p.doc_b IN (SELECT doc_a FROM p p2 "
+        "WHERE p2.jaccard_micro >= v.thr) THEN p.doc_b END) AS BIGINT) "
+        "AS n_docs_involved "
+        f"FROM (VALUES {cuts}) v(thr) LEFT JOIN p ON TRUE GROUP BY v.thr"
+    )
+
+
+ML7_QUERIES.update(
+    {
+        "srp_semantic_clusters": q_srp_semantic_clusters,
+        "jaccard_threshold_curve": q_jaccard_threshold_curve,
+    }
+)
+
+_ML7_ORACLES_EXTRA.update(
+    {
+        "srp_semantic_clusters": _srp_clusters_sql,
+        "jaccard_threshold_curve": _jaccard_curve_sql,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# multi-probe SRP pairs (the recall tier above plain banding)
+# --------------------------------------------------------------------------
+
+
+def q_embedding_srp_multiprobe_pairs(sf_dir: str):
+    """MULTI-PROBE SRP near-dup pairs: same hyperplanes, banding and
+    integer verify as ``embedding_srp_pairs``, but a pair is a candidate
+    when some band's keys differ by HAMMING ≤ 1 (Lv et al. 2007
+    multi-probe LSH — probe the neighboring buckets instead of paying
+    more hash tables). At cos ≥ 0.4 the per-band candidate probability
+    rises p⁸ → p⁸ + 8p⁷(1−p) (≈ 2.5% → 14%, any-of-4-bands ≈ 10% → 46%)
+    for ~9× the bucket traffic — the classic recall/shuffle trade, now
+    SQL-checkable. This closes the 'multi-probe omitted' note on
+    stages/dedup.embedding_cosine_pairs. Output: (doc_a, doc_b,
+    cos2_ppm), a superset of the plain SRP pairs.
+
+    Scale shape: each vector lands in its true bucket plus its
+    ``SRP_BAND_BITS`` one-bit-flip probe buckets per band (9 rows/band);
+    a hamming-1 pair always meets where one side is TRUE — pairing
+    requires a true side, which also excludes hamming-2 probe×probe
+    coincidences, keeping the contract exact. Cross-bucket duplicates
+    collapse in the dup-shaped final groupby."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..stages.dedup import _log_overflow
+
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    sign_cache: dict[int, np.ndarray] = {}
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy()
+        emb = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]
+        )
+        q = np.floor(emb * 1_000_000.0 + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        signs = sign_cache.get(dim)
+        if signs is None:
+            signs = _srp_signs(dim)
+            sign_cache[dim] = signs
+        bits = (q @ signs.T > 0).astype(np.int64)
+        keys = np.zeros((len(vids), n_bands), np.int64)
+        for k in range(SRP_BITS):
+            keys[:, k // SRP_BAND_BITS] |= bits[:, k] << (k % SRP_BAND_BITS)
+        qe_lists = [r.tolist() for r in q]
+        out_band, out_key, out_vid, out_qe, out_true = [], [], [], [], []
+        for i in range(len(vids)):
+            for b in range(n_bands):
+                kv = int(keys[i, b])
+                out_band.append(b)
+                out_key.append(kv)
+                out_vid.append(int(vids[i]))
+                out_qe.append(qe_lists[i])
+                out_true.append(1)
+                for j in range(SRP_BAND_BITS):
+                    out_band.append(b)
+                    out_key.append(kv ^ (1 << j))
+                    out_vid.append(int(vids[i]))
+                    out_qe.append(qe_lists[i])
+                    out_true.append(0)
+        return pa.table(
+            {
+                "band": pa.array(np.asarray(out_band, np.int64), pa.int64()),
+                "key": pa.array(np.asarray(out_key, np.int64), pa.int64()),
+                "vec_id": pa.array(np.asarray(out_vid, np.int64), pa.int64()),
+                "is_true": pa.array(np.asarray(out_true, np.int64), pa.int64()),
+                "qe": pa.array(out_qe, pa.list_(pa.int64())),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=np.int64),
+                "doc_b": pd.Series(dtype=np.int64),
+                "cos2_ppm": pd.Series(dtype=np.int64),
+            }
+        )
+        # one row per vector: true wins over probe (needed for the
+        # true-side pairing rule); dedupe keeps the max is_true
+        g = (
+            g.sort_values(["vec_id", "is_true"], ascending=[True, False])
+            .drop_duplicates("vec_id")
+            .reset_index(drop=True)
+        )
+        if len(g) > SRP_BUCKET_CAP:
+            _log_overflow(
+                "embedding_srp_multiprobe_pairs",
+                (int(g["band"].iloc[0]), int(g["key"].iloc[0])),
+                len(g),
+                SRP_BUCKET_CAP,
+            )
+            g = g.iloc[:SRP_BUCKET_CAP]
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy(np.int64)
+        true = g["is_true"].to_numpy(np.int64).astype(bool)
+        q = np.stack([np.asarray(e, np.int64) for e in g["qe"]])
+        dots = q @ q.T
+        n2 = np.einsum("ij,ij->i", q, q)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ok = (true[ii] | true[jj]) & (dots[ii, jj] > 0)
+        ii, jj = ii[ok], jj[ok]
+        if len(ii) == 0:
+            return empty
+        d = dots[ii, jj].astype(object)
+        na2 = n2[ii].astype(object)
+        nb2 = n2[jj].astype(object)
+        keep = 25 * d * d >= 4 * na2 * nb2
+        ii, jj, d = ii[keep], jj[keep], d[keep]
+        if len(d) == 0:
+            return empty
+        ppm = np.fromiter(
+            (
+                int(dd) * int(dd) * 1_000_000 // (int(a) * int(b))
+                for dd, a, b in zip(d, na2[keep], nb2[keep])
+            ),
+            np.int64,
+            len(d),
+        )
+        lo = np.minimum(ids[ii], ids[jj])
+        hi = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cos2_ppm": ppm})
+
+    return (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(signatures, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(verify, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Max("cos2_ppm", alias_name="cos2_ppm"))
+    )
+
+
+def _srp_multiprobe_sql() -> str:
+    # reuse the single-probe CTE chain up to `bands`, widen the candidate
+    # join to hamming ≤ 1 on the band key
+    base = _srp_sql()
+    cand_old = (
+        "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.vec_id < b.vec_id), "
+    )
+    cand_new = (
+        "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND bit_count(xor(a.key, b.key)) <= 1 "
+        "AND a.vec_id < b.vec_id), "
+    )
+    assert cand_old in base, "single-probe SQL shape changed"
+    return base.replace(cand_old, cand_new)
+
+
+ML7_QUERIES.update(
+    {"embedding_srp_multiprobe_pairs": q_embedding_srp_multiprobe_pairs}
+)
+_ML7_ORACLES_EXTRA.update(
+    {"embedding_srp_multiprobe_pairs": _srp_multiprobe_sql}
+)

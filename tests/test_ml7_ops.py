@@ -699,3 +699,108 @@ def test_info_gain_zero_for_identical_sources_positive_for_disjoint(
     assert abs(int(row2["h_corpus_micro"]) - 602060) <= 2
     assert abs(int(row2["h_within_micro"]) - 301030) <= 2
     assert abs(int(row2["info_gain_micro"]) - 301030) <= 4
+
+
+# --------------------------------------------------------------------------
+# SRP semantic clusters
+# --------------------------------------------------------------------------
+
+
+def test_srp_clusters_transitive_closure(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_srp_semantic_clusters,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16)
+    # 0,1,2 colinear (pairwise cos 1 → all pairs found, one component);
+    # 3 far away
+    vecs = [base, base * 2.0, base * 0.5, rng.normal(size=16)]
+    sf = _write_embeddings(tmp_path, vecs)
+    df = q_srp_semantic_clusters(sf)
+    got = {(int(r.vec_id), int(r.cluster_rep)) for r in df.itertuples(index=False)}
+    assert got == {(0, 0), (1, 0), (2, 0)}
+
+
+# --------------------------------------------------------------------------
+# Jaccard threshold curve
+# --------------------------------------------------------------------------
+
+
+def test_jaccard_curve_monotone_and_brute_forced(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        JACCARD_CURVE_PPM,
+        q_jaccard_threshold_curve,
+    )
+
+    d = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = d.replace("kappa", "lambda")  # high-but-not-1 jaccard
+    texts = [d, d, near, "unrelated totally different words here"]
+    sf = _write_docs(tmp_path, texts)
+    df = (
+        q_jaccard_threshold_curve(sf)
+        .to_pandas()
+        .sort_values("threshold_ppm")
+        .reset_index(drop=True)
+    )
+    assert list(df["threshold_ppm"]) == list(JACCARD_CURVE_PPM)
+    # counts never increase as the threshold tightens
+    assert (np.diff(df["n_pairs"].to_numpy()) <= 0).all()
+    assert (np.diff(df["n_docs_involved"].to_numpy()) <= 0).all()
+    # at 0.9: only the exact-dup pair (0,1) survives → 2 docs
+    top = df.iloc[-1]
+    assert int(top["n_pairs"]) == 1 and int(top["n_docs_involved"]) == 2
+    # at 0.5: (0,1), (0,2), (1,2) all pass → 3 docs
+    bot = df.iloc[0]
+    assert int(bot["n_pairs"]) == 3 and int(bot["n_docs_involved"]) == 3
+
+
+# --------------------------------------------------------------------------
+# multi-probe SRP
+# --------------------------------------------------------------------------
+
+
+def test_multiprobe_is_superset_and_matches_hamming1_brute_force(
+    tmp_path, ray_session
+):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_embedding_srp_multiprobe_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(40, 12))
+    sf = _write_embeddings(tmp_path, vecs)
+    plain = {
+        (int(a), int(b))
+        for a, b, _p in q_embedding_srp_pairs(sf)
+        .to_pandas()
+        .itertuples(index=False)
+    }
+    multi_df = q_embedding_srp_multiprobe_pairs(sf).to_pandas()
+    multi = {
+        (int(a), int(b), int(p)) for a, b, p in multi_df.itertuples(index=False)
+    }
+    assert plain <= {(a, b) for a, b, _p in multi}
+    # brute-force the hamming ≤ 1 contract
+    emb = np.stack([np.asarray(v, np.float64) for v in vecs.astype(np.float32)])
+    q = np.floor(emb * 1_000_000.0 + 0.5).astype(np.int64)
+    signs = _srp_signs(12)
+    bits = (q @ signs.T > 0).astype(np.int64)
+    nb = SRP_BITS // SRP_BAND_BITS
+    keys = np.zeros((len(vecs), nb), np.int64)
+    for k in range(SRP_BITS):
+        keys[:, k // SRP_BAND_BITS] |= bits[:, k] << (k % SRP_BAND_BITS)
+    expect = set()
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if not any(
+                bin(int(keys[a, j]) ^ int(keys[b, j])).count("1") <= 1
+                for j in range(nb)
+            ):
+                continue
+            d = int((q[a].astype(object) * q[b].astype(object)).sum())
+            na2 = int((q[a].astype(object) ** 2).sum())
+            nb2 = int((q[b].astype(object) ** 2).sum())
+            if d > 0 and 25 * d * d >= 4 * na2 * nb2:
+                expect.add((a, b, d * d * 1_000_000 // (na2 * nb2)))
+    assert multi == expect
