@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "srp_semantic_clusters",
     "jaccard_threshold_curve",
     "embedding_srp_multiprobe_pairs",
+    "kanon_small_groups",
+    "corpus_datacard",
 ]
 
 

@@ -2464,3 +2464,246 @@ ML7_QUERIES.update(
 _ML7_ORACLES_EXTRA.update(
     {"embedding_srp_multiprobe_pairs": _srp_multiprobe_sql}
 )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity small-group audit (privacy-side counterpart of PII scrub)
+# --------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+def q_kanon_small_groups(sf_dir: str):
+    """K-ANONYMITY AUDIT: every quasi-identifier group (c_mktsegment,
+    c_nationkey) with its size and an ``at_risk = n < KANON_K`` flag —
+    a group smaller than k re-identifies its members by the
+    quasi-identifier alone (Sweeney 2002), and a release must suppress
+    or generalize those rows. Output: (c_mktsegment, c_nationkey, n,
+    at_risk); the full table (QI-cardinality-bounded) rather than the
+    at-risk slice so the audit is non-degenerate at any scale — the
+    privacy-side counterpart of doc_pii_scrub (that one redacts direct
+    identifiers; this one measures indirect ones).
+
+    Scale shape: map-side partial counts into a QI-cardinality-bounded
+    groupby (segments × nations), then a map-side filter — no row-level
+    data ever shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "c_mktsegment": batch["c_mktsegment"],
+                    "c_nationkey": batch["c_nationkey"].cast(pa.int64()),
+                }
+            )
+            .group_by(["c_mktsegment", "c_nationkey"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["c_mktsegment", "c_nationkey", "pc"])
+
+    def flag_risk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "at_risk",
+            pc.cast(pc.less(batch["n"], KANON_K), pa.int64()),
+        )
+
+    return (
+        rd.read_parquet(
+            _p(sf_dir, "customer"), columns=["c_mktsegment", "c_nationkey"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "c_nationkey"])
+        .aggregate(Sum("pc", alias_name="n"))
+        .map_batches(flag_risk, batch_format="pyarrow")
+    )
+
+
+def _kanon_sql() -> str:
+    return (
+        "SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(CASE WHEN COUNT(*) < {KANON_K} THEN 1 ELSE 0 END AS BIGINT) "
+        "AS at_risk FROM customer GROUP BY 1, 2"
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus datacard (the one-row release summary, one streaming pass)
+# --------------------------------------------------------------------------
+
+
+def q_corpus_datacard(sf_dir: str):
+    """CORPUS DATACARD: the one-row summary a dataset release ships —
+    n_docs, n_tokens, n_types, n_langs, n_sources, top-language share
+    (ppm), mean quality (micro), and the near-dup membership rate (ppm,
+    the ``dup_clusters`` relation). Every number is independently
+    oracled elsewhere; this row is the composed artifact (Datasheets for
+    Datasets, Gebru et al. 2021 — the quantitative half).
+
+    Scale shape: ONE streaming pass over documents computes every
+    per-batch partial (counts, token counts, per-batch vocab/lang/source
+    partials, quality sums, dup flags against the output-bounded
+    broadcast dup set); vocab/lang/source cardinalities ride the same
+    bounded groupbys the component queries use. The final fold is a
+    batch-count-bounded frame plus three tiny cardinality results."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import lang_quality_batch
+    from .queries import TOKEN_RE, _minhash_pairs_cached, _micro
+
+    pairs = _minhash_pairs_cached(sf_dir)
+    involved = (
+        np.unique(
+            np.concatenate(
+                [
+                    pairs["doc_a"].to_numpy(np.int64),
+                    pairs["doc_b"].to_numpy(np.int64),
+                ]
+            )
+        )
+        if not pairs.empty
+        else np.empty(0, np.int64)
+    )
+    inv_ref = ray.put(involved)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        inv = ray.get(inv_ref)
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        idx = np.clip(np.searchsorted(inv, ids), 0, max(0, len(inv) - 1))
+        dup = (
+            int(((inv[idx] == ids)).sum()) if len(inv) else 0
+        )
+        texts = batch["text"].to_pylist()
+        lq = lang_quality_batch(texts)
+        toks: Counter = Counter()
+        n_tokens = 0
+        for t in texts:
+            tk = TOKEN_RE.findall(t.lower())
+            n_tokens += len(tk)
+            toks.update(set(tk))
+        lang_counts = Counter(batch["lang"].to_pylist())
+        src_counts = Counter(batch["source"].to_pylist())
+        # kind rows: one 'doc' summary + vocab/lang/source partials
+        kinds = ["doc"] + ["tok"] * len(toks) + ["lang"] * len(lang_counts) + [
+            "src"
+        ] * len(src_counts)
+        keys = (
+            [""]
+            + list(toks.keys())
+            + list(lang_counts.keys())
+            + list(src_counts.keys())
+        )
+        vals = (
+            [len(texts)]
+            + [0] * len(toks)
+            + list(lang_counts.values())
+            + list(src_counts.values())
+        )
+        extra_tok = [n_tokens] + [0] * (len(kinds) - 1)
+        extra_q = [int(_micro(np.asarray(lq["quality"])).sum())] + [0] * (
+            len(kinds) - 1
+        )
+        extra_dup = [dup] + [0] * (len(kinds) - 1)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "key": pa.array([str(k) for k in keys], pa.string()),
+                "v": pa.array(np.asarray(vals, np.int64), pa.int64()),
+                "ntok": pa.array(np.asarray(extra_tok, np.int64), pa.int64()),
+                "qsum": pa.array(np.asarray(extra_q, np.int64), pa.int64()),
+                "ndup": pa.array(np.asarray(extra_dup, np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        rd.read_parquet(
+            _p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(
+            Sum("v", alias_name="v"),
+            Sum("ntok", alias_name="ntok"),
+            Sum("qsum", alias_name="qsum"),
+            Sum("ndup", alias_name="ndup"),
+        )
+        .to_pandas()  # vocab + langs + sources + 1 rows — bounded
+    )
+    doc = merged[merged["kind"] == "doc"]
+    n_docs = int(doc["v"].sum())
+    n_tokens = int(doc["ntok"].sum())
+    qsum = int(doc["qsum"].sum())
+    ndup = int(doc["ndup"].sum())
+    n_types = int((merged["kind"] == "tok").sum())
+    langs = merged[merged["kind"] == "lang"]
+    top_lang = int(langs["v"].max()) if len(langs) else 0
+    n_langs = len(langs)
+    n_sources = int((merged["kind"] == "src").sum())
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_types": pa.array([n_types], pa.int64()),
+            "n_langs": pa.array([n_langs], pa.int64()),
+            "n_sources": pa.array([n_sources], pa.int64()),
+            "top_lang_ppm": pa.array(
+                [top_lang * 1_000_000 // n_docs if n_docs else 0], pa.int64()
+            ),
+            "mean_quality_micro": pa.array(
+                [qsum // n_docs if n_docs else 0], pa.int64()
+            ),
+            "dup_doc_ppm": pa.array(
+                [ndup * 1_000_000 // n_docs if n_docs else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def _datacard_sql() -> str:
+    from .oracles_ext import _quality_sql
+    from .queries import ORACLE_SQL
+
+    return (
+        f"WITH q AS ({_quality_sql('documents', 'doc_id', 'text')}), "
+        f"cl AS (SELECT DISTINCT doc_id FROM ({ORACLE_SQL['dup_clusters']})), "
+        "tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+        "AS token FROM documents), "
+        "tl AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_tokens, "
+        "(SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM tok) AS n_types, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM tl) AS n_langs, "
+        "(SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) "
+        "AS n_sources, "
+        "(SELECT CAST(CAST(MAX(n) AS HUGEINT) * 1000000 "
+        "// (SELECT COUNT(*) FROM documents) AS BIGINT) FROM tl) "
+        "AS top_lang_ppm, "
+        "(SELECT CAST(CAST(SUM(quality_micro) AS HUGEINT) "
+        "// COUNT(*) AS BIGINT) FROM q) AS mean_quality_micro, "
+        "(SELECT CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 "
+        "// (SELECT COUNT(*) FROM documents) AS BIGINT) FROM cl) "
+        "AS dup_doc_ppm"
+    )
+
+
+ML7_QUERIES.update(
+    {
+        "kanon_small_groups": q_kanon_small_groups,
+        "corpus_datacard": q_corpus_datacard,
+    }
+)
+
+_ML7_ORACLES_EXTRA.update(
+    {
+        "kanon_small_groups": _kanon_sql,
+        "corpus_datacard": _datacard_sql,
+    }
+)

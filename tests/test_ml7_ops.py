@@ -804,3 +804,67 @@ def test_multiprobe_is_superset_and_matches_hamming1_brute_force(
             if d > 0 and 25 * d * d >= 4 * na2 * nb2:
                 expect.add((a, b, d * d * 1_000_000 // (na2 * nb2)))
     assert multi == expect
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit
+# --------------------------------------------------------------------------
+
+
+def test_kanon_flags_small_groups(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        KANON_K,
+        q_kanon_small_groups,
+    )
+
+    rows = [("BUILDING", 1)] * 7 + [("BUILDING", 2)] * 2 + [("AUTO", 1)]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(rows)), pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(len(rows))], pa.string()),
+                "c_nationkey": pa.array([n for _s, n in rows], pa.int32()),
+                "c_acctbal": pa.array([0.0] * len(rows), pa.float64()),
+                "c_mktsegment": pa.array([s for s, _n in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    df = (
+        q_kanon_small_groups(str(tmp_path))
+        .to_pandas()
+        .set_index(["c_mktsegment", "c_nationkey"])
+    )
+    assert KANON_K == 5
+    assert int(df.loc[("BUILDING", 1), "n"]) == 7
+    assert int(df.loc[("BUILDING", 1), "at_risk"]) == 0
+    assert int(df.loc[("BUILDING", 2), "at_risk"]) == 1
+    assert int(df.loc[("AUTO", 1), "at_risk"]) == 1
+
+
+# --------------------------------------------------------------------------
+# corpus datacard
+# --------------------------------------------------------------------------
+
+
+def test_datacard_composed_numbers(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_corpus_datacard,
+    )
+
+    dup = "copy paste copy paste copy paste copy paste copy paste"
+    texts = [dup, dup, "zebra quilt jumbo flask wren", "ochre viper lurid gnash"]
+    sf = _write_docs(
+        tmp_path,
+        texts,
+        langs=["en", "en", "en", "fr"],
+        sources=["s1", "s2", "s1", "s2"],
+    )
+    row = q_corpus_datacard(sf).to_pandas().iloc[0]
+    assert int(row["n_docs"]) == 4
+    assert int(row["n_tokens"]) == sum(len(t.split()) for t in texts)
+    assert int(row["n_types"]) == len({w for t in texts for w in t.split()})
+    assert int(row["n_langs"]) == 2 and int(row["n_sources"]) == 2
+    assert int(row["top_lang_ppm"]) == 3 * 1_000_000 // 4
+    # exactly the two planted dups participate in a near-dup pair
+    assert int(row["dup_doc_ppm"]) == 2 * 1_000_000 // 4
