@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "embedding_srp_multiprobe_pairs",
     "kanon_small_groups",
     "corpus_datacard",
+    "embedding_power_iteration",
 ]
 
 

@@ -2707,3 +2707,134 @@ _ML7_ORACLES_EXTRA.update(
         "corpus_datacard": _datacard_sql,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# power iteration over the distributed second-moment matrix
+# --------------------------------------------------------------------------
+
+POWER_ITERS = 3
+
+
+def q_embedding_power_iteration(sf_dir: str):
+    """TOP PRINCIPAL DIRECTION by integer-exact power iteration: build the
+    (uncentered) second-moment matrix S = Σ_v qm·qmᵀ over the
+    micro-quantized embeddings with ONE dimension²-bounded shuffle, then
+    run ``POWER_ITERS`` rounds of v ← floor(S·v·10⁶ / max|S·v|) from
+    v₀ = 10⁶·1 — every step integer arithmetic (Python big ints
+    engine-side, HUGEINT oracle-side; the renormalizing division is the
+    portable sign-split floor), so DuckDB replays the whole iteration
+    bit-exactly as three chained CTEs. Output: (dim, v_micro) — the
+    dominant direction of the embedding cloud, the first number an
+    embedding-collapse investigation asks for after ``embedding_dim_stats``
+    (one dimension holding most of the energy ⇒ collapsed).
+
+    Scale shape: the corpus-shaped work is the S partials — each batch
+    folds to dim² integers (4,096 at dim 64) regardless of rows, with a
+    loud int64 guard; the iteration itself runs on the collected
+    dim²-bounded matrix (driver math on 64×64, like every
+    output-bounded finisher). Uncentered by design: centering adds a
+    rank-1 update that needs the mean broadcast — documented trade, and
+    ``embedding_dim_stats`` carries the means."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]
+        )
+        qm = np.floor(emb * 1_000_000.0 + 0.5).astype(np.int64)
+        s = qm.T.astype(object) @ qm.astype(object)  # (dim, dim) exact
+        dim = s.shape[0]
+        if any(abs(int(v)) > (1 << 62) for v in s.ravel()):
+            raise OverflowError(
+                "embedding_power_iteration: per-batch S exceeds int64 headroom"
+            )
+        ii, jj = np.meshgrid(
+            np.arange(dim, dtype=np.int64), np.arange(dim, dtype=np.int64),
+            indexing="ij",
+        )
+        return pa.table(
+            {
+                "i": pa.array(ii.ravel(), pa.int64()),
+                "j": pa.array(jj.ravel(), pa.int64()),
+                "ps": pa.array(
+                    np.fromiter((int(v) for v in s.ravel()), np.int64, dim * dim),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    sdf = (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("ps", alias_name="s"))
+        .to_pandas()  # dim² rows — bounded
+    )
+    dim = int(sdf["i"].max()) + 1
+    S = [[0] * dim for _ in range(dim)]
+    for r in sdf.itertuples(index=False):
+        S[int(r.i)][int(r.j)] = int(r.s)
+    v = [1_000_000] * dim
+    for _ in range(POWER_ITERS):
+        w = [sum(S[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [
+            (x * 1_000_000) // m
+            if x >= 0
+            else -((-x * 1_000_000 + m - 1) // m)
+            for x in w
+        ]
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+            "v_micro": pa.array(np.asarray(v, np.int64), pa.int64()),
+        }
+    )
+
+
+def _power_iter_sql() -> str:
+    # S via an exploded self-join; then POWER_ITERS chained (w, m, v) CTEs
+    head = (
+        "WITH q AS (SELECT ROW_NUMBER() OVER () AS vid, list_transform("
+        "embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)"
+        ") AS qm FROM embeddings), "
+        "ex AS (SELECT vid, CAST(d AS BIGINT) AS dim, qm[CAST(d AS INT)+1] AS x "
+        "FROM q, (SELECT unnest(range(0, (SELECT len(qm) FROM q LIMIT 1))) AS d)), "
+        "s AS (SELECT a.dim AS i, b.dim AS j, "
+        "CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS s "
+        "FROM ex a JOIN ex b USING (vid) GROUP BY 1, 2), "
+        "v0 AS (SELECT CAST(d AS BIGINT) AS dim, CAST(1000000 AS HUGEINT) AS v "
+        "FROM (SELECT unnest(range(0, (SELECT len(qm) FROM q LIMIT 1))) AS d))"
+    )
+    body = ""
+    prev = "v0"
+    for k in range(1, POWER_ITERS + 1):
+        body += (
+            f", w{k} AS (SELECT s.i AS dim, CAST(SUM(s.s * {prev}.v) AS HUGEINT) AS w "
+            f"FROM s JOIN {prev} ON {prev}.dim = s.j GROUP BY 1), "
+            f"m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}), "
+            f"v{k} AS (SELECT dim, CASE WHEN w >= 0 THEN (w * 1000000) // m "
+            f"ELSE -((-w * 1000000 + m - 1) // m) END AS v "
+            f"FROM w{k} CROSS JOIN m{k})"
+        )
+        prev = f"v{k}"
+    return (
+        head
+        + body
+        + f" SELECT dim, CAST(v AS BIGINT) AS v_micro FROM {prev}"
+    )
+
+
+ML7_QUERIES.update(
+    {"embedding_power_iteration": q_embedding_power_iteration}
+)
+_ML7_ORACLES_EXTRA.update(
+    {"embedding_power_iteration": _power_iter_sql}
+)

@@ -868,3 +868,40 @@ def test_datacard_composed_numbers(tmp_path, ray_session):
     assert int(row["top_lang_ppm"]) == 3 * 1_000_000 // 4
     # exactly the two planted dups participate in a near-dup pair
     assert int(row["dup_doc_ppm"]) == 2 * 1_000_000 // 4
+
+
+# --------------------------------------------------------------------------
+# power iteration
+# --------------------------------------------------------------------------
+
+
+def test_power_iteration_finds_planted_dominant_axis(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        POWER_ITERS,
+        q_embedding_power_iteration,
+    )
+
+    rng = np.random.default_rng(17)
+    # energy overwhelmingly along axis 2
+    vecs = np.zeros((30, 8))
+    vecs[:, 2] = rng.normal(scale=1.0, size=30)
+    vecs += rng.normal(scale=0.01, size=(30, 8))
+    sf = _write_embeddings(tmp_path, vecs)
+    df = q_embedding_power_iteration(sf).to_pandas().set_index("dim")
+    v = df["v_micro"].to_numpy(np.int64)
+    assert abs(v[2]) == 1_000_000  # the max component is the planted axis
+    assert (np.abs(np.delete(v, 2)) < 100_000).all()
+    # exact integer replay of the whole contract
+    qm = np.floor(vecs.astype(np.float32).astype(np.float64) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    S = (qm.T.astype(object) @ qm.astype(object)).tolist()
+    vv = [1_000_000] * 8
+    for _ in range(POWER_ITERS):
+        w = [sum(S[i][j] * vv[j] for j in range(8)) for i in range(8)]
+        m = max(abs(x) for x in w)
+        vv = [
+            (x * 1_000_000) // m if x >= 0 else -((-x * 1_000_000 + m - 1) // m)
+            for x in w
+        ]
+    assert v.tolist() == vv
