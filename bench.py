@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "kanon_small_groups",
     "corpus_datacard",
     "embedding_power_iteration",
+    "embedding_top1_energy",
 ]
 
 

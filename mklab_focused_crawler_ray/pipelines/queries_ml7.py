@@ -1275,29 +1275,41 @@ def q_embedding_int8_quant_error(sf_dir: str):
     import ray.data as rd
 
     def audit(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        out_id, out_ma, out_cos = [], [], []
-        for vid, e in zip(ids, batch["embedding"].to_pylist()):
-            v = np.asarray(e, np.float64)
-            maxabs = float(np.abs(v).max()) if len(v) else 0.0
-            if maxabs == 0.0:
-                continue
-            qm = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
-            q8 = np.floor(v * 127.0 / maxabs + 0.5).astype(np.int64)
-            dot = int((qm * q8).sum())
-            na2 = int((qm.astype(object) * qm.astype(object)).sum())
-            nb2 = int((q8 * q8).sum())
-            if na2 == 0 or nb2 == 0:
-                continue
-            cos2 = dot * dot * 1_000_000 // (na2 * nb2)
-            out_id.append(int(vid))
-            out_ma.append(int(np.floor(maxabs * 1_000_000.0 + 0.5)))
-            out_cos.append(int(cos2))
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+        emb = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch["embedding"].to_pylist()
+            ]
+        )
+        maxabs = np.abs(emb).max(axis=1)
+        keep = maxabs > 0.0
+        emb, ids, maxabs = emb[keep], ids[keep], maxabs[keep]
+        qm = np.floor(emb * 1_000_000.0 + 0.5).astype(np.int64)
+        q8 = np.floor(emb * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
+        dot = np.einsum("ij,ij->i", qm, q8)  # |qm·q8| ≤ dim·10⁶·127 « 2⁶³
+        nb2 = np.einsum("ij,ij->i", q8, q8)
+        na2 = np.einsum(
+            "ij,ij->i", qm.astype(object), qm.astype(object)
+        )  # Σqm² crosses int64 at wide dims — object dtype
+        ok = (na2 != 0) & (nb2 != 0)
+        ids, maxabs, dot, na2, nb2 = ids[ok], maxabs[ok], dot[ok], na2[ok], nb2[ok]
+        cos2 = np.fromiter(
+            (
+                int(d) * int(d) * 1_000_000 // (int(a) * int(b))
+                for d, a, b in zip(dot, na2, nb2)
+            ),
+            np.int64,
+            len(ids),
+        )
         return pa.table(
             {
-                "vec_id": pa.array(out_id, pa.int64()),
-                "maxabs_micro": pa.array(out_ma, pa.int64()),
-                "cos2_ppm": pa.array(out_cos, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "maxabs_micro": pa.array(
+                    np.floor(maxabs * 1_000_000.0 + 0.5).astype(np.int64),
+                    pa.int64(),
+                ),
+                "cos2_ppm": pa.array(cos2, pa.int64()),
             }
         )
 
@@ -2349,29 +2361,31 @@ def q_embedding_srp_multiprobe_pairs(sf_dir: str):
         keys = np.zeros((len(vids), n_bands), np.int64)
         for k in range(SRP_BITS):
             keys[:, k // SRP_BAND_BITS] |= bits[:, k] << (k % SRP_BAND_BITS)
+        # vectorized probe expansion: per (vector, band) the true key plus
+        # its SRP_BAND_BITS one-bit flips — (n, n_bands, 1+bits) keys
+        n = len(vids)
+        flips = np.concatenate(
+            [[0], 1 << np.arange(SRP_BAND_BITS, dtype=np.int64)]
+        )  # flip 0 = the true key
+        kmat = keys[:, :, None] ^ flips[None, None, :]
+        bmat = np.broadcast_to(
+            np.arange(n_bands, dtype=np.int64)[None, :, None], kmat.shape
+        )
+        tmat = np.broadcast_to(
+            (flips == 0).astype(np.int64)[None, None, :], kmat.shape
+        )
+        reps = n_bands * (1 + SRP_BAND_BITS)
         qe_lists = [r.tolist() for r in q]
-        out_band, out_key, out_vid, out_qe, out_true = [], [], [], [], []
-        for i in range(len(vids)):
-            for b in range(n_bands):
-                kv = int(keys[i, b])
-                out_band.append(b)
-                out_key.append(kv)
-                out_vid.append(int(vids[i]))
-                out_qe.append(qe_lists[i])
-                out_true.append(1)
-                for j in range(SRP_BAND_BITS):
-                    out_band.append(b)
-                    out_key.append(kv ^ (1 << j))
-                    out_vid.append(int(vids[i]))
-                    out_qe.append(qe_lists[i])
-                    out_true.append(0)
         return pa.table(
             {
-                "band": pa.array(np.asarray(out_band, np.int64), pa.int64()),
-                "key": pa.array(np.asarray(out_key, np.int64), pa.int64()),
-                "vec_id": pa.array(np.asarray(out_vid, np.int64), pa.int64()),
-                "is_true": pa.array(np.asarray(out_true, np.int64), pa.int64()),
-                "qe": pa.array(out_qe, pa.list_(pa.int64())),
+                "band": pa.array(bmat.reshape(-1), pa.int64()),
+                "key": pa.array(kmat.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.repeat(vids, reps), pa.int64()),
+                "is_true": pa.array(tmat.reshape(-1).copy(), pa.int64()),
+                "qe": pa.array(
+                    [qe_lists[i] for i in range(n) for _ in range(reps)],
+                    pa.list_(pa.int64()),
+                ),
             }
         )
 
@@ -2716,26 +2730,11 @@ _ML7_ORACLES_EXTRA.update(
 POWER_ITERS = 3
 
 
-def q_embedding_power_iteration(sf_dir: str):
-    """TOP PRINCIPAL DIRECTION by integer-exact power iteration: build the
-    (uncentered) second-moment matrix S = Σ_v qm·qmᵀ over the
-    micro-quantized embeddings with ONE dimension²-bounded shuffle, then
-    run ``POWER_ITERS`` rounds of v ← floor(S·v·10⁶ / max|S·v|) from
-    v₀ = 10⁶·1 — every step integer arithmetic (Python big ints
-    engine-side, HUGEINT oracle-side; the renormalizing division is the
-    portable sign-split floor), so DuckDB replays the whole iteration
-    bit-exactly as three chained CTEs. Output: (dim, v_micro) — the
-    dominant direction of the embedding cloud, the first number an
-    embedding-collapse investigation asks for after ``embedding_dim_stats``
-    (one dimension holding most of the energy ⇒ collapsed).
-
-    Scale shape: the corpus-shaped work is the S partials — each batch
-    folds to dim² integers (4,096 at dim 64) regardless of rows, with a
-    loud int64 guard; the iteration itself runs on the collected
-    dim²-bounded matrix (driver math on 64×64, like every
-    output-bounded finisher). Uncentered by design: centering adds a
-    rank-1 update that needs the mean broadcast — documented trade, and
-    ``embedding_dim_stats`` carries the means."""
+def _second_moment_matrix(sf_dir: str) -> list[list[int]]:
+    """The dim×dim integer second-moment matrix S = Σ_v qm·qmᵀ, built with
+    ONE dimension²-bounded shuffle (each batch folds to dim² integers
+    regardless of rows, loud int64 guard) and collected as driver math
+    input — shared by the power-iteration and energy-share audits."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -2751,7 +2750,7 @@ def q_embedding_power_iteration(sf_dir: str):
         dim = s.shape[0]
         if any(abs(int(v)) > (1 << 62) for v in s.ravel()):
             raise OverflowError(
-                "embedding_power_iteration: per-batch S exceeds int64 headroom"
+                "second-moment partials exceed int64 headroom"
             )
         ii, jj = np.meshgrid(
             np.arange(dim, dtype=np.int64), np.arange(dim, dtype=np.int64),
@@ -2779,6 +2778,11 @@ def q_embedding_power_iteration(sf_dir: str):
     S = [[0] * dim for _ in range(dim)]
     for r in sdf.itertuples(index=False):
         S[int(r.i)][int(r.j)] = int(r.s)
+    return S
+
+
+def _power_iterate(S: list[list[int]]) -> list[int]:
+    dim = len(S)
     v = [1_000_000] * dim
     for _ in range(POWER_ITERS):
         w = [sum(S[i][j] * v[j] for j in range(dim)) for i in range(dim)]
@@ -2791,9 +2795,34 @@ def q_embedding_power_iteration(sf_dir: str):
             else -((-x * 1_000_000 + m - 1) // m)
             for x in w
         ]
+    return v
+
+
+def q_embedding_power_iteration(sf_dir: str):
+    """TOP PRINCIPAL DIRECTION by integer-exact power iteration: build the
+    (uncentered) second-moment matrix S = Σ_v qm·qmᵀ over the
+    micro-quantized embeddings with ONE dimension²-bounded shuffle, then
+    run ``POWER_ITERS`` rounds of v ← floor(S·v·10⁶ / max|S·v|) from
+    v₀ = 10⁶·1 — every step integer arithmetic (Python big ints
+    engine-side, HUGEINT oracle-side; the renormalizing division is the
+    portable sign-split floor), so DuckDB replays the whole iteration
+    bit-exactly as three chained CTEs. Output: (dim, v_micro) — the
+    dominant direction of the embedding cloud, the first number an
+    embedding-collapse investigation asks for after ``embedding_dim_stats``
+    (one dimension holding most of the energy ⇒ collapsed).
+
+    Scale shape: the corpus-shaped work is the S partials — each batch
+    folds to dim² integers (4,096 at dim 64) regardless of rows, with a
+    loud int64 guard; the iteration itself runs on the collected
+    dim²-bounded matrix (driver math on 64×64, like every
+    output-bounded finisher). Uncentered by design: centering adds a
+    rank-1 update that needs the mean broadcast — documented trade, and
+    ``embedding_dim_stats`` carries the means."""
+    S = _second_moment_matrix(sf_dir)
+    v = _power_iterate(S)
     return pa.table(
         {
-            "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+            "dim": pa.array(np.arange(len(S), dtype=np.int64), pa.int64()),
             "v_micro": pa.array(np.asarray(v, np.int64), pa.int64()),
         }
     )
@@ -2838,3 +2867,62 @@ ML7_QUERIES.update(
 _ML7_ORACLES_EXTRA.update(
     {"embedding_power_iteration": _power_iter_sql}
 )
+
+
+# --------------------------------------------------------------------------
+# top-1 energy share (the single collapse number)
+# --------------------------------------------------------------------------
+
+
+def q_embedding_top1_energy(sf_dir: str):
+    """TOP-1 ENERGY SHARE: the fraction of total embedding energy on the
+    power-iteration direction — share_ppm = vᵀSv·10⁶ // (vᵀv·tr(S)) with
+    S the second-moment matrix and v the ``POWER_ITERS``-round iterate
+    (both integer; the Rayleigh quotient λ = vᵀSv/vᵀv over the trace).
+    Output one row: (trace, rayleigh_lambda, top1_energy_ppm) with
+    λ reported as the floored integer quotient. An isotropic cloud sits
+    near 10⁶/dim; a collapsed representation sits near 10⁶ — THE single
+    number the dim-stats and power-iteration audits roll up to.
+
+    Scale shape: same dimension²-bounded S shuffle as
+    ``embedding_power_iteration`` (one corpus pass); everything after is
+    driver math on the dim² frame. All quadratic forms in Python big
+    ints (vᵀSv reaches dim²·S·10¹² — far past int64), HUGEINT in the
+    oracle's replay of the identical three-CTE iteration."""
+    S = _second_moment_matrix(sf_dir)
+    v = _power_iterate(S)
+    dim = len(S)
+    tr = sum(S[i][i] for i in range(dim))
+    vtv = sum(x * x for x in v)
+    vsv = sum(v[i] * S[i][j] * v[j] for i in range(dim) for j in range(dim))
+    lam = vsv // vtv if vtv else 0
+    share = vsv * 1_000_000 // (vtv * tr) if vtv and tr else 0
+    return pa.table(
+        {
+            "trace": pa.array([tr], pa.int64()),
+            "rayleigh_lambda": pa.array([lam], pa.int64()),
+            "top1_energy_ppm": pa.array([share], pa.int64()),
+        }
+    )
+
+
+def _top1_energy_sql() -> str:
+    base = _power_iter_sql()
+    tail = f" SELECT dim, CAST(v AS BIGINT) AS v_micro FROM v{POWER_ITERS}"
+    assert base.endswith(tail), "power-iteration SQL shape changed"
+    return (
+        base[: -len(tail)]
+        + ", tr AS (SELECT CAST(SUM(s) AS HUGEINT) AS t FROM s WHERE i = j), "
+        + f"vtv AS (SELECT CAST(SUM(v*v) AS HUGEINT) AS q FROM v{POWER_ITERS}), "
+        + "vsv AS (SELECT CAST(SUM(va.v * s.s * vb.v) AS HUGEINT) AS q "
+        + f"FROM s JOIN v{POWER_ITERS} va ON va.dim = s.i "
+        + f"JOIN v{POWER_ITERS} vb ON vb.dim = s.j) "
+        + "SELECT CAST(tr.t AS BIGINT) AS trace, "
+        + "CAST(vsv.q // vtv.q AS BIGINT) AS rayleigh_lambda, "
+        + "CAST(vsv.q * 1000000 // (vtv.q * tr.t) AS BIGINT) "
+        + "AS top1_energy_ppm FROM tr CROSS JOIN vtv CROSS JOIN vsv"
+    )
+
+
+ML7_QUERIES.update({"embedding_top1_energy": q_embedding_top1_energy})
+_ML7_ORACLES_EXTRA.update({"embedding_top1_energy": _top1_energy_sql})

@@ -905,3 +905,18 @@ def test_power_iteration_finds_planted_dominant_axis(tmp_path, ray_session):
             for x in w
         ]
     assert v.tolist() == vv
+
+
+def test_top1_energy_near_one_for_rank1_cloud(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_embedding_top1_energy,
+    )
+
+    rng = np.random.default_rng(19)
+    base = rng.normal(size=8)
+    vecs = np.outer(rng.normal(size=25), base)  # exactly rank 1
+    sf = _write_embeddings(tmp_path, vecs)
+    row = q_embedding_top1_energy(sf).to_pandas().iloc[0]
+    # a rank-1 cloud concentrates (numerically) all energy on v
+    assert int(row["top1_energy_ppm"]) > 995_000
+    assert int(row["trace"]) > 0 and int(row["rayleigh_lambda"]) > 0
