@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "embedding_power_iteration",
     "embedding_top1_energy",
+    "source_js_divergence",
 ]
 
 

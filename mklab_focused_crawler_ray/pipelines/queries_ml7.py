@@ -2926,3 +2926,182 @@ def _top1_energy_sql() -> str:
 
 ML7_QUERIES.update({"embedding_top1_energy": q_embedding_top1_energy})
 _ML7_ORACLES_EXTRA.update({"embedding_top1_energy": _top1_energy_sql})
+
+
+# --------------------------------------------------------------------------
+# pairwise Jensen–Shannon divergence between sources
+# --------------------------------------------------------------------------
+
+
+def q_source_js_divergence(sf_dir: str):
+    """JENSEN–SHANNON DIVERGENCE between every source pair's unigram
+    distribution (micro-Hartleys): JS(P,Q) = (KL(P‖M) + KL(Q‖M)) // 2
+    with M = (P+Q)/2 — the symmetric, always-finite divergence the
+    mixing papers use where one-sided KL misleads (KL(P‖Q) blows up on a
+    single Q-absent token; JS is bounded by log10 2). Output:
+    (source_a, source_b, js_micro) with source_a < source_b. The
+    mixture term is exact-rational inside the envelope:
+    lp_m = floor(log10((c_p·T_q + c_q·T_p)/(2·T_p·T_q))·10⁶ + 0.5),
+    with the big products converted to DOUBLE identically on both
+    engines; every division is the portable sign-split floor.
+
+    Scale shape: ONE (source, token) count shuffle (the KL/IG
+    materialization); each token group (≤ |sources| rows) emits its
+    per-(directed source, peer) contribution rows — the shuffle is
+    vocabulary×sources² bounded, the explicit cost of an all-pairs
+    divergence matrix (prune the source list first at large fan-in);
+    the per-pair finisher folds Σ c·Δlp in Python ints."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in TOKEN_RE.findall(t.lower()):
+                c[(s, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "pc": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("pc", alias_name="c"))
+        .materialize()  # vocabulary×sources bounded
+    )
+    tot_df = (
+        counts.groupby("source").aggregate(Sum("c", alias_name="t")).to_pandas()
+    )
+    t_s = {str(r.source): int(r.t) for r in tot_df.itertuples(index=False)}
+    all_sources = sorted(t_s)
+    ts_ref = ray.put((t_s, all_sources))
+
+    def per_token(g) -> pa.Table:
+        ts_map, sources = ray.get(ts_ref)
+        have = {
+            str(s): int(c)
+            for s, c in zip(g["source"].tolist(), g["c"].to_numpy(np.int64))
+        }
+        src_out, peer_out, c_out, dlp_out = [], [], [], []
+        for p, cp in have.items():
+            tp = ts_map[p]
+            lp_p = int(np.floor(np.log10(cp / float(tp)) * 1_000_000 + 0.5))
+            for q in sources:
+                if q == p:
+                    continue
+                cq = have.get(q, 0)
+                tq = ts_map[q]
+                num = cp * tq + cq * tp
+                den = 2 * tp * tq
+                lp_m = int(
+                    np.floor(
+                        np.log10(float(num) / float(den)) * 1_000_000 + 0.5
+                    )
+                )
+                src_out.append(p)
+                peer_out.append(q)
+                c_out.append(cp)
+                dlp_out.append(lp_p - lp_m)
+        return pa.table(
+            {
+                "src": pa.array(src_out, pa.string()),
+                "peer": pa.array(peer_out, pa.string()),
+                "c": pa.array(np.asarray(c_out, np.int64), pa.int64()),
+                "dlp": pa.array(np.asarray(dlp_out, np.int64), pa.int64()),
+            }
+        )
+
+    def finish(g) -> pa.Table:
+        ts_map, _sources = ray.get(ts_ref)
+        src = str(g["src"].iloc[0])
+        peer = str(g["peer"].iloc[0])
+        t = ts_map[src]
+        c = g["c"].to_numpy(np.int64).astype(object)
+        dlp = g["dlp"].to_numpy(np.int64).astype(object)
+        s = int((c * dlp).sum())
+        kl = s // t if s >= 0 else -((-s + t - 1) // t)
+        return pa.table(
+            {
+                "src": pa.array([src], pa.string()),
+                "peer": pa.array([peer], pa.string()),
+                "kl": pa.array([kl], pa.int64()),
+            }
+        )
+
+    kl_df = (
+        counts.groupby("token")
+        .map_groups(per_token, batch_format="pandas")
+        .groupby(["src", "peer"])
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()  # sources² bounded
+    )
+    klm = {
+        (str(r.src), str(r.peer)): int(r.kl)
+        for r in kl_df.itertuples(index=False)
+    }
+    rows = []
+    for i, a in enumerate(all_sources):
+        for b in all_sources[i + 1 :]:
+            s = klm.get((a, b), 0) + klm.get((b, a), 0)
+            js = s // 2 if s >= 0 else -((-s + 1) // 2)
+            rows.append((a, b, js))
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "js_micro": pa.array(
+                np.asarray([r[2] for r in rows], np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _js_sql() -> str:
+    return (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+        "FROM documents), "
+        "uc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tok GROUP BY 1, 2), "
+        "st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM uc GROUP BY 1), "
+        # directed contribution rows: every (present token, peer source)
+        "d AS (SELECT a.source AS src, s2.source AS peer, a.c AS cp, "
+        "sa.t AS tp, COALESCE(b.c, 0) AS cq, s2.t AS tq "
+        "FROM uc a JOIN st sa USING (source) "
+        "CROSS JOIN st s2 "
+        "LEFT JOIN uc b ON b.source = s2.source AND b.token = a.token "
+        "WHERE s2.source <> a.source), "
+        "lp AS (SELECT src, peer, cp, tp, "
+        "CAST(FLOOR(LOG10(CAST(cp AS DOUBLE)/tp)*1000000 + 0.5) AS BIGINT) "
+        "- CAST(FLOOR(LOG10(CAST(CAST(cp AS HUGEINT)*tq + CAST(cq AS HUGEINT)*tp "
+        "AS DOUBLE) / CAST(2*CAST(tp AS HUGEINT)*tq AS DOUBLE))*1000000 + 0.5) "
+        "AS BIGINT) AS dlp FROM d), "
+        "kl AS (SELECT src, peer, "
+        "CAST(CASE WHEN SUM(CAST(cp AS HUGEINT)*dlp) >= 0 "
+        "THEN SUM(CAST(cp AS HUGEINT)*dlp) // ANY_VALUE(tp) "
+        "ELSE -((-SUM(CAST(cp AS HUGEINT)*dlp) + ANY_VALUE(tp) - 1) "
+        "// ANY_VALUE(tp)) END AS BIGINT) AS kl "
+        "FROM lp GROUP BY 1, 2) "
+        "SELECT x.src AS source_a, x.peer AS source_b, "
+        "CAST(CASE WHEN x.kl + y.kl >= 0 THEN (x.kl + y.kl) // 2 "
+        "ELSE -((-(x.kl + y.kl) + 1) // 2) END AS BIGINT) AS js_micro "
+        "FROM kl x JOIN kl y ON y.src = x.peer AND y.peer = x.src "
+        "WHERE x.src < x.peer"
+    )
+
+
+ML7_QUERIES.update({"source_js_divergence": q_source_js_divergence})
+_ML7_ORACLES_EXTRA.update({"source_js_divergence": _js_sql})

@@ -920,3 +920,32 @@ def test_top1_energy_near_one_for_rank1_cloud(tmp_path, ray_session):
     # a rank-1 cloud concentrates (numerically) all energy on v
     assert int(row["top1_energy_ppm"]) > 995_000
     assert int(row["trace"]) > 0 and int(row["rayleigh_lambda"]) > 0
+
+
+# --------------------------------------------------------------------------
+# Jensen–Shannon divergence
+# --------------------------------------------------------------------------
+
+
+def test_js_divergence_identical_zero_disjoint_log2(tmp_path, ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import (
+        q_source_js_divergence,
+    )
+
+    sf = _write_docs(
+        tmp_path,
+        ["aa bb cc", "aa bb cc", "dd ee ff gg"],
+        sources=["s1", "s2", "s3"],
+    )
+    df = (
+        q_source_js_divergence(sf)
+        .to_pandas()
+        .set_index(["source_a", "source_b"])
+    )
+    # identical distributions → JS = 0 (up to the ±1 µ flooring envelope)
+    assert abs(int(df.loc[("s1", "s2"), "js_micro"])) <= 1
+    # fully disjoint vocabularies → JS = log10(2) ≈ 301030 µHartley
+    for pair in (("s1", "s3"), ("s2", "s3")):
+        assert abs(int(df.loc[pair, "js_micro"]) - 301030) <= 2
+    # symmetric by construction and bounded by log10(2)
+    assert (df["js_micro"] <= 301032).all() and (df["js_micro"] >= -1).all()
