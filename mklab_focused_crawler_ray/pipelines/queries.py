@@ -607,6 +607,7 @@ def pairs_to_df(ds, cols: list[str]):
 # VERDICT r4 'Next round' #4).
 _MINHASH_PAIR_MEMO: dict[tuple, "pd.DataFrame"] = {}
 _DECONTAM_MEMO: dict[tuple, "pd.DataFrame"] = {}
+_ALLPAIRS_W3_MEMO: dict[tuple, "pd.DataFrame"] = {}
 
 
 def clear_query_memos() -> None:
@@ -618,6 +619,7 @@ def clear_query_memos() -> None:
     deliberately survive — bench documents the warm-number caveat."""
     _MINHASH_PAIR_MEMO.clear()
     _DECONTAM_MEMO.clear()
+    _ALLPAIRS_W3_MEMO.clear()
 
 
 def _corpus_cache_path(sf_dir: str, name: str) -> str:
@@ -674,6 +676,40 @@ def q_minhash_dup_pairs(sf_dir: str):
     return _minhash_pairs_cached(sf_dir).copy()
 
 
+def _allpairs_word3_cached(sf_dir: str):
+    """Shared materialization of the complete AllPairs word-3-gram
+    Jaccard ≥ 0.5 self-join (``stages/dedup.allpairs_jaccard_pairs`` with
+    the exactness defaults — caps OFF). Four registry queries consume the
+    identical pair list (``allpairs_jaccard``, ``cross_source_dup_matrix``,
+    ``split_leakage_pairs``, ``jaccard_threshold_curve``); the r4
+    shared-pass discipline applies unchanged: one corpus-wide join per
+    session, fingerprint-keyed memo + disk parquet, consumers read-only."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import allpairs_jaccard_pairs
+
+    key = _fingerprint_key(sf_dir)
+    df = _ALLPAIRS_W3_MEMO.get(key)
+    if df is None:
+        path = _corpus_cache_path(sf_dir, "allpairs_word3_pairs.parquet")
+        if os.path.exists(path):
+            df = pq.read_table(path).to_pandas()
+        else:
+            df = pairs_to_df(
+                allpairs_jaccard_pairs(
+                    _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
+                ),
+                ["doc_a", "doc_b", "jaccard_micro"],
+            )
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False), path + ".tmp"
+            )
+            os.replace(path + ".tmp", path)
+        _ALLPAIRS_W3_MEMO.clear()  # hold at most one corpus
+        _ALLPAIRS_W3_MEMO[key] = df
+    return df
+
+
 def q_allpairs_jaccard(sf_dir: str):
     """EXACT set-similarity self-join (AllPairs prefix filtering — complete
     candidates with no LSH recall caveat): word-3-gram Jaccard ≥ 0.5 pairs.
@@ -681,14 +717,7 @@ def q_allpairs_jaccard(sf_dir: str):
     the LSH variant the candidate set is complete by the prefix-filter
     theorem, and the skew caps are disabled on this path (exact join), so
     the result equals brute force on any corpus."""
-    from ..stages.dedup import allpairs_jaccard_pairs
-
-    return pairs_to_df(
-        allpairs_jaccard_pairs(
-            _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
-        ),
-        ["doc_a", "doc_b", "jaccard_micro"],
-    )
+    return _allpairs_word3_cached(sf_dir).copy()
 
 
 def _index_cache_dir(sf_dir: str) -> str:

@@ -1424,9 +1424,7 @@ def q_split_leakage_pairs(sf_dir: str):
     map-side hash of the ids already in the pair rows — no extra scan, no
     extra shuffle. Reference: n/a (brief addition; the audit every
     training-data release runs before publishing a split)."""
-    import ray.data as rd
-
-    from ..stages.dedup import allpairs_jaccard_pairs
+    from .queries import _allpairs_word3_cached
     from .queries_ml3 import SPLIT_MULT, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
     def label(batch: pa.Table) -> pa.Table:
@@ -1453,9 +1451,15 @@ def q_split_leakage_pairs(sf_dir: str):
         )
         return out.filter(pc.invert(pc.equal(out["split_a"], out["split_b"])))
 
-    return allpairs_jaccard_pairs(
-        _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
-    ).map_batches(label, batch_format="pyarrow")
+    pairs = _allpairs_word3_cached(sf_dir)
+    return label(
+        pa.table(
+            {
+                c: pa.array(pairs[c].to_numpy(np.int64), pa.int64())
+                for c in ("doc_a", "doc_b", "jaccard_micro")
+            }
+        )
+    )
 
 
 def _split_leakage_sql() -> str:

@@ -1479,15 +1479,9 @@ def q_cross_source_dup_matrix(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..stages.dedup import allpairs_jaccard_pairs
-    from .queries import pairs_to_df
+    from .queries import _allpairs_word3_cached
 
-    pairs = pairs_to_df(
-        allpairs_jaccard_pairs(
-            _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
-        ),
-        ["doc_a", "doc_b", "jaccard_micro"],
-    )
+    pairs = _allpairs_word3_cached(sf_dir)
     if pairs.empty:
         return pa.table(
             {
@@ -2248,15 +2242,9 @@ def q_jaccard_threshold_curve(sf_dir: str):
     Scale shape: the pair pass is the complete prefix-filter join; the
     curve fold runs over the dup-shaped pair frame (5 cumulative counts
     + per-threshold distinct-doc counts on a bounded edge list)."""
-    from ..stages.dedup import allpairs_jaccard_pairs
-    from .queries import pairs_to_df
+    from .queries import _allpairs_word3_cached
 
-    pairs = pairs_to_df(
-        allpairs_jaccard_pairs(
-            _p(sf_dir, "documents"), threshold=0.5, shingle="word3"
-        ),
-        ["doc_a", "doc_b", "jaccard_micro"],
-    )
+    pairs = _allpairs_word3_cached(sf_dir)
     j = pairs["jaccard_micro"].to_numpy(np.int64) if not pairs.empty else np.empty(0, np.int64)
     a = pairs["doc_a"].to_numpy(np.int64) if not pairs.empty else np.empty(0, np.int64)
     b = pairs["doc_b"].to_numpy(np.int64) if not pairs.empty else np.empty(0, np.int64)
