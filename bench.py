@@ -263,6 +263,10 @@ BENCH_QUERIES = [
     "embedding_power_iteration",
     "embedding_top1_energy",
     "source_js_divergence",
+    "robots_gate_counts",
+    "url_expand_final",
+    "politeness_rounds",
+    "frontier_schedule",
 ]
 
 

@@ -1,0 +1,460 @@
+"""Standalone oracled queries for the URL-frontier scheduler components
+(the north rule's fetch-scheduler surface): robots gating, ≤4-hop redirect
+expansion, per-host politeness round assignment, and the composed frontier
+schedule manifest.
+
+The crawl pipeline (pipelines/crawl.py) runs these semantics inside its
+round loop; these queries expose each component — and their composition —
+as driver-gate artifacts over the deterministic crawl fixture
+(frontier_seed / redirects / robots), each with an exact DuckDB oracle.
+
+Reference lineage:
+- redirect expansion: bolts/webpages/URLExpansionBolt.java:30,110-134
+  (≤4 hops, Location walk) via the shared ``stages/expand.make_expander``
+  kernel (trace-conformance tested against the live path).
+- ranking: bolts/webpages/RankerBolt.java:78-92 (shares×pubtime score);
+  the priority queue becomes (score_micro desc, url asc) per host.
+- politeness: the reference's only politeness knob is maxPerRoute=10
+  (bolts/FetcherBolt.java connection pool); the north rule promotes it to
+  an explicit per-host budget of ``PER_HOST_BUDGET`` fetches per round, so
+  a URL's fetch round is rank-within-host // budget.
+- robots: north-rule addition (the reference has none); ANY matching
+  disallow prefix for the URL's host blocks it. The live crawl path parses
+  real robots.txt with RFC 9309 semantics (state/politeness.RobotsCache);
+  these queries mirror the fixture's declarative (host, disallow_prefix)
+  table — the batch-audit shape of the same gate.
+
+Scale shapes (10^10-URL frontier):
+- robots table is per-host bounded (millions of rows, not corpus-shaped):
+  broadcast once via ``ray.put`` as sorted arrays, searchsorted lookup
+  inside ``map_batches``. Past broadcast size, bucket-join by host.
+- redirect store: broadcast zero-copy Arrow store (stages/expand), the
+  same layout the crawl loop ships; a corpus-shaped redirect map would
+  switch to 2 pointer-doubling rounds of hash-bucketed co-groups (the
+  stationary-shard machinery in stages/pregel.py) — documented, not
+  needed while redirect tables are orders smaller than frontiers.
+- the only shuffles are keyed by url / expanded_url / host — the same
+  partition keys the crawl loop reuses; per-host groups are the natural
+  politeness unit (hot hosts are exactly the rows one scheduling decision
+  must see together).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.urls import MAX_REDIRECTS  # noqa: F401  (doc anchor)
+
+# 2023-11-16T00:00:00Z — after the fixture frontier's max date, so every
+# age is positive and the pubtime decay term is well-defined. No wall
+# clock anywhere (scores must replay bit-for-bit in the oracle).
+CRAWL_NOW_MS = 1_700_092_800_000
+AVG_TIME_DIFF_MS = 600_000.0  # RankerBolt.java:30 (10 minutes)
+PER_HOST_BUDGET = 10  # FetcherBolt maxPerRoute=10 → fetches/host/round
+
+
+def _fx(sf_dir: str, table: str) -> str:
+    from .queries_media import fixture_dir_for
+
+    return os.path.join(fixture_dir_for(sf_dir), f"{table}.parquet")
+
+
+def _score_micro(shares: np.ndarray, date_ms: np.ndarray) -> np.ndarray:
+    """RankerBolt score in integer micro units — the exact float expression
+    the DuckDB oracle replays (same operation order, same rounding)."""
+    s = shares.astype(np.float64)
+    shares_score = (1.0 - np.exp(-0.05 * s) + 1.0) / 2.0
+    age = (CRAWL_NOW_MS - date_ms).astype(np.float64)
+    pub_score = (np.exp(-(age / AVG_TIME_DIFF_MS)) + 1.0) / 2.0
+    return np.floor(shares_score * pub_score * 1_000_000.0 + 0.5).astype(np.int64)
+
+
+_FRONTIER_SCORE_SQL = (
+    "CAST(FLOOR((1 - EXP(-0.05*shares) + 1)/2 * "
+    f"(EXP(-(({CRAWL_NOW_MS} - epoch_ms(date))/{AVG_TIME_DIFF_MS})) + 1)/2 "
+    "* 1000000 + 0.5) AS BIGINT)"
+)
+
+
+# --------------------------------------------------------------------------
+# robots broadcast store
+# --------------------------------------------------------------------------
+
+
+def _robots_store(sf_dir: str):
+    """ray.put'd robots store: (sorted host numpy array, full url-prefix
+    numpy array) where full prefix = 'https://' + host + disallow_prefix —
+    so the gate is one elementwise ``np.char.startswith`` on the URL, no
+    path slicing. Sorted by host for searchsorted range lookup; a host may
+    carry several disallow rows (ANY match blocks)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rob = pq.read_table(_fx(sf_dir, "robots"))
+    hosts = np.asarray(rob["host"].to_pylist(), dtype=object).astype(str)
+    prefs = np.asarray(rob["disallow_prefix"].to_pylist(), dtype=object).astype(str)
+    order = np.argsort(hosts, kind="stable")
+    hosts, prefs = hosts[order], prefs[order]
+    full = np.char.add(np.char.add("https://", hosts), prefs)
+    return ray.put((hosts, full))
+
+
+def _blocked_mask(urls: np.ndarray, hosts_of: np.ndarray, store) -> np.ndarray:
+    """True where ANY robots disallow prefix of the URL's host matches.
+    Vectorized: one searchsorted range per batch, then one
+    ``np.char.startswith`` pass per prefix-multiplicity level (k is the max
+    number of disallow rows a host has — a tiny constant)."""
+    rhosts, rfull = store
+    if len(urls) == 0 or len(rhosts) == 0:
+        return np.zeros(len(urls), dtype=bool)
+    u = urls.astype(str)
+    h = hosts_of.astype(str)
+    lo = np.searchsorted(rhosts, h, side="left")
+    hi = np.searchsorted(rhosts, h, side="right")
+    blocked = np.zeros(len(u), dtype=bool)
+    width = hi - lo
+    for k in range(int(width.max()) if len(width) else 0):
+        sel = width > k
+        if not sel.any():
+            break
+        idx = lo[sel] + k
+        blocked[sel] |= np.char.startswith(u[sel], rfull[idx])
+    return blocked
+
+
+# --------------------------------------------------------------------------
+# 1. robots gate audit — per-host (n_urls, n_blocked) over distinct
+#    frontier URLs
+# --------------------------------------------------------------------------
+
+
+def q_robots_gate_counts(sf_dir: str):
+    """Per-host robots audit over the seed frontier: distinct URLs per host
+    and how many a disallow prefix blocks. The gate flag is map-side
+    (broadcast robots store); the single shuffle keys by host — the
+    politeness partition the whole scheduler reuses — and the group fn
+    dedupes URLs inside the host group (url determines host, so per-group
+    distinct == global distinct)."""
+    import ray
+    import ray.data as rd
+
+    store_ref = _robots_store(sf_dir)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        store = ray.get(store_ref)
+        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        hosts = np.asarray(batch["domain"].to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "host": batch["domain"],
+                "blocked": pa.array(_blocked_mask(urls, hosts, store)),
+            }
+        )
+
+    def per_host(g) -> pa.Table:
+        g = g.drop_duplicates(subset=["url"])
+        return pa.table(
+            {
+                "host": pa.array([g["host"].iloc[0]], pa.string()),
+                "n_urls": pa.array([len(g)], pa.int64()),
+                "n_blocked": pa.array([int(g["blocked"].sum())], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(_fx(sf_dir, "frontier_seed"), columns=["url", "domain"])
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(per_host, batch_format="pandas")
+    )
+
+
+def _robots_gate_counts_sql(seeds: str, robots: str) -> str:
+    return (
+        f"WITH d AS (SELECT DISTINCT url, domain FROM read_parquet('{seeds}')) "
+        "SELECT d.domain AS host, CAST(COUNT(*) AS BIGINT) AS n_urls, "
+        "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM "
+        f"read_parquet('{robots}') r WHERE r.host = d.domain AND "
+        "starts_with(d.url, 'https://' || r.host || r.disallow_prefix)) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked "
+        "FROM d GROUP BY d.domain"
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. redirect expansion — ≤4-hop final URL + status per distinct seed URL
+# --------------------------------------------------------------------------
+
+
+def q_url_expand_final(sf_dir: str):
+    """URLExpansionBolt replay as a standalone query: for every distinct
+    seed URL, the ≤``MAX_REDIRECTS``-hop expansion endpoint, its host, and
+    'ok' / 'expand_failed' (failed iff a further hop exists after 4 — the
+    reference's give-up path, URLExpansionBolt.java:30,85-98). Reuses the
+    crawl loop's exact vectorized expander (stages/expand.make_expander)
+    over the broadcast zero-copy redirect store; dedupe is one
+    url-keyed first-wins group (duplicate seed rows are identical)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..stages.expand import build_redirect_store, make_expander
+
+    redirects = pq.read_table(_fx(sf_dir, "redirects"))
+    store_ref = ray.put(
+        build_redirect_store(
+            redirects["src"].to_pylist(), redirects["dst"].to_pylist()
+        )
+    )
+    expander = make_expander(store_ref)
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return (
+        rd.read_parquet(_fx(sf_dir, "frontier_seed"), columns=["url"])
+        .groupby("url")
+        .map_groups(first, batch_format="pyarrow")
+        .map_batches(expander, batch_format="pyarrow")
+        .select_columns(["url", "expanded_url", "expanded_host", "status"])
+    )
+
+
+def _hop_cte(seeds_sel: str, redirects: str) -> str:
+    """Shared CTE fragment: u0..u4 COALESCE hop chain over the redirect
+    table (a missed hop keeps the URL, and a kept URL can never match a
+    later hop — the map was already consulted), ending with the 5th-hop
+    existence check that defines expand_failed."""
+    parts = [
+        f"r AS (SELECT src, dst FROM read_parquet('{redirects}'))",
+        f"h0 AS ({seeds_sel})",
+    ]
+    for k in range(1, MAX_REDIRECTS + 1):
+        parts.append(
+            f"h{k} AS (SELECT h.*  EXCLUDE (u), COALESCE(r.dst, h.u) AS u "
+            f"FROM h{k-1} h LEFT JOIN r ON r.src = h.u)"
+        )
+    parts.append(
+        f"hx AS (SELECT h.*, CASE WHEN EXISTS (SELECT 1 FROM r WHERE "
+        f"r.src = h.u) THEN 'expand_failed' ELSE 'ok' END AS status, "
+        "regexp_extract(h.u, '^https://([^/]+)', 1) AS ehost "
+        f"FROM h{MAX_REDIRECTS} h)"
+    )
+    return ", ".join(parts)
+
+
+def _url_expand_final_sql(seeds: str, redirects: str) -> str:
+    seeds_sel = f"SELECT DISTINCT url, url AS u FROM read_parquet('{seeds}')"
+    return (
+        "WITH " + _hop_cte(seeds_sel, redirects) + " "
+        "SELECT url, u AS expanded_url, ehost AS expanded_host, status FROM hx"
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. politeness rounds — per-host fetch-round assignment on the raw frontier
+# --------------------------------------------------------------------------
+
+
+def q_politeness_rounds(sf_dir: str):
+    """Per-host politeness scheduling over the raw seed frontier: each
+    distinct URL gets the RankerBolt score (micro units) and a fetch round
+    = rank-within-host // ``PER_HOST_BUDGET`` under (score_micro desc, url
+    asc) — the priority-queue drain order quantized by the per-host budget.
+    ONE shuffle, keyed by host: scoring is map-side and the group fn
+    dedupes + ranks inside the politeness partition."""
+    import ray.data as rd
+
+    def score(batch: pa.Table) -> pa.Table:
+        shares = batch["shares"].to_numpy(zero_copy_only=False)
+        date_ms = batch["date"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "host": batch["domain"],
+                "score_micro": pa.array(_score_micro(shares, date_ms), pa.int64()),
+            }
+        )
+
+    def rounds(g) -> pa.Table:
+        g = g.drop_duplicates(subset=["url"])
+        sm = g["score_micro"].to_numpy()
+        urls = g["url"].to_numpy(dtype=object)
+        order = np.lexsort((urls, -sm))
+        rnd = np.empty(len(g), np.int64)
+        rnd[order] = np.arange(len(g)) // PER_HOST_BUDGET
+        return pa.table(
+            {
+                "url": pa.array(urls.tolist(), pa.string()),
+                "host": pa.array(g["host"].to_numpy(dtype=object).tolist(), pa.string()),
+                "score_micro": pa.array(sm, pa.int64()),
+                "fetch_round": pa.array(rnd, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _fx(sf_dir, "frontier_seed"), columns=["url", "domain", "shares", "date"]
+        )
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(rounds, batch_format="pandas")
+    )
+
+
+def _politeness_rounds_sql(seeds: str) -> str:
+    return (
+        "WITH d AS (SELECT DISTINCT url, domain AS host, "
+        f"{_FRONTIER_SCORE_SQL} AS score_micro FROM read_parquet('{seeds}')) "
+        "SELECT url, host, score_micro, "
+        "CAST((ROW_NUMBER() OVER (PARTITION BY host "
+        f"ORDER BY score_micro DESC, url ASC) - 1) // {PER_HOST_BUDGET} "
+        "AS BIGINT) AS fetch_round FROM d"
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. frontier schedule — the composed scheduler manifest
+# --------------------------------------------------------------------------
+
+
+def q_frontier_schedule(sf_dir: str):
+    """The composed fetch-scheduler manifest (the north rule end-to-end,
+    minus the fetch itself): seed frontier → ≤4-hop expansion (drop
+    expand_failed) → robots gate on the EXPANDED url/host → RankerBolt
+    score → one row per expanded_url (best evidence wins: score desc, url
+    asc — this also collapses duplicate seed rows, so no separate
+    url-dedupe shuffle) → per-expanded-host fetch rounds.
+
+    Exactly two shuffles (expanded_url, then expanded host), both on keys
+    the crawl loop already partitions by; expansion, gating and scoring
+    are map-side against the two broadcast stores."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..stages.expand import build_redirect_store, make_expander
+
+    redirects = pq.read_table(_fx(sf_dir, "redirects"))
+    redirect_ref = ray.put(
+        build_redirect_store(
+            redirects["src"].to_pylist(), redirects["dst"].to_pylist()
+        )
+    )
+    robots_ref = _robots_store(sf_dir)
+    expander = make_expander(redirect_ref)
+
+    def gate_and_score(batch: pa.Table) -> pa.Table:
+        batch = expander(batch)
+        ok = batch.filter(pa.compute.equal(batch["status"], "ok"))
+        store = ray.get(robots_ref)
+        eu = np.asarray(ok["expanded_url"].to_pylist(), dtype=object)
+        eh = np.asarray(ok["expanded_host"].to_pylist(), dtype=object)
+        keep = ~_blocked_mask(eu, eh, store)
+        kept = ok.filter(pa.array(keep))
+        shares = kept["shares"].to_numpy(zero_copy_only=False)
+        date_ms = kept["date"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "url": kept["url"],
+                "expanded_url": kept["expanded_url"],
+                "host": kept["expanded_host"],
+                "score_micro": pa.array(_score_micro(shares, date_ms), pa.int64()),
+            }
+        )
+
+    def best_per_target(g) -> pa.Table:
+        sm = g["score_micro"].to_numpy()
+        urls = g["url"].to_numpy(dtype=object)
+        i = int(np.lexsort((urls, -sm))[0])
+        return pa.table(
+            {
+                "url": pa.array([urls[i]], pa.string()),
+                "expanded_url": pa.array([g["expanded_url"].iloc[i]], pa.string()),
+                "host": pa.array([g["host"].iloc[i]], pa.string()),
+                "score_micro": pa.array([int(sm[i])], pa.int64()),
+            }
+        )
+
+    def rounds(g) -> pa.Table:
+        sm = g["score_micro"].to_numpy()
+        urls = g["url"].to_numpy(dtype=object)
+        order = np.lexsort((urls, -sm))
+        rnd = np.empty(len(g), np.int64)
+        rnd[order] = np.arange(len(g)) // PER_HOST_BUDGET
+        return pa.table(
+            {
+                "url": pa.array(urls.tolist(), pa.string()),
+                "expanded_url": pa.array(
+                    g["expanded_url"].to_numpy(dtype=object).tolist(), pa.string()
+                ),
+                "host": pa.array(g["host"].to_numpy(dtype=object).tolist(), pa.string()),
+                "score_micro": pa.array(sm, pa.int64()),
+                "fetch_round": pa.array(rnd, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _fx(sf_dir, "frontier_seed"), columns=["url", "domain", "shares", "date"]
+        )
+        .map_batches(gate_and_score, batch_format="pyarrow")
+        .groupby("expanded_url")
+        .map_groups(best_per_target, batch_format="pandas")
+        .groupby("host")
+        .map_groups(rounds, batch_format="pandas")
+    )
+
+
+def _frontier_schedule_sql(seeds: str, redirects: str, robots: str) -> str:
+    seeds_sel = (
+        "SELECT url, shares, date, url AS u FROM "
+        f"read_parquet('{seeds}')"
+    )
+    return (
+        "WITH " + _hop_cte(seeds_sel, redirects) + ", "
+        "g AS (SELECT url, u AS expanded_url, ehost AS host, "
+        f"{_FRONTIER_SCORE_SQL} AS score_micro "
+        "FROM hx WHERE status = 'ok' AND NOT EXISTS (SELECT 1 FROM "
+        f"read_parquet('{robots}') rb WHERE rb.host = hx.ehost AND "
+        "starts_with(hx.u, 'https://' || rb.host || rb.disallow_prefix))), "
+        "b AS (SELECT * FROM g QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY expanded_url ORDER BY score_micro DESC, url ASC) = 1) "
+        "SELECT url, expanded_url, host, score_micro, "
+        "CAST((ROW_NUMBER() OVER (PARTITION BY host "
+        f"ORDER BY score_micro DESC, url ASC) - 1) // {PER_HOST_BUDGET} "
+        "AS BIGINT) AS fetch_round FROM b"
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+CRAWL_QUERIES = {
+    "robots_gate_counts": q_robots_gate_counts,
+    "url_expand_final": q_url_expand_final,
+    "politeness_rounds": q_politeness_rounds,
+    "frontier_schedule": q_frontier_schedule,
+}
+
+
+def build_crawl_oracles() -> dict[str, str]:
+    """Fixture-path DuckDB oracles (driver gate runs at sf0.01 → fixture
+    tier 'small'; same discipline as oracles_ext)."""
+    from .queries_media import fixture_dir_for
+
+    fdir = fixture_dir_for("/root/testdata/sf0.01")
+    seeds = os.path.join(fdir, "frontier_seed.parquet")
+    redirects = os.path.join(fdir, "redirects.parquet")
+    robots = os.path.join(fdir, "robots.parquet")
+    return {
+        "robots_gate_counts": _robots_gate_counts_sql(seeds, robots),
+        "url_expand_final": _url_expand_final_sql(seeds, redirects),
+        "politeness_rounds": _politeness_rounds_sql(seeds),
+        "frontier_schedule": _frontier_schedule_sql(seeds, redirects, robots),
+    }

@@ -1,0 +1,110 @@
+"""Kernel edge cases for the frontier-scheduler queries
+(pipelines/queries_crawl.py): the vectorized robots ANY-prefix gate, the
+score-micro replay vs DuckDB's float engine, and the politeness round
+quantization. The full query-vs-oracle equality at the driver tier is
+covered by tests/test_queries_oracle.py (FIXTURE_BACKED entries)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+    AVG_TIME_DIFF_MS,
+    CRAWL_NOW_MS,
+    PER_HOST_BUDGET,
+    _blocked_mask,
+    _score_micro,
+)
+
+
+def _store(rows):
+    """Build the (sorted hosts, full prefixes) store shape _robots_store
+    produces, from (host, disallow_prefix) tuples."""
+    hosts = np.array([h for h, _ in rows], dtype=object).astype(str)
+    prefs = np.array([p for _, p in rows], dtype=object).astype(str)
+    order = np.argsort(hosts, kind="stable")
+    hosts, prefs = hosts[order], prefs[order]
+    full = np.char.add(np.char.add("https://", hosts), prefs)
+    return hosts, full
+
+
+def test_blocked_mask_any_prefix_and_missing_host():
+    store = _store(
+        [
+            ("a.com", "/private/"),
+            ("a.com", "/tmp/"),  # multi-prefix host: ANY match blocks
+            ("b.com", "/x"),
+        ]
+    )
+    urls = np.array(
+        [
+            "https://a.com/private/p1",  # first prefix
+            "https://a.com/tmp/file",  # second prefix of the same host
+            "https://a.com/public/p",  # host present, no prefix match
+            "https://b.com/xy",  # prefix match without trailing slash
+            "https://b.com/y",  # no match
+            "https://c.com/private/p",  # host absent from robots
+        ],
+        dtype=object,
+    )
+    hosts = np.array(
+        ["a.com", "a.com", "a.com", "b.com", "b.com", "c.com"], dtype=object
+    )
+    assert _blocked_mask(urls, hosts, store).tolist() == [
+        True,
+        True,
+        False,
+        True,
+        False,
+        False,
+    ]
+
+
+def test_blocked_mask_empty_inputs():
+    store = _store([("a.com", "/p/")])
+    assert _blocked_mask(np.empty(0, object), np.empty(0, object), store).tolist() == []
+    empty_store = (np.empty(0, "<U1"), np.empty(0, "<U1"))
+    urls = np.array(["https://a.com/p/x"], dtype=object)
+    hosts = np.array(["a.com"], dtype=object)
+    assert _blocked_mask(urls, hosts, empty_store).tolist() == [False]
+
+
+def test_score_micro_matches_duckdb_float_engine():
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    shares = rng.integers(0, 12000, size=200).astype(np.int64)
+    # ages from seconds to days before CRAWL_NOW_MS
+    date_ms = CRAWL_NOW_MS - rng.integers(1_000, 90_000_000, size=200)
+    ours = _score_micro(shares, date_ms)
+    con = duckdb.connect()
+    con.register(
+        "t",
+        __import__("pandas").DataFrame({"shares": shares, "date_ms": date_ms}),
+    )
+    theirs = con.execute(
+        "SELECT CAST(FLOOR((1 - EXP(-0.05*shares) + 1)/2 * "
+        f"(EXP(-(({CRAWL_NOW_MS} - date_ms)/{AVG_TIME_DIFF_MS})) + 1)/2 "
+        "* 1000000 + 0.5) AS BIGINT) FROM t"
+    ).fetchnumpy()
+    theirs = next(iter(theirs.values())).astype(np.int64)
+    assert np.array_equal(ours, theirs)
+
+
+def test_round_quantization_brute_force():
+    """rank-within-host // budget under (score desc, url asc), including a
+    score tie broken by url."""
+    sm = np.array([500, 900, 900, 100] + [800] * 18, np.int64)
+    urls = np.array(
+        ["u03", "u02", "u01", "u04"] + [f"v{i:02d}" for i in range(18)], object
+    )
+    order = np.lexsort((urls, -sm))
+    rnd = np.empty(len(sm), np.int64)
+    rnd[order] = np.arange(len(sm)) // PER_HOST_BUDGET
+    ranked = sorted(zip(sm, urls), key=lambda t: (-t[0], t[1]))
+    expect = {u: i // PER_HOST_BUDGET for i, (_, u) in enumerate(ranked)}
+    assert {u: r for u, r in zip(urls, rnd)} == expect
+    # ties: u01 before u02 (url asc at equal score)
+    assert expect["u01"] == 0 and expect["u02"] == 0
+    # 22 urls with budget 10 → rounds 0,1,2 present
+    assert set(expect.values()) == {0, 1, 2}

@@ -111,6 +111,12 @@ FIXTURE_BACKED = {
     # simhash pairing oracle reads the engine-materialized signature table
     # at the driver scale (sf0.01)
     "simhash_dup_pairs",
+    # crawl scheduler oracles read the small fixture's frontier/redirects/
+    # robots tables by absolute path (queries_crawl.build_crawl_oracles)
+    "robots_gate_counts",
+    "url_expand_final",
+    "politeness_rounds",
+    "frontier_schedule",
 }
 
 
