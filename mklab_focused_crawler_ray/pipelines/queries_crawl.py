@@ -134,14 +134,18 @@ def _blocked_mask(urls: np.ndarray, hosts_of: np.ndarray, store) -> np.ndarray:
 def q_robots_gate_counts(sf_dir: str):
     """Per-host robots audit over the seed frontier: distinct URLs per host
     and how many a disallow prefix blocks. The gate flag is map-side
-    (broadcast robots store); the single shuffle keys by host — the
-    politeness partition the whole scheduler reuses — and the group fn
-    dedupes URLs inside the host group (url determines host, so per-group
-    distinct == global distinct)."""
+    (broadcast robots store); the single shuffle is hash-BUCKETED by host
+    (a bucket holds whole hosts, so per-bucket dedupe == global dedupe and
+    the group fn is one vectorized pandas groupby — never one Python call
+    per host, which matters when the frontier spans millions of hosts)."""
     import ray
     import ray.data as rd
 
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+
     store_ref = _robots_store(sf_dir)
+    nb = derive_buckets_for_paths(_fx(sf_dir, "frontier_seed"), floor=8)
 
     def flag(batch: pa.Table) -> pa.Table:
         store = ray.get(store_ref)
@@ -152,24 +156,28 @@ def q_robots_gate_counts(sf_dir: str):
                 "url": batch["url"],
                 "host": batch["domain"],
                 "blocked": pa.array(_blocked_mask(urls, hosts, store)),
+                "b": pa.array(url_hash64_vec(batch["domain"]) % nb, pa.int64()),
             }
         )
 
-    def per_host(g) -> pa.Table:
+    def per_bucket(g) -> pa.Table:
         g = g.drop_duplicates(subset=["url"])
+        agg = g.groupby("host", sort=False).agg(
+            n_urls=("url", "size"), n_blocked=("blocked", "sum")
+        )
         return pa.table(
             {
-                "host": pa.array([g["host"].iloc[0]], pa.string()),
-                "n_urls": pa.array([len(g)], pa.int64()),
-                "n_blocked": pa.array([int(g["blocked"].sum())], pa.int64()),
+                "host": pa.array(agg.index.tolist(), pa.string()),
+                "n_urls": pa.array(agg["n_urls"].to_numpy(np.int64), pa.int64()),
+                "n_blocked": pa.array(agg["n_blocked"].to_numpy(np.int64), pa.int64()),
             }
         )
 
     return (
         rd.read_parquet(_fx(sf_dir, "frontier_seed"), columns=["url", "domain"])
         .map_batches(flag, batch_format="pyarrow")
-        .groupby("host")
-        .map_groups(per_host, batch_format="pandas")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
@@ -204,6 +212,9 @@ def q_url_expand_final(sf_dir: str):
 
     from ..stages.expand import build_redirect_store, make_expander
 
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+
     redirects = pq.read_table(_fx(sf_dir, "redirects"))
     store_ref = ray.put(
         build_redirect_store(
@@ -211,14 +222,25 @@ def q_url_expand_final(sf_dir: str):
         )
     )
     expander = make_expander(store_ref)
+    nb = derive_buckets_for_paths(_fx(sf_dir, "frontier_seed"), floor=8)
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # dedupe = local per-batch unique, then one bucketed cross-batch pass
+    # (NB groups of vectorized pandas — never one Python call per url)
+    def local_unique(batch: pa.Table) -> pa.Table:
+        u = batch["url"].unique()
+        return pa.table(
+            {"url": u, "b": pa.array(url_hash64_vec(u) % nb, pa.int64())}
+        )
+
+    def bucket_unique(g) -> pa.Table:
+        u = g["url"].drop_duplicates()
+        return pa.table({"url": pa.array(u.tolist(), pa.string())})
 
     return (
         rd.read_parquet(_fx(sf_dir, "frontier_seed"), columns=["url"])
-        .groupby("url")
-        .map_groups(first, batch_format="pyarrow")
+        .map_batches(local_unique, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(bucket_unique, batch_format="pandas")
         .map_batches(expander, batch_format="pyarrow")
         .select_columns(["url", "expanded_url", "expanded_host", "status"])
     )
@@ -265,9 +287,15 @@ def q_politeness_rounds(sf_dir: str):
     distinct URL gets the RankerBolt score (micro units) and a fetch round
     = rank-within-host // ``PER_HOST_BUDGET`` under (score_micro desc, url
     asc) — the priority-queue drain order quantized by the per-host budget.
-    ONE shuffle, keyed by host: scoring is map-side and the group fn
-    dedupes + ranks inside the politeness partition."""
+    ONE shuffle, hash-bucketed by host: scoring is map-side and the bucket
+    fn dedupes + ranks every contained host with one vectorized pandas
+    sort + cumcount (whole hosts co-locate, so bucket-local == global)."""
     import ray.data as rd
+
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+
+    nb = derive_buckets_for_paths(_fx(sf_dir, "frontier_seed"), floor=8)
 
     def score(batch: pa.Table) -> pa.Table:
         shares = batch["shares"].to_numpy(zero_copy_only=False)
@@ -277,21 +305,24 @@ def q_politeness_rounds(sf_dir: str):
                 "url": batch["url"],
                 "host": batch["domain"],
                 "score_micro": pa.array(_score_micro(shares, date_ms), pa.int64()),
+                "b": pa.array(url_hash64_vec(batch["domain"]) % nb, pa.int64()),
             }
         )
 
     def rounds(g) -> pa.Table:
-        g = g.drop_duplicates(subset=["url"])
-        sm = g["score_micro"].to_numpy()
-        urls = g["url"].to_numpy(dtype=object)
-        order = np.lexsort((urls, -sm))
-        rnd = np.empty(len(g), np.int64)
-        rnd[order] = np.arange(len(g)) // PER_HOST_BUDGET
+        g = g.drop_duplicates(subset=["url"]).sort_values(
+            ["host", "score_micro", "url"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        rnd = (g.groupby("host", sort=False).cumcount() // PER_HOST_BUDGET).to_numpy(
+            np.int64
+        )
         return pa.table(
             {
-                "url": pa.array(urls.tolist(), pa.string()),
-                "host": pa.array(g["host"].to_numpy(dtype=object).tolist(), pa.string()),
-                "score_micro": pa.array(sm, pa.int64()),
+                "url": pa.array(g["url"].tolist(), pa.string()),
+                "host": pa.array(g["host"].tolist(), pa.string()),
+                "score_micro": pa.array(g["score_micro"].to_numpy(), pa.int64()),
                 "fetch_round": pa.array(rnd, pa.int64()),
             }
         )
@@ -301,7 +332,7 @@ def q_politeness_rounds(sf_dir: str):
             _fx(sf_dir, "frontier_seed"), columns=["url", "domain", "shares", "date"]
         )
         .map_batches(score, batch_format="pyarrow")
-        .groupby("host")
+        .groupby("b")
         .map_groups(rounds, batch_format="pandas")
     )
 
@@ -330,9 +361,11 @@ def q_frontier_schedule(sf_dir: str):
     asc — this also collapses duplicate seed rows, so no separate
     url-dedupe shuffle) → per-expanded-host fetch rounds.
 
-    Exactly two shuffles (expanded_url, then expanded host), both on keys
-    the crawl loop already partitions by; expansion, gating and scoring
-    are map-side against the two broadcast stores."""
+    Exactly ONE shuffle, hash-bucketed by the expanded host — host is
+    functional of expanded_url, so the host bucket co-locates every
+    expanded_url's evidence rows and every host's schedule rows at once;
+    expansion, gating and scoring are map-side against the two broadcast
+    stores."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -364,36 +397,38 @@ def q_frontier_schedule(sf_dir: str):
                 "expanded_url": kept["expanded_url"],
                 "host": kept["expanded_host"],
                 "score_micro": pa.array(_score_micro(shares, date_ms), pa.int64()),
+                "b": pa.array(url_hash64_vec(kept["expanded_host"]) % nb, pa.int64()),
             }
         )
 
-    def best_per_target(g) -> pa.Table:
-        sm = g["score_micro"].to_numpy()
-        urls = g["url"].to_numpy(dtype=object)
-        i = int(np.lexsort((urls, -sm))[0])
-        return pa.table(
-            {
-                "url": pa.array([urls[i]], pa.string()),
-                "expanded_url": pa.array([g["expanded_url"].iloc[i]], pa.string()),
-                "host": pa.array([g["host"].iloc[i]], pa.string()),
-                "score_micro": pa.array([int(sm[i])], pa.int64()),
-            }
-        )
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
 
-    def rounds(g) -> pa.Table:
-        sm = g["score_micro"].to_numpy()
-        urls = g["url"].to_numpy(dtype=object)
-        order = np.lexsort((urls, -sm))
-        rnd = np.empty(len(g), np.int64)
-        rnd[order] = np.arange(len(g)) // PER_HOST_BUDGET
+    nb = derive_buckets_for_paths(_fx(sf_dir, "frontier_seed"), floor=8)
+
+    # ONE bucketed shuffle serves both finishers: host is functional of
+    # expanded_url (host = host(expanded_url)), so a host-hash bucket
+    # co-locates every expanded_url's evidence rows AND every host's
+    # schedule rows. Inside each bucket: vectorized pandas (sort +
+    # drop_duplicates + cumcount) — never one Python call per key.
+    def finish(g) -> pa.Table:
+        g = g.sort_values(
+            ["score_micro", "url"], ascending=[False, True], kind="stable"
+        ).drop_duplicates(subset=["expanded_url"], keep="first")
+        g = g.sort_values(
+            ["host", "score_micro", "url"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        rnd = (g.groupby("host", sort=False).cumcount() // PER_HOST_BUDGET).to_numpy(
+            np.int64
+        )
         return pa.table(
             {
-                "url": pa.array(urls.tolist(), pa.string()),
-                "expanded_url": pa.array(
-                    g["expanded_url"].to_numpy(dtype=object).tolist(), pa.string()
-                ),
-                "host": pa.array(g["host"].to_numpy(dtype=object).tolist(), pa.string()),
-                "score_micro": pa.array(sm, pa.int64()),
+                "url": pa.array(g["url"].tolist(), pa.string()),
+                "expanded_url": pa.array(g["expanded_url"].tolist(), pa.string()),
+                "host": pa.array(g["host"].tolist(), pa.string()),
+                "score_micro": pa.array(g["score_micro"].to_numpy(), pa.int64()),
                 "fetch_round": pa.array(rnd, pa.int64()),
             }
         )
@@ -403,10 +438,8 @@ def q_frontier_schedule(sf_dir: str):
             _fx(sf_dir, "frontier_seed"), columns=["url", "domain", "shares", "date"]
         )
         .map_batches(gate_and_score, batch_format="pyarrow")
-        .groupby("expanded_url")
-        .map_groups(best_per_target, batch_format="pandas")
-        .groupby("host")
-        .map_groups(rounds, batch_format="pandas")
+        .groupby("b")
+        .map_groups(finish, batch_format="pandas")
     )
 
 
