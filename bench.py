@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "url_expand_final",
     "politeness_rounds",
     "frontier_schedule",
+    "host_link_matrix",
 ]
 
 

@@ -465,6 +465,64 @@ def _frontier_schedule_sql(seeds: str, redirects: str, robots: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# 5. host link matrix — host-level rollup of the page link graph
+# --------------------------------------------------------------------------
+
+
+def q_host_link_matrix(sf_dir: str):
+    """The hostgraph: (src_host, dst_host, n_links) over every out-link of
+    every fetched page — the host-level rollup crawl schedulers use for
+    frontier prioritization and spam-farm detection (page-level link
+    analysis lives in pagerank_top20 / hits_top20; this is its bounded
+    host×host projection). Each link OCCURRENCE counts (a page linking a
+    host three times contributes 3).
+
+    Scale shape: map-side the kernel is pure Arrow — list_flatten +
+    list_parent_indices + one vectorized regex per batch, then a
+    per-batch partial count, so the shuffle input is (#host-pairs ×
+    #blocks) partial rows, never the link stream; the final groupby is
+    over the host×host key space (quadratic in HOSTS, not pages)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    host_pat = r"^https://([^/]+).*$"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        links = batch["out_links"]
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links)
+        src = pc.replace_substring_regex(
+            batch["url"].take(parent), pattern=host_pat, replacement=r"\1"
+        )
+        dst = pc.replace_substring_regex(flat, pattern=host_pat, replacement=r"\1")
+        pair = pa.table({"src_host": src, "dst_host": dst})
+        return (
+            pair.group_by(["src_host", "dst_host"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["src_host", "dst_host", "n_links"])
+        )
+
+    return (
+        rd.read_parquet(_fx(sf_dir, "pages"), columns=["url", "out_links"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
+def _host_link_matrix_sql(pages: str) -> str:
+    return (
+        "WITH e AS (SELECT regexp_extract(url, '^https://([^/]+).*$', 1) "
+        "AS src_host, regexp_extract(unnest(out_links), "
+        "'^https://([^/]+).*$', 1) AS dst_host "
+        f"FROM read_parquet('{pages}')) "
+        "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links "
+        "FROM e GROUP BY src_host, dst_host"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -473,6 +531,7 @@ CRAWL_QUERIES = {
     "url_expand_final": q_url_expand_final,
     "politeness_rounds": q_politeness_rounds,
     "frontier_schedule": q_frontier_schedule,
+    "host_link_matrix": q_host_link_matrix,
 }
 
 
@@ -485,9 +544,11 @@ def build_crawl_oracles() -> dict[str, str]:
     seeds = os.path.join(fdir, "frontier_seed.parquet")
     redirects = os.path.join(fdir, "redirects.parquet")
     robots = os.path.join(fdir, "robots.parquet")
+    pages = os.path.join(fdir, "pages.parquet")
     return {
         "robots_gate_counts": _robots_gate_counts_sql(seeds, robots),
         "url_expand_final": _url_expand_final_sql(seeds, redirects),
         "politeness_rounds": _politeness_rounds_sql(seeds),
         "frontier_schedule": _frontier_schedule_sql(seeds, redirects, robots),
+        "host_link_matrix": _host_link_matrix_sql(pages),
     }

@@ -117,6 +117,7 @@ FIXTURE_BACKED = {
     "url_expand_final",
     "politeness_rounds",
     "frontier_schedule",
+    "host_link_matrix",
 }
 
 
