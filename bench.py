@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "split_leakage_pairs",
     "events_upsert_roundtrip",
     "video_dup_pairs",
+    "video_scene_cuts",
     "token_cms_estimates",
     # round-5 third wave (queries_ml7): corpus statistics + SRP-LSH
     "vocab_coverage_curve",

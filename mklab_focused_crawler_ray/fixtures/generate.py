@@ -446,7 +446,16 @@ def gen_videos(n: int, seed: int = 42, dup_frac: float = 0.2) -> pa.Table:
     dup-planting discipline): with probability ``dup_frac`` a clip reuses
     an earlier clip's frames — either verbatim (re-encode at a different
     fps) or truncated to a prefix — planting the near/contained
-    duplicates video_dup_pairs mines."""
+    duplicates video_dup_pairs mines.
+
+    v3 plants SCENE STRUCTURE with exact integer arithmetic: each
+    original is split into 1-4 segments and even/odd segments carry a
+    +0 / +96 luma offset. The base is halved (0..127) and the ramp is
+    +1/frame, so no pixel ever clips (max 127 + 23 + 96 = 246) —
+    np.roll preserves the Rec.601 channel sums exactly, so the sampled
+    (every-5th) mean-luma delta is EXACTLY 5000 milli within a segment
+    and ≥ 91000 milli across a cut, the margin video_scene_cuts
+    thresholds at 48000."""
     from ..stages.av import encode_rvid
 
     ids, blobs, ws, hs, nfs, fpss, caps = [], [], [], [], [], [], []
@@ -468,12 +477,26 @@ def gen_videos(n: int, seed: int = 42, dup_frac: float = 0.2) -> pa.Table:
             h = int(rng.integers(32, 65))
             n_frames = int(rng.integers(6, 25))
             fps = int(rng.integers(10, 31))
-            base = _image(rng, w, h).astype(np.int64)
+            base = _image(rng, w, h).astype(np.int64) // 2  # 0..127
             shift = int(rng.integers(1, 5))
+            n_seg = int(rng.integers(1, 5))
+            cuts = (
+                np.sort(
+                    rng.choice(
+                        np.arange(1, n_frames),
+                        size=min(n_seg - 1, n_frames - 1),
+                        replace=False,
+                    )
+                )
+                if n_seg > 1
+                else np.empty(0, np.int64)
+            )
+            seg_of = np.searchsorted(cuts, np.arange(n_frames), side="right")
             frames = np.empty((n_frames, h, w, 3), np.uint8)
             for f in range(n_frames):
-                frames[f] = np.clip(
-                    np.roll(base, (f * shift) % w, axis=1) + 2 * f, 0, 255
+                off = 96 * (int(seg_of[f]) % 2)
+                frames[f] = (
+                    np.roll(base, (f * shift) % w, axis=1) + f + off
                 ).astype(np.uint8)
             if len(originals) >= 32:
                 originals.pop(0)
@@ -509,7 +532,7 @@ AV_TIERS = {
 }
 
 
-AV_VERSION = 2  # v2: videos plant near/contained duplicates (dup_frac)
+AV_VERSION = 3  # v2: planted near/contained dups; v3: planted scene cuts
 
 
 def ensure_av_tables(tier: str, out_dir: str, seed: int = 42) -> str:

@@ -733,6 +733,21 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{video_signature_parquet(fdir)}')"
     )
 
+    # scene cuts: window lag over the same SEQUENTIAL signature table —
+    # the v3 fixture's planted gap (within-scene delta exactly 5000 milli,
+    # cut delta ≥ 91000) makes the 48000 threshold exact, not tuned
+    from .queries_media import VIDEO_CUT_THRESH_MILLI
+
+    sql["video_scene_cuts"] = (
+        "WITH s AS (SELECT video_id, mean_lum_milli - lag(mean_lum_milli) "
+        "OVER (PARTITION BY video_id ORDER BY frame_idx) AS dl "
+        f"FROM read_parquet('{video_signature_parquet(fdir)}')) "
+        "SELECT video_id, "
+        f"CAST(count(*) FILTER (abs(dl) >= {VIDEO_CUT_THRESH_MILLI}) AS BIGINT) "
+        "AS n_cuts, CAST(count(*) AS BIGINT) AS n_sampled "
+        "FROM s GROUP BY video_id"
+    )
+
     # video near-dup pairs: brute-force Jaccard self-join over the same
     # SEQUENTIAL signature table (fixture plants verbatim-re-encode and
     # prefix-truncation dups); threshold check in exact integer arithmetic

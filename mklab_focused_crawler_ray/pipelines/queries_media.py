@@ -2083,6 +2083,45 @@ def q_video_dup_pairs(sf_dir: str):
     return inter.map_batches(finish, batch_format="pyarrow")
 
 
+VIDEO_CUT_THRESH_MILLI = 48_000
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """SCENE-CUT DETECTION at sampled-frame granularity: per video, the
+    count of consecutive-sampled-frame pairs whose Rec.601 mean-luma jump
+    is ≥ 48000 milli — the shot-boundary census a video training-data
+    pipeline uses for clip segmentation before captioning/packing. The
+    v3 fixture plants 1-4 scenes per original (exact +96-luma offsets, no
+    pixel clipping), so within-scene sampled deltas are exactly 5000
+    milli and cuts ≥ 91000 — the threshold sits in the provable gap.
+    Output: (video_id, n_cuts, n_sampled) for EVERY video (dup re-encodes
+    inherit their source's scene structure).
+
+    Scale shape: the decode explosion is the shared every-5th-frame
+    actor-pool stage (q_video_frame_stats); the cut census is one
+    video-keyed map_groups (lag over ≤ n_frames/5 rows per group) — no
+    driver state, shuffle keyed by video_id only. Oracle: SQL window lag
+    over the SEQUENTIAL signature table. Reference: no video payload
+    path exists at reference HEAD (dead extractVideos walk,
+    ArticleExtractionBolt.java:552-596); brief-sanctioned addition."""
+    import pandas as pd
+
+    stats = q_video_frame_stats(sf_dir)
+
+    def cuts(g: pd.DataFrame) -> pd.DataFrame:
+        lum = g.sort_values("frame_idx")["mean_lum_milli"].to_numpy(np.int64)
+        n_cuts = int((np.abs(np.diff(lum)) >= VIDEO_CUT_THRESH_MILLI).sum())
+        return pd.DataFrame(
+            {
+                "video_id": [str(g["video_id"].iloc[0])],
+                "n_cuts": np.array([n_cuts], np.int64),
+                "n_sampled": np.array([len(lum)], np.int64),
+            }
+        )
+
+    return stats.groupby("video_id").map_groups(cuts, batch_format="pandas")
+
+
 MEDIA_QUERIES = {
     "media_stream_users": q_media_stream_users,
     "image_decode_check": q_image_decode_check,
@@ -2130,6 +2169,7 @@ MEDIA_QUERIES = {
     "audio_clip_stats": q_audio_clip_stats,
     "video_frame_stats": q_video_frame_stats,
     "video_dup_pairs": q_video_dup_pairs,
+    "video_scene_cuts": q_video_scene_cuts,
 }
 
 MEDIA_ORACLE_SQL = {

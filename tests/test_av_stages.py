@@ -180,3 +180,21 @@ def test_video_dup_pairs_finds_planted_dups(ray_session):
     assert (got["video_a"] < got["video_b"]).all()
     assert (got["jaccard_micro"] >= 500_000).all()
     assert (got["jaccard_micro"] <= 1_000_000).all()
+
+
+def test_video_scene_cuts_recovers_planted_gap(ray_session):
+    """The v3 fixture plants 1-4 scenes per original with a PROVABLE
+    luma-delta gap (within-scene sampled delta exactly 5000 milli, cut
+    delta ≥ 91000 — no pixel clipping); the census must be discriminative
+    (some 0-cut videos, some ≥1) and bounded by n_sampled - 1."""
+    from mklab_focused_crawler_ray.pipelines.queries_media import (
+        VIDEO_CUT_THRESH_MILLI,
+        q_video_scene_cuts,
+    )
+
+    assert VIDEO_CUT_THRESH_MILLI == 48_000  # sits inside the planted gap
+    got = q_video_scene_cuts("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 16  # every tiny-fixture video, including dups
+    assert (got["n_cuts"] >= 0).all()
+    assert (got["n_cuts"] <= got["n_sampled"] - 1).all()
+    assert (got["n_cuts"] == 0).any() and (got["n_cuts"] >= 1).any()

@@ -101,6 +101,7 @@ FIXTURE_BACKED = {
     "audio_clip_stats",
     "video_frame_stats",
     "video_dup_pairs",
+    "video_scene_cuts",
     "simhash_docs",
     # these two read the engine-materialized small-fixture pseudo-embedding
     # table (values engine-produced; pairing/replay logic oracle-checked)
