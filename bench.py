@@ -269,6 +269,10 @@ BENCH_QUERIES = [
     "politeness_rounds",
     "frontier_schedule",
     "host_link_matrix",
+    # round-5 continuation (queries_ml8): iterative training loops
+    "bpe_train4",
+    "kmeans_lloyd2",
+    "span_mask_plan",
 ]
 
 
