@@ -269,6 +269,10 @@ BENCH_QUERIES = [
     "politeness_rounds",
     "frontier_schedule",
     "host_link_matrix",
+    "frontier_hll_distinct",
+    "frontier_skew_plan",
+    "host_fetch_health",
+    "recrawl_due_counts",
     # round-5 continuation (queries_ml8): iterative training loops
     "bpe_train4",
     "kmeans_lloyd2",

@@ -523,6 +523,410 @@ def _host_link_matrix_sql(pages: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# 6. frontier capacity planning: HLL distinct sketch, skew salt plan,
+#    host fetch health, TTL recrawl load
+# --------------------------------------------------------------------------
+
+# HyperLogLog (Flajolet et al. 2007) over the 31-bit byte-fold hash family
+# ml6/ml7 already replay in SQL (queries_ml6._cms_hash + the KMV finishing
+# round): p=6 → m=64 registers, the remaining 25 bits feed the rank.
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_WBITS = 31 - HLL_P  # 25 rank bits → rank ∈ [1, 26]
+HLL_ALPHA = 0.709  # published bias constant for m=64
+# a host whose distinct-URL count exceeds this gets ceil(n/SALT) salted
+# frontier shards (the north rule's explicit hot-host skew splitting)
+SALT_SPLIT_URLS = 128
+# CrawlDecider.java:14 — seen URLs expire after 24 h; a frontier audit at
+# RECRAWL_NOW_MS (fixture epoch + 36 h, so ~half the corpus is past TTL)
+# splits each host's URLs into recrawl-due vs still-fresh
+RECRAWL_TTL_MS = 24 * 3600 * 1000
+RECRAWL_NOW_MS = 1_700_000_000_000 + 36 * 3600 * 1000  # fixtures EPOCH0 + 36 h
+
+_KMV_MULT = 1103515245  # queries_ml7.KMV_MULT (glibc LCG, SQL-replayable)
+_KMV_INC = 12345
+_MOD31 = 1 << 31
+_POW2 = np.array([1 << k for k in range(HLL_WBITS + 1)], dtype=np.int64)
+
+
+def _kmv_hash_vec(col) -> np.ndarray:
+    """Vectorized queries_ml7._kmv_hash over an Arrow string column of
+    ASCII strings — bit-identical to the scalar byte-fold + finishing LCG
+    round (pinned by tests/test_crawl_queries.py). Zero-copy view of the
+    Arrow offsets/data buffers, then ONE vectorized multiply-add pass per
+    character position (L column passes over n rows, no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    arr = col.cast(pa.string()) if col.type != pa.string() else col
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    off = off[arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, lens = off[:-1], off[1:] - off[:-1]
+    L = int(lens.max()) if n else 0
+    if L == 0:
+        return np.zeros(n, np.int64)
+    idx = starts[:, None] + np.arange(L, dtype=np.int64)[None, :]
+    mask = np.arange(L, dtype=np.int64)[None, :] < lens[:, None]
+    np.clip(idx, 0, max(len(data) - 1, 0), out=idx)
+    chars = np.where(mask, data[idx], 0).astype(np.uint64)
+    h = np.zeros(n, np.uint64)
+    mult = np.uint64(_KMV_MULT)
+    m31 = np.uint64(_MOD31 - 1)  # mod 2³¹ == AND (2³¹−1)
+    for j in range(L):
+        hj = (h * mult + chars[:, j]) & m31
+        h = np.where(mask[:, j], hj, h)
+    h = (h * mult + np.uint64(_KMV_INC)) & m31
+    return h.astype(np.int64)
+
+
+def _hll_fold(h: np.ndarray) -> np.ndarray:
+    """Per-register max rank of a hash batch: reg = h mod 64, rank =
+    26 − bit_length(h // 64) (EXACT integer bit_length via searchsorted
+    over powers of two — no float log). Returns the 64-register array."""
+    regs = h % HLL_M
+    w = h >> HLL_P
+    bl = np.searchsorted(_POW2, w, side="right")  # == bit_length(w)
+    rank = (HLL_WBITS + 1) - bl
+    out = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(out, regs, rank)
+    return out
+
+
+def _hll_estimate(m_regs: np.ndarray) -> tuple[int, int]:
+    """(n_zero_registers, estimate) from the folded 64-register array —
+    the EXACT float expression the DuckDB oracle replays (integer Snum =
+    Σ 2^(26−Mj) keeps the harmonic sum order-independent)."""
+    v = int((m_regs == 0).sum())
+    snum = int(np.sum(1 << (HLL_WBITS + 1 - m_regs.astype(np.int64))))
+    raw = int(
+        np.floor(HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_WBITS + 1)) / snum + 0.5)
+    )
+    if raw <= (5 * HLL_M) // 2 and v > 0:
+        return v, int(np.floor(HLL_M * np.log(HLL_M / float(v)) + 0.5))
+    return v, raw
+
+
+def q_frontier_hll_distinct(sf_dir: str):
+    """HYPERLOGLOG DISTINCT-URL SKETCH over the seed frontier (Flajolet et
+    al. 2007) — the sketch that sizes the 10^10-URL seen-set's cuckoo/bloom
+    capacity before the crawl commits memory. One row:
+    (m, n_zero_regs, hll_estimate, n_distinct_urls, err_ppm) — the sketch
+    estimate next to the exact distinct count it approximates, with the
+    small-range linear-counting correction when the raw estimate ≤ 5m/2.
+
+    Scale shape: the register fold is map-side (64-bounded per batch);
+    the ONE shuffle is the url-hash-bucketed exact-count pass (per-bucket
+    dedupe == global dedupe), shipping 64+1 rows per bucket; the driver
+    folds a (buckets × 65)-bounded frame. At 10^10 URLs only the exact
+    side scales with data — drop it and the sketch alone is one
+    shuffle-free pass, which is the point of carrying it."""
+    import ray.data as rd
+
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+
+    nb = derive_buckets_for_paths(_fx(sf_dir, "frontier_seed"), floor=8)
+
+    def local(batch: pa.Table) -> pa.Table:
+        u = batch["url"].unique()
+        return pa.table(
+            {"url": u, "b": pa.array(url_hash64_vec(u) % nb, pa.int64())}
+        )
+
+    def per_bucket(g) -> pa.Table:
+        u = pa.array(g["url"].drop_duplicates().tolist(), pa.string())
+        regs = _hll_fold(_kmv_hash_vec(u))
+        return pa.table(
+            {
+                "reg": pa.array(list(range(HLL_M)) + [-1], pa.int64()),
+                "val": pa.array(list(regs) + [len(u)], pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(_fx(sf_dir, "frontier_seed"), columns=["url"])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # (buckets × 65) rows — output-bounded fold
+    )
+    true_n = int(parts.loc[parts["reg"] == -1, "val"].sum())
+    regs = (
+        parts.loc[parts["reg"] >= 0]
+        .groupby("reg")["val"]
+        .max()
+        .reindex(range(HLL_M), fill_value=0)
+        .to_numpy(np.int64)
+    )
+    v, est = _hll_estimate(regs)
+    err_ppm = (abs(est - true_n) * 1_000_000) // max(true_n, 1)
+    return pa.table(
+        {
+            "m": pa.array([HLL_M], pa.int64()),
+            "n_zero_regs": pa.array([v], pa.int64()),
+            "hll_estimate": pa.array([est], pa.int64()),
+            "n_distinct_urls": pa.array([true_n], pa.int64()),
+            "err_ppm": pa.array([err_ppm], pa.int64()),
+        }
+    )
+
+
+def _frontier_hll_sql(seeds: str) -> str:
+    hsql = (
+        "((list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(url)+1), "
+        "i -> CAST(ascii(substring(url, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(a, b) -> (a * {_KMV_MULT} + b) % {_MOD31}) "
+        f"* {_KMV_MULT} + {_KMV_INC}) % {_MOD31})"
+    )
+    wb1 = HLL_WBITS + 1  # 26
+    raw = (
+        f"CAST(FLOOR({HLL_ALPHA} * {HLL_M} * {HLL_M} * "
+        f"CAST({1 << wb1} AS DOUBLE) / snum + 0.5) AS BIGINT)"
+    )
+    return (
+        f"WITH d AS (SELECT DISTINCT url FROM read_parquet('{seeds}')), "
+        f"h AS (SELECT {hsql} AS h FROM d), "
+        f"r AS (SELECT h % {HLL_M} AS reg, h // {HLL_M} AS w FROM h), "
+        f"rk AS (SELECT reg, MAX(CASE WHEN w = 0 THEN {wb1} "
+        f"ELSE {wb1} - length(printf('%b', w)) END) AS mx FROM r GROUP BY reg), "
+        f"regs AS (SELECT g.reg, COALESCE(rk.mx, 0) AS mx FROM "
+        f"(SELECT unnest(range(0, {HLL_M})) AS reg) g "
+        "LEFT JOIN rk ON rk.reg = g.reg), "
+        "agg AS (SELECT CAST(SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS v, CAST(SUM(CAST(1 AS BIGINT) << ({wb1} - mx)) AS BIGINT) AS snum "
+        "FROM regs), "
+        "tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_n FROM d), "
+        f"est AS (SELECT CAST({HLL_M} AS BIGINT) AS m, v AS n_zero_regs, "
+        f"CASE WHEN {raw} <= {(5 * HLL_M) // 2} AND v > 0 THEN "
+        f"CAST(FLOOR({HLL_M} * LN({HLL_M} / CAST(v AS DOUBLE)) + 0.5) AS BIGINT) "
+        f"ELSE {raw} END AS hll_estimate FROM agg) "
+        "SELECT est.m, est.n_zero_regs, est.hll_estimate, "
+        "tr.true_n AS n_distinct_urls, "
+        "CAST((ABS(est.hll_estimate - tr.true_n) * 1000000) "
+        "// GREATEST(tr.true_n, 1) AS BIGINT) AS err_ppm FROM est, tr"
+    )
+
+
+def q_frontier_skew_plan(sf_dir: str):
+    """FRONTIER SKEW SALT PLAN: per host, the distinct-URL count, its
+    frontier share in ppm, and the number of salted partitions the
+    hash-by-domain frontier partitioner must split it into
+    (ceil(n/``SALT_SPLIT_URLS``)) — the explicit hot-host skew-splitting
+    decision the north rule requires, as an auditable table. The Zipf
+    fixture plants hosts owning ~half the frontier, so the plan is
+    non-trivial by construction.
+
+    Scale shape: per-batch local (url, host) dedupe, ONE host-hash-bucketed
+    shuffle (whole hosts co-locate → bucket dedupe+count is exact), then a
+    host-bounded driver fold for the global total (hosts are dimension-
+    shaped: millions, not corpus-shaped)."""
+    import ray.data as rd
+
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+
+    nb = derive_buckets_for_paths(_fx(sf_dir, "frontier_seed"), floor=8)
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = pa.table({"url": batch["url"], "host": batch["domain"]})
+        t = t.group_by(["url", "host"]).aggregate([])
+        return t.append_column(
+            "b", pa.array(url_hash64_vec(t["host"]) % nb, pa.int64())
+        )
+
+    def per_bucket(g) -> pa.Table:
+        g = g.drop_duplicates(subset=["url"])
+        agg = g.groupby("host", sort=False).size()
+        return pa.table(
+            {
+                "host": pa.array(agg.index.tolist(), pa.string()),
+                "n_urls": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(_fx(sf_dir, "frontier_seed"), columns=["url", "domain"])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # host-bounded
+    )
+    total = int(counts["n_urls"].sum())
+    n = counts["n_urls"].to_numpy(np.int64)
+    share = [(int(x) * 1_000_000) // max(total, 1) for x in n]  # Python ints
+    shards = (n + SALT_SPLIT_URLS - 1) // SALT_SPLIT_URLS
+    return pa.table(
+        {
+            "host": pa.array(counts["host"].tolist(), pa.string()),
+            "n_urls": pa.array(n, pa.int64()),
+            "share_ppm": pa.array(share, pa.int64()),
+            "n_salt_shards": pa.array(shards.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _frontier_skew_plan_sql(seeds: str) -> str:
+    s = SALT_SPLIT_URLS
+    return (
+        f"WITH d AS (SELECT DISTINCT url, domain FROM read_parquet('{seeds}')), "
+        "c AS (SELECT domain AS host, CAST(COUNT(*) AS BIGINT) AS n_urls "
+        "FROM d GROUP BY 1) "
+        "SELECT host, n_urls, "
+        "CAST((n_urls * 1000000) // SUM(n_urls) OVER () AS BIGINT) AS share_ppm, "
+        f"CAST((n_urls + {s - 1}) // {s} AS BIGINT) AS n_salt_shards FROM c"
+    )
+
+
+def q_host_fetch_health(sf_dir: str):
+    """HOST FETCH HEALTH: per-host rollup of fetch outcomes over the pages
+    table — (host, n_pages, n_ok, n_http_err, ok_ppm) where ok means
+    status 200 AND text/html (the reference FetcherBolt's accept path,
+    bolts/FetcherBolt.java non-html reject) and http_err is status ≥ 400.
+    The scheduler feedback signal: hosts with low ok_ppm get deprioritized
+    before they burn politeness budget.
+
+    Scale shape: fully streaming — per-batch Arrow group_by partials, one
+    host-keyed Sum aggregate (host-bounded), ppm derived map-side from the
+    host's own sums (no global pass, no driver fold)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    host_pat = r"^https://([^/]+).*$"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch["url"], pattern=host_pat, replacement=r"\1"
+        )
+        sc = batch["status_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (sc == 200) & pc.equal(
+            batch["content_type"], "text/html"
+        ).to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "host": host,
+                    "one": pa.array(np.ones(len(sc), np.int64), pa.int64()),
+                    "ok": pa.array(ok.astype(np.int64), pa.int64()),
+                    "err": pa.array((sc >= 400).astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by("host")
+            .aggregate([("one", "sum"), ("ok", "sum"), ("err", "sum")])
+            .rename_columns(["host", "n_pages", "n_ok", "n_http_err"])
+        )
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        nok = batch["n_ok"].to_numpy(zero_copy_only=False)
+        npg = batch["n_pages"].to_numpy(zero_copy_only=False)
+        # per-host counts stay far under 2⁶³/10⁶ — ppm in int64 is exact
+        return batch.append_column(
+            "ok_ppm", pa.array(nok * 1_000_000 // np.maximum(npg, 1), pa.int64())
+        )
+
+    return (
+        rd.read_parquet(_fx(sf_dir, "pages"), columns=["url", "status_code", "content_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_ok", alias_name="n_ok"),
+            Sum("n_http_err", alias_name="n_http_err"),
+        )
+        .map_batches(ppm, batch_format="pyarrow")
+    )
+
+
+def _host_fetch_health_sql(pages: str) -> str:
+    return (
+        "WITH p AS (SELECT regexp_extract(url, '^https://([^/]+).*$', 1) "
+        "AS host, status_code, content_type FROM "
+        f"read_parquet('{pages}')), "
+        "c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+        "CAST(SUM(CASE WHEN status_code = 200 AND content_type = 'text/html' "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_ok, "
+        "CAST(SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_http_err FROM p GROUP BY 1) "
+        "SELECT host, n_pages, n_ok, n_http_err, "
+        "CAST((n_ok * 1000000) // GREATEST(n_pages, 1) AS BIGINT) AS ok_ppm "
+        "FROM c"
+    )
+
+
+def q_recrawl_due_counts(sf_dir: str):
+    """TTL RECRAWL LOAD (CrawlDecider.java:14 — 24 h seen-URL expiry): at
+    audit time ``RECRAWL_NOW_MS``, each host's distinct URLs split into
+    recrawl-due (last crawl older than ``RECRAWL_TTL_MS``) vs still-fresh
+    — the per-host recrawl demand the next scheduling round must absorb
+    on top of new discoveries. Fixture dates span 24 h and the audit sits
+    at epoch+36 h, so ~half the corpus is due by construction.
+
+    Scale shape: the due flag is map-side arithmetic; ONE host-hash-
+    bucketed shuffle with per-bucket vectorized dedupe+groupby (whole
+    hosts co-locate), same discipline as robots_gate_counts."""
+    import ray.data as rd
+
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+
+    nb = derive_buckets_for_paths(_fx(sf_dir, "frontier_seed"), floor=8)
+    cutoff_ms = RECRAWL_NOW_MS - RECRAWL_TTL_MS
+
+    def flag(batch: pa.Table) -> pa.Table:
+        date_ms = batch["date"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "host": batch["domain"],
+                "due": pa.array((date_ms < cutoff_ms).astype(np.int64), pa.int64()),
+                "b": pa.array(url_hash64_vec(batch["domain"]) % nb, pa.int64()),
+            }
+        )
+
+    def per_bucket(g) -> pa.Table:
+        g = g.drop_duplicates(subset=["url"])
+        agg = g.groupby("host", sort=False).agg(
+            n_due=("due", "sum"), n_urls=("due", "size")
+        )
+        return pa.table(
+            {
+                "host": pa.array(agg.index.tolist(), pa.string()),
+                "n_due": pa.array(agg["n_due"].to_numpy(np.int64), pa.int64()),
+                "n_fresh": pa.array(
+                    (agg["n_urls"] - agg["n_due"]).to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            _fx(sf_dir, "frontier_seed"), columns=["url", "domain", "date"]
+        )
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _recrawl_due_counts_sql(seeds: str) -> str:
+    cutoff_ms = RECRAWL_NOW_MS - RECRAWL_TTL_MS
+    return (
+        "WITH d AS (SELECT DISTINCT url, domain, date FROM "
+        f"read_parquet('{seeds}')) "
+        "SELECT domain AS host, "
+        f"CAST(SUM(CASE WHEN epoch_ms(date) < {cutoff_ms} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_due, "
+        f"CAST(SUM(CASE WHEN epoch_ms(date) < {cutoff_ms} THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS n_fresh "
+        "FROM d GROUP BY domain"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -532,6 +936,10 @@ CRAWL_QUERIES = {
     "politeness_rounds": q_politeness_rounds,
     "frontier_schedule": q_frontier_schedule,
     "host_link_matrix": q_host_link_matrix,
+    "frontier_hll_distinct": q_frontier_hll_distinct,
+    "frontier_skew_plan": q_frontier_skew_plan,
+    "host_fetch_health": q_host_fetch_health,
+    "recrawl_due_counts": q_recrawl_due_counts,
 }
 
 
@@ -551,4 +959,8 @@ def build_crawl_oracles() -> dict[str, str]:
         "politeness_rounds": _politeness_rounds_sql(seeds),
         "frontier_schedule": _frontier_schedule_sql(seeds, redirects, robots),
         "host_link_matrix": _host_link_matrix_sql(pages),
+        "frontier_hll_distinct": _frontier_hll_sql(seeds),
+        "frontier_skew_plan": _frontier_skew_plan_sql(seeds),
+        "host_fetch_health": _host_fetch_health_sql(pages),
+        "recrawl_due_counts": _recrawl_due_counts_sql(seeds),
     }

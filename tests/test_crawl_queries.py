@@ -108,3 +108,101 @@ def test_round_quantization_brute_force():
     assert expect["u01"] == 0 and expect["u02"] == 0
     # 22 urls with budget 10 → rounds 0,1,2 present
     assert set(expect.values()) == {0, 1, 2}
+
+
+def test_kmv_hash_vec_bit_identical_to_scalar_fold():
+    """The vectorized URL hash (queries_crawl._kmv_hash_vec) must replay
+    queries_ml7._kmv_hash bit-for-bit, including empty strings, 1-char
+    strings, long paths, and SLICED Arrow arrays (nonzero offset)."""
+    import pyarrow as pa
+
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import _kmv_hash_vec
+    from mklab_focused_crawler_ray.pipelines.queries_ml7 import _kmv_hash
+
+    strs = [
+        "",
+        "a",
+        "https://h0001.example.org/p/0000042",
+        "https://img.h9.example.org/" + "y" * 520 + "img00000001",
+        "z" * 1,
+        "0123456789" * 31,
+    ]
+    arr = pa.array(strs, pa.string())
+    got = _kmv_hash_vec(arr).tolist()
+    want = [_kmv_hash(s) for s in strs]
+    assert got == want
+    # sliced array exercises the offset-handling path
+    sl = arr.slice(2, 3)
+    assert _kmv_hash_vec(sl).tolist() == want[2:5]
+    # chunked column (what map_batches hands over)
+    ch = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    assert _kmv_hash_vec(ch).tolist() == want
+
+
+def test_hll_fold_rank_brute_force():
+    """reg = h mod 64, rank = 26 - bit_length(h // 64) — checked against
+    int.bit_length over the edge values (w = 0, 1, 2^k, 2^k - 1, max)."""
+    import numpy as np
+
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        HLL_M,
+        HLL_WBITS,
+        _hll_fold,
+    )
+
+    ws = [0, 1, 2, 3, 4, 7, 8, (1 << 24) - 1, 1 << 24, (1 << 25) - 1]
+    hs = np.array([w * HLL_M + (i % HLL_M) for i, w in enumerate(ws)], np.int64)
+    regs = _hll_fold(hs)
+    expect = np.zeros(HLL_M, np.int64)
+    for i, w in enumerate(ws):
+        r = i % HLL_M
+        expect[r] = max(expect[r], (HLL_WBITS + 1) - int(w).bit_length())
+    assert regs.tolist() == expect.tolist()
+    # rank range sanity: w=0 → 26 (all rank bits zero), w=max → 1
+    assert (HLL_WBITS + 1) - 0 == 26 and (HLL_WBITS + 1) - 25 == 1
+
+
+def test_hll_estimate_branches():
+    """Raw-branch vs linear-counting small-range correction, replayed
+    against the same float expressions in DuckDB."""
+    import duckdb
+    import numpy as np
+
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_WBITS,
+        _hll_estimate,
+    )
+
+    con = duckdb.connect()
+    wb1 = HLL_WBITS + 1
+
+    # linear-counting branch: few registers hit
+    regs = np.zeros(HLL_M, np.int64)
+    regs[:4] = 3
+    v, est = _hll_estimate(regs)
+    assert v == HLL_M - 4
+    duck = con.execute(
+        f"SELECT CAST(FLOOR({HLL_M} * LN({HLL_M} / CAST({v} AS DOUBLE)) + 0.5) AS BIGINT)"
+    ).fetchone()[0]
+    assert est == duck
+
+    # raw branch: every register hit with a high rank
+    regs = np.full(HLL_M, 10, np.int64)
+    v, est = _hll_estimate(regs)
+    assert v == 0
+    snum = HLL_M * (1 << (wb1 - 10))
+    duck = con.execute(
+        f"SELECT CAST(FLOOR({HLL_ALPHA} * {HLL_M} * {HLL_M} * "
+        f"CAST({1 << wb1} AS DOUBLE) / {snum} + 0.5) AS BIGINT)"
+    ).fetchone()[0]
+    assert est == duck
+
+
+def test_salt_shard_quantization():
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import SALT_SPLIT_URLS
+
+    s = SALT_SPLIT_URLS
+    ceil = lambda n: (n + s - 1) // s  # noqa: E731
+    assert ceil(1) == 1 and ceil(s) == 1 and ceil(s + 1) == 2 and ceil(4 * s) == 4

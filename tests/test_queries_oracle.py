@@ -119,6 +119,10 @@ FIXTURE_BACKED = {
     "politeness_rounds",
     "frontier_schedule",
     "host_link_matrix",
+    "frontier_hll_distinct",
+    "frontier_skew_plan",
+    "host_fetch_health",
+    "recrawl_due_counts",
 }
 
 
