@@ -277,6 +277,10 @@ BENCH_QUERIES = [
     "bpe_train4",
     "kmeans_lloyd2",
     "span_mask_plan",
+    # round-5 continuation (queries_ml9): graph-scale crawl analytics
+    "host_components",
+    "pagerank_seeded_top20",
+    "ranker_rank_gamma",
 ]
 
 

@@ -1633,6 +1633,7 @@ from .queries_ml5 import ML5_QUERIES, build_ml5_oracles  # noqa: E402
 from .queries_ml6 import ML6_QUERIES, build_ml6_oracles  # noqa: E402
 from .queries_ml7 import ML7_QUERIES, build_ml7_oracles  # noqa: E402
 from .queries_ml8 import ML8_QUERIES, build_ml8_oracles  # noqa: E402
+from .queries_ml9 import ML9_QUERIES, build_ml9_oracles  # noqa: E402
 from .queries_crawl import CRAWL_QUERIES, build_crawl_oracles  # noqa: E402
 from .queries_rel import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 
@@ -1646,6 +1647,7 @@ QUERIES.update(ML5_QUERIES)
 QUERIES.update(ML6_QUERIES)
 QUERIES.update(ML7_QUERIES)
 QUERIES.update(ML8_QUERIES)
+QUERIES.update(ML9_QUERIES)
 QUERIES.update(CRAWL_QUERIES)
 
 _SCORE_SQL = (
@@ -1847,6 +1849,7 @@ ORACLE_SQL.update(build_ml5_oracles())
 ORACLE_SQL.update(build_ml6_oracles())
 ORACLE_SQL.update(build_ml7_oracles())
 ORACLE_SQL.update(build_ml8_oracles())
+ORACLE_SQL.update(build_ml9_oracles())
 ORACLE_SQL.update(build_crawl_oracles())
 
 # interval-overlap join oracle, composed from the registered sessionization

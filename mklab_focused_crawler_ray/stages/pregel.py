@@ -252,11 +252,27 @@ class GraphShardImpl:
 
     # ---------------- PageRank ----------------
 
-    def pr_init(self):
+    def pr_init(self, seeds: np.ndarray | None = None):
         """rank = 1.0 micro for every own node; out-degree + the edge→node
         index precompute once (srcs are pages by construction, so every
-        forward edge's src resolves in the own-node table)."""
-        self.rank = np.full(len(self.nodes), 1_000_000, np.int64)
+        forward edge's src resolves in the own-node table).
+
+        With ``seeds`` (personalized PageRank / random walk with restart):
+        rank = 1.0 micro on own SEED nodes, 0 elsewhere, and the teleport
+        mass in ``pr_update`` restarts only at seeds — seeds are
+        frontier-bounded, so shipping the array to every shard is the
+        broadcast-small-side discipline, and the own-seed mask is one
+        searchsorted against the sorted own-node table."""
+        if seeds is not None:
+            s = np.sort(np.asarray(seeds, dtype=object).astype(str))
+            pos = np.searchsorted(s, self.nodes)
+            self._seed_mask = (pos < len(s)) & (
+                s[np.clip(pos, 0, max(len(s) - 1, 0))] == self.nodes
+            )
+            self.rank = np.where(self._seed_mask, 1_000_000, 0).astype(np.int64)
+        else:
+            self._seed_mask = None
+            self.rank = np.full(len(self.nodes), 1_000_000, np.int64)
         self._src_idx = (
             np.searchsorted(self.nodes, self.f_src)
             if len(self.f_src)
@@ -281,12 +297,19 @@ class GraphShardImpl:
 
     def pr_update(self, chunks):
         """rank = 150000 + 85·inbound // 100 for EVERY own node (missing
-        inbound = 0 — the Dataset version's node-side left merge)."""
+        inbound = 0 — the Dataset version's node-side left merge). In
+        seeded mode the 150000 teleport term lands only on seed nodes
+        (restart-at-seed semantics of personalized PageRank)."""
         c = np.zeros(len(self.nodes), np.int64)
         for u, s in chunks:
             pos = np.searchsorted(self.nodes, u)
             c[pos] += s
-        self.rank = 150_000 + (85 * c) // 100
+        base = (
+            np.where(self._seed_mask, 150_000, 0).astype(np.int64)
+            if getattr(self, "_seed_mask", None) is not None
+            else 150_000
+        )
+        self.rank = base + (85 * c) // 100
 
     def pr_top(self, k: int) -> pa.Table:
         order = np.lexsort((self.nodes, -self.rank))[:k]
@@ -365,15 +388,22 @@ def bfs_hops(layout: str, nb: int, seeds: np.ndarray, hop_max: int):
     return rd.from_arrow_refs([a.bfs_dump.remote() for a in actors])
 
 
-def pagerank_top(layout: str, nb: int, iters: int, top_k: int) -> pd.DataFrame:
+def pagerank_top(
+    layout: str,
+    nb: int,
+    iters: int,
+    top_k: int,
+    seeds: np.ndarray | None = None,
+) -> pd.DataFrame:
     """Distributed integer PageRank over the stationary layout:
     ``iters`` synchronous rounds of emit (locally-combined r//d per dst) +
     exchange + update; global top-``top_k`` by (rank desc, url asc) merged
-    from per-shard local top-k."""
+    from per-shard local top-k. ``seeds`` switches to personalized
+    PageRank (teleport mass restarts only at the seed urls)."""
     import ray
 
     actors, route = _spawn_shards(layout, nb)
-    ray.get([a.pr_init.remote() for a in actors])
+    ray.get([a.pr_init.remote(seeds) for a in actors])
     for _ in range(iters):
         emitted = ray.get([a.pr_emit.remote() for a in actors])
         inbox: dict[int, list] = {a: [] for a in range(len(actors))}

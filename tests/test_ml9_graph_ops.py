@@ -1,0 +1,233 @@
+"""Graph-scale crawl analytics (queries_ml9 + stages/cc.py): the star-
+contraction CC kernel against union-find on adversarial random graphs
+(long chains → multi-round convergence, self-loops, self-loop-only
+nodes, duplicate edges), the hostgraph component query and personalized
+PageRank against independent in-process references on the tiny fixture
+(the SQL oracles bind the sf0.01 tier; these pin the tiny tier), and
+the gamma audit's sign-split integer division at both extremes."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _union_find_labels(a, b) -> pd.DataFrame:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(str(x)), find(str(y))
+        if rx != ry:
+            parent[rx] = ry
+    groups: dict[str, list[str]] = {}
+    for n in set(map(str, a)) | set(map(str, b)):
+        groups.setdefault(find(n), []).append(n)
+    lab = {}
+    for members in groups.values():
+        m = min(members)
+        for n in members:
+            lab[n] = m
+    return pd.DataFrame(sorted(lab.items()), columns=["node", "comp_rep"])
+
+
+def _cc(edges_a, edges_b):
+    import ray.data as rd
+
+    from mklab_focused_crawler_ray.stages.cc import cc_star_components
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([str(x) for x in edges_a], pa.string()),
+                "b": pa.array([str(x) for x in edges_b], pa.string()),
+            }
+        )
+    )
+    return (
+        cc_star_components(ds)
+        .to_pandas()
+        .sort_values("node", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def test_cc_star_random_graphs(ray_session):
+    for seed in (7, 21):
+        rng = np.random.default_rng(seed)
+        nodes = np.array([f"n{i:03d}" for i in range(150)])
+        a = nodes[rng.integers(0, 150, 220)]
+        b = nodes[rng.integers(0, 150, 220)]
+        # self-loop-only node + duplicate edges + an explicit self-loop
+        a = np.concatenate([a, ["z_solo", "n000", a[0]]])
+        b = np.concatenate([b, ["z_solo", "n000", b[0]]])
+        out = _cc(a, b)
+        ref = _union_find_labels(a, b)
+        pd.testing.assert_frame_equal(out, ref)
+
+
+def test_cc_star_long_chain(ray_session):
+    # path graph of 120 nodes: min-label needs many propagation rounds —
+    # exercises the contraction loop's convergence detection, not just
+    # one-round stars
+    n = [f"c{i:04d}" for i in range(120)]
+    out = _cc(n[:-1], n[1:])
+    assert (out["comp_rep"] == "c0000").all()
+    assert len(out) == 120
+
+
+def test_cc_star_two_components_and_empty(ray_session):
+    out = _cc(["b", "d", "x"], ["a", "b", "y"])
+    lab = dict(zip(out["node"], out["comp_rep"]))
+    assert lab == {"a": "a", "b": "a", "d": "a", "x": "x", "y": "x"}
+    import ray.data as rd
+
+    from mklab_focused_crawler_ray.stages.cc import cc_star_components
+
+    empty = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    )
+    assert cc_star_components(empty).count() == 0
+
+
+def test_host_components_tiny_vs_union_find(ray_session, tiny_tables):
+    import re
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_host_components
+
+    out = (
+        q_host_components("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("host", kind="stable")
+        .reset_index(drop=True)
+    )
+    pages = tiny_tables["pages"]
+    host = lambda u: re.match(r"^https://([^/]+)", u).group(1)  # noqa: E731
+    a, b = [], []
+    for url, links in zip(
+        pages["url"].to_pylist(), pages["out_links"].to_pylist()
+    ):
+        for l in links:
+            a.append(host(url))
+            b.append(host(l))
+    ref = _union_find_labels(a, b).rename(columns={"node": "host"})
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_pagerank_seeded_tiny_vs_numpy(ray_session, tiny_fixture):
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        PPR_ITERS,
+        PPR_TOP,
+        q_pagerank_seeded_top20,
+    )
+
+    out = q_pagerank_seeded_top20("/root/testdata/sf0.001").reset_index(drop=True)
+
+    pages = pq.read_table(
+        os.path.join(tiny_fixture, "pages.parquet"), columns=["url", "out_links"]
+    )
+    urls = np.array(pages["url"].to_pylist(), object).astype(str)
+    node_ix = {u: i for i, u in enumerate(urls)}
+    src, dst = [], []
+    for u, links in zip(pages["url"].to_pylist(), pages["out_links"].to_pylist()):
+        for l in links:
+            if l in node_ix:  # internal edges only, multi-edges kept
+                src.append(node_ix[u])
+                dst.append(node_ix[l])
+    src = np.array(src, np.int64)
+    dst = np.array(dst, np.int64)
+    deg = np.bincount(src, minlength=len(urls))
+    seeds = set(
+        pq.read_table(
+            os.path.join(tiny_fixture, "frontier_seed.parquet"), columns=["url"]
+        )["url"].to_pylist()
+    )
+    seed_mask = np.array([u in seeds for u in urls])
+    r = np.where(seed_mask, 1_000_000, 0).astype(np.int64)
+    for _ in range(PPR_ITERS):
+        c = np.zeros(len(urls), np.int64)
+        np.add.at(c, dst, r[src] // deg[src])
+        r = np.where(seed_mask, 150_000, 0) + (85 * c) // 100
+    order = np.lexsort((urls, -r))[:PPR_TOP]
+    ref = pd.DataFrame({"url": urls[order], "rank_micro": r[order]})
+    pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
+
+
+def test_pagerank_seeded_differs_from_global(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_media import q_pagerank_top20
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        q_pagerank_seeded_top20,
+    )
+
+    seeded = q_pagerank_seeded_top20("/root/testdata/sf0.001")
+    global_ = q_pagerank_top20("/root/testdata/sf0.001")
+    assert not seeded.equals(global_)
+    # teleport restricted to seeds → total seeded mass strictly below the
+    # uniform-teleport mass over the same top rows
+    assert seeded["rank_micro"].sum() < global_["rank_micro"].sum()
+
+
+def _write_events(tmp_path, values, ts_ms):
+    n = len(values)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    (np.asarray(ts_ms, np.int64) * 1000), pa.timestamp("us")
+                ),
+                "user_id": pa.array([0] * n, pa.int64()),
+                "event_type": pa.array(["t"] * n, pa.string()),
+                "value": pa.array(np.asarray(values, np.float64), pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    return str(tmp_path)
+
+
+BASE_MS = 1_706_000_000_000  # before queries.NOW_MS → positive ages
+
+
+def test_gamma_perfect_agreement(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ranker_rank_gamma
+
+    sf = _write_events(tmp_path, [1.0, 2.0, 3.0, 4.0], BASE_MS + np.arange(4) * 1000)
+    row = q_ranker_rank_gamma(sf).to_pylist()[0]
+    assert row == {
+        "n_top": 4,
+        "concordant": 6,
+        "discordant": 0,
+        "gamma_micro": 1_000_000,
+    }
+
+
+def test_gamma_perfect_disagreement_sign_split(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ranker_rank_gamma
+
+    # shares up while time goes down → every untied pair discordant; the
+    # -1e6 result exercises the negative sign-split division branch
+    sf = _write_events(tmp_path, [1.0, 2.0, 3.0], BASE_MS + np.array([3, 2, 1]) * 1000)
+    row = q_ranker_rank_gamma(sf).to_pylist()[0]
+    assert row["gamma_micro"] == -1_000_000
+    assert row["concordant"] == 0 and row["discordant"] == 3
+
+
+def test_gamma_ties_excluded(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ranker_rank_gamma
+
+    # two value-tied rows: their pair counts in neither C nor D
+    sf = _write_events(tmp_path, [5.0, 5.0, 1.0], BASE_MS + np.array([1, 2, 3]) * 1000)
+    row = q_ranker_rank_gamma(sf).to_pylist()[0]
+    assert row["concordant"] + row["discordant"] == 2
+    assert row["gamma_micro"] == -1_000_000

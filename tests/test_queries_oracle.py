@@ -91,6 +91,8 @@ FIXTURE_BACKED = {
     "image_thumbnails",
     "image_embed",
     "pagerank_top20",
+    "pagerank_seeded_top20",
+    "host_components",
     "page_image_join_stats",
     "seed_hop_distance",
     "hits_top20",
