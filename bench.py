@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "host_components",
     "pagerank_seeded_top20",
     "ranker_rank_gamma",
+    "doc_trigram_backoff",
 ]
 
 

@@ -28,11 +28,14 @@ build-brief crawl-scheduler / curation additions.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
 
+from ..scale import derive_buckets
 from .queries_ml2 import _p
+from .queries_ml3 import SPLIT_MULT, SPLIT_TRAIN_PCT
 
 CC_ORACLE_ROUNDS = 10  # pointer-jumped min-label rounds unrolled in SQL
 PPR_ITERS = 5  # same fixed-point count as pagerank_top20 (PR_ITERS)
@@ -275,6 +278,324 @@ def _gamma_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# held-out trigram LM scoring with stupid backoff
+# --------------------------------------------------------------------------
+
+
+def q_doc_trigram_backoff(sf_dir: str):
+    """HELD-OUT TRIGRAM SCORING with stupid backoff (Brants et al. 2007):
+    the LM trains on the deterministic 80% train split (the exact
+    ``doc_split_assign`` hash rule) and scores every HELD-OUT document's
+    trigrams — so the backoff tiers actually fire (a same-corpus trigram
+    LM scored on its own training data never backs off: c3 ≥ 1 always).
+    Per trigram (a,b,c):
+
+        S = c3(abc)/c2(ab)                 if c3(abc) > 0
+          = 0.4 · c2(bc)/c1(b)             elif c2(bc) > 0
+          = 0.16 · (c1(c)+1)/(T+V)         otherwise (add-one closure at
+                                            the unigram tier — unseen
+                                            words score finitely instead
+                                            of log10(0))
+
+    summed as floor(log10(S)·10⁶ + 0.5) · occurrences per doc. Output:
+    (doc_id, n_trigrams, logprob_micro) for held-out docs with ≥3 tokens.
+    This is the CCNet/KenLM quality-filter tier above
+    ``doc_bigram_logprob``; the held-out framing is the real production
+    shape (score candidate data with an LM trained elsewhere).
+
+    Scale shape: unigram stats (c1, T, V) are vocabulary-bounded — one
+    small shuffle + a broadcast. The corpus-shaped bigram and trigram
+    count tables are never broadcast: pass 1 buckets by hash(ab) (every
+    occurrence of trigram abc AND of its context bigram ab co-locate →
+    c3 and c2(ab) attach in one vectorized pandas pass), pass 2 buckets
+    by hash(bc) (c2(bc) attaches; the tier pick, log10 and per-doc
+    partial sums happen in the same pass). Two bigram-hash shuffles
+    total; the final groupby is doc-bounded. DOUBLE-cast literals in the
+    oracle are load-bearing: DuckDB's bare 0.4/0.16 are DECIMAL and
+    round differently from float64."""
+    nb = derive_buckets(sf_dir, "documents", floor=64)
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def is_train(doc_id: np.ndarray) -> np.ndarray:
+        return (doc_id * SPLIT_MULT) % (1 << 32) % 100 < SPLIT_TRAIN_PCT
+
+    # pass 0 (vocabulary-bounded): train-split unigram counts → broadcast
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        tr = is_train(ids)
+        cnt: Counter = Counter()
+        for d_tr, t in zip(tr, batch["text"].to_pylist()):
+            if d_tr:
+                cnt.update(TOKEN_RE.findall(t.lower()))
+        keys = sorted(cnt)
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "pc": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    uni = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pc", alias_name="c1"))
+        .to_pandas()  # |train vocab| rows
+    )
+    t_total = int(uni["c1"].sum())
+    v_size = len(uni)
+    c1_ref = ray.put(
+        (uni["token"].to_numpy(str), uni["c1"].to_numpy(np.int64))
+    )
+
+    def _bk(strs: list[str]) -> list[int]:
+        return [zlib.crc32(s.encode()) % nb for s in strs]
+
+    # side rows: 0 = train trigram partials, 1 = train bigram partials,
+    # 2 = held-out doc trigram rows — all keyed by hash(ab) in pass 1
+    def pass1_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        tr = is_train(ids)
+        tri_c: Counter = Counter()
+        bg_c: Counter = Counter()
+        out_k: list[str] = []
+        out_d: list[int] = []
+        out_n: list[int] = []
+        out_s: list[int] = []
+        for d, d_tr, t in zip(ids, tr, batch["text"].to_pylist()):
+            tk = TOKEN_RE.findall(t.lower())
+            if d_tr:
+                tri_c.update(
+                    f"{tk[i]} {tk[i + 1]} {tk[i + 2]}" for i in range(len(tk) - 2)
+                )
+                bg_c.update(f"{tk[i]} {tk[i + 1]}" for i in range(len(tk) - 1))
+            elif len(tk) >= 3:
+                dc = Counter(
+                    f"{tk[i]} {tk[i + 1]} {tk[i + 2]}" for i in range(len(tk) - 2)
+                )
+                for k, n in dc.items():
+                    out_k.append(k)
+                    out_d.append(int(d))
+                    out_n.append(n)
+                    out_s.append(2)
+        for cnt, side in ((tri_c, 0), (bg_c, 1)):
+            for k, n in cnt.items():
+                out_k.append(k)
+                out_d.append(-1)
+                out_n.append(n)
+                out_s.append(side)
+        ab = [
+            k.rsplit(" ", 1)[0] if s != 1 else k
+            for k, s in zip(out_k, out_s)
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(_bk(ab), pa.int64()),
+                "side": pa.array(out_s, pa.int64()),
+                "key": pa.array(out_k, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def _sum_by_key(keys: np.ndarray, vals: np.ndarray):
+        uk, inv = np.unique(keys, return_inverse=True)
+        return uk, np.bincount(inv, weights=vals).astype(np.int64)
+
+    def _lookup(uk: np.ndarray, uv: np.ndarray, q: np.ndarray) -> np.ndarray:
+        if not len(uk):
+            return np.zeros(len(q), np.int64)
+        pos = np.clip(np.searchsorted(uk, q), 0, len(uk) - 1)
+        return np.where(uk[pos] == q, uv[pos], 0)
+
+    def attach_pass1(g) -> pa.Table:
+        import pandas as pd
+
+        side = g["side"].to_numpy(np.int64)
+        key = g["key"].to_numpy(object).astype(str)
+        n = g["n"].to_numpy(np.int64)
+        rows = side == 2
+        if not rows.any():
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "c3": pa.array([], pa.int64()),
+                    "c2ab": pa.array([], pa.int64()),
+                }
+            )
+        k3, v3 = _sum_by_key(key[side == 0], n[side == 0])
+        k2, v2 = _sum_by_key(key[side == 1], n[side == 1])
+        tri = key[rows]
+        sp = pd.Series(tri)
+        ab = sp.str.rsplit(" ", n=1).str[0].to_numpy(object).astype(str)
+        bc = sp.str.split(" ", n=1).str[1].to_numpy(object).astype(str)
+        return pa.table(
+            {
+                "bucket": pa.array(_bk(bc.tolist()), pa.int64()),
+                "side": pa.array(np.ones(rows.sum(), np.int64), pa.int64()),
+                "key": pa.array(bc, pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)[rows], pa.int64()),
+                "n": pa.array(n[rows], pa.int64()),
+                "c3": pa.array(_lookup(k3, v3, tri), pa.int64()),
+                "c2ab": pa.array(_lookup(k2, v2, ab), pa.int64()),
+            }
+        )
+
+    def bigram_side0(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        tr = is_train(ids)
+        bg_c: Counter = Counter()
+        for d_tr, t in zip(tr, batch["text"].to_pylist()):
+            if d_tr:
+                tk = TOKEN_RE.findall(t.lower())
+                bg_c.update(f"{tk[i]} {tk[i + 1]}" for i in range(len(tk) - 1))
+        keys = sorted(bg_c)
+        nn = len(keys)
+        return pa.table(
+            {
+                "bucket": pa.array(_bk(keys), pa.int64()),
+                "side": pa.array(np.zeros(nn, np.int64), pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(np.full(nn, -1, np.int64), pa.int64()),
+                "n": pa.array([bg_c[k] for k in keys], pa.int64()),
+                "c3": pa.array(np.zeros(nn, np.int64), pa.int64()),
+                "c2ab": pa.array(np.zeros(nn, np.int64), pa.int64()),
+            }
+        )
+
+    def score_pass2(g) -> pa.Table:
+        import pandas as pd
+
+        side = g["side"].to_numpy(np.int64)
+        key = g["key"].to_numpy(object).astype(str)
+        n = g["n"].to_numpy(np.int64)
+        rows = side == 1
+        if not rows.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pn": pa.array([], pa.int64()),
+                    "plp": pa.array([], pa.int64()),
+                }
+            )
+        k2, v2 = _sum_by_key(key[side == 0], n[side == 0])
+        bc = key[rows]
+        c3 = g["c3"].to_numpy(np.int64)[rows]
+        c2ab = g["c2ab"].to_numpy(np.int64)[rows]
+        nr = n[rows]
+        did = g["doc_id"].to_numpy(np.int64)[rows]
+        c2bc = _lookup(k2, v2, bc)
+        sp = pd.Series(bc)
+        b = sp.str.split(" ", n=1).str[0].to_numpy(object).astype(str)
+        c = sp.str.split(" ", n=1).str[1].to_numpy(object).astype(str)
+        toks, c1 = ray.get(c1_ref)
+        c1b = _lookup(toks, c1, b).astype(np.float64)
+        c1c = _lookup(toks, c1, c).astype(np.float64)
+        # tier arithmetic in float64 with the same literal expressions the
+        # oracle CASTs to DOUBLE (divide-by-zero lanes are masked out)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(
+                c3 > 0,
+                c3 / np.maximum(c2ab, 1).astype(np.float64),
+                np.where(
+                    c2bc > 0,
+                    0.4 * c2bc / np.maximum(c1b, 1.0),
+                    0.16 * (c1c + 1.0) / float(t_total + v_size),
+                ),
+            )
+        lp = np.floor(np.log10(s) * 1_000_000 + 0.5).astype(np.int64)
+        part = (
+            pd.DataFrame({"doc_id": did, "pn": nr, "plp": lp * nr})
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].to_numpy(np.int64), pa.int64()),
+                "pn": pa.array(part["pn"].to_numpy(np.int64), pa.int64()),
+                "plp": pa.array(part["plp"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    pass1 = (
+        docs.map_batches(pass1_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_pass1, batch_format="pandas")
+    )
+    return (
+        pass1.union(docs.map_batches(bigram_side0, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(score_pass2, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("pn", alias_name="n_trigrams"),
+            Sum("plp", alias_name="logprob_micro"),
+        )
+    )
+
+
+def _trigram_backoff_sql() -> str:
+    split = f"(doc_id * {SPLIT_MULT}) % {1 << 32} % 100 < {SPLIT_TRAIN_PCT}"
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    tri_un = (
+        "unnest(list_transform(range(1, len(l) - 1), "
+        "i -> l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] "
+        "|| ' ' || l[CAST(i AS INT)+2]))"
+    )
+    bg_un = (
+        "unnest(list_transform(range(1, len(l)), "
+        "i -> l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1]))"
+    )
+    return (
+        f"WITH tokl AS MATERIALIZED (SELECT doc_id, {tok} AS l, {split} AS tr "
+        "FROM documents), "
+        f"c3 AS MATERIALIZED (SELECT tri, COUNT(*) AS c FROM (SELECT {tri_un} "
+        "AS tri FROM tokl WHERE tr AND len(l) >= 3) GROUP BY 1), "
+        f"c2 AS MATERIALIZED (SELECT bg, COUNT(*) AS c FROM (SELECT {bg_un} "
+        "AS bg FROM tokl WHERE tr AND len(l) >= 2) GROUP BY 1), "
+        "uni AS MATERIALIZED (SELECT unnest(l) AS t FROM tokl WHERE tr), "
+        "c1 AS MATERIALIZED (SELECT t, COUNT(*) AS c FROM uni GROUP BY 1), "
+        "tot AS (SELECT COUNT(*) AS tt, COUNT(DISTINCT t) AS vv FROM uni), "
+        f"dd AS (SELECT doc_id, tri, COUNT(*) AS n FROM (SELECT doc_id, "
+        f"{tri_un} AS tri FROM tokl WHERE NOT tr AND len(l) >= 3) GROUP BY 1, 2), "
+        "sc AS (SELECT dd.doc_id, dd.n, CASE "
+        "WHEN COALESCE(c3.c, 0) > 0 THEN "
+        "LOG10(CAST(c3.c AS DOUBLE) / c2ab.c) "
+        "WHEN COALESCE(c2bc.c, 0) > 0 THEN "
+        "LOG10(CAST(0.4 AS DOUBLE) * c2bc.c / c1b.c) "
+        "ELSE LOG10(CAST(0.16 AS DOUBLE) * (COALESCE(c1c.c, 0) + 1.0) "
+        "/ (tot.tt + tot.vv)) END AS lp_f "
+        "FROM dd LEFT JOIN c3 ON c3.tri = dd.tri "
+        "LEFT JOIN c2 c2ab ON c2ab.bg = "
+        "split_part(dd.tri, ' ', 1) || ' ' || split_part(dd.tri, ' ', 2) "
+        "LEFT JOIN c2 c2bc ON c2bc.bg = "
+        "split_part(dd.tri, ' ', 2) || ' ' || split_part(dd.tri, ' ', 3) "
+        "LEFT JOIN c1 c1b ON c1b.t = split_part(dd.tri, ' ', 2) "
+        "LEFT JOIN c1 c1c ON c1c.t = split_part(dd.tri, ' ', 3) "
+        "CROSS JOIN tot) "
+        "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams, "
+        "CAST(SUM(CAST(FLOOR(lp_f * 1000000 + 0.5) AS BIGINT) * n) AS BIGINT) "
+        "AS logprob_micro FROM sc GROUP BY doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -282,6 +603,7 @@ ML9_QUERIES = {
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
+    "doc_trigram_backoff": q_doc_trigram_backoff,
 }
 
 
@@ -298,4 +620,5 @@ def build_ml9_oracles() -> dict[str, str]:
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),
+        "doc_trigram_backoff": _trigram_backoff_sql(),
     }

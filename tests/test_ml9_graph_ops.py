@@ -223,6 +223,78 @@ def test_gamma_perfect_disagreement_sign_split(ray_session, tmp_path):
     assert row["concordant"] == 0 and row["discordant"] == 3
 
 
+def _write_docs(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_trigram_backoff_all_tiers(ray_session, tmp_path):
+    """Crafted corpus forcing every stupid-backoff tier on held-out docs
+    (ids 0/1/2 are train, 3 is held-out under the split hash), checked
+    against a direct brute-force replay of the tier definitions."""
+    import math
+    import re
+    from collections import Counter
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        q_doc_trigram_backoff,
+    )
+
+    train_texts = ["the cat sat on the mat", "the cat ran", "a dog sat"]
+    # held-out doc: "the cat sat" (tier1: trained trigram), "cat sat down"
+    # (c3=0 but bc="sat down"? not trained → check tier3 via unseen word),
+    # "ran far away" (unseen everything), "on the mat" (tier1), "dog sat
+    # on" (c3=0, bc="sat on" trained → tier2)
+    held_text = "the cat sat on the mat zz dog sat on qq ran"
+    rows = [(0, train_texts[0]), (1, train_texts[1]), (2, train_texts[2]),
+            (3, held_text)]
+    sf = _write_docs(tmp_path, rows)
+    out = q_doc_trigram_backoff(sf).to_pandas()
+
+    tok = lambda t: re.findall(r"[a-z0-9]+", t.lower())  # noqa: E731
+    tr_tokens = [tok(t) for t in train_texts]
+    c3: Counter = Counter()
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for tk in tr_tokens:
+        c1.update(tk)
+        c2.update(f"{tk[i]} {tk[i+1]}" for i in range(len(tk) - 1))
+        c3.update(f"{tk[i]} {tk[i+1]} {tk[i+2]}" for i in range(len(tk) - 2))
+    T, V = sum(c1.values()), len(c1)
+    tk = tok(held_text)
+    tiers_hit = set()
+    lp_sum = 0
+    for i in range(len(tk) - 2):
+        a, b, c = tk[i], tk[i + 1], tk[i + 2]
+        tri = f"{a} {b} {c}"
+        if c3[tri] > 0:
+            s = c3[tri] / c2[f"{a} {b}"]
+            tiers_hit.add(1)
+        elif c2[f"{b} {c}"] > 0:
+            s = 0.4 * c2[f"{b} {c}"] / c1[b]
+            tiers_hit.add(2)
+        else:
+            s = 0.16 * (c1[c] + 1.0) / float(T + V)
+            tiers_hit.add(3)
+        lp_sum += int(math.floor(math.log10(s) * 1_000_000 + 0.5))
+    assert tiers_hit == {1, 2, 3}  # the corpus exercises every tier
+    assert len(out) == 1
+    assert out["doc_id"].iloc[0] == 3
+    assert out["n_trigrams"].iloc[0] == len(tk) - 2
+    assert out["logprob_micro"].iloc[0] == lp_sum
+
+
 def test_gamma_ties_excluded(ray_session, tmp_path):
     from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ranker_rank_gamma
 
