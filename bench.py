@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "pagerank_seeded_top20",
     "ranker_rank_gamma",
     "doc_trigram_backoff",
+    "sorted_neighborhood_pairs",
+    "lang_temperature_odds",
 ]
 
 

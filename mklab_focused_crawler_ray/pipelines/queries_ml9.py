@@ -596,6 +596,284 @@ def _trigram_backoff_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# sorted-neighborhood blocking (record-linkage candidate pairs)
+# --------------------------------------------------------------------------
+
+SNM_W = 3  # window size: pairs at sorted-rank distance ≤ SNM_W − 1
+SNM_MAXD = 2  # verify gate: levenshtein ≤ 2
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain unit-cost edit distance — the exact function DuckDB's
+    ``levenshtein`` computes, so the verify gate replays bit-for-bit."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995): slide a
+    ``SNM_W``-row window over part names sorted by (lower(name), partkey)
+    and keep window pairs with edit distance ≤ ``SNM_MAXD`` — the classic
+    record-linkage blocking scheme complementary to the deletion-variant
+    blocking of ``part_name_typo_pairs`` (SNM also catches transpositions
+    and substitutions that deletion neighborhoods miss). Output:
+    (part_a, part_b, dist), a = earlier sort rank.
+
+    Scale shape: the sort key's 2-char prefix is a DATA-INDEPENDENT range
+    partition (prefix order = global sort order), so one prefix-bucketed
+    shuffle sorts locally and emits in-window pairs per bucket; the only
+    cross-bucket work is each bucket's first/last (SNM_W−1) rows — a
+    ≤ 2·(SNM_W−1)·buckets boundary set the driver stitches with a rolling
+    tail (window spans across empty/1-row buckets handled exactly). A hot
+    prefix would split by its 3rd char — the frontier_skew_plan salting
+    discipline. Verification is per candidate pair (output-bounded).
+
+    Reference: the reference has no record-linkage operator; this is the
+    entity-resolution tier of the build brief's dedup family."""
+    import ray.data as rd
+
+    def route(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nm = pc.utf8_lower(batch["p_name"])
+        return pa.table(
+            {
+                "prefix": pc.utf8_slice_codeunits(nm, 0, 2),
+                "pk": batch["p_partkey"].cast(pa.int64()),
+                "nm": nm,
+            }
+        )
+
+    def in_bucket(g) -> pa.Table:
+        import pandas as pd
+
+        g = g.sort_values(["nm", "pk"], kind="stable").reset_index(drop=True)
+        nm = g["nm"].to_numpy(object).astype(str)
+        pk = g["pk"].to_numpy(np.int64)
+        n = len(g)
+        out = {
+            "kind": [],
+            "part_a": [],
+            "part_b": [],
+            "dist": [],
+            "prefix": [],
+            "nm": [],
+            "pos": [],
+        }
+        for off in range(1, SNM_W):
+            for i in range(n - off):
+                d = _levenshtein(nm[i], nm[i + off])
+                if d <= SNM_MAXD:
+                    out["kind"].append(0)
+                    out["part_a"].append(int(pk[i]))
+                    out["part_b"].append(int(pk[i + off]))
+                    out["dist"].append(d)
+                    out["prefix"].append("")
+                    out["nm"].append("")
+                    out["pos"].append(0)
+        # boundary rows: first/last (SNM_W−1) rows, pos = signed ordinal
+        # (negative = from the end), plus the bucket count in every row
+        edge = sorted(set(range(min(SNM_W - 1, n))) | {n - 1 - i for i in range(min(SNM_W - 1, n))})
+        for i in edge:
+            out["kind"].append(1)
+            out["part_a"].append(int(pk[i]))
+            out["part_b"].append(n)  # carries the bucket count
+            out["dist"].append(0)
+            out["prefix"].append(g["prefix"].iloc[0])
+            out["nm"].append(nm[i])
+            out["pos"].append(i)
+        return pa.table(
+            {
+                "kind": pa.array(out["kind"], pa.int64()),
+                "part_a": pa.array(out["part_a"], pa.int64()),
+                "part_b": pa.array(out["part_b"], pa.int64()),
+                "dist": pa.array(out["dist"], pa.int64()),
+                "prefix": pa.array(out["prefix"], pa.string()),
+                "nm": pa.array(out["nm"], pa.string()),
+                "pos": pa.array(out["pos"], pa.int64()),
+            }
+        )
+
+    both = (
+        rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"])
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("prefix")
+        .map_groups(in_bucket, batch_format="pandas")
+        .materialize()
+    )
+    import pyarrow.compute as pc
+
+    def keep_kind(k: int, cols: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["kind"], k)).select(cols)
+
+        return f
+
+    pairs = both.map_batches(
+        keep_kind(0, ["part_a", "part_b", "dist"]), batch_format="pyarrow"
+    )
+    edges = both.map_batches(
+        keep_kind(1, ["prefix", "nm", "part_a", "part_b", "pos"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # ≤ 2·(SNM_W−1)·buckets rows — bucket-bounded driver stitch
+    tail: list[tuple[str, int]] = []  # rolling last (SNM_W−1) global rows
+    cross_a, cross_b, cross_d = [], [], []
+    for _prefix, g in edges.sort_values(["prefix", "pos"]).groupby(
+        "prefix", sort=True
+    ):
+        cnt = int(g["part_b"].iloc[0])
+        rows = list(zip(g["nm"], g["part_a"].astype(int), g["pos"].astype(int)))
+        first = [r for r in rows if r[2] < SNM_W - 1][: SNM_W - 1]
+        # pair the bucket's first rows against the rolling tail at global
+        # rank distance ≤ SNM_W−1 (tail[-1] is adjacent to first[0])
+        for ti, (tnm, tpk) in enumerate(reversed(tail)):
+            for fi, (fnm, fpk, _p_) in enumerate(first):
+                if (ti + 1 + fi) <= SNM_W - 1:
+                    d = _levenshtein(tnm, fnm)
+                    if d <= SNM_MAXD:
+                        cross_a.append(tpk)
+                        cross_b.append(fpk)
+                        cross_d.append(d)
+        last = sorted(
+            {r for r in rows if r[2] >= cnt - (SNM_W - 1)}, key=lambda r: r[2]
+        )
+        new_tail = ([*tail, *[(nm_, pk_) for nm_, pk_, _p_ in last]])[
+            -(SNM_W - 1) :
+        ]
+        tail = new_tail
+    cross = rd.from_arrow(
+        pa.table(
+            {
+                "part_a": pa.array(cross_a, pa.int64()),
+                "part_b": pa.array(cross_b, pa.int64()),
+                "dist": pa.array(cross_d, pa.int64()),
+            }
+        )
+    )
+    return pairs.union(cross)
+
+
+def _snm_sql() -> str:
+    leads = []
+    pair_sel = []
+    for off in range(1, SNM_W):
+        leads.append(
+            f"LEAD(nm, {off}) OVER w AS nm{off}, "
+            f"LEAD(p_partkey, {off}) OVER w AS pk{off}"
+        )
+        pair_sel.append(
+            f"SELECT p_partkey AS part_a, pk{off} AS part_b, nm AS name_a, "
+            f"nm{off} AS name_b FROM o WHERE pk{off} IS NOT NULL"
+        )
+    return (
+        "WITH s AS (SELECT p_partkey, lower(p_name) AS nm FROM part), "
+        "o AS (SELECT p_partkey, nm, " + ", ".join(leads) + " FROM s "
+        "WINDOW w AS (ORDER BY nm, p_partkey)), "
+        "pairs AS (" + " UNION ALL ".join(pair_sel) + ") "
+        "SELECT part_a, part_b, CAST(levenshtein(name_a, name_b) AS BIGINT) "
+        f"AS dist FROM pairs WHERE levenshtein(name_a, name_b) <= {SNM_MAXD}"
+    )
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled sampling odds (mT5 / XLM-R alpha sampling)
+# --------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.3  # mT5's published exponent
+
+
+def q_lang_temperature_odds(sf_dir: str):
+    """TEMPERATURE-SCALED language sampling odds (mT5/XLM-R α-sampling,
+    α = 0.3): each language's sampling-rate multiplier relative to the
+    LARGEST language, odds_l = (n_l / n_ref)^α — the table a mixing
+    sampler multiplies into its per-language rates to upweight low-
+    resource languages. The reference is the max-token language (tie:
+    lang asc), so no cross-language float SUM exists anywhere — the
+    normalization a sampler applies online is deliberately left out
+    because a float sum's accumulation order is engine-dependent and
+    would break the bit-exact oracle (the per-element pow/division
+    replay exactly). Complements ``lang_token_budget``'s equal-split
+    allocator. Output: (lang, n_tokens, odds_micro).
+
+    Scale shape: per-batch token counts collapse to one row per language
+    before the shuffle (|langs| rows total); the odds table is computed
+    on the driver over that bounded aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        agg = (
+            pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pylist(),
+                    "pc": [
+                        len(TOKEN_RE.findall(t.lower()))
+                        for t in batch["text"].to_pylist()
+                    ],
+                }
+            )
+            .groupby("lang", sort=False)["pc"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                "pc": pa.array(agg["pc"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    df = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("pc", alias_name="n_tokens"))
+        .to_pandas()  # |langs| rows
+        .sort_values(["n_tokens", "lang"], ascending=[False, True], kind="stable")
+    )
+    n = df["n_tokens"].to_numpy(np.int64)
+    ref = float(n[0]) if len(n) else 1.0
+    odds = np.floor(
+        np.power(n / ref, TEMP_ALPHA) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"].tolist(), pa.string()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "odds_micro": pa.array(odds, pa.int64()),
+        }
+    )
+
+
+def _temperature_odds_sql() -> str:
+    tok = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    return (
+        f"WITH l AS (SELECT lang, CAST(SUM({tok}) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1), "
+        "r AS (SELECT n AS nref FROM l ORDER BY n DESC, lang ASC LIMIT 1) "
+        "SELECT lang, n AS n_tokens, "
+        "CAST(FLOOR(POWER(CAST(n AS DOUBLE) / nref, "
+        f"CAST({TEMP_ALPHA} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) "
+        "AS odds_micro FROM l CROSS JOIN r"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -604,6 +882,8 @@ ML9_QUERIES = {
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
     "doc_trigram_backoff": q_doc_trigram_backoff,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "lang_temperature_odds": q_lang_temperature_odds,
 }
 
 
@@ -621,4 +901,6 @@ def build_ml9_oracles() -> dict[str, str]:
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),
         "doc_trigram_backoff": _trigram_backoff_sql(),
+        "sorted_neighborhood_pairs": _snm_sql(),
+        "lang_temperature_odds": _temperature_odds_sql(),
     }

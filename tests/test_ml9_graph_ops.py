@@ -295,6 +295,127 @@ def test_trigram_backoff_all_tiers(ray_session, tmp_path):
     assert out["logprob_micro"].iloc[0] == lp_sum
 
 
+def test_levenshtein_matches_duckdb(ray_session):
+    import duckdb
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import _levenshtein
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcde ")
+    for _ in range(60):
+        a = "".join(rng.choice(alpha, rng.integers(0, 9)))
+        b = "".join(rng.choice(alpha, rng.integers(0, 9)))
+        (d,) = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]
+        ).fetchone()
+        assert _levenshtein(a, b) == d, (a, b)
+
+
+def _write_parts(tmp_path, names):
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(1, len(names) + 1), pa.int64()),
+                "p_name": pa.array(names, pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_sorted_neighborhood_cross_bucket_pairs(ray_session, tmp_path):
+    """Names straddling 2-char prefix boundaries (and single-row / empty
+    prefixes) force the driver's rolling-tail stitch; checked against a
+    brute-force global window over the full sorted order."""
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        SNM_MAXD,
+        SNM_W,
+        _levenshtein,
+        q_sorted_neighborhood_pairs,
+    )
+
+    names = [
+        "azure box",   # prefix az — last of its bucket
+        "bzure box",   # prefix bz (1-row bucket) — dist 1 to both neighbors
+        "czure box",   # prefix cz (1-row bucket) — spans TWO boundaries
+        "azure boxx",
+        "dzzz unrelated",
+        "aaa first",
+    ]
+    sf = _write_parts(tmp_path, names)
+    out = (
+        q_sorted_neighborhood_pairs(sf)
+        .to_pandas()
+        .sort_values(["part_a", "part_b"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+    order = sorted(
+        range(len(names)), key=lambda i: (names[i].lower(), i + 1)
+    )
+    ref = []
+    for off in range(1, SNM_W):
+        for i in range(len(order) - off):
+            a, b = order[i], order[i + off]
+            d = _levenshtein(names[a].lower(), names[b].lower())
+            if d <= SNM_MAXD:
+                ref.append((a + 1, b + 1, d))
+    refdf = (
+        pd.DataFrame(ref, columns=["part_a", "part_b", "dist"])
+        .sort_values(["part_a", "part_b"], kind="stable")
+        .reset_index(drop=True)
+    )
+    # the crafted names must actually exercise a cross-boundary pair
+    assert any(
+        names[a - 1][:2] != names[b - 1][:2] for a, b, _ in ref
+    )
+    pd.testing.assert_frame_equal(out, refdf)
+
+
+def _write_lang_docs(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[0] for r in rows], pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_lang_temperature_odds_reference_and_values(ray_session, tmp_path):
+    import math
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        TEMP_ALPHA,
+        q_lang_temperature_odds,
+    )
+
+    # en: 8 tokens, de: 8 tokens (tie → 'de' wins lang-asc), fr: 1 token
+    sf = _write_lang_docs(
+        tmp_path,
+        [
+            ("en", "a b c d e f g h"),
+            ("de", "a b c d e f g h"),
+            ("fr", "x"),
+        ],
+    )
+    out = q_lang_temperature_odds(sf).to_pandas()
+    row = dict(zip(out["lang"], out["odds_micro"]))
+    assert row["de"] == 1_000_000  # the reference language
+    assert row["en"] == 1_000_000  # tied token count → odds 1
+    expect_fr = int(math.floor((1 / 8) ** TEMP_ALPHA * 1_000_000 + 0.5))
+    assert row["fr"] == expect_fr
+    # low-resource upweighting: odds far above the raw 1/8 proportion
+    assert expect_fr > 125_000
+
+
 def test_gamma_ties_excluded(ray_session, tmp_path):
     from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ranker_rank_gamma
 
