@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     "doc_trigram_backoff",
     "sorted_neighborhood_pairs",
     "lang_temperature_odds",
+    "host_cocitation_pairs",
+    "host_fairness_index",
+    "ann_recall_at10",
 ]
 
 

@@ -1111,4 +1111,15 @@ def build_extended_oracles() -> dict[str, str]:
         "AS kept_tokens FROM f"
     )
 
+    # ANN recall@10 — the builder trains the IVF codebook (a Ray Data job,
+    # memoized with the ann_ivf oracles above), so it MUST live on this
+    # lazy oracle_sql() path, never in an import-time registry (a Ray job
+    # at module import deadlocks workers re-importing the module to
+    # unpickle UDFs)
+    emb01_r = os.path.join(_DRIVER_SF01, "embeddings.parquet")
+    if os.path.exists(emb01_r):
+        from .queries_ml9 import _ann_recall_sql
+
+        sql["ann_recall_at10"] = _ann_recall_sql(emb01_r)
+
     return sql

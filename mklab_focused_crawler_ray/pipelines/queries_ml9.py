@@ -596,6 +596,229 @@ def _trigram_backoff_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# hostgraph co-citation (link-farm / related-host detection)
+# --------------------------------------------------------------------------
+
+COCITE_MIN = 2  # keep pairs co-cited by ≥ 2 distinct source hosts
+
+
+def q_host_cocitation_pairs(sf_dir: str):
+    """CO-CITATION pairs over the hostgraph (Small 1973, applied to the
+    web by Dean & Henzinger 1999): two hosts are related when the same
+    SOURCE host links both; keep (host_a < host_b) pairs co-cited by at
+    least ``COCITE_MIN`` distinct sources. The link-analysis relatedness
+    signal a crawl scheduler uses next to the component partition
+    (``host_components``) and spam-farm rollup (``host_link_matrix``).
+
+    Scale shape: the input is the DISTINCT host-edge rollup (host×host-
+    bounded, the host_link_matrix shuffle); pair generation groups by
+    source host and emits its out-neighborhood's pairs — out-degree² per
+    source but bounded by the host universe, never by pages; the pair
+    count groupby is hosts²-bounded. At web scale a mega-out-degree hub
+    would cap or sample its neighborhood (logged, like the dedup pair
+    budget)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries_crawl import q_host_link_matrix
+
+    def pairs(g) -> pa.Table:
+        dst = np.unique(g["dst_host"].to_numpy(object).astype(str))
+        src0 = str(g["src_host"].iloc[0])
+        dst = dst[dst != src0]  # self-links don't co-cite
+        if len(dst) < 2:
+            return pa.table(
+                {
+                    "host_a": pa.array([], pa.string()),
+                    "host_b": pa.array([], pa.string()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        ii, jj = np.triu_indices(len(dst), k=1)
+        return pa.table(
+            {
+                "host_a": pa.array(dst[ii], pa.string()),
+                "host_b": pa.array(dst[jj], pa.string()),
+                "pn": pa.array(np.ones(len(ii), np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        q_host_link_matrix(sf_dir)
+        .groupby("src_host")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("pn", alias_name="n_common_sources"))
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["n_common_sources"], COCITE_MIN)
+        )
+
+    return counted.map_batches(gate, batch_format="pyarrow")
+
+
+def _cocitation_sql(pages: str) -> str:
+    host = "regexp_extract({col}, '^https://([^/]+).*$', 1)"
+    return (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT "
+        + host.format(col="url")
+        + " AS s, "
+        + host.format(col="unnest(out_links)")
+        + f" AS d FROM read_parquet('{pages}')), "
+        "e2 AS (SELECT s, d FROM e WHERE s != d) "
+        "SELECT a.d AS host_a, b.d AS host_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_common_sources "
+        "FROM e2 a JOIN e2 b ON a.s = b.s AND a.d < b.d "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {COCITE_MIN}"
+    )
+
+
+# --------------------------------------------------------------------------
+# crawl fairness: Jain's index over per-host fetch counts
+# --------------------------------------------------------------------------
+
+
+def q_host_fairness_index(sf_dir: str):
+    """JAIN'S FAIRNESS INDEX over per-host fetched-page counts:
+    J = (Σx)² / (n·Σx²) ∈ (1/n, 1] — the one-number politeness audit
+    (J = 1 means every host got the same share of the fetch budget; J →
+    1/n means one host ate the crawl). Output one row: (n_hosts,
+    n_pages, fairness_micro), micro = floor exact rational division.
+
+    Scale shape: per-batch (host, count) partials collapse before the
+    shuffle (hosts × blocks rows); the index itself is two integer
+    moments over the hosts-bounded aggregate, computed in PYTHON ints —
+    (Σx)²·10⁶ overflows int64 beyond ~3M pages, the oracle sums in
+    HUGEINT (the lang_token_fertility ADVICE discipline)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries_crawl import _fx
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.replace_substring_regex(
+            batch["url"], pattern=r"^https://([^/]+).*$", replacement=r"\1"
+        )
+        vc = pc.value_counts(h)
+        return pa.table(
+            {
+                "host": vc.field("values"),
+                "pc": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    df = (
+        rd.read_parquet(_fx(sf_dir, "pages"), columns=["url"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("pc", alias_name="n"))
+        .to_pandas()  # hosts-bounded
+    )
+    xs = [int(v) for v in df["n"]]
+    n_hosts, total = len(xs), sum(xs)
+    sq = sum(x * x for x in xs)
+    fair = (total * total * 1_000_000) // (n_hosts * sq) if sq else 0
+    return pa.table(
+        {
+            "n_hosts": pa.array([n_hosts], pa.int64()),
+            "n_pages": pa.array([total], pa.int64()),
+            "fairness_micro": pa.array([fair], pa.int64()),
+        }
+    )
+
+
+def _fairness_sql(pages: str) -> str:
+    return (
+        "WITH h AS (SELECT regexp_extract(url, '^https://([^/]+).*$', 1) "
+        f"AS host FROM read_parquet('{pages}')), "
+        "c AS (SELECT host, COUNT(*) AS n FROM h GROUP BY 1) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts, "
+        "CAST(SUM(n) AS BIGINT) AS n_pages, "
+        "CAST(SUM(n)::HUGEINT * SUM(n) * 1000000 "
+        "// (COUNT(*) * SUM(n*n)::HUGEINT) AS BIGINT) AS fairness_micro "
+        "FROM c"
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality eval: recall@10 of IVF against the exact top-k
+# --------------------------------------------------------------------------
+
+
+def q_ann_recall_at10(sf_dir: str):
+    """RETRIEVAL EVAL: per-query recall@10 of the IVF index (nlist=16,
+    nprobe=4) against the exact brute-force top-10 — the index-quality
+    number an ANN deployment tracks when tuning nprobe (probing 4/16
+    cells trades recall for a 4× read cut; this query MEASURES that
+    trade instead of assuming it). Output: (query_id, n_hits,
+    recall_micro).
+
+    Scale shape: both sides are existing output-bounded queries
+    (n_queries × k rows each); the intersection is a driver merge over
+    ≤ 2·n_queries·k rows. The oracle replays BOTH pipelines (exact CTE
+    over the embeddings view, IVF CTE with the same trained codebook
+    inlined) and joins them — centroid training is memoized, so the
+    composed oracle costs no extra Ray pass."""
+    from .queries import TOP_K, q_embedding_top10
+    from .queries_media import q_ann_ivf_top10
+
+    exact = q_embedding_top10(sf_dir).to_pandas()
+    ivf = q_ann_ivf_top10(sf_dir)
+    ivf = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+    ekeys = set(zip(exact["query_id"], exact["vec_id"]))
+    hits: dict[int, int] = {int(q): 0 for q in exact["query_id"].unique()}
+    for q, v in zip(ivf["query_id"], ivf["vec_id"]):
+        if (q, v) in ekeys:
+            hits[int(q)] += 1
+    qids = sorted(hits)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "n_hits": pa.array([hits[q] for q in qids], pa.int64()),
+            "recall_micro": pa.array(
+                [(hits[q] * 1_000_000) // TOP_K for q in qids], pa.int64()
+            ),
+        }
+    )
+
+
+def _ann_recall_sql(emb01: str) -> str:
+    from .oracles_ext import _ann_ivf_sql
+    from .queries import N_QUERIES, TOP_K
+
+    # fully path-bound (no tier views) like the other ANN oracles: the
+    # inlined codebook is a function of THIS table, so the exact side must
+    # read the same path regardless of what the session's views bind to
+    exact = (
+        f"WITH emb AS (SELECT * FROM read_parquet('{emb01}')), "
+        "q AS (SELECT vec_id AS query_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe "
+        f"FROM emb WHERE vec_id < {N_QUERIES}), "
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS ve FROM emb), "
+        "s AS (SELECT q.query_id, v.vec_id, "
+        "CAST(FLOOR(list_cosine_similarity(q.qe, v.ve)*1000000 + 0.5) "
+        "AS BIGINT) AS cos_micro FROM q CROSS JOIN v "
+        "WHERE v.vec_id != q.query_id) "
+        "SELECT query_id, vec_id FROM s QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY query_id ORDER BY cos_micro DESC, vec_id ASC) <= {TOP_K}"
+    )
+    return (
+        f"WITH exact AS ({exact}), ivf AS ({_ann_ivf_sql(emb01)}) "
+        "SELECT e.query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits, "
+        f"CAST(COUNT(i.vec_id) * 1000000 // {TOP_K} AS BIGINT) AS recall_micro "
+        "FROM exact e LEFT JOIN ivf i "
+        "ON i.query_id = e.query_id AND i.vec_id = e.vec_id "
+        "GROUP BY e.query_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # sorted-neighborhood blocking (record-linkage candidate pairs)
 # --------------------------------------------------------------------------
 
@@ -884,6 +1107,9 @@ ML9_QUERIES = {
     "doc_trigram_backoff": q_doc_trigram_backoff,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "lang_temperature_odds": q_lang_temperature_odds,
+    "host_cocitation_pairs": q_host_cocitation_pairs,
+    "host_fairness_index": q_host_fairness_index,
+    "ann_recall_at10": q_ann_recall_at10,
 }
 
 
@@ -903,4 +1129,13 @@ def build_ml9_oracles() -> dict[str, str]:
         "doc_trigram_backoff": _trigram_backoff_sql(),
         "sorted_neighborhood_pairs": _snm_sql(),
         "lang_temperature_odds": _temperature_odds_sql(),
+        "host_cocitation_pairs": _cocitation_sql(pages),
+        "host_fairness_index": _fairness_sql(pages),
+        # ann_recall_at10 is registered by oracles_ext.build_extended_oracles
+        # (NOT here): its builder trains the IVF codebook with a Ray Data
+        # job, and build_ml9_oracles runs at queries-module IMPORT — a Ray
+        # job there deadlocks the cluster when a WORKER re-imports the
+        # module to unpickle a UDF (nested job inside a worker task). The
+        # lazy oracle_sql() path is the only place Ray-costly oracle
+        # builders may run.
     }

@@ -26,6 +26,8 @@ can be measured directly against the brute-force result (tests/test_ann.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -146,6 +148,9 @@ def brute_force_topk(emb_parquet: str, n_queries: int = 5, k: int = 10):
     )
 
 
+_CENTROID_MEMO: dict[tuple, np.ndarray] = {}
+
+
 def train_centroids(
     emb_parquet: str, nlist: int, sample: int = 4096, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
@@ -157,10 +162,27 @@ def train_centroids(
     order-independent and deterministic (same seed → same sample on any
     block split), equivalent in distribution to a uniform reservoir, and
     the driver only ever holds ``sample × dim`` floats — never the full
-    embedding table (VERDICT r2 'What's wrong' #2)."""
+    embedding table (VERDICT r2 'What's wrong' #2).
+
+    Memoized per (path, mtime, params): the IVF queries AND the oracle
+    builders both train on the same table — one Ray pass, not one per
+    caller."""
     import ray.data as rd
 
     from ..functions.hashing import mix64
+
+    st = os.stat(emb_parquet)
+    memo_key = (
+        os.path.abspath(emb_parquet),
+        st.st_size,
+        st.st_mtime_ns,
+        nlist,
+        sample,
+        iters,
+        seed,
+    )
+    if memo_key in _CENTROID_MEMO:
+        return _CENTROID_MEMO[memo_key]
 
     seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
 
@@ -201,6 +223,7 @@ def train_centroids(
             if len(sel):
                 cent[c] = sel.mean(axis=0)
         cent = _normalize(cent)
+    _CENTROID_MEMO[memo_key] = cent
     return cent
 
 

@@ -199,6 +199,101 @@ def _write_events(tmp_path, values, ts_ms):
 BASE_MS = 1_706_000_000_000  # before queries.NOW_MS → positive ages
 
 
+def test_host_cocitation_tiny_vs_brute(ray_session, tiny_tables):
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        COCITE_MIN,
+        q_host_cocitation_pairs,
+    )
+
+    out = (
+        q_host_cocitation_pairs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pages = tiny_tables["pages"]
+    host = lambda u: re.match(r"^https://([^/]+)", u).group(1)  # noqa: E731
+    outs: dict[str, set] = defaultdict(set)
+    for url, links in zip(pages["url"].to_pylist(), pages["out_links"].to_pylist()):
+        s = host(url)
+        for l in links:
+            d = host(l)
+            if d != s:
+                outs[s].add(d)
+    cnt: dict[tuple, int] = defaultdict(int)
+    for s, ds in outs.items():
+        for a, b in combinations(sorted(ds), 2):
+            cnt[(a, b)] += 1
+    ref = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in cnt.items() if n >= COCITE_MIN],
+            columns=["host_a", "host_b", "n_common_sources"],
+        )
+        .sort_values(["host_a", "host_b"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_host_fairness_tiny_vs_brute(ray_session, tiny_tables):
+    import re
+    from collections import Counter
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        q_host_fairness_index,
+    )
+
+    row = q_host_fairness_index("/root/testdata/sf0.001").to_pylist()[0]
+    pages = tiny_tables["pages"]
+    c = Counter(
+        re.match(r"^https://([^/]+)", u).group(1)
+        for u in pages["url"].to_pylist()
+    )
+    xs = list(c.values())
+    total, sq = sum(xs), sum(x * x for x in xs)
+    assert row["n_hosts"] == len(xs)
+    assert row["n_pages"] == total
+    assert row["fairness_micro"] == (total * total * 1_000_000) // (len(xs) * sq)
+    assert 1_000_000 // len(xs) <= row["fairness_micro"] <= 1_000_000
+
+
+def test_ann_recall_hits_vs_independent_exact(ray_session):
+    import pyarrow.parquet as pq_
+
+    from mklab_focused_crawler_ray.pipelines.queries_media import q_ann_ivf_top10
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ann_recall_at10
+
+    sf = "/root/testdata/sf0.001"
+    out = q_ann_recall_at10(sf).to_pandas().set_index("query_id")
+    # independent exact top-10 (numpy, integer-micro cosine like the engine)
+    t = pq_.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    exact = {}
+    for q in range(5):
+        qi = int(np.searchsorted(ids, q))
+        cos = np.floor((mn @ mn[qi]) * 1_000_000 + 0.5).astype(np.int64)
+        cand = np.lexsort((ids, -cos))
+        top = [int(ids[i]) for i in cand if ids[i] != q][:10]
+        exact[q] = set(top)
+    ivf = q_ann_ivf_top10(sf)
+    ivf = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+    for q in range(5):
+        got = set(
+            int(v) for qq, v in zip(ivf["query_id"], ivf["vec_id"]) if qq == q
+        )
+        hits = len(got & exact[q])
+        assert out.loc[q, "n_hits"] == hits
+        assert out.loc[q, "recall_micro"] == (hits * 1_000_000) // 10
+
+
 def test_gamma_perfect_agreement(ray_session, tmp_path):
     from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ranker_rank_gamma
 

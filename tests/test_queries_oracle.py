@@ -93,6 +93,9 @@ FIXTURE_BACKED = {
     "pagerank_top20",
     "pagerank_seeded_top20",
     "host_components",
+    "host_cocitation_pairs",
+    "host_fairness_index",
+    "ann_recall_at10",
     "page_image_join_stats",
     "seed_hop_distance",
     "hits_top20",
