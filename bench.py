@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "host_cocitation_pairs",
     "host_fairness_index",
     "ann_recall_at10",
+    "ann_recall_curve",
 ]
 
 

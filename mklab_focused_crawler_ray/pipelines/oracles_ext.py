@@ -278,12 +278,13 @@ def _values_list(mat) -> str:
     return ", ".join(rows)
 
 
-def _ann_ivf_sql(emb_path: str) -> str:
+def _ann_ivf_sql(emb_path: str, nprobe: int = 4) -> str:
     """IVF top-k with the trained codebook INLINED as literals: the k-means
     training (stages/ann.train_centroids, deterministic seed) is setup, the
     relational probe/assign/top-k is the query. Mirrors ivf_topk defaults
     (nlist=16, nprobe=4, n_queries=5, k=10); ivf_partitioned_topk returns
-    the identical result by construction."""
+    the identical result by construction. ``nprobe`` parametrizes the
+    probe depth for the recall-curve oracle (queries_ml9)."""
     from ..stages.ann import train_centroids
 
     cent = train_centroids(emb_path, nlist=16)
@@ -299,7 +300,7 @@ def _ann_ivf_sql(emb_path: str) -> str:
         "probes AS (SELECT qid, cid FROM ("
         "SELECT q.qid, cent.cid, list_cosine_similarity(q.e, cent.c) AS cs, "
         "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY cs DESC, cid ASC) AS rn "
-        "FROM q CROSS JOIN cent) WHERE rn <= 4), "
+        f"FROM q CROSS JOIN cent) WHERE rn <= {nprobe}), "
         "s AS (SELECT q.qid AS query_id, v.vec_id, "
         "CAST(FLOOR(list_cosine_similarity(q.e, v.e)*1000000 + 0.5) AS BIGINT) AS cos_micro "
         "FROM q JOIN probes p ON p.qid = q.qid "
@@ -1118,8 +1119,9 @@ def build_extended_oracles() -> dict[str, str]:
     # unpickle UDFs)
     emb01_r = os.path.join(_DRIVER_SF01, "embeddings.parquet")
     if os.path.exists(emb01_r):
-        from .queries_ml9 import _ann_recall_sql
+        from .queries_ml9 import _ann_recall_curve_sql, _ann_recall_sql
 
         sql["ann_recall_at10"] = _ann_recall_sql(emb01_r)
+        sql["ann_recall_curve"] = _ann_recall_curve_sql(emb01_r)
 
     return sql

@@ -818,6 +818,82 @@ def _ann_recall_sql(emb01: str) -> str:
     )
 
 
+RECALL_PROBES = (1, 2, 4, 8, 16)  # nprobe sweep; 16 == nlist → exact
+
+
+def q_ann_recall_curve(sf_dir: str):
+    """IVF TUNING CURVE: mean recall@10 across the query set at nprobe ∈
+    {1, 2, 4, 8, 16} (nlist = 16) — the actual recall-vs-read-cost trade
+    an ANN deployment tunes. nprobe = nlist probes every cell, so that
+    row is recall 1.0 BY CONSTRUCTION (full probe ≡ brute force under
+    the same integer scoring) — a built-in self-check the tests pin.
+    Output: (nprobe, total_hits, recall_micro), recall = total hits /
+    (n_queries · k) in exact integer micro.
+
+    Scale shape: one exact pass + one IVF pass per probe depth, every
+    pass an existing output-bounded pipeline (n_queries × k rows);
+    centroid training is memoized per table fingerprint, so the sweep
+    costs 5 cheap scoring passes, not 5 trainings."""
+    from ..stages.ann import ivf_topk
+    from .queries import TOP_K, q_embedding_top10
+
+    exact = q_embedding_top10(sf_dir).to_pandas()
+    ekeys = set(zip(exact["query_id"], exact["vec_id"]))
+    n_queries = exact["query_id"].nunique()
+    rows = []
+    for p in RECALL_PROBES:
+        ivf = ivf_topk(
+            os.path.join(sf_dir, "embeddings.parquet"), n_queries=5, k=10, nprobe=p
+        )
+        ivf = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+        hits = sum(
+            1 for q, v in zip(ivf["query_id"], ivf["vec_id"]) if (q, v) in ekeys
+        )
+        rows.append((p, hits, (hits * 1_000_000) // (n_queries * TOP_K)))
+    return pa.table(
+        {
+            "nprobe": pa.array([r[0] for r in rows], pa.int64()),
+            "total_hits": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _ann_recall_curve_sql(emb01: str) -> str:
+    """One exact CTE + one parametrized IVF CTE per probe depth, UNION ALL
+    of the per-depth hit counts. Registered ONLY via the lazy
+    build_extended_oracles path (trains the codebook — see the
+    ann_recall_at10 note)."""
+    from .oracles_ext import _ann_ivf_sql
+    from .queries import N_QUERIES, TOP_K
+
+    exact = (
+        f"WITH emb AS (SELECT * FROM read_parquet('{emb01}')), "
+        "q AS (SELECT vec_id AS query_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe "
+        f"FROM emb WHERE vec_id < {N_QUERIES}), "
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS ve FROM emb), "
+        "s AS (SELECT q.query_id, v.vec_id, "
+        "CAST(FLOOR(list_cosine_similarity(q.qe, v.ve)*1000000 + 0.5) "
+        "AS BIGINT) AS cos_micro FROM q CROSS JOIN v "
+        "WHERE v.vec_id != q.query_id) "
+        "SELECT query_id, vec_id FROM s QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY query_id ORDER BY cos_micro DESC, vec_id ASC) <= {TOP_K}"
+    )
+    blocks = []
+    for p in RECALL_PROBES:
+        blocks.append(
+            f"SELECT CAST({p} AS BIGINT) AS nprobe, "
+            "CAST(COUNT(*) AS BIGINT) AS total_hits, "
+            f"CAST(COUNT(*) * 1000000 // {N_QUERIES * TOP_K} AS BIGINT) "
+            "AS recall_micro "
+            f"FROM exact e JOIN ({_ann_ivf_sql(emb01, nprobe=p)}) i "
+            "ON i.query_id = e.query_id AND i.vec_id = e.vec_id"
+        )
+    return f"WITH exact AS ({exact}) " + " UNION ALL ".join(blocks)
+
+
 # --------------------------------------------------------------------------
 # sorted-neighborhood blocking (record-linkage candidate pairs)
 # --------------------------------------------------------------------------
@@ -1110,6 +1186,7 @@ ML9_QUERIES = {
     "host_cocitation_pairs": q_host_cocitation_pairs,
     "host_fairness_index": q_host_fairness_index,
     "ann_recall_at10": q_ann_recall_at10,
+    "ann_recall_curve": q_ann_recall_curve,
 }
 
 

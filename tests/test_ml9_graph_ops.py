@@ -294,6 +294,22 @@ def test_ann_recall_hits_vs_independent_exact(ray_session):
         assert out.loc[q, "recall_micro"] == (hits * 1_000_000) // 10
 
 
+def test_ann_recall_curve_monotone_and_exact_at_full_probe(ray_session):
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        RECALL_PROBES,
+        q_ann_recall_curve,
+    )
+
+    out = q_ann_recall_curve("/root/testdata/sf0.001").to_pandas()
+    assert list(out["nprobe"]) == list(RECALL_PROBES)
+    r = out["recall_micro"].to_numpy()
+    # probing more cells can only add candidates → recall non-decreasing
+    assert (np.diff(r) >= 0).all()
+    # nprobe == nlist probes every cell ≡ brute force → exact recall
+    assert r[-1] == 1_000_000
+    assert out["total_hits"].iloc[-1] == 50
+
+
 def test_gamma_perfect_agreement(ray_session, tmp_path):
     from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_ranker_rank_gamma
 

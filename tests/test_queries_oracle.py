@@ -96,6 +96,7 @@ FIXTURE_BACKED = {
     "host_cocitation_pairs",
     "host_fairness_index",
     "ann_recall_at10",
+    "ann_recall_curve",
     "page_image_join_stats",
     "seed_hop_distance",
     "hits_top20",
