@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "host_fairness_index",
     "ann_recall_at10",
     "ann_recall_curve",
+    "pagerank_convergence",
 ]
 
 

@@ -818,6 +818,61 @@ def _ann_recall_sql(emb01: str) -> str:
     )
 
 
+def q_pagerank_convergence(sf_dir: str):
+    """PAGERANK CONVERGENCE CURVE: the global L1 step size
+    Σ_nodes |r_k − r_{k−1}| (micro units) after each of the
+    ``PPR_ITERS`` synchronous iterations — the fixed-point diagnostic
+    that justifies (or indicts) the chosen iteration count: a healthy
+    run decays geometrically at roughly the damping factor per step.
+    Output: (iter, l1_delta), iter 1-based.
+
+    Scale shape: identical rounds to pagerank_top20 over the shared
+    stationary layout; the only added traffic is ONE integer per shard
+    per iteration (its local L1 partial). Integer arithmetic throughout
+    → the unrolled-CTE oracle replays the deltas bit-for-bit."""
+    from ..stages.pregel import pagerank_deltas
+    from .queries_ml5 import _graph_layout
+
+    layout, nb = _graph_layout(sf_dir)
+    deltas = pagerank_deltas(layout, nb, PPR_ITERS)
+    return pa.table(
+        {
+            "iter": pa.array(range(1, len(deltas) + 1), pa.int64()),
+            "l1_delta": pa.array(deltas, pa.int64()),
+        }
+    )
+
+
+def _pr_convergence_sql(pages: str, iters: int) -> str:
+    """oracles_ext._pagerank_sql's unrolled rounds, finished with one
+    ABS-difference sum per consecutive pair instead of the top-k."""
+    parts = [
+        f"nodes AS MATERIALIZED (SELECT url FROM read_parquet('{pages}'))",
+        "e0 AS (SELECT url AS src, unnest(out_links) AS dst "
+        f"FROM read_parquet('{pages}'))",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "WHERE dst IN (SELECT url FROM nodes))",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT url, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT n.url, "
+            f"CAST(150000 + (85 * COALESCE(s{k}.c, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS url, SUM(r.r // deg.d) AS c "
+            f"FROM e JOIN r{k - 1} r ON r.url = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY 1) s{k} ON s{k}.url = n.url)"
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iter, "
+        f"CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1_delta "
+        f"FROM r{k} a JOIN r{k - 1} b ON b.url = a.url"
+        for k in range(1, iters + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + deltas
+
+
 RECALL_PROBES = (1, 2, 4, 8, 16)  # nprobe sweep; 16 == nlist → exact
 
 
@@ -1187,6 +1242,7 @@ ML9_QUERIES = {
     "host_fairness_index": q_host_fairness_index,
     "ann_recall_at10": q_ann_recall_at10,
     "ann_recall_curve": q_ann_recall_curve,
+    "pagerank_convergence": q_pagerank_convergence,
 }
 
 
@@ -1208,6 +1264,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "lang_temperature_odds": _temperature_odds_sql(),
         "host_cocitation_pairs": _cocitation_sql(pages),
         "host_fairness_index": _fairness_sql(pages),
+        "pagerank_convergence": _pr_convergence_sql(pages, PPR_ITERS),
         # ann_recall_at10 is registered by oracles_ext.build_extended_oracles
         # (NOT here): its builder trains the IVF codebook with a Ray Data
         # job, and build_ml9_oracles runs at queries-module IMPORT — a Ray

@@ -309,7 +309,10 @@ class GraphShardImpl:
             if getattr(self, "_seed_mask", None) is not None
             else 150_000
         )
-        self.rank = base + (85 * c) // 100
+        new = base + (85 * c) // 100
+        delta = int(np.abs(new - self.rank).sum())  # shard L1 step size
+        self.rank = new
+        return delta
 
     def pr_top(self, k: int) -> pa.Table:
         order = np.lexsort((self.nodes, -self.rank))[:k]
@@ -419,6 +422,32 @@ def pagerank_top(
         ["rank_micro", "url"], ascending=[False, True], kind="stable"
     ).head(top_k)
     return df.reset_index(drop=True)
+
+
+def pagerank_deltas(layout: str, nb: int, iters: int) -> list[int]:
+    """Per-iteration global L1 step size Σ|r_k − r_{k-1}| (micro units) —
+    the convergence curve. Same synchronous rounds as ``pagerank_top``;
+    the only extra traffic is one int per shard per iteration (each
+    shard's local L1, summed on the driver)."""
+    import ray
+
+    actors, route = _spawn_shards(layout, nb)
+    ray.get([a.pr_init.remote(None) for a in actors])
+    deltas: list[int] = []
+    for _ in range(iters):
+        emitted = ray.get([a.pr_emit.remote() for a in actors])
+        inbox: dict[int, list] = {a: [] for a in range(len(actors))}
+        for out in emitted:
+            for tb, chunk in out.items():
+                inbox[route(int(tb))].append(chunk)
+        deltas.append(
+            sum(
+                ray.get(
+                    [actors[a].pr_update.remote(inbox[a]) for a in range(len(actors))]
+                )
+            )
+        )
+    return deltas
 
 
 def hits_scores(layout: str, nb: int, iters: int, top_k: int) -> pd.DataFrame:

@@ -294,6 +294,43 @@ def test_ann_recall_hits_vs_independent_exact(ray_session):
         assert out.loc[q, "recall_micro"] == (hits * 1_000_000) // 10
 
 
+def test_pagerank_convergence_decays_and_matches_numpy(ray_session, tiny_fixture):
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        PPR_ITERS,
+        q_pagerank_convergence,
+    )
+
+    out = q_pagerank_convergence("/root/testdata/sf0.001").to_pandas()
+    assert list(out["iter"]) == list(range(1, PPR_ITERS + 1))
+
+    pages = pq.read_table(
+        os.path.join(tiny_fixture, "pages.parquet"), columns=["url", "out_links"]
+    )
+    urls = np.array(pages["url"].to_pylist(), object).astype(str)
+    node_ix = {u: i for i, u in enumerate(urls)}
+    src, dst = [], []
+    for u, links in zip(pages["url"].to_pylist(), pages["out_links"].to_pylist()):
+        for l in links:
+            if l in node_ix:
+                src.append(node_ix[u])
+                dst.append(node_ix[l])
+    src = np.array(src, np.int64)
+    dst = np.array(dst, np.int64)
+    deg = np.bincount(src, minlength=len(urls))
+    r = np.full(len(urls), 1_000_000, np.int64)
+    ref = []
+    for _ in range(PPR_ITERS):
+        c = np.zeros(len(urls), np.int64)
+        np.add.at(c, dst, r[src] // deg[src])
+        new = 150_000 + (85 * c) // 100
+        ref.append(int(np.abs(new - r).sum()))
+        r = new
+    assert list(out["l1_delta"]) == ref
+    # geometric decay toward the fixed point (damping ~0.85 per step)
+    d = out["l1_delta"].to_numpy()
+    assert (d[1:] < d[:-1]).all()
+
+
 def test_ann_recall_curve_monotone_and_exact_at_full_probe(ray_session):
     from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
         RECALL_PROBES,

@@ -97,6 +97,7 @@ FIXTURE_BACKED = {
     "host_fairness_index",
     "ann_recall_at10",
     "ann_recall_curve",
+    "pagerank_convergence",
     "page_image_join_stats",
     "seed_hop_distance",
     "hits_top20",
