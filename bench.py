@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "ann_recall_at10",
     "ann_recall_curve",
     "pagerank_convergence",
+    "doc_lang_mix_entropy",
 ]
 
 

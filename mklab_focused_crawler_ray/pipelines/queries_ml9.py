@@ -818,6 +818,85 @@ def _ann_recall_sql(emb01: str) -> str:
     )
 
 
+def q_doc_lang_mix_entropy(sf_dir: str):
+    """CODE-SWITCHING SCORE: per-document Shannon entropy (bits, micro
+    units) of the language-profile match distribution — the langid
+    stopword counts c_l turned into a mixture measure instead of an
+    argmax. A clean monolingual doc scores ~0; a doc whose stopwords
+    split across profiles (code-switching, or boilerplate gluing
+    languages together) scores high — the standard multilingual-corpus
+    triage signal next to ``langid_detect``'s hard label. Output:
+    (doc_id, n_matched, entropy_micro); zero matches → entropy 0.
+
+    Scale shape: pure map-side (no shuffle at all) — per batch, token
+    membership against the 5 broadcast-size profiles, then a per-doc
+    5-term entropy. Float discipline: the 5 entropy terms are added in
+    the FIXED profile order as one explicit expression on both sides
+    (en+de+fr+es+it) — never an aggregate SUM, whose accumulation order
+    an engine may choose freely (the lang_temperature_odds hazard)."""
+    import ray.data as rd
+
+    from ..functions.text import _LANG_PROFILES, WORD_RE
+
+    langs = list(_LANG_PROFILES)  # profile iteration order — the contract
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n_matched = np.zeros(len(ids), np.int64)
+        ent = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = [w.lower() for w in WORD_RE.findall(t)]
+            cs = [sum(1 for w in toks if w in _LANG_PROFILES[l]) for l in langs]
+            s = sum(cs)
+            n_matched[i] = s
+            if s == 0:
+                continue
+            h = 0.0
+            for c in cs:  # fixed profile order — matches the SQL expression
+                if c > 0:
+                    h += -(c / s) * np.log2(c / s)
+            ent[i] = int(np.floor(h * 1_000_000 + 0.5))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_matched": pa.array(n_matched, pa.int64()),
+                "entropy_micro": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow")
+
+
+def _lang_mix_sql() -> str:
+    from .oracles_ext import _LANG_PROFILES as _PROFILES
+    from .oracles_ext import _WORD_PAT
+
+    cnts = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in words.split())
+        + f"], t))) AS c_{lang}"
+        for lang, words in _PROFILES
+    )
+    s_expr = " + ".join(f"c_{lang}" for lang, _ in _PROFILES)
+    term = (
+        "(CASE WHEN c_{l} > 0 THEN -(CAST(c_{l} AS DOUBLE)/s) "
+        "* LOG2(CAST(c_{l} AS DOUBLE)/s) ELSE 0.0 END)"
+    )
+    h_expr = " + ".join(term.format(l=lang) for lang, _ in _PROFILES)
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"list_transform(regexp_extract_all(text, '{_WORD_PAT}'), "
+        "x -> lower(x)) AS toks FROM documents), "
+        f"c AS (SELECT doc_id, {cnts} FROM t), "
+        f"m AS (SELECT doc_id, {s_expr} AS s, c.* FROM c) "
+        "SELECT doc_id, CAST(s AS BIGINT) AS n_matched, "
+        f"CAST(CASE WHEN s = 0 THEN 0 ELSE FLOOR(({h_expr}) * 1000000 + 0.5) "
+        "END AS BIGINT) AS entropy_micro FROM m"
+    )
+
+
 def q_pagerank_convergence(sf_dir: str):
     """PAGERANK CONVERGENCE CURVE: the global L1 step size
     Σ_nodes |r_k − r_{k−1}| (micro units) after each of the
@@ -1243,6 +1322,7 @@ ML9_QUERIES = {
     "ann_recall_at10": q_ann_recall_at10,
     "ann_recall_curve": q_ann_recall_curve,
     "pagerank_convergence": q_pagerank_convergence,
+    "doc_lang_mix_entropy": q_doc_lang_mix_entropy,
 }
 
 
@@ -1265,6 +1345,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "host_cocitation_pairs": _cocitation_sql(pages),
         "host_fairness_index": _fairness_sql(pages),
         "pagerank_convergence": _pr_convergence_sql(pages, PPR_ITERS),
+        "doc_lang_mix_entropy": _lang_mix_sql(),
         # ann_recall_at10 is registered by oracles_ext.build_extended_oracles
         # (NOT here): its builder trains the IVF codebook with a Ray Data
         # job, and build_ml9_oracles runs at queries-module IMPORT — a Ray

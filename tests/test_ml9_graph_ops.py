@@ -294,6 +294,25 @@ def test_ann_recall_hits_vs_independent_exact(ray_session):
         assert out.loc[q, "recall_micro"] == (hits * 1_000_000) // 10
 
 
+def test_lang_mix_entropy_extremes(ray_session, tmp_path):
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        q_doc_lang_mix_entropy,
+    )
+
+    sf = _write_lang_docs(
+        tmp_path,
+        [
+            ("en", "the cat and the dog of it"),       # monolingual → 0
+            ("de", "the der and und"),                  # 50/50 en-de → 1 bit
+            ("fr", "xyz qqq 123"),                      # no matches → 0, 0
+        ],
+    )
+    out = q_doc_lang_mix_entropy(sf).to_pandas().set_index("doc_id")
+    assert out.loc[0, "entropy_micro"] == 0 and out.loc[0, "n_matched"] > 0
+    assert out.loc[1, "entropy_micro"] == 1_000_000  # H({1/2,1/2}) = 1 bit
+    assert out.loc[2, "n_matched"] == 0 and out.loc[2, "entropy_micro"] == 0
+
+
 def test_pagerank_convergence_decays_and_matches_numpy(ray_session, tiny_fixture):
     from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
         PPR_ITERS,
