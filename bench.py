@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "ann_recall_curve",
     "pagerank_convergence",
     "doc_lang_mix_entropy",
+    "host_pagerank_weighted",
 ]
 
 

@@ -818,6 +818,82 @@ def _ann_recall_sql(emb01: str) -> str:
     )
 
 
+def q_host_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank over the hostgraph: each host's rank flows along
+    its out-links in proportion to the LINK COUNT (``host_link_matrix``'s
+    n_links), contribution = r·w // W_src — the scheduler-facing
+    authority score where a host linking another 500 times carries more
+    endorsement than a single link (the unweighted page-level variant is
+    ``pagerank_top20``). Self-links are dropped (they are not
+    endorsements). Output: every host's (host, rank_micro) after
+    ``PPR_ITERS`` integer-exact iterations.
+
+    Scale shape: the input is the host×host-bounded rollup shuffle; the
+    iteration runs on the driver over that bounded frame (the same
+    bounded-aggregate class as host_fairness_index — hosts, not pages).
+    A page-scale weighted variant would thread a weight column through
+    the pregel stationary shards; the hostgraph is the bounded surface
+    the oracle can replay exactly."""
+    from .queries_crawl import q_host_link_matrix
+
+    df = q_host_link_matrix(sf_dir).to_pandas()
+    hosts = np.unique(
+        np.concatenate(
+            [
+                df["src_host"].to_numpy(object).astype(str),
+                df["dst_host"].to_numpy(object).astype(str),
+            ]
+        )
+    )
+    ix = {h: i for i, h in enumerate(hosts)}
+    m = df[df["src_host"] != df["dst_host"]]
+    src = np.array([ix[h] for h in m["src_host"]], np.int64)
+    dst = np.array([ix[h] for h in m["dst_host"]], np.int64)
+    w = m["n_links"].to_numpy(np.int64)
+    wsum = np.zeros(len(hosts), np.int64)
+    np.add.at(wsum, src, w)
+    r = np.full(len(hosts), 1_000_000, np.int64)
+    for _ in range(PPR_ITERS):
+        c = np.zeros(len(hosts), np.int64)
+        np.add.at(c, dst, (r[src] * w) // wsum[src])
+        r = 150_000 + (85 * c) // 100
+    return pa.table(
+        {
+            "host": pa.array(hosts.tolist(), pa.string()),
+            "rank_micro": pa.array(r, pa.int64()),
+        }
+    )
+
+
+def _host_pr_weighted_sql(pages: str, iters: int) -> str:
+    host = "regexp_extract({col}, '^https://([^/]+).*$', 1)"
+    parts = [
+        "he AS MATERIALIZED (SELECT "
+        + host.format(col="url")
+        + " AS a, "
+        + host.format(col="unnest(out_links)")
+        + f" AS b FROM read_parquet('{pages}'))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS host FROM "
+        "(SELECT a AS u FROM he UNION ALL SELECT b FROM he))",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM he WHERE a != b GROUP BY 1, 2)",
+        "ws AS MATERIALIZED (SELECT src, SUM(w) AS t FROM e GROUP BY 1)",
+        "r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT n.host, "
+            f"CAST(150000 + (85 * COALESCE(s{k}.c, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS host, SUM(r.r * e.w // ws.t) AS c "
+            f"FROM e JOIN r{k - 1} r ON r.host = e.src "
+            f"JOIN ws ON ws.src = e.src GROUP BY 1) s{k} ON s{k}.host = n.host)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT host, r AS rank_micro FROM r{iters}"
+    )
+
+
 def q_doc_lang_mix_entropy(sf_dir: str):
     """CODE-SWITCHING SCORE: per-document Shannon entropy (bits, micro
     units) of the language-profile match distribution — the langid
@@ -1323,6 +1399,7 @@ ML9_QUERIES = {
     "ann_recall_curve": q_ann_recall_curve,
     "pagerank_convergence": q_pagerank_convergence,
     "doc_lang_mix_entropy": q_doc_lang_mix_entropy,
+    "host_pagerank_weighted": q_host_pagerank_weighted,
 }
 
 
@@ -1346,6 +1423,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "host_fairness_index": _fairness_sql(pages),
         "pagerank_convergence": _pr_convergence_sql(pages, PPR_ITERS),
         "doc_lang_mix_entropy": _lang_mix_sql(),
+        "host_pagerank_weighted": _host_pr_weighted_sql(pages, PPR_ITERS),
         # ann_recall_at10 is registered by oracles_ext.build_extended_oracles
         # (NOT here): its builder trains the IVF codebook with a Ray Data
         # job, and build_ml9_oracles runs at queries-module IMPORT — a Ray

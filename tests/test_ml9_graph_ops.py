@@ -294,6 +294,51 @@ def test_ann_recall_hits_vs_independent_exact(ray_session):
         assert out.loc[q, "recall_micro"] == (hits * 1_000_000) // 10
 
 
+def test_host_pagerank_weighted_tiny_vs_numpy(ray_session, tiny_tables):
+    import re
+    from collections import Counter
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        PPR_ITERS,
+        q_host_pagerank_weighted,
+    )
+
+    out = (
+        q_host_pagerank_weighted("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("host", kind="stable")
+        .reset_index(drop=True)
+    )
+    pages = tiny_tables["pages"]
+    host = lambda u: re.match(r"^https://([^/]+)", u).group(1)  # noqa: E731
+    wc: Counter = Counter()
+    hosts = set()
+    for url, links in zip(pages["url"].to_pylist(), pages["out_links"].to_pylist()):
+        s = host(url)
+        hosts.add(s)
+        for l in links:
+            d = host(l)
+            hosts.add(d)
+            if d != s:
+                wc[(s, d)] += 1
+    hs = sorted(hosts)
+    ix = {h: i for i, h in enumerate(hs)}
+    import numpy as _np
+
+    src = _np.array([ix[a] for a, _b in wc], _np.int64)
+    dst = _np.array([ix[b] for _a, b in wc], _np.int64)
+    w = _np.array(list(wc.values()), _np.int64)
+    wsum = _np.zeros(len(hs), _np.int64)
+    _np.add.at(wsum, src, w)
+    r = _np.full(len(hs), 1_000_000, _np.int64)
+    for _ in range(PPR_ITERS):
+        c = _np.zeros(len(hs), _np.int64)
+        _np.add.at(c, dst, (r[src] * w) // wsum[src])
+        r = 150_000 + (85 * c) // 100
+    ref = pd.DataFrame({"host": hs, "rank_micro": r})
+    pd.testing.assert_frame_equal(out, ref)
+
+
 def test_lang_mix_entropy_extremes(ray_session, tmp_path):
     from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
         q_doc_lang_mix_entropy,

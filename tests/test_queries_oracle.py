@@ -98,6 +98,7 @@ FIXTURE_BACKED = {
     "ann_recall_at10",
     "ann_recall_curve",
     "pagerank_convergence",
+    "host_pagerank_weighted",
     "page_image_join_stats",
     "seed_hop_distance",
     "hits_top20",
