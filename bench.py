@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "pagerank_convergence",
     "doc_lang_mix_entropy",
     "host_pagerank_weighted",
+    "image_blur_scores",
 ]
 
 

@@ -706,6 +706,16 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{thumbnail_signature_parquet(fdir)}')"
     )
 
+    # blur/sharpness gate — same sequential-signature discipline (the
+    # arithmetic is one shared integer kernel; the comparison pins the
+    # distributed actor-pool plumbing)
+    from .queries_media import blur_signature_parquet
+
+    sql["image_blur_scores"] = (
+        "SELECT image_id, n_interior, lap_var_micro "
+        f"FROM read_parquet('{blur_signature_parquet(fdir)}')"
+    )
+
     # embedding signatures: same discipline as image_thumbnails — the
     # expected table comes from the SEQUENTIAL single-process codec +
     # pseudo_embed path (embed_signature_parquet); equality proves the

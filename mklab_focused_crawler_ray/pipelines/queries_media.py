@@ -199,6 +199,64 @@ def thumbnail_signature_parquet(fdir: str, out: int = 8) -> str:
     return path
 
 
+def q_image_blur_scores(sf_dir: str):
+    """BLUR / SHARPNESS GATE: integer Laplacian-variance per image
+    (``stages.image.lap_var_stats`` — BT.601 integer luma, 4-neighbor
+    stencil, exact rational variance) via the BlurScore actor pool — the
+    standard junk filter next to the decode/phash gates (a soft or
+    near-empty image scores low). ORACLE-CHECKED against the SEQUENTIAL
+    no-Ray signature table (``blur_signature_parquet``, the
+    image_thumbnails discipline): arithmetic is one shared function, so
+    equality pins the distributed plumbing (batching, actor state,
+    Arrow columns) end-to-end.
+
+    Scale shape: map-side only — column-pruned read, small payload
+    batches through the actor pool, no shuffle."""
+    from ..stages.image import blur_scores
+
+    return blur_scores(_images(sf_dir))
+
+
+def blur_signature_parquet(fdir: str) -> str:
+    """Expected blur stats from the SEQUENTIAL codec path (no Ray): one
+    plain loop over the fixture images through the same
+    ``lap_var_stats`` kernel, cached next to the fixture — the oracle's
+    ground truth for the distributed actor-pool pipeline."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures.codecs import decode as cdecode
+    from ..stages.image import lap_var_stats
+
+    path = os.path.join(fdir, "blur_signatures.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(
+        os.path.join(fdir, "images.parquet"), columns=["image_id", "bytes", "fmt"]
+    )
+    ids, ns, vs = [], [], []
+    for iid, blob, fmt in zip(
+        src["image_id"].to_pylist(),
+        src["bytes"].to_pylist(),
+        src["fmt"].to_pylist(),
+    ):
+        n, v = lap_var_stats(cdecode(blob, fmt))
+        ids.append(iid)
+        ns.append(n)
+        vs.append(v)
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(ns, pa.int64()),
+                "lap_var_micro": pa.array(vs, pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def q_image_embed(sf_dir: str):
     """Deterministic 64-dim pseudo-embedding per image (SURF/VLAD/PCA
     stand-in, FeatureExtractorBolt shape), reported as (image_id,
@@ -2129,6 +2187,7 @@ MEDIA_QUERIES = {
     "image_clusters": q_image_clusters,
     "image_embed": q_image_embed,
     "image_thumbnails": q_image_thumbnails,
+    "image_blur_scores": q_image_blur_scores,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,
     "image_phash_dup_groups": q_image_phash_dup_groups,

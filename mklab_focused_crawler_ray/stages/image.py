@@ -200,6 +200,80 @@ def thumbnail_images(
     )
 
 
+def lap_var_stats(rgb: np.ndarray) -> tuple[int, int]:
+    """Integer Laplacian-variance sharpness statistic: (n_interior,
+    lap_var_micro). Luma is the INTEGER BT.601-ish fold
+    ``(77·R + 150·G + 29·B) >> 8`` (no float anywhere), the Laplacian is
+    the 4-neighbor stencil over interior pixels, and the variance is the
+    exact rational ``(n·Σx² − (Σx)²)·10⁶ // n²`` computed in PYTHON ints
+    (Σx² alone overflows int64 past ~10⁷ interior pixels). Shared by the
+    distributed actor stage and the sequential oracle path — both sides
+    are this one function, so the signature table pins plumbing, not
+    arithmetic. Images with no interior (h or w < 3) return (0, 0)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    luma = (77 * r + 150 * g + 29 * b) >> 8
+    if luma.shape[0] < 3 or luma.shape[1] < 3:
+        return 0, 0
+    core = luma[1:-1, 1:-1]
+    lap = (
+        4 * core
+        - luma[:-2, 1:-1]
+        - luma[2:, 1:-1]
+        - luma[1:-1, :-2]
+        - luma[1:-1, 2:]
+    )
+    n = int(lap.size)
+    s1 = int(lap.sum())
+    s2 = int((lap.astype(object) * lap.astype(object)).sum())
+    return n, ((n * s2 - s1 * s1) * 1_000_000) // (n * n)
+
+
+class BlurScore:
+    """batch (image_id, bytes, fmt) → (image_id, n_interior,
+    lap_var_micro) — blur/sharpness gating for image-curation pipelines
+    (low Laplacian variance = soft or empty image; the standard
+    pre-training junk filter next to the decode/phash gates). Decode
+    caches warm once per actor (the Thumbnail/PseudoEmbed contract)."""
+
+    def __init__(self):
+        _dct_matrix(32)  # warm decode caches once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        n_out = np.zeros(len(ids), np.int64)
+        v_out = np.zeros(len(ids), np.int64)
+        for i, (blob, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            n_out[i], v_out[i] = lap_var_stats(decode(blob, fmt))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(n_out, pa.int64()),
+                "lap_var_micro": pa.array(v_out, pa.int64()),
+            }
+        )
+
+
+def blur_scores(
+    images_parquet: str, concurrency=(1, 8), batch_size: int = 64
+):
+    """Dataset pipeline: column-pruned read → BlurScore actor pool (small
+    batches — rows carry image payloads, SURVEY.md §7.4)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        images_parquet, columns=["image_id", "bytes", "fmt"]
+    ).map_batches(
+        BlurScore,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def pseudo_embed_rgb(rgb: np.ndarray) -> np.ndarray:
     """Deterministic 64-dim unit vector from pixels: luma → budgeted
     downscale → 16×16 area resize → 2-D DCT-II → flatten → L2 normalize."""

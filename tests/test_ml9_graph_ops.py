@@ -294,6 +294,29 @@ def test_ann_recall_hits_vs_independent_exact(ray_session):
         assert out.loc[q, "recall_micro"] == (hits * 1_000_000) // 10
 
 
+def test_lap_var_stats_semantics():
+    from mklab_focused_crawler_ray.stages.image import lap_var_stats
+
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    assert lap_var_stats(flat) == (14 * 14, 0)  # constant image → 0
+
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    _, v_sharp = lap_var_stats(noise)
+    # 3×3 box blur of the same image must score strictly softer
+    f = noise.astype(np.int64)
+    blurred = (
+        f[:-2, :-2] + f[:-2, 1:-1] + f[:-2, 2:]
+        + f[1:-1, :-2] + f[1:-1, 1:-1] + f[1:-1, 2:]
+        + f[2:, :-2] + f[2:, 1:-1] + f[2:, 2:]
+    ) // 9
+    _, v_soft = lap_var_stats(np.clip(blurred, 0, 255).astype(np.uint8))
+    assert v_sharp > v_soft > 0
+
+    tiny = np.zeros((2, 5, 3), np.uint8)  # no interior rows
+    assert lap_var_stats(tiny) == (0, 0)
+
+
 def test_host_pagerank_weighted_tiny_vs_numpy(ray_session, tiny_tables):
     import re
     from collections import Counter

@@ -90,6 +90,7 @@ FIXTURE_BACKED = {
     "image_ar_buckets",
     "image_thumbnails",
     "image_embed",
+    "image_blur_scores",
     "pagerank_top20",
     "pagerank_seeded_top20",
     "host_components",
