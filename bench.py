@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "doc_lang_mix_entropy",
     "host_pagerank_weighted",
     "image_blur_scores",
+    "image_exposure_stats",
 ]
 
 

@@ -716,6 +716,13 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{blur_signature_parquet(fdir)}')"
     )
 
+    from .queries_media import exposure_signature_parquet
+
+    sql["image_exposure_stats"] = (
+        "SELECT image_id, n_pixels, dark_ppm, bright_ppm "
+        f"FROM read_parquet('{exposure_signature_parquet(fdir)}')"
+    )
+
     # embedding signatures: same discipline as image_thumbnails — the
     # expected table comes from the SEQUENTIAL single-process codec +
     # pseudo_embed path (embed_signature_parquet); equality proves the

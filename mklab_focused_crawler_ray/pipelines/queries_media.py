@@ -217,6 +217,61 @@ def q_image_blur_scores(sf_dir: str):
     return blur_scores(_images(sf_dir))
 
 
+def q_image_exposure_stats(sf_dir: str):
+    """EXPOSURE JUNK GATE: per-image under/over-exposed pixel fractions
+    (integer BT.601 luma thresholds 16/239, exact ppm) via the
+    ExposureStats actor pool — a mostly-black or blown-out image is
+    curation junk even when sharp (complements ``image_blur_scores``).
+    ORACLE-CHECKED against the sequential signature table
+    (``exposure_signature_parquet``, the image_thumbnails discipline).
+
+    Scale shape: map-side only — column-pruned read, small payload
+    batches through the actor pool, no shuffle."""
+    from ..stages.image import exposure_scores
+
+    return exposure_scores(_images(sf_dir))
+
+
+def exposure_signature_parquet(fdir: str) -> str:
+    """Expected exposure stats from the SEQUENTIAL codec path (no Ray),
+    cached next to the fixture — the oracle's ground truth."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures.codecs import decode as cdecode
+    from ..stages.image import exposure_stats
+
+    path = os.path.join(fdir, "exposure_signatures.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(
+        os.path.join(fdir, "images.parquet"), columns=["image_id", "bytes", "fmt"]
+    )
+    ids, ns, ds, bs = [], [], [], []
+    for iid, blob, fmt in zip(
+        src["image_id"].to_pylist(),
+        src["bytes"].to_pylist(),
+        src["fmt"].to_pylist(),
+    ):
+        n, d, br = exposure_stats(cdecode(blob, fmt))
+        ids.append(iid)
+        ns.append(n)
+        ds.append((d * 1_000_000) // n if n else 0)
+        bs.append((br * 1_000_000) // n if n else 0)
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_pixels": pa.array(ns, pa.int64()),
+                "dark_ppm": pa.array(ds, pa.int64()),
+                "bright_ppm": pa.array(bs, pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def blur_signature_parquet(fdir: str) -> str:
     """Expected blur stats from the SEQUENTIAL codec path (no Ray): one
     plain loop over the fixture images through the same
@@ -2188,6 +2243,7 @@ MEDIA_QUERIES = {
     "image_embed": q_image_embed,
     "image_thumbnails": q_image_thumbnails,
     "image_blur_scores": q_image_blur_scores,
+    "image_exposure_stats": q_image_exposure_stats,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,
     "image_phash_dup_groups": q_image_phash_dup_groups,

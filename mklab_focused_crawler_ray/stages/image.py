@@ -230,6 +230,71 @@ def lap_var_stats(rgb: np.ndarray) -> tuple[int, int]:
     return n, ((n * s2 - s1 * s1) * 1_000_000) // (n * n)
 
 
+EXPOSURE_DARK = 16  # luma below → underexposed pixel (BT.601 int luma)
+EXPOSURE_BRIGHT = 239  # luma above → overexposed pixel
+
+
+def exposure_stats(rgb: np.ndarray) -> tuple[int, int, int]:
+    """(n_pixels, n_dark, n_bright) under the same integer BT.601 luma as
+    ``lap_var_stats`` — the over/under-exposure junk gate (a mostly-black
+    or blown-out image is curation junk even when sharp)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    luma = (77 * r + 150 * g + 29 * b) >> 8
+    return (
+        int(luma.size),
+        int((luma < EXPOSURE_DARK).sum()),
+        int((luma > EXPOSURE_BRIGHT).sum()),
+    )
+
+
+class ExposureStats:
+    """batch (image_id, bytes, fmt) → (image_id, n_pixels, dark_ppm,
+    bright_ppm) — exposure junk gate as an actor-pool stage; ppm in
+    exact integer arithmetic (count·10⁶ // n)."""
+
+    def __init__(self):
+        _dct_matrix(32)  # warm decode caches once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        np_out = np.zeros(len(ids), np.int64)
+        d_out = np.zeros(len(ids), np.int64)
+        b_out = np.zeros(len(ids), np.int64)
+        for i, (blob, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            n, d, br = exposure_stats(decode(blob, fmt))
+            np_out[i] = n
+            d_out[i] = (d * 1_000_000) // n if n else 0
+            b_out[i] = (br * 1_000_000) // n if n else 0
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_pixels": pa.array(np_out, pa.int64()),
+                "dark_ppm": pa.array(d_out, pa.int64()),
+                "bright_ppm": pa.array(b_out, pa.int64()),
+            }
+        )
+
+
+def exposure_scores(
+    images_parquet: str, concurrency=(1, 8), batch_size: int = 64
+):
+    """Dataset pipeline: column-pruned read → ExposureStats actor pool."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        images_parquet, columns=["image_id", "bytes", "fmt"]
+    ).map_batches(
+        ExposureStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class BlurScore:
     """batch (image_id, bytes, fmt) → (image_id, n_interior,
     lap_var_micro) — blur/sharpness gating for image-curation pipelines

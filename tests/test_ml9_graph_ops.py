@@ -317,6 +317,19 @@ def test_lap_var_stats_semantics():
     assert lap_var_stats(tiny) == (0, 0)
 
 
+def test_exposure_stats_semantics():
+    from mklab_focused_crawler_ray.stages.image import exposure_stats
+
+    black = np.zeros((10, 10, 3), np.uint8)
+    n, d, b = exposure_stats(black)
+    assert (n, d, b) == (100, 100, 0)
+    white = np.full((10, 10, 3), 255, np.uint8)
+    n, d, b = exposure_stats(white)
+    assert (n, d, b) == (100, 0, 100)
+    mid = np.full((10, 10, 3), 128, np.uint8)
+    assert exposure_stats(mid) == (100, 0, 0)
+
+
 def test_host_pagerank_weighted_tiny_vs_numpy(ray_session, tiny_tables):
     import re
     from collections import Counter

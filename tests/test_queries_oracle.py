@@ -91,6 +91,7 @@ FIXTURE_BACKED = {
     "image_thumbnails",
     "image_embed",
     "image_blur_scores",
+    "image_exposure_stats",
     "pagerank_top20",
     "pagerank_seeded_top20",
     "host_components",
