@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "host_pagerank_weighted",
     "image_blur_scores",
     "image_exposure_stats",
+    "image_junk_gate",
 ]
 
 

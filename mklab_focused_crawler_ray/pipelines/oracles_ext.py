@@ -723,6 +723,10 @@ def build_extended_oracles() -> dict[str, str]:
         f"FROM read_parquet('{exposure_signature_parquet(fdir)}')"
     )
 
+    from .queries_media import _junk_gate_sql
+
+    sql["image_junk_gate"] = _junk_gate_sql(fdir)
+
     # embedding signatures: same discipline as image_thumbnails — the
     # expected table comes from the SEQUENTIAL single-process codec +
     # pseudo_embed path (embed_signature_parquet); equality proves the

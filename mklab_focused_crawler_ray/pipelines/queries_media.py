@@ -217,6 +217,90 @@ def q_image_blur_scores(sf_dir: str):
     return blur_scores(_images(sf_dir))
 
 
+JUNK_BLUR_MIN_MICRO = 300_000_000  # lap var below → 'blurry' (fixture-
+# calibrated below the p5 of the small tier so the gate splits the corpus
+# instead of keeping everything; a real system calibrates on labeled junk)
+JUNK_DARK_MAX_PPM = 500_000  # more than half the pixels dark → 'dark'
+JUNK_BRIGHT_MAX_PPM = 500_000  # more than half blown out → 'bright'
+
+
+def q_image_junk_gate(sf_dir: str):
+    """COMPOSED IMAGE JUNK GATE: one decode per image feeding BOTH
+    sharpness and exposure kernels, reduced to (image_id, keep,
+    reason) with first-fail precedence tiny → blurry → dark → bright →
+    ok — the single-pass keep/drop audit an image-curation pipeline
+    actually runs (decoding twice to ask two questions is the
+    anti-pattern; this stage shares the decode). Thresholds are module
+    constants the oracle replays.
+
+    Scale shape: map-side only — one actor-pool pass, no shuffle; the
+    oracle joins the two sequential signature tables and applies the
+    same CASE, so the comparison pins the fusion logic end-to-end."""
+    import ray.data as rd
+
+    from ..stages.image import _dct_matrix, exposure_stats, lap_var_stats
+
+    class JunkGate:
+        def __init__(self):
+            _dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..fixtures.codecs import decode as cdecode
+
+            ids = batch["image_id"].to_pylist()
+            keeps = np.zeros(len(ids), bool)
+            reasons = []
+            for i, (blob, fmt) in enumerate(
+                zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+            ):
+                rgb = cdecode(blob, fmt)
+                n_int, lap = lap_var_stats(rgb)
+                n, d, br = exposure_stats(rgb)
+                d_ppm = (d * 1_000_000) // n if n else 0
+                b_ppm = (br * 1_000_000) // n if n else 0
+                if n_int == 0:
+                    reasons.append("tiny")
+                elif lap < JUNK_BLUR_MIN_MICRO:
+                    reasons.append("blurry")
+                elif d_ppm > JUNK_DARK_MAX_PPM:
+                    reasons.append("dark")
+                elif b_ppm > JUNK_BRIGHT_MAX_PPM:
+                    reasons.append("bright")
+                else:
+                    reasons.append("ok")
+                    keeps[i] = True
+            return pa.table(
+                {
+                    "image_id": pa.array(ids, pa.string()),
+                    "keep": pa.array(keeps, pa.bool_()),
+                    "reason": pa.array(reasons, pa.string()),
+                }
+            )
+
+    return rd.read_parquet(
+        _images(sf_dir), columns=["image_id", "bytes", "fmt"]
+    ).map_batches(
+        JunkGate, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+    )
+
+
+def _junk_gate_sql(fdir: str) -> str:
+    blur = blur_signature_parquet(fdir)
+    expo = exposure_signature_parquet(fdir)
+    reason = (
+        "CASE WHEN b.n_interior = 0 THEN 'tiny' "
+        f"WHEN b.lap_var_micro < {JUNK_BLUR_MIN_MICRO} THEN 'blurry' "
+        f"WHEN e.dark_ppm > {JUNK_DARK_MAX_PPM} THEN 'dark' "
+        f"WHEN e.bright_ppm > {JUNK_BRIGHT_MAX_PPM} THEN 'bright' "
+        "ELSE 'ok' END"
+    )
+    return (
+        f"SELECT b.image_id, {reason} = 'ok' AS keep, {reason} AS reason "
+        f"FROM read_parquet('{blur}') b "
+        f"JOIN read_parquet('{expo}') e USING (image_id)"
+    )
+
+
 def q_image_exposure_stats(sf_dir: str):
     """EXPOSURE JUNK GATE: per-image under/over-exposed pixel fractions
     (integer BT.601 luma thresholds 16/239, exact ppm) via the
@@ -2244,6 +2328,7 @@ MEDIA_QUERIES = {
     "image_thumbnails": q_image_thumbnails,
     "image_blur_scores": q_image_blur_scores,
     "image_exposure_stats": q_image_exposure_stats,
+    "image_junk_gate": q_image_junk_gate,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,
     "image_phash_dup_groups": q_image_phash_dup_groups,

@@ -92,6 +92,7 @@ FIXTURE_BACKED = {
     "image_embed",
     "image_blur_scores",
     "image_exposure_stats",
+    "image_junk_gate",
     "pagerank_top20",
     "pagerank_seeded_top20",
     "host_components",
