@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "image_blur_scores",
     "image_exposure_stats",
     "image_junk_gate",
+    "image_color_stats",
 ]
 
 

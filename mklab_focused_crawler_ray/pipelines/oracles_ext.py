@@ -727,6 +727,22 @@ def build_extended_oracles() -> dict[str, str]:
 
     sql["image_junk_gate"] = _junk_gate_sql(fdir)
 
+    # grayscale / flat-color gate — sequential-signature discipline with
+    # the module thresholds replayed in SQL (pins gate logic + plumbing)
+    from .queries_media import (
+        FLAT_MIN_PPM,
+        GRAY_MAX_CHROMA_MICRO,
+        color_signature_parquet,
+    )
+
+    sql["image_color_stats"] = (
+        "SELECT image_id, n_pixels, chroma_mean_micro, dominant_bin, "
+        "dominant_ppm, "
+        f"chroma_mean_micro < {GRAY_MAX_CHROMA_MICRO} AS is_gray, "
+        f"dominant_ppm > {FLAT_MIN_PPM} AS is_flat "
+        f"FROM read_parquet('{color_signature_parquet(fdir)}')"
+    )
+
     # embedding signatures: same discipline as image_thumbnails — the
     # expected table comes from the SEQUENTIAL single-process codec +
     # pseudo_embed path (embed_signature_parquet); equality proves the

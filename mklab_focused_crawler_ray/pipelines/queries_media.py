@@ -301,6 +301,90 @@ def _junk_gate_sql(fdir: str) -> str:
     )
 
 
+GRAY_MAX_CHROMA_MICRO = 65_000_000  # mean chroma below ~65/255 → 'gray'
+# (fixture-calibrated at the small tier's p5 so the gate splits the
+# corpus; a real system calibrates on labeled diagrams/scans)
+FLAT_MIN_PPM = 10_000  # dominant 12-bit color bin above 1% of pixels →
+# 'flat' (placeholder/solid-color junk; fixture p95)
+
+
+def q_image_color_stats(sf_dir: str):
+    """GRAYSCALE / FLAT-COLOR JUNK GATE: per-image integer color
+    statistics (``stages.image.color_stats`` — exact mean chroma ppm +
+    dominant quantized-RGB bin share) via the ColorStats actor pool,
+    with the two derived keep/drop flags (is_gray, is_flat) an
+    image-curation pipeline gates on: near-gray images are usually
+    diagrams/scans/placeholders, flat images are solid-color stubs —
+    the junk classes the blur and exposure gates cannot see (a sharp,
+    well-exposed solid logo passes both). ORACLE-CHECKED against the
+    SEQUENTIAL no-Ray signature table (``color_signature_parquet``,
+    the image_thumbnails discipline) with the thresholds replayed in
+    SQL, so equality pins both the distributed plumbing and the gate
+    logic. Reference anchor: junk gating extends ArticleExtractionBolt's
+    size/gif heuristics (ArticleExtractionBolt.java:411-443) to pixel
+    statistics.
+
+    Scale shape: map-side only — column-pruned read, small payload
+    batches through the actor pool, no shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.image import color_scores
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_gray",
+            pc.less(batch["chroma_mean_micro"], GRAY_MAX_CHROMA_MICRO),
+        ).append_column(
+            "is_flat", pc.greater(batch["dominant_ppm"], FLAT_MIN_PPM)
+        )
+
+    return color_scores(_images(sf_dir)).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def color_signature_parquet(fdir: str) -> str:
+    """Expected color stats from the SEQUENTIAL codec path (no Ray),
+    cached next to the fixture — the oracle's ground truth."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures.codecs import decode as cdecode
+    from ..stages.image import color_stats
+
+    path = os.path.join(fdir, "color_signatures.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(
+        os.path.join(fdir, "images.parquet"), columns=["image_id", "bytes", "fmt"]
+    )
+    ids, ns, cs, dbins, dppms = [], [], [], [], []
+    for iid, blob, fmt in zip(
+        src["image_id"].to_pylist(),
+        src["bytes"].to_pylist(),
+        src["fmt"].to_pylist(),
+    ):
+        n, c, db, dp = color_stats(cdecode(blob, fmt))
+        ids.append(iid)
+        ns.append(n)
+        cs.append(c)
+        dbins.append(db)
+        dppms.append(dp)
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_pixels": pa.array(ns, pa.int64()),
+                "chroma_mean_micro": pa.array(cs, pa.int64()),
+                "dominant_bin": pa.array(dbins, pa.int64()),
+                "dominant_ppm": pa.array(dppms, pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def q_image_exposure_stats(sf_dir: str):
     """EXPOSURE JUNK GATE: per-image under/over-exposed pixel fractions
     (integer BT.601 luma thresholds 16/239, exact ppm) via the
@@ -2328,6 +2412,7 @@ MEDIA_QUERIES = {
     "image_thumbnails": q_image_thumbnails,
     "image_blur_scores": q_image_blur_scores,
     "image_exposure_stats": q_image_exposure_stats,
+    "image_color_stats": q_image_color_stats,
     "image_junk_gate": q_image_junk_gate,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,

@@ -339,6 +339,92 @@ def blur_scores(
     )
 
 
+def color_stats(rgb: np.ndarray) -> tuple[int, int, int, int]:
+    """Integer color-distribution statistics: (n_pixels,
+    chroma_mean_micro, dominant_bin, dominant_ppm).
+
+    - ``chroma_mean_micro`` = exact mean per-pixel chroma (max(R,G,B) −
+      min(R,G,B)) × 10⁶ // n — the colorfulness proxy behind the
+      grayscale junk gate (a near-gray image is usually a diagram,
+      placeholder or scanned page, not a photo).
+    - ``dominant_bin`` / ``dominant_ppm`` = the 12-bit quantized RGB bin
+      (4 bits/channel → 0..4095) holding the most pixels and its exact
+      share × 10⁶ // n — the flat-color junk gate (placeholder/solid
+      images concentrate in one bin). Ties break to the LOWEST bin
+      (``np.bincount(...).argmax()``), deterministic on every host.
+
+    All arithmetic is integer-exact and shared verbatim by the
+    distributed actor stage and the sequential oracle path (the
+    ``lap_var_stats`` discipline), so the signature-table comparison
+    pins plumbing, not arithmetic. Headroom: Σchroma ≤ 255·n, so the
+    ×10⁶ numerator stays inside int64 up to ~3.6×10¹⁰ pixels/image —
+    far past the decode budget; computed in PYTHON ints anyway to match
+    the house overflow rule. Empty images return (0, 0, 0, 0)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    n = int(r.size)
+    if n == 0:
+        return 0, 0, 0, 0
+    mx = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+    chroma_sum = int((mx - mn).sum())
+    chroma_mean_micro = (chroma_sum * 1_000_000) // n
+    bins = ((r >> 4) << 8) | ((g >> 4) << 4) | (b >> 4)
+    counts = np.bincount(bins.ravel(), minlength=4096)
+    dom = int(counts.argmax())
+    dom_ppm = (int(counts[dom]) * 1_000_000) // n
+    return n, chroma_mean_micro, dom, dom_ppm
+
+
+class ColorStats:
+    """batch (image_id, bytes, fmt) → (image_id, n_pixels,
+    chroma_mean_micro, dominant_bin, dominant_ppm) — grayscale /
+    flat-color junk statistics as an actor-pool stage (decode caches
+    warm once per actor, the BlurScore contract)."""
+
+    def __init__(self):
+        _dct_matrix(32)  # warm decode caches once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        n_out = np.zeros(len(ids), np.int64)
+        c_out = np.zeros(len(ids), np.int64)
+        b_out = np.zeros(len(ids), np.int64)
+        p_out = np.zeros(len(ids), np.int64)
+        for i, (blob, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            n_out[i], c_out[i], b_out[i], p_out[i] = color_stats(
+                decode(blob, fmt)
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_pixels": pa.array(n_out, pa.int64()),
+                "chroma_mean_micro": pa.array(c_out, pa.int64()),
+                "dominant_bin": pa.array(b_out, pa.int64()),
+                "dominant_ppm": pa.array(p_out, pa.int64()),
+            }
+        )
+
+
+def color_scores(
+    images_parquet: str, concurrency=(1, 8), batch_size: int = 64
+):
+    """Dataset pipeline: column-pruned read → ColorStats actor pool."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        images_parquet, columns=["image_id", "bytes", "fmt"]
+    ).map_batches(
+        ColorStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def pseudo_embed_rgb(rgb: np.ndarray) -> np.ndarray:
     """Deterministic 64-dim unit vector from pixels: luma → budgeted
     downscale → 16×16 area resize → 2-D DCT-II → flatten → L2 normalize."""

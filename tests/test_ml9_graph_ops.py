@@ -330,6 +330,79 @@ def test_exposure_stats_semantics():
     assert exposure_stats(mid) == (100, 0, 0)
 
 
+def test_color_stats_semantics():
+    from mklab_focused_crawler_ray.stages.image import color_stats
+
+    # solid mid-gray: zero chroma, every pixel in one bin (8,8,8) = 0x888
+    flat = np.full((10, 10, 3), 0x88, np.uint8)
+    n, c, db, dp = color_stats(flat)
+    assert (n, c, db, dp) == (100, 0, 0x888, 1_000_000)
+
+    # pure red: chroma 255 everywhere, dominant bin (15,0,0)
+    red = np.zeros((4, 4, 3), np.uint8)
+    red[..., 0] = 255
+    assert color_stats(red) == (16, 255_000_000, 15 << 8, 1_000_000)
+
+    # half red / half green: chroma still 255; tie on the two bins must
+    # break to the LOWEST bin id — green (0,15,0) = 0x0F0 < red 0xF00
+    half = np.zeros((2, 4, 3), np.uint8)
+    half[0, :, 0] = 255
+    half[1, :, 1] = 255
+    n, c, db, dp = color_stats(half)
+    assert (db, dp) == (15 << 4, 500_000)
+
+    # brute-force equality on random pixels
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    n, c, db, dp = color_stats(img)
+    px = img.reshape(-1, 3).astype(int)
+    chroma = px.max(1) - px.min(1)
+    assert n == 63 and c == (int(chroma.sum()) * 1_000_000) // 63
+    from collections import Counter
+
+    cnt = Counter(
+        (p[0] >> 4) << 8 | (p[1] >> 4) << 4 | (p[2] >> 4) for p in px
+    )
+    best = min(sorted(cnt), key=lambda k: (-cnt[k], k))
+    assert db == best and dp == (cnt[best] * 1_000_000) // 63
+
+    assert color_stats(np.zeros((0, 5, 3), np.uint8)) == (0, 0, 0, 0)
+
+
+def test_image_color_stats_flags_through_ray(ray_session):
+    """The distributed query's flags replay the module thresholds and
+    agree with the sequential signature table at the tiny tier."""
+    import pandas as pd
+
+    from mklab_focused_crawler_ray.pipelines.queries_media import (
+        FLAT_MIN_PPM,
+        GRAY_MAX_CHROMA_MICRO,
+        color_signature_parquet,
+        fixture_dir_for,
+        q_image_color_stats,
+    )
+
+    got = (
+        q_image_color_stats("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    sig = (
+        pd.read_parquet(color_signature_parquet(fixture_dir_for("/root/testdata/sf0.001")))
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert got["image_id"].tolist() == sig["image_id"].tolist()
+    for col in ["n_pixels", "chroma_mean_micro", "dominant_bin", "dominant_ppm"]:
+        assert got[col].tolist() == sig[col].tolist()
+    assert (
+        got["is_gray"]
+        == (sig["chroma_mean_micro"] < GRAY_MAX_CHROMA_MICRO)
+    ).all()
+    assert (got["is_flat"] == (sig["dominant_ppm"] > FLAT_MIN_PPM)).all()
+
+
 def test_host_pagerank_weighted_tiny_vs_numpy(ray_session, tiny_tables):
     import re
     from collections import Counter
