@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "image_exposure_stats",
     "image_junk_gate",
     "image_color_stats",
+    "crossmodal_recall",
 ]
 
 

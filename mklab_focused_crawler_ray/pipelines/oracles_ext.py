@@ -959,6 +959,53 @@ def build_extended_oracles() -> dict[str, str]:
         f"SELECT qid, image_id, rnk AS \"rank\", dot FROM ranked WHERE rnk <= {XMODAL_K}"
     )
 
+    # cross-modal recall@k eval: dot/rank/recall arithmetic replayed over
+    # the materialized shifted-micro embeds; the rank of the true item is
+    # the exact ROW_NUMBER under (dot desc, image_id asc), identical to
+    # the engine's 1 + better-than count
+    from .queries_media import XRECALL_KS, XRECALL_QUERIES
+
+    _ks_vals = ", ".join(f"({k})" for k in XRECALL_KS)
+    sql["crossmodal_recall"] = (
+        f"WITH e AS (SELECT image_id, img_mic FROM read_parquet('{aemb}')), "
+        f"q AS (SELECT image_id AS qid FROM {images_rel} "
+        f"ORDER BY image_id LIMIT {XRECALL_QUERIES}), "
+        "ch AS (SELECT image_id, c FROM (SELECT image_id, "
+        f"unnest(string_split(caption, '')) AS c FROM {images_rel}) "
+        "WHERE c <> ''), "
+        f"cap AS (SELECT image_id, ascii(c) % {ALIGN_DIM} AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2), "
+        "qcap AS (SELECT q.qid, cap.bin, cap.cnt FROM q "
+        "JOIN cap ON cap.image_id = q.qid), "
+        "qe AS (SELECT q.qid, e.img_mic FROM q JOIN e ON e.image_id = q.qid), "
+        # caption→image: query caption hist vs every image embed (LEFT
+        # JOIN keeps empty-caption queries as all-zero dots)
+        "d1 AS (SELECT q.qid, e.image_id, "
+        "CAST(COALESCE(SUM(e.img_mic[qc.bin + 1] * qc.cnt), 0) AS BIGINT) AS dot "
+        "FROM q CROSS JOIN e LEFT JOIN qcap qc ON qc.qid = q.qid "
+        "GROUP BY 1, 2), "
+        # image→caption: query image embed vs every caption hist (LEFT
+        # JOIN keeps empty-caption corpus rows as zero dots)
+        "d2 AS (SELECT qe.qid, i.image_id, "
+        "CAST(COALESCE(SUM(qe.img_mic[cap.bin + 1] * cap.cnt), 0) AS BIGINT) AS dot "
+        f"FROM qe CROSS JOIN {images_rel} i "
+        "LEFT JOIN cap ON cap.image_id = i.image_id GROUP BY 1, 2), "
+        "r1 AS (SELECT qid, image_id, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY dot DESC, image_id) AS rnk FROM d1), "
+        "r2 AS (SELECT qid, image_id, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY dot DESC, image_id) AS rnk FROM d2), "
+        "g AS (SELECT 'cap2img' AS direction, qid, rnk FROM r1 "
+        "WHERE image_id = qid UNION ALL "
+        "SELECT 'img2cap' AS direction, qid, rnk FROM r2 WHERE image_id = qid), "
+        f"ks(k) AS (VALUES {_ks_vals}) "
+        "SELECT g.direction, CAST(ks.k AS BIGINT) AS k, "
+        "CAST(COUNT(*) AS BIGINT) AS n_queries, "
+        "CAST(COUNT(*) FILTER (g.rnk <= ks.k) AS BIGINT) AS n_hits, "
+        "CAST(COUNT(*) FILTER (g.rnk <= ks.k) AS BIGINT) * 1000000 "
+        "// CAST(COUNT(*) AS BIGINT) AS recall_micro "
+        "FROM g CROSS JOIN ks GROUP BY 1, 2"
+    )
+
 
     # inverted-index postings for the 5 alphabetically-first corpus tokens
     # (TextIndexerBolt analogue; engine reads only the probed buckets)

@@ -1800,6 +1800,150 @@ def q_caption_to_image_topk(sf_dir: str):
     )
 
 
+XRECALL_QUERIES = 50  # sampled ground-truth pairs (alphabetically-first)
+XRECALL_KS = (1, 5, 10)
+
+
+def q_crossmodal_recall(sf_dir: str):
+    """CROSS-MODAL RETRIEVAL QUALITY EVAL: recall@k in BOTH directions
+    (caption→image and image→caption) for the ``XRECALL_QUERIES``
+    alphabetically-first ground-truth pairs — the standard CLIP-style
+    dataset-quality metric (does a caption retrieve its own image, and
+    vice versa, from the whole corpus?). Rank of the true item under
+    (dot desc, image_id asc) is tie-exact: rank = 1 + #{dot > gt} +
+    #{dot = gt ∧ id < qid}. Output one row per (direction, k):
+    (direction, k, n_queries, n_hits, recall_micro).
+
+    Scale shape: the query side is tiny and broadcasts (Q caption
+    histograms + Q image embeds + Q ground-truth dots via one
+    ``ray.put``); the corpus side STREAMS through the embed actor pool
+    exactly once, emitting per-batch partial better-than counts
+    (2·Q rows per batch) — no pairwise materialization, no shuffle of
+    the corpus, and the final merge is a Q-bounded driver reduce. The
+    ground-truth dots come from a row-group-pruned 50-row point read
+    (the query pairs), not a corpus scan. Oracle: DuckDB replays the
+    dot/rank/recall arithmetic over the materialized shifted-micro
+    embeds (the caption_to_image_topk discipline)."""
+    return crossmodal_recall_over(_images(sf_dir))
+
+
+def crossmodal_recall_over(images: str):
+    """The eval over an explicit images.parquet path (tests pin the
+    rank/recall arithmetic brute-force on planted tables through this)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from ..stages.image import _dct_matrix, decode, pseudo_embed_rgb
+    # query side (driver, column-pruned): Q alphabetically-first pairs
+    meta = pads.dataset(images).to_table(columns=["image_id", "caption"])
+    ids_all = np.array(meta["image_id"].to_pylist(), object).astype(str)
+    order = np.argsort(ids_all, kind="stable")
+    qids = ids_all[order[: XRECALL_QUERIES]].tolist()
+    caps_all = meta["caption"].to_pylist()
+    qhist = _caption_hist64([caps_all[i] for i in order[: XRECALL_QUERIES]])
+    # ground-truth embeds: point read of ONLY the Q rows (predicate
+    # pushdown prunes row groups; Q is constant, never corpus-shaped)
+    _dct_matrix(16)
+    _dct_matrix(32)
+    qrows = pads.dataset(images).to_table(
+        columns=["image_id", "bytes", "fmt"],
+        filter=pads.field("image_id").isin(qids),
+    )
+    by_id = {
+        i: (b, f)
+        for i, b, f in zip(
+            qrows["image_id"].to_pylist(),
+            qrows["bytes"].to_pylist(),
+            qrows["fmt"].to_pylist(),
+        )
+    }
+    qmic = np.stack(
+        [
+            _img_mic_from_f32(
+                pseudo_embed_rgb(decode(*by_id[q])).astype(np.float32)
+            )
+            for q in qids
+        ]
+    )  # (Q, 64)
+    gt = np.einsum("ij,ij->i", qmic, qhist)  # gt dot is shared by both dirs
+    q_ref = ray.put((qids, qhist, qmic, gt))
+
+    class _Better:
+        """per-batch partial: for every query and both directions, how
+        many corpus items beat the ground-truth item."""
+
+        def __init__(self):
+            _dct_matrix(16)
+            _dct_matrix(32)
+            self.qids, self.qh, self.qm, self.gt = ray.get(q_ref)
+            self.qarr = np.array(self.qids, object).astype(str)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mics = np.stack(
+                [
+                    _img_mic_from_f32(
+                        pseudo_embed_rgb(decode(b, f)).astype(np.float32)
+                    )
+                    for b, f in zip(
+                        batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+                    )
+                ]
+            )  # (n, 64)
+            hists = _caption_hist64(batch["caption"].to_pylist())  # (n, 64)
+            ids = np.array(batch["image_id"].to_pylist(), object).astype(str)
+            d_c2i = mics @ self.qh.T  # (n, Q): corpus image vs query caption
+            d_i2c = hists @ self.qm.T  # (n, Q): corpus caption vs query image
+            lt = ids[:, None] < self.qarr[None, :]  # (n, Q) id tie-break
+            b_c2i = (
+                (d_c2i > self.gt[None, :]) | ((d_c2i == self.gt[None, :]) & lt)
+            ).sum(0)
+            b_i2c = (
+                (d_i2c > self.gt[None, :]) | ((d_i2c == self.gt[None, :]) & lt)
+            ).sum(0)
+            return pa.table(
+                {
+                    "direction": pa.array(
+                        ["cap2img"] * len(self.qids) + ["img2cap"] * len(self.qids),
+                        pa.string(),
+                    ),
+                    "qid": pa.array(self.qids + self.qids, pa.string()),
+                    "n_better": pa.array(
+                        np.concatenate([b_c2i, b_i2c]).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    parts = (
+        rd.read_parquet(images, columns=["image_id", "bytes", "fmt", "caption"])
+        .map_batches(
+            _Better, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+        )
+        .to_pandas()  # 2·Q × n_batches-bounded partials
+    )
+    ranks = (
+        parts.groupby(["direction", "qid"], sort=True)["n_better"].sum() + 1
+    ).reset_index(name="rank")
+    rows = []
+    for direction in ("cap2img", "img2cap"):
+        r = ranks.loc[ranks["direction"] == direction, "rank"].to_numpy()
+        for k in XRECALL_KS:
+            hits = int((r <= k).sum())
+            rows.append(
+                (direction, k, len(r), hits, (hits * 1_000_000) // len(r))
+            )
+    return pa.table(
+        {
+            "direction": pa.array([r[0] for r in rows], pa.string()),
+            "k": pa.array([r[1] for r in rows], pa.int64()),
+            "n_queries": pa.array([r[2] for r in rows], pa.int64()),
+            "n_hits": pa.array([r[3] for r in rows], pa.int64()),
+            "recall_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_multimodal_filter_aligned(sf_dir: str):
     """COMPOSED multimodal gate: ``multimodal_filter_kept`` (first-wins
     phash dedup ∧ pixel floor ∧ caption quality) ∧ caption–image
@@ -2413,6 +2557,7 @@ MEDIA_QUERIES = {
     "image_blur_scores": q_image_blur_scores,
     "image_exposure_stats": q_image_exposure_stats,
     "image_color_stats": q_image_color_stats,
+    "crossmodal_recall": q_crossmodal_recall,
     "image_junk_gate": q_image_junk_gate,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,
