@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "image_junk_gate",
     "image_color_stats",
     "crossmodal_recall",
+    "event_value_ks_pairs",
 ]
 
 

@@ -1386,7 +1386,178 @@ def _temperature_odds_sql() -> str:
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov over event-type value distributions
+# --------------------------------------------------------------------------
+
+KS_BUCKETS_FLOOR = 32  # value-range partitions (scale.derive_buckets floor)
+
+
+def q_event_value_ks_pairs(sf_dir: str):
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV statistic between every pair of
+    event types' value distributions — the distribution-drift audit that
+    completes the divergence suite (chi², KL, JS are density-weighted;
+    KS is the sup-norm CDF gap the drift monitors alert on). Exact
+    integer arithmetic: for types (a, b) with sizes (n_a, n_b),
+    ks_num = max over sample values v of |c_a(≤v)·n_b − c_b(≤v)·n_a|
+    (the sup is attained at sample points, so evaluating every distinct
+    value is exact), reported with ks_micro = ks_num·10⁶ // (n_a·n_b).
+    Output one row per unordered pair: (type_a, type_b, n_a, n_b,
+    ks_num, ks_micro).
+
+    Scale shape: the classic distributed-cumulative pattern — pass 1 is
+    a tiny partial aggregate (per-batch (bucket, type) counts + value
+    envelope, driver-merged at B×T rows) that yields per-bucket prefix
+    OFFSETS; pass 2 range-partitions values into B disjoint buckets
+    (one shuffle) and computes each bucket's local CDF numerators +
+    offsets entirely inside ``map_groups`` — no global sort, no
+    pairwise materialization; the driver reduce is pair-bounded.
+    Products c·n are taken in PYTHON ints (house overflow rule: int64
+    c·n wraps once n_a·n_b passes ~9.2×10¹⁸ — two ~3×10⁹-row types).
+
+    Reference: no KS in the reference (metrics end at rolling counts,
+    bolts/metrics/MediaCounterBolt.java); curation addition."""
+    import pandas as pd
+    import ray.data as rd
+
+    path = _p(sf_dir, "events")
+    nb = derive_buckets(path, floor=KS_BUCKETS_FLOOR)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "one": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("value", "min"), ("value", "max")]
+        )
+        return g
+
+    env = (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # T × n_batches-bounded
+        .groupby("event_type", sort=True)
+        .agg(n=("one_sum", "sum"), lo=("value_min", "min"), hi=("value_max", "max"))
+    )
+    types = env.index.tolist()
+    n_tot = {ty: int(env.loc[ty, "n"]) for ty in types}
+    lo, hi = float(env["lo"].min()), float(env["hi"].max())
+    splits = np.linspace(lo, hi, nb + 1)[1:-1]  # B−1 interior cut points
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.searchsorted(splits, v, side="right").astype(np.int64)
+                ),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+
+    # per-(bucket, type) totals → prefix offsets (B×T, driver-merged)
+    def bt_partial(batch: pa.Table) -> pa.Table:
+        t = bucketize(batch)
+        t = t.append_column("one", pa.array(np.ones(len(t), np.int64)))
+        return t.group_by(["bucket", "event_type"]).aggregate([("one", "sum")])
+
+    bt = (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(bt_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["bucket", "event_type"], sort=True)["one_sum"]
+        .sum()
+        .unstack(fill_value=0)
+        .reindex(columns=types, fill_value=0)
+        .sort_index()
+    )
+    # offsets[b][ty] = #events of ty with bucket < b
+    offs = bt.cumsum().shift(1, fill_value=0)
+    off_map = {
+        (int(b), ty): int(offs.loc[b, ty]) for b in offs.index for ty in types
+    }
+
+    def ks_group(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        v = df["value"].to_numpy()
+        t = df["event_type"].to_numpy(object)
+        uv = np.unique(v)
+        cums = {}
+        for ty in types:
+            sel = np.sort(v[t == ty])
+            cums[ty] = (
+                np.searchsorted(sel, uv, side="right")
+                + off_map.get((b, ty), 0)
+            ).astype(object)  # Python-int products below
+        rows = []
+        for i, a in enumerate(types):
+            for c in types[i + 1 :]:
+                d = np.abs(cums[a] * n_tot[c] - cums[c] * n_tot[a])
+                rows.append((a, c, int(d.max()) if len(uv) else 0))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "ks_part"])
+
+    parts = (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ks_group, batch_format="pandas")
+        .to_pandas()  # B × pair-bounded
+    )
+    agg = (
+        parts.groupby(["type_a", "type_b"], sort=True)["ks_part"]
+        .max()
+        .reset_index(name="ks_num")
+    )
+    na = [n_tot[a] for a in agg["type_a"]]
+    nbv = [n_tot[b] for b in agg["type_b"]]
+    micro = [
+        (int(k) * 1_000_000) // (int(x) * int(y))
+        for k, x, y in zip(agg["ks_num"], na, nbv)
+    ]
+    return pa.table(
+        {
+            "type_a": pa.array(agg["type_a"].tolist(), pa.string()),
+            "type_b": pa.array(agg["type_b"].tolist(), pa.string()),
+            "n_a": pa.array(np.array(na, np.int64), pa.int64()),
+            "n_b": pa.array(np.array(nbv, np.int64), pa.int64()),
+            "ks_num": pa.array(
+                agg["ks_num"].astype(np.int64).to_numpy(), pa.int64()
+            ),
+            "ks_micro": pa.array(np.array(micro, np.int64), pa.int64()),
+        }
+    )
+
+
+def _event_ks_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_type AS t, value AS v FROM events), "
+        "n AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY t), "
+        "cnt AS (SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM e GROUP BY t, v), "
+        "vals AS (SELECT DISTINCT v FROM e), "
+        "grid AS (SELECT n.t, vals.v FROM n CROSS JOIN vals), "
+        "j AS (SELECT g.t, g.v, COALESCE(c.c, 0) AS c FROM grid g "
+        "LEFT JOIN cnt c ON c.t = g.t AND c.v = g.v), "
+        "cum AS (SELECT t, v, CAST(SUM(c) OVER "
+        "(PARTITION BY t ORDER BY v) AS BIGINT) AS cum FROM j), "
+        "ks AS (SELECT a.t AS type_a, b.t AS type_b, "
+        "MAX(ABS(a.cum * nb.n - b.cum * na.n)) AS ks_num "
+        "FROM cum a JOIN cum b ON a.v = b.v AND a.t < b.t "
+        "JOIN n na ON na.t = a.t JOIN n nb ON nb.t = b.t GROUP BY 1, 2) "
+        "SELECT ks.type_a, ks.type_b, na.n AS n_a, nb.n AS n_b, "
+        "ks.ks_num, ks.ks_num * 1000000 // (na.n * nb.n) AS ks_micro "
+        "FROM ks JOIN n na ON na.t = ks.type_a "
+        "JOIN n nb ON nb.t = ks.type_b"
+    )
+
+
 ML9_QUERIES = {
+    "event_value_ks_pairs": q_event_value_ks_pairs,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -1413,6 +1584,7 @@ def build_ml9_oracles() -> dict[str, str]:
     pages = os.path.join(fdir, "pages.parquet")
     seeds = os.path.join(fdir, "frontier_seed.parquet")
     return {
+        "event_value_ks_pairs": _event_ks_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

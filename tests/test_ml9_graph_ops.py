@@ -745,3 +745,59 @@ def test_gamma_ties_excluded(ray_session, tmp_path):
     row = q_ranker_rank_gamma(sf).to_pylist()[0]
     assert row["concordant"] + row["discordant"] == 2
     assert row["gamma_micro"] == -1_000_000
+
+
+def test_event_value_ks_pairs_brute_force(ray_session, tmp_path):
+    """Planted three-type events table: the distributed bucketed KS must
+    equal a direct numpy sup-norm CDF gap, including a pair with an
+    obvious planted shift and a pair of identical samples (ks_num 0)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        q_event_value_ks_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    va = np.round(rng.uniform(0, 1, 300), 3)  # repeats → tied values
+    vb = np.round(rng.uniform(0.5, 1.5, 200), 3)  # planted shift vs A
+    vc = va.copy()  # identical to A → ks_num must be 0
+    types = ["A"] * 300 + ["B"] * 200 + ["C"] * 300
+    vals = np.concatenate([va, vb, vc])
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(800), pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_event_value_ks_pairs(str(tmp_path))
+        .to_pandas()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+
+    def brute(x, y):
+        uv = np.unique(np.concatenate([x, y]))
+        cx = np.searchsorted(np.sort(x), uv, side="right").astype(object)
+        cy = np.searchsorted(np.sort(y), uv, side="right").astype(object)
+        return int(np.abs(cx * len(y) - cy * len(x)).max())
+
+    exp = []
+    samples = {"A": va, "B": vb, "C": vc}
+    for a, b in (("A", "B"), ("A", "C"), ("B", "C")):
+        k = brute(samples[a], samples[b])
+        na, nb = len(samples[a]), len(samples[b])
+        exp.append((a, b, na, nb, k, (k * 1_000_000) // (na * nb)))
+    expdf = pd.DataFrame(
+        exp, columns=["type_a", "type_b", "n_a", "n_b", "ks_num", "ks_micro"]
+    )
+    pd.testing.assert_frame_equal(got, expdf, check_dtype=False)
+    assert got.set_index(["type_a", "type_b"]).loc[("A", "C"), "ks_num"] == 0
+    # the planted shift must dominate the identical pair
+    g = got.set_index(["type_a", "type_b"])
+    assert g.loc[("A", "B"), "ks_micro"] > 400_000
