@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "image_color_stats",
     "crossmodal_recall",
     "event_value_ks_pairs",
+    "url_canonical_audit",
 ]
 
 

@@ -613,3 +613,94 @@ def generate_tier(tier: str, out_dir: str, seed: int = 42, force: bool = False) 
     with open(marker, "w") as f:
         f.write(f"tier={tier} seed={seed}\n")
     return out_dir
+
+
+# --------------------------------------------------------------------------
+# raw (pre-normalization) URL table — url_canonical_audit's planted input
+# --------------------------------------------------------------------------
+
+RAWURL_VERSION = 1
+RAWURL_TIERS = {"tiny": 500, "small": 20_000, "medium": 20_000, "bench": 100_000}
+
+_TRACKING_PARAMS = [
+    "utm_source=feed",
+    "utm_medium=social",
+    "utm_campaign=x1",
+    "fbclid=Ab3xYz",
+    "gclid=q9r8s7",
+    "ref=home",
+]
+_KEPT_PARAMS = ["id={}", "page={}", "sort=asc", "lang=en"]
+
+
+def gen_raw_urls(n: int, seed: int = 42) -> pa.Table:
+    """Messy pre-normalization URLs with each canonicalization defect
+    planted independently at a known rate: uppercase scheme/host (~15%/
+    10%), explicit :443 default port (~12%), fragments (~20%), tracking
+    params + shuffled param order (~0-2 of each), and trailing slashes
+    (~15%). ~30% of rows draw their path id from a small pool so
+    canonical forms COLLIDE — the URL-seen dedup a crawler's normalizer
+    exists to enable. Deterministic per (n, seed)."""
+    rng = np.random.default_rng(seed + 1009)
+    urls = []
+    pool = max(n // 10, 1)
+    for i in range(n):
+        if rng.random() < 0.3:
+            # pooled identity: host derives from the pooled path id so the
+            # CANONICAL (host, path) collides across rows — the URL-seen
+            # dedup the normalizer exists to enable
+            pid = int(rng.integers(0, pool))
+            host = f"news{pid % 60}.example{pid % 6}.com"
+        else:
+            pid = pool + i
+            host = f"news{int(rng.integers(0, 60))}.example{int(rng.integers(0, 6))}.com"
+        path = f"/p/{pid:07d}"
+        scheme = "https"
+        r = rng.random()
+        if r < 0.10:
+            host = host.upper()
+        elif r < 0.15:
+            host = host.capitalize()
+        if rng.random() < 0.10:
+            scheme = "HTTPS"
+        port = ":443" if rng.random() < 0.12 else ""
+        frag = f"#s{int(rng.integers(0, 9))}" if rng.random() < 0.2 else ""
+        params = []
+        for _ in range(int(rng.integers(0, 3))):
+            params.append(
+                _KEPT_PARAMS[int(rng.integers(0, len(_KEPT_PARAMS)))].format(
+                    int(rng.integers(0, 50))
+                )
+            )
+        for _ in range(int(rng.integers(0, 3))):
+            params.append(
+                _TRACKING_PARAMS[int(rng.integers(0, len(_TRACKING_PARAMS)))]
+            )
+        rng.shuffle(params)
+        query = ("?" + "&".join(params)) if params else ""
+        slash = "/" if rng.random() < 0.15 else ""
+        urls.append(f"{scheme}://{host}{port}{path}{slash}{query}{frag}")
+    return pa.table(
+        {
+            "url_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "raw_url": pa.array(urls, pa.string()),
+        }
+    )
+
+
+def ensure_raw_urls(tier: str, out_dir: str, seed: int = 42) -> str:
+    """Idempotently add raw_urls.parquet to a fixture tier (the
+    ensure_av_tables discipline: separate versioned marker, no full tier
+    rebuild)."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_RAWURLS_DONE")
+    want = f"v={RAWURL_VERSION}"
+    if os.path.exists(marker) and want in open(marker).read():
+        return out_dir
+    n = RAWURL_TIERS.get(tier, RAWURL_TIERS["small"])
+    pq.write_table(
+        gen_raw_urls(n, seed=seed), os.path.join(out_dir, "raw_urls.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write(f"{want} tier={tier} seed={seed} n={n}\n")
+    return out_dir

@@ -116,3 +116,67 @@ def route_of_host(host: str) -> str:
     """"media" when host is in the reference's hard-coded social set, else
     "webpage" — URLExpansionBolt.java:76-81."""
     return "media" if host in SOCIAL_MEDIA_HOSTS else "webpage"
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (frontier normalizer — URL-seen dedup key)
+# --------------------------------------------------------------------------
+
+import re as _re
+
+_URL_RE = _re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+_TRACKING_RE = _re.compile(r"(utm_[^=]*|fbclid|gclid|ref)(=|$)")
+_DEFAULT_PORTS = {"https": ":443", "http": ":80"}
+
+
+def canonicalize_url(url: str) -> tuple[str, tuple[bool, ...]]:
+    """RFC-3986-flavored crawl normalizer, rule-for-rule SQL-replayable
+    (the url_canonical_audit oracle replays every branch in DuckDB):
+
+    1. lowercase scheme + authority          → case_fixed
+    2. strip the scheme's default port       → port_stripped
+    3. drop the fragment                     → fragment_dropped
+    4. drop tracking params (utm_*, fbclid,
+       gclid, ref) and empty params          → tracking_removed
+    5. byte-sort the surviving params        → params_reordered
+    6. empty path → '/'; strip ONE trailing
+       slash when the path is not just '/'   → slash_stripped
+
+    Returns (canonical, (case_fixed, port_stripped, fragment_dropped,
+    tracking_removed, params_reordered, slash_stripped)). Unparseable
+    URLs return themselves with all-False flags (audited separately)."""
+    m = _URL_RE.match(url)
+    if not m:
+        return url, (False, False, False, False, False, False)
+    scheme, auth, path, query, frag = m.groups()
+    lscheme, lauth = scheme.lower(), auth.lower()
+    case_fixed = (lscheme != scheme) or (lauth != auth)
+    dport = _DEFAULT_PORTS.get(lscheme)
+    port_stripped = bool(dport) and lauth.endswith(dport)
+    if port_stripped:
+        lauth = lauth[: -len(dport)]
+    fragment_dropped = frag is not None
+    params = [p for p in query.split("&")] if query else []
+    kept = [
+        p for p in params if p != "" and not _TRACKING_RE.match(p)
+    ]
+    tracking_removed = len(kept) < len(params)
+    skept = sorted(kept)
+    params_reordered = len(kept) > 1 and skept != kept
+    cpath = path if path else "/"
+    slash_stripped = len(cpath) > 1 and cpath.endswith("/")
+    if slash_stripped:
+        cpath = cpath[:-1]
+    canon = f"{lscheme}://{lauth}{cpath}"
+    if skept:
+        canon += "?" + "&".join(skept)
+    return canon, (
+        case_fixed,
+        port_stripped,
+        fragment_dropped,
+        tracking_removed,
+        params_reordered,
+        slash_stripped,
+    )

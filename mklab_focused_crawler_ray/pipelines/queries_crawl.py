@@ -927,10 +927,164 @@ def _recrawl_due_counts_sql(seeds: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# URL canonicalization audit (frontier normalizer)
+# --------------------------------------------------------------------------
+
+
+def _fx_raw_urls(sf_dir: str) -> str:
+    from ..fixtures.generate import ensure_raw_urls
+    from .queries_media import fixture_dir_for
+
+    fdir = fixture_dir_for(sf_dir)
+    ensure_raw_urls(os.path.basename(os.path.normpath(fdir)), fdir)
+    return os.path.join(fdir, "raw_urls.parquet")
+
+
+_CANON_FLAGS = [
+    "case_fixed",
+    "port_stripped",
+    "fragment_dropped",
+    "tracking_removed",
+    "params_reordered",
+    "slash_stripped",
+]
+
+
+def q_url_canonical_audit(sf_dir: str):
+    """URL CANONICALIZATION AUDIT: every raw URL normalized by the
+    frontier's URL-seen key rules (``functions.urls.canonicalize_url`` —
+    lowercase scheme/authority, default-port strip, fragment drop,
+    tracking-param removal, param byte-sort, trailing-slash strip) and
+    reduced to ONE audit row: how often each rule fired, how many URLs
+    changed at all, and how many canonical forms collide — the dedup
+    win the normalizer buys the URL-seen set (StatusCheckBolt's seen
+    gate, bolts/webpages/StatusCheckBolt.java, keyed on the canonical
+    form; the reference normalizes implicitly via URLExpansionBolt's
+    expanded URL, URLExpansionBolt.java:62-71).
+
+    Scale shape: the normalizer is map-side; the ONLY shuffle is the
+    canonical-key groupby (the same key the URL-seen set partitions by,
+    so at frontier scale this audit rides the existing partitioning);
+    per-group stats collapse to batch partials and the driver reduce is
+    one row. Oracle: DuckDB replays every rule branch (regexp parse,
+    list_filter/list_sort param handling) over the same raw_urls table."""
+    import ray.data as rd
+
+    from ..functions.urls import canonicalize_url
+
+    def canon_batch(batch: pa.Table) -> pa.Table:
+        res = [canonicalize_url(u) for u in batch["raw_url"].to_pylist()]
+        fl = np.array([r[1] for r in res], np.int64)  # (n, 6)
+        changed = np.array(
+            [r[0] != u for r, u in zip(res, batch["raw_url"].to_pylist())],
+            np.int64,
+        )
+        cols = {"canonical": pa.array([r[0] for r in res], pa.string())}
+        for j, name in enumerate(_CANON_FLAGS):
+            cols[name] = pa.array(fl[:, j], pa.int64())
+        cols["changed"] = pa.array(changed, pa.int64())
+        return pa.table(cols)
+
+    def per_group(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        n = len(df)
+        out = {
+            "n_urls": [n],
+            "n_unique_canonical": [1],
+            "n_collided_raw": [n if n >= 2 else 0],
+            "n_changed": [int(df["changed"].sum())],
+        }
+        for name in _CANON_FLAGS:
+            out[f"n_{name}"] = [int(df[name].sum())]
+        return pd.DataFrame(out)
+
+    def partial_sum(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array([int(pa.compute.sum(batch[c]).as_py() or 0)], pa.int64())
+                for c in batch.column_names
+            }
+        )
+
+    parts = (
+        rd.read_parquet(_fx_raw_urls(sf_dir), columns=["raw_url"])
+        .map_batches(canon_batch, batch_format="pyarrow")
+        .groupby("canonical")
+        .map_groups(per_group, batch_format="pandas")
+        .map_batches(partial_sum, batch_format="pyarrow")
+        .to_pandas()  # n_batches-bounded partials
+        .sum()
+    )
+    order = (
+        ["n_urls"]
+        + [f"n_{name}" for name in _CANON_FLAGS]
+        + ["n_changed", "n_unique_canonical", "n_collided_raw"]
+    )
+    return pa.table(
+        {c: pa.array([int(parts[c])], pa.int64()) for c in order}
+    )
+
+
+def _url_canonical_audit_sql(raw: str) -> str:
+    flt = (
+        "list_filter(string_split(q, '&'), x -> x <> '' AND NOT "
+        "regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))"
+    )
+    return (
+        "WITH u AS (SELECT raw_url, regexp_extract(raw_url, "
+        "'^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', "
+        "['scheme', 'auth', 'path', 'q', 'frag']) AS g "
+        f"FROM read_parquet('{raw}')), "
+        "p AS (SELECT raw_url, g['scheme'] <> '' AS ok, "
+        "lower(g['scheme']) AS ls, lower(g['auth']) AS la, "
+        "g['path'] AS path, g['q'] AS q, "
+        "(g['scheme'] <> lower(g['scheme']) OR g['auth'] <> lower(g['auth'])) "
+        "AS case_fixed, position('#' IN raw_url) > 0 AS fragment_dropped "
+        "FROM u), "
+        "p2 AS (SELECT *, CASE WHEN ls = 'https' THEN "
+        "regexp_replace(la, ':443$', '') WHEN ls = 'http' THEN "
+        "regexp_replace(la, ':80$', '') ELSE la END AS la2, "
+        f"{flt} AS kept, "
+        "CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS n_params, "
+        "CASE WHEN path = '' THEN '/' ELSE path END AS cpath FROM p), "
+        "p3 AS (SELECT *, la2 <> la AS port_stripped, "
+        "len(kept) < n_params AS tracking_removed, "
+        "len(kept) > 1 AND kept <> list_sort(kept) AS params_reordered, "
+        "length(cpath) > 1 AND cpath LIKE '%/' AS slash_stripped FROM p2), "
+        "c AS (SELECT raw_url, "
+        "CASE WHEN NOT ok THEN raw_url ELSE "
+        "ls || '://' || la2 || "
+        "CASE WHEN slash_stripped THEN substring(cpath, 1, length(cpath) - 1) "
+        "ELSE cpath END || "
+        "CASE WHEN len(kept) > 0 THEN '?' || "
+        "array_to_string(list_sort(kept), '&') ELSE '' END END AS canonical, "
+        "ok AND case_fixed AS case_fixed, ok AND port_stripped AS port_stripped, "
+        "ok AND fragment_dropped AS fragment_dropped, "
+        "ok AND tracking_removed AS tracking_removed, "
+        "ok AND params_reordered AS params_reordered, "
+        "ok AND slash_stripped AS slash_stripped FROM p3), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_urls, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN {f} THEN 1 ELSE 0 END) AS BIGINT) AS n_{f}"
+            for f in _CANON_FLAGS
+        )
+        + ", CAST(SUM(CASE WHEN canonical <> raw_url THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_changed FROM c), "
+        "g2 AS (SELECT canonical, COUNT(*) AS cnt FROM c GROUP BY canonical), "
+        "d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_canonical, "
+        "CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT) "
+        "AS n_collided_raw FROM g2) "
+        "SELECT agg.*, d.* FROM agg CROSS JOIN d"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 CRAWL_QUERIES = {
+    "url_canonical_audit": q_url_canonical_audit,
     "robots_gate_counts": q_robots_gate_counts,
     "url_expand_final": q_url_expand_final,
     "politeness_rounds": q_politeness_rounds,
@@ -954,6 +1108,7 @@ def build_crawl_oracles() -> dict[str, str]:
     robots = os.path.join(fdir, "robots.parquet")
     pages = os.path.join(fdir, "pages.parquet")
     return {
+        "url_canonical_audit": _url_canonical_audit_sql(_fx_raw_urls("/root/testdata/sf0.01")),
         "robots_gate_counts": _robots_gate_counts_sql(seeds, robots),
         "url_expand_final": _url_expand_final_sql(seeds, redirects),
         "politeness_rounds": _politeness_rounds_sql(seeds),

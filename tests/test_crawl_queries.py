@@ -206,3 +206,63 @@ def test_salt_shard_quantization():
     s = SALT_SPLIT_URLS
     ceil = lambda n: (n + s - 1) // s  # noqa: E731
     assert ceil(1) == 1 and ceil(s) == 1 and ceil(s + 1) == 2 and ceil(4 * s) == 4
+
+
+def test_canonicalize_url_rules():
+    from mklab_focused_crawler_ray.functions.urls import canonicalize_url
+
+    # every rule at once
+    c, fl = canonicalize_url(
+        "HTTPS://News.Example.COM:443/p/1/?utm_source=a&b=2&a=1#frag"
+    )
+    assert c == "https://news.example.com/p/1?a=1&b=2"
+    assert fl == (True, True, True, True, True, True)
+    # already canonical → untouched, all-False
+    c, fl = canonicalize_url("https://h.com/p/1?a=1&b=2")
+    assert c == "https://h.com/p/1?a=1&b=2" and not any(fl)
+    # empty path → '/', root slash NOT stripped
+    assert canonicalize_url("https://h.com")[0] == "https://h.com/"
+    assert canonicalize_url("https://h.com/")[0] == "https://h.com/"
+    # :80 only strips for http, :443 only for https
+    assert canonicalize_url("http://h.com:80/x")[0] == "http://h.com/x"
+    assert canonicalize_url("https://h.com:80/x")[0] == "https://h.com:80/x"
+    assert canonicalize_url("https://h.com:8080/x")[0] == "https://h.com:8080/x"
+    # ref= is tracking; referer= is NOT (key must match exactly)
+    assert canonicalize_url("https://h.com/x?ref=1")[0] == "https://h.com/x"
+    assert (
+        canonicalize_url("https://h.com/x?referer=1")[0]
+        == "https://h.com/x?referer=1"
+    )
+    # utm_* wildcard
+    assert canonicalize_url("https://h.com/x?utm_anything=1")[0] == "https://h.com/x"
+    # sort is byte order; duplicates kept
+    assert (
+        canonicalize_url("https://h.com/x?b=1&a=2&a=2")[0]
+        == "https://h.com/x?a=2&a=2&b=1"
+    )
+    # unparseable → identity, all-False
+    c, fl = canonicalize_url("not a url")
+    assert c == "not a url" and not any(fl)
+
+
+def test_url_canonical_audit_tiny_vs_duckdb(ray_session):
+    """End-to-end on the tiny tier: the distributed audit equals the
+    DuckDB replay over the same raw_urls table."""
+    import duckdb
+    import pandas as pd
+
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        _fx_raw_urls,
+        _url_canonical_audit_sql,
+        q_url_canonical_audit,
+    )
+
+    raw = _fx_raw_urls("/root/testdata/sf0.001")
+    got = q_url_canonical_audit("/root/testdata/sf0.001").to_pandas()
+    exp = duckdb.sql(_url_canonical_audit_sql(raw)).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    # planted defects mean every rule fires even at 500 urls
+    assert (got.iloc[0][[c for c in got.columns if c.startswith("n_")]] > 0).all()
+    assert got.iloc[0]["n_collided_raw"] > 0
