@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "crossmodal_recall",
     "event_value_ks_pairs",
     "url_canonical_audit",
+    "hrw_shard_rebalance",
 ]
 
 

@@ -1080,11 +1080,135 @@ def _url_canonical_audit_sql(raw: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# rendezvous (HRW) shard rebalance audit
+# --------------------------------------------------------------------------
+
+HRW_SHARDS = 16  # frontier shard count before the rebalance
+# 32-bit multiplicative-xorshift mixer: every operation stays below 2^63
+# so DuckDB BIGINT replays it without overflow (DuckDB errors on int64
+# wrap, so a 64-bit mixer is NOT SQL-expressible); numpy side runs the
+# identical ops in uint64 with explicit mod 2^32
+_HRW_M = 1 << 32
+_HRW_A = 2654435761  # Knuth multiplicative
+_HRW_B = 40503
+_HRW_C = 2246822519  # xxhash prime
+
+
+def _hrw_hash_vec(key: np.ndarray, shard: int) -> np.ndarray:
+    """h(key, shard) — vectorized over int64 keys, all-int32-range ops."""
+    x = (
+        key.astype(np.uint64) * np.uint64(_HRW_A)
+        + np.uint64(shard) * np.uint64(_HRW_B)
+    ) % np.uint64(_HRW_M)
+    x = x ^ (x >> np.uint64(16))
+    x = (x * np.uint64(_HRW_C)) % np.uint64(_HRW_M)
+    x = x ^ (x >> np.uint64(13))
+    return x.astype(np.int64)
+
+
+def q_hrw_shard_rebalance(sf_dir: str):
+    """RENDEZVOUS-HASHING SHARD REBALANCE AUDIT: every frontier URL key
+    assigned to argmax_s h(key, s) under ``HRW_SHARDS`` shards and again
+    under ``HRW_SHARDS + 1`` (a shard added to the fixed-size cluster),
+    reporting per NEW shard (shard, n_before, n_after, n_moved_in) — the
+    consistent-hashing property a 10^10-URL frontier needs when a node
+    joins: HRW moves only ~1/(N+1) of keys (all INTO the new shard),
+    where mod-hashing would reshuffle ~N/(N+1) of the frontier. Ties
+    break to the lowest shard id.
+
+    Scale shape: pure map-side — each batch computes its (n, N+1) hash
+    matrix and two argmaxes, emitting per-batch partial shard counts;
+    the reduce is shard-bounded. No shuffle at any frontier size.
+    Reference: the reference shards implicitly via Storm fieldsGrouping
+    (topologies/CrawlerTopology.java); explicit HRW is the north-rule
+    frontier-partitioning addition."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["url_id"].to_numpy().astype(np.int64)
+        h = np.stack(
+            [_hrw_hash_vec(k, s) for s in range(HRW_SHARDS + 1)], axis=1
+        )  # (n, N+1); np.argmax takes the FIRST max → lowest shard on ties
+        before = np.argmax(h[:, :HRW_SHARDS], axis=1)
+        after = np.argmax(h, axis=1)
+        nb = np.bincount(before, minlength=HRW_SHARDS + 1)
+        na = np.bincount(after, minlength=HRW_SHARDS + 1)
+        mv = np.bincount(
+            after[after != before], minlength=HRW_SHARDS + 1
+        )
+        return pa.table(
+            {
+                "shard": pa.array(
+                    np.arange(HRW_SHARDS + 1, dtype=np.int64), pa.int64()
+                ),
+                "n_before": pa.array(nb.astype(np.int64), pa.int64()),
+                "n_after": pa.array(na.astype(np.int64), pa.int64()),
+                "n_moved_in": pa.array(mv.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df = (
+        rd.read_parquet(_fx_raw_urls(sf_dir), columns=["url_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # (N+1) × n_batches-bounded partials
+        .groupby("shard", sort=True)
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            c: pa.array(df[c].to_numpy(np.int64), pa.int64())
+            for c in ("shard", "n_before", "n_after", "n_moved_in")
+        }
+    )
+
+
+def _hrw_mix_sql(key: str, shard: str) -> str:
+    m, a, b, c = _HRW_M, _HRW_A, _HRW_B, _HRW_C
+    x0 = f"(({key} * {a} + {shard} * {b}) % {m})"
+    x1 = f"xor({x0}, {x0} // 65536)"
+    # x1 < 2^32 but x1·C ≈ 9.7×10^18 exceeds int64 → widen to HUGEINT
+    # for the product (numpy's uint64 holds it: < 2^64)
+    x2 = f"CAST((CAST({x1} AS HUGEINT) * {c}) % {m} AS BIGINT)"
+    return f"xor({x2}, {x2} // 8192)"
+    # >>16 / >>13 are exact integer divides for nonnegative x (both
+    # engines); xor() is DuckDB's bitwise xor on BIGINT
+
+
+def _hrw_rebalance_sql(raw: str) -> str:
+    n = HRW_SHARDS
+    mix = _hrw_mix_sql("u.url_id", "s.s")
+    return (
+        f"WITH u AS (SELECT url_id FROM read_parquet('{raw}')), "
+        f"s AS (SELECT UNNEST(range({n + 1})) AS s), "
+        f"h AS (SELECT u.url_id, s.s, {mix} AS h FROM u CROSS JOIN s), "
+        "bef AS (SELECT url_id, s AS shard FROM h WHERE s < "
+        f"{n} QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY url_id ORDER BY h DESC, s) = 1), "
+        "aft AS (SELECT url_id, s AS shard FROM h "
+        "QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY url_id ORDER BY h DESC, s) = 1), "
+        f"grid AS (SELECT UNNEST(range({n + 1})) AS shard), "
+        "nb AS (SELECT shard, COUNT(*) AS c FROM bef GROUP BY shard), "
+        "na AS (SELECT shard, COUNT(*) AS c FROM aft GROUP BY shard), "
+        "mv AS (SELECT a.shard, COUNT(*) AS c FROM aft a "
+        "JOIN bef b USING (url_id) WHERE a.shard <> b.shard GROUP BY a.shard) "
+        "SELECT CAST(grid.shard AS BIGINT) AS shard, "
+        "CAST(COALESCE(nb.c, 0) AS BIGINT) AS n_before, "
+        "CAST(COALESCE(na.c, 0) AS BIGINT) AS n_after, "
+        "CAST(COALESCE(mv.c, 0) AS BIGINT) AS n_moved_in "
+        "FROM grid LEFT JOIN nb USING (shard) LEFT JOIN na USING (shard) "
+        "LEFT JOIN mv USING (shard) ORDER BY shard"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 CRAWL_QUERIES = {
     "url_canonical_audit": q_url_canonical_audit,
+    "hrw_shard_rebalance": q_hrw_shard_rebalance,
     "robots_gate_counts": q_robots_gate_counts,
     "url_expand_final": q_url_expand_final,
     "politeness_rounds": q_politeness_rounds,
@@ -1109,6 +1233,7 @@ def build_crawl_oracles() -> dict[str, str]:
     pages = os.path.join(fdir, "pages.parquet")
     return {
         "url_canonical_audit": _url_canonical_audit_sql(_fx_raw_urls("/root/testdata/sf0.01")),
+        "hrw_shard_rebalance": _hrw_rebalance_sql(_fx_raw_urls("/root/testdata/sf0.01")),
         "robots_gate_counts": _robots_gate_counts_sql(seeds, robots),
         "url_expand_final": _url_expand_final_sql(seeds, redirects),
         "politeness_rounds": _politeness_rounds_sql(seeds),

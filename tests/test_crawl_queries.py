@@ -266,3 +266,54 @@ def test_url_canonical_audit_tiny_vs_duckdb(ray_session):
     # planted defects mean every rule fires even at 500 urls
     assert (got.iloc[0][[c for c in got.columns if c.startswith("n_")]] > 0).all()
     assert got.iloc[0]["n_collided_raw"] > 0
+
+
+def test_hrw_mixer_matches_pure_python():
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        _HRW_A,
+        _HRW_B,
+        _HRW_C,
+        _HRW_M,
+        _hrw_hash_vec,
+    )
+
+    def ref(k, s):
+        x = (k * _HRW_A + s * _HRW_B) % _HRW_M
+        x ^= x >> 16
+        x = (x * _HRW_C) % _HRW_M
+        x ^= x >> 13
+        return x
+
+    keys = np.array([0, 1, 7, 12345, 99999, 2**31 - 1], np.int64)
+    for s in (0, 3, 16):
+        got = _hrw_hash_vec(keys, s)
+        assert got.tolist() == [ref(int(k), s) for k in keys]
+
+
+def test_hrw_rebalance_consistent_hashing_property(ray_session):
+    """Adding one shard must move keys ONLY into the new shard, and only
+    ~1/(N+1) of them — the whole point of rendezvous hashing."""
+    import duckdb
+    import pandas as pd
+
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        HRW_SHARDS,
+        _fx_raw_urls,
+        _hrw_rebalance_sql,
+        q_hrw_shard_rebalance,
+    )
+
+    got = q_hrw_shard_rebalance("/root/testdata/sf0.001").to_pandas()
+    exp = duckdb.sql(
+        _hrw_rebalance_sql(_fx_raw_urls("/root/testdata/sf0.001"))
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    n = int(got["n_before"].sum())
+    assert int(got["n_after"].sum()) == n
+    # moves land exclusively in the new shard
+    assert (got.loc[got["shard"] < HRW_SHARDS, "n_moved_in"] == 0).all()
+    moved = int(got["n_moved_in"].sum())
+    assert moved == int(got.loc[got["shard"] == HRW_SHARDS, "n_after"].iloc[0])
+    # ~1/(N+1) of keys move (generous 2x band; mod-hashing would move ~94%)
+    frac = moved / n
+    assert 0.5 / (HRW_SHARDS + 1) < frac < 2.0 / (HRW_SHARDS + 1)
