@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "event_value_ks_pairs",
     "url_canonical_audit",
     "hrw_shard_rebalance",
+    "unimax_allocation",
 ]
 
 

@@ -1556,8 +1556,139 @@ def _event_ks_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# UniMax waterfill allocation (per-source token budgets)
+# --------------------------------------------------------------------------
+
+UNIMAX_BUDGET_PCT = 50  # total token budget as % of corpus tokens
+
+
+def q_unimax_allocation(sf_dir: str):
+    """UNIMAX WATERFILL ALLOCATION (Chung et al. 2023's UniMax sampling,
+    the cap-aware alternative to temperature sampling): split a total
+    token budget T = ``UNIMAX_BUDGET_PCT``% of corpus tokens across
+    sources as uniformly as possible without exceeding any source's
+    available tokens — find the integer water level s with
+    Σ min(cᵢ, s) = T; sources below the level are fully consumed
+    (capped), the rest get s tokens each, and the T mod m remainder
+    goes +1 to the lexicographically-first uncapped sources (exact
+    deterministic tie rule). Output (source, n_tokens, alloc_tokens,
+    capped).
+
+    Scale shape: the per-source token counts are a map-side partial
+    aggregate + one source-bounded groupby (text column pruned after
+    the count); the waterfill itself is a driver step over the
+    AGGREGATED per-source table (thousands of rows, the
+    shard_assign_sources planning discipline). Oracle: the closed form
+    (pivot by sorted prefix sums, then level + remainder) replays in
+    SQL window functions.
+
+    Reference: no mixing machinery in the reference (ingest is
+    RedisSpout pass-through); data-mixing addition next to
+    lang_temperature_odds / source_budget_docs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .queries import TOKEN_RE  # house word regex
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = [
+            len(TOKEN_RE.findall(t.lower()))
+            for t in batch["text"].to_pylist()
+        ]
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "n": pa.array(np.array(toks, np.int64), pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate([("n", "sum")])
+
+    c = (
+        rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()  # sources × n_batches-bounded
+        .groupby("source", sort=True)["n_sum"]
+        .sum()
+        .reset_index(name="n_tokens")
+    )
+    # waterfill in PYTHON ints (T and prefix sums are corpus-scale)
+    total = int(c["n_tokens"].sum())
+    T = (total * UNIMAX_BUDGET_PCT) // 100
+    o = c.sort_values(["n_tokens", "source"], kind="stable").reset_index(drop=True)
+    k = len(o)
+    alloc = {}
+    ps = 0
+    pivot = None
+    for i in range(k):
+        n_i = int(o.loc[i, "n_tokens"])
+        if (T - ps) <= n_i * (k - i):
+            pivot = i
+            break
+        alloc[o.loc[i, "source"]] = n_i  # capped: fully consumed
+        ps += n_i
+    if pivot is None:
+        # budget ≥ corpus: everyone capped (unreachable at 50%)
+        for i in range(k):
+            alloc[o.loc[i, "source"]] = int(o.loc[i, "n_tokens"])
+    else:
+        rem = T - ps
+        m = k - pivot
+        s, r = rem // m, rem % m
+        uncapped = sorted(o.loc[pivot:, "source"].tolist())
+        for j, src in enumerate(uncapped):
+            alloc[src] = s + (1 if j < r else 0)
+    out = c.copy()
+    out["alloc_tokens"] = [alloc[s] for s in out["source"]]
+    out["capped"] = out["alloc_tokens"] == out["n_tokens"]
+    return pa.table(
+        {
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64), pa.int64()),
+            "alloc_tokens": pa.array(
+                out["alloc_tokens"].to_numpy(np.int64), pa.int64()
+            ),
+            "capped": pa.array(out["capped"].tolist(), pa.bool_()),
+        }
+    )
+
+
+def _unimax_sql() -> str:
+    pct = UNIMAX_BUDGET_PCT
+    return (
+        "WITH c AS (SELECT source, CAST(SUM(len(regexp_extract_all("
+        "lower(text), '[a-z0-9]+'))) AS BIGINT) AS n "
+        "FROM documents GROUP BY source), "
+        f"t AS (SELECT SUM(n) * {pct} // 100 AS T FROM c), "
+        "o AS (SELECT source, n, ROW_NUMBER() OVER (ORDER BY n, source) AS i, "
+        "SUM(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS ps, "
+        "COUNT(*) OVER () AS k FROM c), "
+        # pivot: first i (in (n, source) order) whose suffix can absorb
+        # the remaining budget at a uniform level
+        "piv AS (SELECT MIN(o.i) AS pi FROM o, t "
+        "WHERE (t.T - (o.ps - o.n)) <= o.n * (o.k - o.i + 1)), "
+        "lvl0 AS (SELECT "
+        "(SELECT T FROM t) - COALESCE((SELECT SUM(o.n) FROM o, piv "
+        "WHERE o.i < piv.pi), 0) AS rem, "
+        "(SELECT MAX(k) FROM o) - (SELECT pi FROM piv) + 1 AS m), "
+        "lvl AS (SELECT rem // m AS s, rem % m AS r FROM lvl0), "
+        "ranked AS (SELECT o.source, o.n, o.i, p.pi, "
+        "ROW_NUMBER() OVER (PARTITION BY (o.i >= p.pi) ORDER BY o.source) "
+        "AS name_rank FROM o CROSS JOIN piv p) "
+        "SELECT ranked.source, ranked.n AS n_tokens, "
+        "CAST(CASE WHEN ranked.i < ranked.pi THEN ranked.n "
+        "ELSE lvl.s + CASE WHEN ranked.name_rank <= lvl.r THEN 1 ELSE 0 END "
+        "END AS BIGINT) AS alloc_tokens, "
+        "(CASE WHEN ranked.i < ranked.pi THEN ranked.n "
+        "ELSE lvl.s + CASE WHEN ranked.name_rank <= lvl.r THEN 1 ELSE 0 END "
+        "END) = ranked.n AS capped "
+        "FROM ranked CROSS JOIN lvl"
+    )
+
+
 ML9_QUERIES = {
     "event_value_ks_pairs": q_event_value_ks_pairs,
+    "unimax_allocation": q_unimax_allocation,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -1585,6 +1716,7 @@ def build_ml9_oracles() -> dict[str, str]:
     seeds = os.path.join(fdir, "frontier_seed.parquet")
     return {
         "event_value_ks_pairs": _event_ks_sql(),
+        "unimax_allocation": _unimax_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

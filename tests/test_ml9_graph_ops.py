@@ -801,3 +801,92 @@ def test_event_value_ks_pairs_brute_force(ray_session, tmp_path):
     # the planted shift must dominate the identical pair
     g = got.set_index(["type_a", "type_b"])
     assert g.loc[("A", "B"), "ks_micro"] > 400_000
+
+
+def test_unimax_allocation_planted_caps(ray_session, tmp_path):
+    """Skewed planted sources: tiny sources must be capped (fully
+    consumed), big ones waterfilled to a uniform level, remainder to the
+    lexicographically-first uncapped sources; engine == DuckDB replay."""
+    import duckdb
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        UNIMAX_BUDGET_PCT,
+        _unimax_sql,
+        q_unimax_allocation,
+    )
+
+    assert UNIMAX_BUDGET_PCT == 50
+    # tokens per doc = words; plant: a=2, b=10, c=100, d=101 (total 213,
+    # T=106: a capped at 2, b capped at 10, level for c,d = 47 each = 94
+    # → 2+10+47+47=106, r=0; then tweak with e=1 to get a remainder case)
+    docs = []
+    for src, words in (("a", 2), ("b", 10), ("c", 100), ("d", 101), ("e", 1)):
+        docs.append((src, " ".join(f"w{i}" for i in range(words))))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([s for s, _ in docs], pa.string()),
+            "n_chars": pa.array(
+                [len(t) for _, t in docs], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = (
+        q_unimax_allocation(str(tmp_path))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    # brute force: total=214, T=107; sorted by n: e=1,a=2,b=10,c=100,d=101
+    # e,a,b capped (1+2+10=13); rem=94 over {c,d}: s=47 r=0 → c=47, d=47
+    exp = pd.DataFrame(
+        {
+            "source": ["a", "b", "c", "d", "e"],
+            "n_tokens": [2, 10, 100, 101, 1],
+            "alloc_tokens": [2, 10, 47, 47, 1],
+            "capped": [True, True, False, False, True],
+        }
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["alloc_tokens"].sum() == (214 * 50) // 100
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sql = con.execute(_unimax_sql()).df().sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, sql, check_dtype=False)
+
+
+def test_unimax_allocation_remainder_rule(ray_session, tmp_path):
+    """Remainder goes +1 to the lexicographically-first uncapped sources."""
+    # sources x=9, y=9, z=9; total 27, T=13: no caps (13 <= 9*3 at i=1?
+    # pivot check: T - 0 = 13 <= 9*3 → level over all three: s=4 r=1 →
+    # x=5, y=4, z=4
+    docs = [(s, " ".join(f"w{i}" for i in range(9))) for s in ("x", "y", "z")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array([s for s, _ in docs], pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        q_unimax_allocation,
+    )
+
+    got = (
+        q_unimax_allocation(str(tmp_path))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got["alloc_tokens"].tolist() == [5, 4, 4]
+    assert got["capped"].tolist() == [False, False, False]
