@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "url_canonical_audit",
     "hrw_shard_rebalance",
     "unimax_allocation",
+    "ann_matryoshka_recall",
 ]
 
 

@@ -1557,6 +1557,139 @@ def _event_ks_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# Matryoshka truncation retrieval eval
+# --------------------------------------------------------------------------
+
+MRL_DIM = 16  # truncated prefix dims (of 64) — the MRL storage tier
+
+
+def q_ann_matryoshka_recall(sf_dir: str):
+    """MATRYOSHKA (MRL) TRUNCATION EVAL: exact cosine top-10 retrieval
+    using only the FIRST ``MRL_DIM`` embedding dimensions, scored
+    against the full-dimension exact top-10 — the recall cost of the
+    4× storage/compute cut a Matryoshka deployment takes when it serves
+    the truncated prefix tier (Kusupati et al. 2022). Output per query:
+    (query_id, n_hits, recall_micro). Complements ann_recall_at10
+    (which measures the IVF pruning trade; this measures the
+    dimensionality trade).
+
+    Scale shape: both sides are the brute-force discipline of
+    q_embedding_top10 — per-batch float64 matmul against a broadcast
+    query matrix, per-batch partial top-k under the exact (cos_micro
+    desc, vec_id asc) order, output-bounded merge; the truncated side
+    slices columns BEFORE normalizing (cosine of the raw prefix, the
+    MRL contract). Oracle: DuckDB replays both sides with
+    list_cosine_similarity over the full and [1:MRL_DIM]-sliced lists."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from .queries import N_QUERIES, TOP_K, q_embedding_top10
+
+    full = q_embedding_top10(sf_dir).to_pandas()  # output-bounded
+
+    import pyarrow.parquet as pq_
+
+    qt = pq_.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    qids = np.array(qt["vec_id"].to_pylist(), np.int64)
+    qmat = np.stack(
+        [
+            np.asarray(e, np.float64)[:MRL_DIM]
+            for e in qt["embedding"].to_pylist()
+        ]
+    )
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qmat))
+
+    def sims(batch: pa.Table) -> pa.Table:
+        from .queries import _micro
+
+        bqids, bqmat = ray.get(q_ref)
+        vids = batch["vec_id"].to_numpy()
+        emb = np.stack(
+            [
+                np.asarray(e, np.float64)[:MRL_DIM]
+                for e in batch["embedding"].to_pylist()
+            ]
+        )
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cm = _micro(emb @ bqmat.T)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(bqids):
+            mask = vids != qid
+            vv, cc = vids[mask], cm[mask, qi]
+            order = np.lexsort((vv, -cc))[:TOP_K]
+            out_q.append(np.full(len(order), qid, np.int64))
+            out_v.append(vv[order])
+            out_c.append(cc[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos_micro": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cos_micro", "vec_id"], ascending=[False, True]
+        ).head(TOP_K)
+
+    trunc = (
+        rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        .map_batches(sims, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    fkeys = set(zip(full["query_id"], full["vec_id"]))
+    hits = {int(q): 0 for q in full["query_id"].unique()}
+    for q, v in zip(trunc["query_id"], trunc["vec_id"]):
+        if (q, v) in fkeys:
+            hits[int(q)] += 1
+    out_q = sorted(hits)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "n_hits": pa.array([hits[q] for q in out_q], pa.int64()),
+            "recall_micro": pa.array(
+                [(hits[q] * 1_000_000) // TOP_K for q in out_q], pa.int64()
+            ),
+        }
+    )
+
+
+def _matryoshka_sql() -> str:
+    from .queries import N_QUERIES, TOP_K
+
+    def side(slice_expr: str) -> str:
+        return (
+            "SELECT q.query_id, v.vec_id FROM "
+            "(SELECT vec_id AS query_id, "
+            f"list_transform(embedding{slice_expr}, x -> CAST(x AS DOUBLE)) AS qe "
+            f"FROM embeddings WHERE vec_id < {N_QUERIES}) q CROSS JOIN "
+            "(SELECT vec_id, "
+            f"list_transform(embedding{slice_expr}, x -> CAST(x AS DOUBLE)) AS ve "
+            "FROM embeddings) v "
+            "WHERE v.vec_id != q.query_id "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "CAST(FLOOR(list_cosine_similarity(q.qe, v.ve)*1000000 + 0.5) "
+            f"AS BIGINT) DESC, v.vec_id ASC) <= {TOP_K}"
+        )
+
+    return (
+        f"WITH f AS ({side('')}), tr AS ({side(f'[1:{MRL_DIM}]')}) "
+        "SELECT f.query_id, CAST(COUNT(tr.vec_id) AS BIGINT) AS n_hits, "
+        f"CAST(COUNT(tr.vec_id) * 1000000 // {TOP_K} AS BIGINT) AS recall_micro "
+        "FROM f LEFT JOIN tr ON tr.query_id = f.query_id "
+        "AND tr.vec_id = f.vec_id GROUP BY f.query_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # UniMax waterfill allocation (per-source token budgets)
 # --------------------------------------------------------------------------
 
@@ -1689,6 +1822,7 @@ def _unimax_sql() -> str:
 ML9_QUERIES = {
     "event_value_ks_pairs": q_event_value_ks_pairs,
     "unimax_allocation": q_unimax_allocation,
+    "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -1717,6 +1851,7 @@ def build_ml9_oracles() -> dict[str, str]:
     return {
         "event_value_ks_pairs": _event_ks_sql(),
         "unimax_allocation": _unimax_sql(),
+        "ann_matryoshka_recall": _matryoshka_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

@@ -890,3 +890,34 @@ def test_unimax_allocation_remainder_rule(ray_session, tmp_path):
     )
     assert got["alloc_tokens"].tolist() == [5, 4, 4]
     assert got["capped"].tolist() == [False, False, False]
+
+
+def test_ann_matryoshka_recall_planted(ray_session, tmp_path):
+    """Embeddings with zero tails beyond MRL_DIM: the truncated ranking
+    is the full ranking, so every query's recall must be exactly 1.0 —
+    pins the truncation slice, the tie-exact top-k, and the hit join."""
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        MRL_DIM,
+        q_ann_matryoshka_recall,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 60, 64
+    emb = np.zeros((n, d), np.float32)
+    emb[:, :MRL_DIM] = rng.normal(size=(n, MRL_DIM)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(
+                    [e.tolist() for e in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = q_ann_matryoshka_recall(str(tmp_path)).to_pandas()
+    assert len(got) == 5
+    assert (got["recall_micro"] == 1_000_000).all()
+    assert (got["n_hits"] == 10).all()
