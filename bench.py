@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "hrw_shard_rebalance",
     "unimax_allocation",
     "ann_matryoshka_recall",
+    "knn_hubness_hist",
 ]
 
 

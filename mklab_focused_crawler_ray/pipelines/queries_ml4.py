@@ -897,7 +897,85 @@ def q_curated_pack_manifest(sf_dir: str):
     )
 
 
+def q_knn_hubness_hist(sf_dir: str):
+    """k-NN GRAPH HUBNESS AUDIT: the in-degree histogram of the
+    ``KNN_K``-NN graph — (in_degree, n_nodes), 0-in-degree nodes
+    included. Hubness (a few vectors appearing in everyone's neighbor
+    list while many appear in none) is the classic high-dimensional
+    degradation signal for an embedding space: a heavy right tail here
+    predicts poor retrieval and distorted semantic-dedup clusters
+    (Radovanović et al. 2010). Out-degree is constant ``KNN_K`` by
+    construction, so in-degree concentration IS the diagnostic.
+
+    Scale shape: rides the existing k-NN edge pass (map-side broadcast
+    matmul, or the IVF path at scale), then ONE nbr-keyed count shuffle;
+    the histogram fold is per-batch partials over the (already
+    degree-bounded) count table and the driver reduce is
+    distinct-degree-bounded. Oracle: composes the knn edge SQL with the
+    same LEFT-JOIN degree fold."""
+    import ray.data as rd  # noqa: F401  (edges dataset already Ray-side)
+
+    import pyarrow.parquet as pq_
+
+    n_total = pq_.read_metadata(_p(sf_dir, "embeddings")).num_rows
+    counts = (
+        q_knn_graph_edges(sf_dir)
+        .groupby("nbr_id")
+        .count()
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        deg, cnt = np.unique(
+            batch["count()"].to_numpy().astype(np.int64), return_counts=True
+        )
+        return pa.table(
+            {
+                "in_degree": pa.array(deg, pa.int64()),
+                "n_nodes": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()  # distinct-degree × n_batches-bounded
+        .groupby("in_degree", sort=True)["n_nodes"]
+        .sum()
+        .reset_index()
+    )
+    n_zero = int(n_total - df["n_nodes"].sum())
+    if n_zero > 0:
+        import pandas as pd
+
+        df = (
+            pd.concat(
+                [pd.DataFrame({"in_degree": [0], "n_nodes": [n_zero]}), df]
+            )
+            .groupby("in_degree", sort=True)["n_nodes"]
+            .sum()
+            .reset_index()
+        )
+    return pa.table(
+        {
+            "in_degree": pa.array(df["in_degree"].to_numpy(np.int64), pa.int64()),
+            "n_nodes": pa.array(df["n_nodes"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def _knn_hubness_sql() -> str:
+    return (
+        f"WITH knn AS ({_knn_sql()}), "
+        "d AS (SELECT nbr_id, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM knn GROUP BY nbr_id), "
+        "dd AS (SELECT e.vec_id, COALESCE(d.deg, 0) AS in_degree "
+        "FROM embeddings e LEFT JOIN d ON d.nbr_id = e.vec_id) "
+        "SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+        "FROM dd GROUP BY in_degree"
+    )
+
+
 ML4_QUERIES = {
+    "knn_hubness_hist": q_knn_hubness_hist,
     "curated_pack_manifest": q_curated_pack_manifest,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_stats": q_doc_pack_stats,
@@ -920,5 +998,6 @@ def build_ml4_oracles() -> dict[str, str]:
         "delta_tokenset_dedup": _delta_sql(),
         "knn_graph_edges": _knn_sql(),
         "knn_graph_edges_ivf": _knn_sql(),
+        "knn_hubness_hist": _knn_hubness_sql(),
         "knn_semantic_clusters": _knn_clusters_sql(),
     }

@@ -921,3 +921,20 @@ def test_ann_matryoshka_recall_planted(ray_session, tmp_path):
     assert len(got) == 5
     assert (got["recall_micro"] == 1_000_000).all()
     assert (got["n_hits"] == 10).all()
+
+
+def test_knn_hubness_invariants(ray_session):
+    """Histogram mass = node count; edge mass = KNN_K · n (every node
+    emits exactly K out-edges, so Σ in_degree·n_nodes = K·n)."""
+    import pyarrow.parquet as pq_
+
+    from mklab_focused_crawler_ray.pipelines.queries_ml4 import (
+        KNN_K,
+        q_knn_hubness_hist,
+    )
+
+    got = q_knn_hubness_hist("/root/testdata/sf0.001").to_pandas()
+    n = pq_.read_metadata("/root/testdata/sf0.001/embeddings.parquet").num_rows
+    assert int(got["n_nodes"].sum()) == n
+    assert int((got["in_degree"] * got["n_nodes"]).sum()) == KNN_K * n
+    assert got["in_degree"].is_monotonic_increasing
