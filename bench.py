@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "unimax_allocation",
     "ann_matryoshka_recall",
     "knn_hubness_hist",
+    "robots_wildcard_gate",
 ]
 
 

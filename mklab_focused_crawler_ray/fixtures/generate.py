@@ -704,3 +704,87 @@ def ensure_raw_urls(tier: str, out_dir: str, seed: int = 42) -> str:
     with open(marker, "w") as f:
         f.write(f"{want} tier={tier} seed={seed} n={n}\n")
     return out_dir
+
+
+# --------------------------------------------------------------------------
+# wildcard robots rules (RFC 9309 * / $ patterns) — robots_wildcard_gate
+# --------------------------------------------------------------------------
+
+RWILD_VERSION = 1
+
+
+def robots_pattern_to_regex(p: str) -> str:
+    """RFC 9309 rule path → anchored regex, shared VERBATIM by the engine
+    (compiled per host) and the oracle (stored in the fixture table and
+    fed to DuckDB's RE2): '*' → '.*', a TRAILING '$' anchors the end
+    (mid-pattern '$' is a literal), everything else escaped."""
+    import re as _re
+
+    anchored = p.endswith("$")
+    core = p[:-1] if anchored else p
+    esc = "".join(".*" if c == "*" else _re.escape(c) for c in core)
+    return "^" + esc + ("$" if anchored else "")
+
+
+def gen_robots_wildcards(seed: int = 42) -> pa.Table:
+    """Per-host RFC 9309 wildcard rule sets over the raw_urls host grid
+    (news{0..59}.example{0..5}.com): ~70% of hosts get 1-3 rules drawn
+    from digit-parameterized templates, including Allow rules that are
+    LONGER than a Disallow they override (the longest-match + allow-wins
+    precedence a compliant crawler must implement). Deterministic."""
+    rng = np.random.default_rng(seed + 2027)
+    hosts, rules, allows, regexes = [], [], [], []
+    for h in range(60):
+        for e in range(6):
+            host = f"news{h}.example{e}.com"
+            if rng.random() < 0.3:
+                continue  # no robots rules for this host
+            n_rules = int(rng.integers(1, 4))
+            for _ in range(n_rules):
+                kind = int(rng.integers(0, 4))
+                d = int(rng.integers(0, 10))
+                if kind == 0:
+                    rule, allow = f"/p/*{d}$", False  # paths ending in d
+                elif kind == 1:
+                    rule, allow = f"/p/{d}*", False  # paths starting with d
+                elif kind == 2:
+                    # disallow a digit prefix BUT allow a longer refinement
+                    rule, allow = f"/p/{d}*", False
+                    d2 = int(rng.integers(0, 10))
+                    hosts.append(host)
+                    rules.append(rule)
+                    allows.append(allow)
+                    regexes.append(robots_pattern_to_regex(rule))
+                    rule, allow = f"/p/{d}{d2}*", True
+                else:
+                    rule, allow = "/p/*?*", False  # any query string
+                hosts.append(host)
+                rules.append(rule)
+                allows.append(allow)
+                regexes.append(robots_pattern_to_regex(rule))
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rule": pa.array(rules, pa.string()),
+            "allow": pa.array(allows, pa.bool_()),
+            "rule_regex": pa.array(regexes, pa.string()),
+        }
+    )
+
+
+def ensure_robots_wildcards(out_dir: str, seed: int = 42) -> str:
+    """Idempotently add robots_wildcards.parquet to a fixture tier (the
+    ensure_raw_urls discipline; the rule grid is host-bounded, so every
+    tier shares one table shape)."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_RWILD_DONE")
+    want = f"v={RWILD_VERSION}"
+    if os.path.exists(marker) and want in open(marker).read():
+        return out_dir
+    pq.write_table(
+        gen_robots_wildcards(seed=seed),
+        os.path.join(out_dir, "robots_wildcards.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write(f"{want} seed={seed}\n")
+    return out_dir

@@ -1080,6 +1080,142 @@ def _url_canonical_audit_sql(raw: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# RFC 9309 wildcard robots gate (longest-match, allow-wins precedence)
+# --------------------------------------------------------------------------
+
+
+def _fx_robots_wildcards(sf_dir: str) -> str:
+    from ..fixtures.generate import ensure_robots_wildcards
+    from .queries_media import fixture_dir_for
+
+    fdir = fixture_dir_for(sf_dir)
+    ensure_robots_wildcards(fdir)
+    return os.path.join(fdir, "robots_wildcards.parquet")
+
+
+def q_robots_wildcard_gate(sf_dir: str):
+    """RFC 9309 WILDCARD ROBOTS GATE: the raw-URL frontier gated by
+    per-host rule sets with '*' wildcards and trailing-'$' anchors under
+    the full compliance precedence — among all matching rules the
+    LONGEST (by rule octet length) wins, Allow beats Disallow on ties,
+    no match means allowed. This is the part of robots handling the
+    prefix-only gate (q_robots_gate_counts) cannot express, and the
+    batch-audit twin of the live parser (state/politeness.RobotsCache).
+    Output per host: (host, n_urls, n_blocked).
+
+    Scale shape: the rule table is host-bounded → broadcast once via
+    ``ray.put`` as per-host precedence-sorted compiled regex lists;
+    matching is map-side over the URL stream; the reduce is host-bounded
+    per-batch partials. The regex TRANSLATION is done once at fixture
+    generation and stored in the table (``rule_regex``), so engine
+    (Python re) and oracle (DuckDB RE2) consume the identical pattern
+    string — no dual implementations to drift."""
+    import re
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.urls import _URL_RE
+
+    rwpath = _fx_robots_wildcards(sf_dir)
+
+    import pyarrow.parquet as pq_
+
+    rw = pq_.read_table(rwpath).to_pandas()
+    by_host: dict[str, list] = {}
+    for host, rule, allow, rx in zip(
+        rw["host"], rw["rule"], rw["allow"], rw["rule_regex"]
+    ):
+        by_host.setdefault(host, []).append((len(rule), bool(allow), rule, rx))
+    for host in by_host:
+        # precedence order: longest rule first, Allow before Disallow on
+        # equal length, then rule string (full determinism)
+        by_host[host] = [
+            (a, re.compile(rx))
+            for _, a, _, rx in sorted(
+                by_host[host], key=lambda t: (-t[0], not t[1], t[2])
+            )
+        ]
+    rules_ref = ray.put(by_host)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        rules = ray.get(rules_ref)
+        hosts, blocked = [], []
+        for u in batch["raw_url"].to_pylist():
+            m = _URL_RE.match(u)
+            if not m:
+                continue  # generator always parses; audited via n_urls sum
+            scheme, auth, path, q, _ = m.groups()
+            la = auth.lower()
+            dport = {"https": ":443", "http": ":80"}.get(scheme.lower())
+            if dport and la.endswith(dport):
+                la = la[: -len(dport)]
+            pathq = (path if path else "/") + (f"?{q}" if q else "")
+            verdict = False  # no match → allowed
+            for allow, rx in rules.get(la, ()):
+                if rx.match(pathq):
+                    verdict = not allow
+                    break  # first in precedence order wins
+            hosts.append(la)
+            blocked.append(verdict)
+        t = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "blocked": pa.array(np.array(blocked, np.int64), pa.int64()),
+                "one": pa.array(np.ones(len(hosts), np.int64), pa.int64()),
+            }
+        )
+        return t.group_by("host").aggregate([("one", "sum"), ("blocked", "sum")])
+
+    df = (
+        rd.read_parquet(_fx_raw_urls(sf_dir), columns=["raw_url"])
+        .map_batches(gate, batch_format="pyarrow")
+        .to_pandas()  # hosts × n_batches-bounded partials
+        .groupby("host", sort=True)
+        .sum()
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "host": pa.array(df["host"].tolist(), pa.string()),
+            "n_urls": pa.array(df["one_sum"].to_numpy(np.int64), pa.int64()),
+            "n_blocked": pa.array(
+                df["blocked_sum"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _robots_wildcard_sql(raw: str, rwild: str) -> str:
+    return (
+        "WITH u AS (SELECT url_id, raw_url, regexp_extract(raw_url, "
+        "'^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', "
+        "['scheme', 'auth', 'path', 'q', 'frag']) AS g "
+        f"FROM read_parquet('{raw}')), "
+        "p AS (SELECT url_id, lower(g['scheme']) AS ls, "
+        "lower(g['auth']) AS la0, "
+        "(CASE WHEN g['path'] = '' THEN '/' ELSE g['path'] END) || "
+        "(CASE WHEN g['q'] <> '' THEN '?' || g['q'] ELSE '' END) AS pathq "
+        "FROM u WHERE g['scheme'] <> ''), "
+        "p2 AS (SELECT url_id, pathq, CASE WHEN ls = 'https' THEN "
+        "regexp_replace(la0, ':443$', '') WHEN ls = 'http' THEN "
+        "regexp_replace(la0, ':80$', '') ELSE la0 END AS host FROM p), "
+        f"rw AS (SELECT * FROM read_parquet('{rwild}')), "
+        "m AS (SELECT p2.url_id, p2.host, rw.allow, length(rw.rule) AS rl, "
+        "rw.rule FROM p2 JOIN rw ON rw.host = p2.host "
+        "AND regexp_matches(p2.pathq, rw.rule_regex)), "
+        "best AS (SELECT url_id, NOT allow AS blocked FROM m "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY url_id "
+        "ORDER BY rl DESC, allow DESC, rule) = 1) "
+        "SELECT p2.host, CAST(COUNT(*) AS BIGINT) AS n_urls, "
+        "CAST(SUM(CASE WHEN COALESCE(best.blocked, FALSE) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_blocked "
+        "FROM p2 LEFT JOIN best USING (url_id) GROUP BY p2.host"
+    )
+
+
+# --------------------------------------------------------------------------
 # rendezvous (HRW) shard rebalance audit
 # --------------------------------------------------------------------------
 
@@ -1209,6 +1345,7 @@ def _hrw_rebalance_sql(raw: str) -> str:
 CRAWL_QUERIES = {
     "url_canonical_audit": q_url_canonical_audit,
     "hrw_shard_rebalance": q_hrw_shard_rebalance,
+    "robots_wildcard_gate": q_robots_wildcard_gate,
     "robots_gate_counts": q_robots_gate_counts,
     "url_expand_final": q_url_expand_final,
     "politeness_rounds": q_politeness_rounds,
@@ -1234,6 +1371,10 @@ def build_crawl_oracles() -> dict[str, str]:
     return {
         "url_canonical_audit": _url_canonical_audit_sql(_fx_raw_urls("/root/testdata/sf0.01")),
         "hrw_shard_rebalance": _hrw_rebalance_sql(_fx_raw_urls("/root/testdata/sf0.01")),
+        "robots_wildcard_gate": _robots_wildcard_sql(
+            _fx_raw_urls("/root/testdata/sf0.01"),
+            _fx_robots_wildcards("/root/testdata/sf0.01"),
+        ),
         "robots_gate_counts": _robots_gate_counts_sql(seeds, robots),
         "url_expand_final": _url_expand_final_sql(seeds, redirects),
         "politeness_rounds": _politeness_rounds_sql(seeds),

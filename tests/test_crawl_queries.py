@@ -7,6 +7,7 @@ covered by tests/test_queries_oracle.py (FIXTURE_BACKED entries)."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from mklab_focused_crawler_ray.pipelines.queries_crawl import (
     AVG_TIME_DIFF_MS,
@@ -317,3 +318,116 @@ def test_hrw_rebalance_consistent_hashing_property(ray_session):
     # ~1/(N+1) of keys move (generous 2x band; mod-hashing would move ~94%)
     frac = moved / n
     assert 0.5 / (HRW_SHARDS + 1) < frac < 2.0 / (HRW_SHARDS + 1)
+
+
+def test_robots_pattern_to_regex():
+    import re
+
+    from mklab_focused_crawler_ray.fixtures.generate import (
+        robots_pattern_to_regex,
+    )
+
+    rx = re.compile(robots_pattern_to_regex("/p/*4$"))
+    assert rx.match("/p/1234") and not rx.match("/p/1234/x") and not rx.match("/p/45")
+    rx = re.compile(robots_pattern_to_regex("/p/0*"))
+    assert rx.match("/p/0x/y") and not rx.match("/x/p/0")
+    # '?' in a rule is a literal, not regex any-char
+    rx = re.compile(robots_pattern_to_regex("/p/*?*"))
+    assert rx.match("/p/1?a=1") and not rx.match("/p/1")
+    # mid-pattern '$' is literal; only trailing '$' anchors
+    rx = re.compile(robots_pattern_to_regex("/a$b"))
+    assert rx.match("/a$b/c") and not rx.match("/ab")
+
+
+def test_robots_wildcard_precedence(ray_session, tmp_path):
+    """Hand-built rules + URLs: longest match wins, Allow beats Disallow
+    on ties, no match allows; engine == DuckDB replay."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.fixtures.generate import (
+        robots_pattern_to_regex,
+    )
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        _robots_wildcard_sql,
+    )
+
+    rules = [
+        ("h.com", "/p/0*", False),
+        ("h.com", "/p/00*", True),  # longer allow overrides
+        ("h.com", "/q/*9$", False),
+        ("tie.com", "/x*", False),
+        ("tie.com", "/x*", True),  # equal length → allow wins
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([r[0] for r in rules], pa.string()),
+                "rule": pa.array([r[1] for r in rules], pa.string()),
+                "allow": pa.array([r[2] for r in rules], pa.bool_()),
+                "rule_regex": pa.array(
+                    [robots_pattern_to_regex(r[1]) for r in rules], pa.string()
+                ),
+            }
+        ),
+        str(tmp_path / "rw.parquet"),
+    )
+    urls = [
+        ("https://h.com/p/01", True),  # /p/0* disallow, /p/00* no match
+        ("https://h.com/p/001", False),  # /p/00* allow (longer) overrides
+        ("https://h.com/q/19", True),  # $-anchored disallow
+        ("https://h.com/q/19/x", False),  # anchor prevents match
+        ("https://h.com/other", False),  # no match → allowed
+        ("https://tie.com/xyz", False),  # tie → allow wins
+        ("https://norules.com/a", False),  # host without rules
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url_id": pa.array(range(len(urls)), pa.int64()),
+                "raw_url": pa.array([u for u, _ in urls], pa.string()),
+            }
+        ),
+        str(tmp_path / "raw.parquet"),
+    )
+    sql = _robots_wildcard_sql(
+        str(tmp_path / "raw.parquet"), str(tmp_path / "rw.parquet")
+    )
+    got = duckdb.sql(sql).df().set_index("host").sort_index()
+    assert int(got.loc["h.com", "n_blocked"]) == 2
+    assert int(got.loc["h.com", "n_urls"]) == 5
+    assert int(got.loc["tie.com", "n_blocked"]) == 0
+    assert int(got.loc["norules.com", "n_blocked"]) == 0
+
+    # engine replay of the same precedence on the same planted tables:
+    # run the kernel inline (the query function binds fixture paths, so
+    # drive its matching logic through the SQL-checked fixture instead)
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        q_robots_wildcard_gate,
+    )
+
+    eng = (
+        q_robots_wildcard_gate("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        _fx_raw_urls,
+        _fx_robots_wildcards,
+    )
+
+    exp = (
+        duckdb.sql(
+            _robots_wildcard_sql(
+                _fx_raw_urls("/root/testdata/sf0.001"),
+                _fx_robots_wildcards("/root/testdata/sf0.001"),
+            )
+        )
+        .df()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(eng, exp, check_dtype=False)
+    assert eng["n_blocked"].sum() > 0  # planted rules actually fire
