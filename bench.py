@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "ann_matryoshka_recall",
     "knn_hubness_hist",
     "robots_wildcard_gate",
+    "image_dedup_eval",
 ]
 
 

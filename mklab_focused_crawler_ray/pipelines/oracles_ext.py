@@ -398,6 +398,32 @@ def build_extended_oracles() -> dict[str, str]:
         "SELECT node AS image_id, MIN(label) AS cluster_id FROM cc GROUP BY node"
     )
 
+    # image dedup eval: pair-counting precision/recall of the pHash
+    # clusters vs the planted dupmap — composes the recursive
+    # image_clusters CTE (nested WITH is valid in a subquery) with the
+    # Rand contingency fold; C(n,2) from counts, never enumerated pairs
+    dupmap = os.path.join(fdir, "images_dupmap.parquet")
+    sql["image_dedup_eval"] = (
+        f"WITH pred AS ({sql['image_clusters']}), "
+        f"tm AS (SELECT image_id, dup_of AS t FROM read_parquet('{dupmap}')), "
+        "lab AS (SELECT p.image_id, p.cluster_id AS pl, "
+        "COALESCE(tm.t, p.image_id) AS tl FROM pred p "
+        "LEFT JOIN tm USING (image_id)), "
+        "pc AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s FROM "
+        "(SELECT COUNT(*) AS n FROM lab GROUP BY pl)), "
+        "tc AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s FROM "
+        "(SELECT COUNT(*) AS n FROM lab GROUP BY tl)), "
+        "bc AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s FROM "
+        "(SELECT COUNT(*) AS n FROM lab GROUP BY pl, tl)) "
+        "SELECT pc.s AS n_pairs_pred, tc.s AS n_pairs_truth, "
+        "bc.s AS n_pairs_both, "
+        "CASE WHEN pc.s = 0 THEN 0 ELSE bc.s * 1000000 // pc.s END "
+        "AS precision_micro, "
+        "CASE WHEN tc.s = 0 THEN 0 ELSE bc.s * 1000000 // tc.s END "
+        "AS recall_micro "
+        "FROM pc CROSS JOIN tc CROSS JOIN bc"
+    )
+
     # pseudo-embedding near-dup pairs: BRUTE-FORCE cosine over the engine's
     # materialized pseudo-embedding table (same shape as the
     # embedding_dup_pairs oracle on the driver table). The embedding VALUES

@@ -1800,6 +1800,82 @@ def q_caption_to_image_topk(sf_dir: str):
     )
 
 
+def q_image_dedup_eval(sf_dir: str):
+    """IMAGE DEDUP QUALITY EVAL: pair-counting precision/recall of the
+    pHash near-dup clustering (``q_image_clusters``) against the
+    fixture's PLANTED duplicate ground truth (``images_dupmap.parquet``
+    — every synthetic near-dup knows its source). Standard
+    Rand-decomposition pair counting: P_pred = Σ C(n,2) over predicted
+    clusters, P_truth over planted clusters (source + its dups),
+    P_both over the (pred × truth) contingency cells;
+    precision = P_both/P_pred, recall = P_both/P_truth. One output row:
+    (n_pairs_pred, n_pairs_truth, n_pairs_both, precision_micro,
+    recall_micro).
+
+    Scale shape: the truth map is fixture ground truth (evals on
+    planted truth are inherently bounded) and broadcasts; the three
+    pair sums are each ONE keyed count shuffle over the cluster table
+    followed by per-batch C(n,2) partials — no pair materialization
+    anywhere (C(n,2) from counts, never enumerated). Oracle: composes
+    the recursive image_clusters SQL with the same contingency fold."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq_
+
+    fdir = fixture_dir_for(sf_dir)
+    dm = pq_.read_table(os.path.join(fdir, "images_dupmap.parquet"))
+    truth = dict(
+        zip(dm["image_id"].to_pylist(), dm["dup_of"].to_pylist())
+    )
+    t_ref = ray.put(truth)
+
+    from ..stages.image import cluster_images
+
+    clusters = cluster_images(_images(sf_dir), max_hamming=8)
+
+    def with_truth(batch: pa.Table) -> pa.Table:
+        tm = ray.get(t_ref)
+        ids = batch["image_id"].to_pylist()
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "pl": batch["cluster_id"],
+                "tl": pa.array([tm.get(i, i) for i in ids], pa.string()),
+            }
+        )
+
+    lab = clusters.map_batches(with_truth, batch_format="pyarrow")
+
+    def pair_sum(counted, col: str = "count()") -> int:
+        def partial(batch: pa.Table) -> pa.Table:
+            n = batch[col].to_numpy().astype(np.int64)
+            return pa.table(
+                {"s": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())}
+            )
+
+        return int(
+            counted.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()["s"]  # n_batches-bounded partials
+            .sum()
+        )
+
+    p_pred = pair_sum(lab.groupby("pl").count())
+    p_truth = pair_sum(lab.groupby("tl").count())
+    p_both = pair_sum(lab.groupby(["pl", "tl"]).count())
+    prec = (p_both * 1_000_000) // p_pred if p_pred else 0
+    rec = (p_both * 1_000_000) // p_truth if p_truth else 0
+    return pa.table(
+        {
+            "n_pairs_pred": pa.array([p_pred], pa.int64()),
+            "n_pairs_truth": pa.array([p_truth], pa.int64()),
+            "n_pairs_both": pa.array([p_both], pa.int64()),
+            "precision_micro": pa.array([prec], pa.int64()),
+            "recall_micro": pa.array([rec], pa.int64()),
+        }
+    )
+
+
 XRECALL_QUERIES = 50  # sampled ground-truth pairs (alphabetically-first)
 XRECALL_KS = (1, 5, 10)
 
@@ -2558,6 +2634,7 @@ MEDIA_QUERIES = {
     "image_exposure_stats": q_image_exposure_stats,
     "image_color_stats": q_image_color_stats,
     "crossmodal_recall": q_crossmodal_recall,
+    "image_dedup_eval": q_image_dedup_eval,
     "image_junk_gate": q_image_junk_gate,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,

@@ -169,3 +169,67 @@ def test_image_embedding_dup_pairs_match_brute_force(ray_session):
 
 # audio/video stages moved to stages/av.py (real fixture codecs) —
 # covered by tests/test_av_stages.py
+
+
+def test_image_dedup_eval_brute_force(ray_session):
+    """Pair-counting precision/recall vs an independent brute-force
+    clustering + contingency fold at the tiny tier; planted dups must
+    give a nonzero recall (the fixture's near-dups really do collide)."""
+    import os
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mklab_focused_crawler_ray.pipelines.queries_media import (
+        fixture_dir_for,
+        q_image_dedup_eval,
+    )
+
+    got = q_image_dedup_eval("/root/testdata/sf0.001").to_pandas().iloc[0]
+
+    fdir = fixture_dir_for("/root/testdata/sf0.001")
+    im = pq.read_table(
+        os.path.join(fdir, "images.parquet"), columns=["image_id", "phash"]
+    )
+    ids = im["image_id"].to_pylist()
+    ph = np.array(im["phash"].to_pylist(), np.uint64)
+    # brute-force band-blocked hamming<=8 edges (the engine's contract)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            share_band = any(
+                ((int(ph[i]) >> (16 * b)) & 0xFFFF)
+                == ((int(ph[j]) >> (16 * b)) & 0xFFFF)
+                for b in range(4)
+            )
+            if share_band and bin(int(ph[i]) ^ int(ph[j])).count("1") <= 8:
+                ri, rj = find(ids[i]), find(ids[j])
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    pred = {i: find(i) for i in ids}
+    dm = pq.read_table(os.path.join(fdir, "images_dupmap.parquet"))
+    tmap = dict(zip(dm["image_id"].to_pylist(), dm["dup_of"].to_pylist()))
+    truth = {i: tmap.get(i, i) for i in ids}
+
+    def pairs(labels):
+        c = Counter(labels.values())
+        return sum(v * (v - 1) // 2 for v in c.values())
+
+    both = Counter((pred[i], truth[i]) for i in ids)
+    p_pred, p_truth = pairs(pred), pairs(truth)
+    p_both = sum(v * (v - 1) // 2 for v in both.values())
+    assert int(got["n_pairs_pred"]) == p_pred
+    assert int(got["n_pairs_truth"]) == p_truth
+    assert int(got["n_pairs_both"]) == p_both
+    assert int(got["precision_micro"]) == (p_both * 1_000_000) // p_pred
+    assert int(got["recall_micro"]) == (p_both * 1_000_000) // p_truth
+    assert p_truth > 0 and int(got["recall_micro"]) > 0
