@@ -409,12 +409,14 @@ def build_extended_oracles() -> dict[str, str]:
         "lab AS (SELECT p.image_id, p.cluster_id AS pl, "
         "COALESCE(tm.t, p.image_id) AS tl FROM pred p "
         "LEFT JOIN tm USING (image_id)), "
-        "pc AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s FROM "
-        "(SELECT COUNT(*) AS n FROM lab GROUP BY pl)), "
-        "tc AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s FROM "
-        "(SELECT COUNT(*) AS n FROM lab GROUP BY tl)), "
-        "bc AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s FROM "
-        "(SELECT COUNT(*) AS n FROM lab GROUP BY pl, tl)) "
+        # HUGEINT products (int64 n·(n−1) wraps past ~4.3e9-member
+        # clusters; the final BIGINT cast fails loudly, engine-matching)
+        "pc AS (SELECT CAST(SUM(CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) "
+        "AS s FROM (SELECT COUNT(*) AS n FROM lab GROUP BY pl)), "
+        "tc AS (SELECT CAST(SUM(CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) "
+        "AS s FROM (SELECT COUNT(*) AS n FROM lab GROUP BY tl)), "
+        "bc AS (SELECT CAST(SUM(CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) "
+        "AS s FROM (SELECT COUNT(*) AS n FROM lab GROUP BY pl, tl)) "
         "SELECT pc.s AS n_pairs_pred, tc.s AS n_pairs_truth, "
         "bc.s AS n_pairs_both, "
         "CASE WHEN pc.s = 0 THEN 0 ELSE bc.s * 1000000 // pc.s END "

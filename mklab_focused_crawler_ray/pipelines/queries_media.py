@@ -1849,7 +1849,10 @@ def q_image_dedup_eval(sf_dir: str):
 
     def pair_sum(counted, col: str = "count()") -> int:
         def partial(batch: pa.Table) -> pa.Table:
-            n = batch[col].to_numpy().astype(np.int64)
+            # C(n,2) in PYTHON ints (house overflow rule: int64 n·(n−1)
+            # wraps past ~4.3×10⁹-member clusters; the pa.array cast
+            # fails LOUDLY if a partial ever exceeds int64)
+            n = batch[col].to_numpy().astype(object)
             return pa.table(
                 {"s": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())}
             )
