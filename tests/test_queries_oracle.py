@@ -126,6 +126,14 @@ FIXTURE_BACKED = {
     # crawl scheduler oracles read the small fixture's frontier/redirects/
     # robots tables by absolute path (queries_crawl.build_crawl_oracles)
     "robots_gate_counts",
+    # closing-session fixture-backed additions (signature tables /
+    # raw_urls / robots_wildcards / dupmap bind the sf0.01 tier)
+    "image_color_stats",
+    "crossmodal_recall",
+    "image_dedup_eval",
+    "hrw_shard_rebalance",
+    "url_canonical_audit",
+    "robots_wildcard_gate",
     "url_expand_final",
     "politeness_rounds",
     "frontier_schedule",
