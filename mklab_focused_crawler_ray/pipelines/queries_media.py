@@ -1845,7 +1845,11 @@ def q_image_dedup_eval(sf_dir: str):
             }
         )
 
-    lab = clusters.map_batches(with_truth, batch_format="pyarrow")
+    # materialize ONCE: three keyed counts consume `lab`, and a lazy
+    # dataset would re-execute the cluster+label pipeline per consumer
+    # (measured 3x cost); the table is id-shaped (3 short strings/row),
+    # never payload-shaped, and stays distributed in the object store
+    lab = clusters.map_batches(with_truth, batch_format="pyarrow").materialize()
 
     def pair_sum(counted, col: str = "count()") -> int:
         def partial(batch: pa.Table) -> pa.Table:
