@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "knn_hubness_hist",
     "robots_wildcard_gate",
     "image_dedup_eval",
+    "kcenter_coreset",
 ]
 
 

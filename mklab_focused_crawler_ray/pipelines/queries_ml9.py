@@ -1690,6 +1690,157 @@ def _matryoshka_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# k-center greedy coreset (diversity sampling)
+# --------------------------------------------------------------------------
+
+KCENTER_K = 8  # selected coreset size (unrolled in the SQL oracle)
+
+
+def q_kcenter_coreset(sf_dir: str):
+    """K-CENTER GREEDY CORESET: the classic farthest-point diversity
+    selection over the embedding table (Sener & Savarese 2018's coreset
+    rule, the workhorse of active learning and diverse-subset
+    curation): seed with the lowest vec_id, then ``KCENTER_K − 1``
+    times pick the point FARTHEST from the selected set (max over
+    points of min over centers of distance, distance = −cos_micro so
+    the established integer-micro cosine discipline carries over; ties
+    by vec_id asc). Output (sel_rank, vec_id, min_dist_micro) where
+    min_dist_micro = 10⁶ − max cos_micro to the previously selected
+    set (the coverage radius curve — the seed row reports 0).
+
+    Scale shape: per round ONE map-side pass — the ≤ K selected
+    vectors broadcast, each batch computes its min-over-centers and
+    emits a single (argmax, max) partial row; no shuffle at any corpus
+    size, K column-pruned scans total. Oracle: K unrolled CTE rounds,
+    each one argmax row (ORDER BY d DESC, vec_id LIMIT 1) over the
+    running LEAST of the per-center cosine micros."""
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data as rd
+
+    from .queries import _micro
+
+    emb_path = _p(sf_dir, "embeddings")
+    # seed: lowest vec_id (metadata-only read for the id, one-row fetch)
+    first = pq_.read_table(emb_path, columns=["vec_id"])
+    seed_id = int(np.min(first["vec_id"].to_numpy()))
+    seed_row = pq_.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", seed_id)],
+    )
+    seed_vec = np.asarray(seed_row["embedding"].to_pylist()[0], np.float64)
+    seed_vec = seed_vec / np.linalg.norm(seed_vec)
+
+    selected = [(seed_id, 0)]  # (vec_id, min_dist_micro at selection)
+    centers = [seed_vec]
+    for _ in range(KCENTER_K - 1):
+        cmat = np.stack(centers)
+        sel_ids = np.array([s for s, _ in selected], np.int64)
+        c_ref = ray.put((cmat, sel_ids))
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            cm, sids = ray.get(c_ref)
+            vids = batch["vec_id"].to_numpy()
+            emb = np.stack(
+                [
+                    np.asarray(e, np.float64)
+                    for e in batch["embedding"].to_pylist()
+                ]
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            cos = _micro(emb @ cm.T)  # (n, |centers|) integer micro
+            maxcos = cos.max(axis=1)
+            mask = ~np.isin(vids, sids)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "maxcos": pa.array([], pa.int64()),
+                    }
+                )
+            vv, mm = vids[mask], maxcos[mask]
+            # per-batch partial argmax of distance = argmin of maxcos,
+            # ties by vec_id asc
+            o = np.lexsort((vv, mm))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(vv[o])], pa.int64()),
+                    "maxcos": pa.array([int(mm[o])], pa.int64()),
+                }
+            )
+
+        parts = (
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(far_partial, batch_format="pyarrow")
+            .to_pandas()  # one row per batch
+        )
+        parts = parts.sort_values(["maxcos", "vec_id"]).reset_index(drop=True)
+        pick, maxcos = int(parts.loc[0, "vec_id"]), int(parts.loc[0, "maxcos"])
+        selected.append((pick, 1_000_000 - maxcos))
+        row = pq_.read_table(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", pick)],
+        )
+        v = np.asarray(row["embedding"].to_pylist()[0], np.float64)
+        centers.append(v / np.linalg.norm(v))
+    return pa.table(
+        {
+            "sel_rank": pa.array(
+                np.arange(1, len(selected) + 1, dtype=np.int64), pa.int64()
+            ),
+            "vec_id": pa.array([s for s, _ in selected], pa.int64()),
+            "min_dist_micro": pa.array(
+                [d for _, d in selected], pa.int64()
+            ),
+        }
+    )
+
+
+def _kcenter_sql() -> str:
+    k = KCENTER_K
+
+    def cosm(ci: str) -> str:
+        return (
+            f"CAST(FLOOR(list_cosine_similarity(v.e, {ci}.e)*1000000 + 0.5) "
+            "AS BIGINT)"
+        )
+
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS e FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)",
+    ]
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, "
+        "CAST(0 AS BIGINT) AS min_dist_micro FROM c1"
+    ]
+    joins = "v CROSS JOIN c1"
+    maxcos = cosm("c1")  # max cosine to the selected set so far
+    for i in range(2, k + 1):
+        exclude = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT v.vec_id, v.e, {maxcos} AS mc FROM {joins} "
+            f"WHERE v.vec_id NOT IN ({exclude}))"
+        )
+        # farthest point = the one whose max-cos to the set is SMALLEST
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT vec_id, e, mc FROM d{i} "
+            "ORDER BY mc ASC, vec_id ASC LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT CAST({i} AS BIGINT) AS sel_rank, vec_id, "
+            f"CAST(1000000 - mc AS BIGINT) AS min_dist_micro FROM c{i}"
+        )
+        joins += f" CROSS JOIN c{i}"
+        maxcos = f"GREATEST({maxcos}, {cosm(f'c{i}')})"
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+# --------------------------------------------------------------------------
 # UniMax waterfill allocation (per-source token budgets)
 # --------------------------------------------------------------------------
 
@@ -1823,6 +1974,7 @@ ML9_QUERIES = {
     "event_value_ks_pairs": q_event_value_ks_pairs,
     "unimax_allocation": q_unimax_allocation,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
+    "kcenter_coreset": q_kcenter_coreset,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -1852,6 +2004,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "event_value_ks_pairs": _event_ks_sql(),
         "unimax_allocation": _unimax_sql(),
         "ann_matryoshka_recall": _matryoshka_sql(),
+        "kcenter_coreset": _kcenter_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

@@ -938,3 +938,39 @@ def test_knn_hubness_invariants(ray_session):
     assert int(got["n_nodes"].sum()) == n
     assert int((got["in_degree"] * got["n_nodes"]).sum()) == KNN_K * n
     assert got["in_degree"].is_monotonic_increasing
+
+
+def test_kcenter_coreset_vs_numpy(ray_session):
+    """Independent greedy farthest-point replay in numpy must reproduce
+    the distributed selection exactly (ids, order, radii); the coverage
+    radius must be non-increasing after the seed row."""
+    from mklab_focused_crawler_ray.pipelines.queries import _micro
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        KCENTER_K,
+        q_kcenter_coreset,
+    )
+
+    got = q_kcenter_coreset("/root/testdata/sf0.001").to_pandas()
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    emb = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()])
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    sel = [0]  # index of lowest vec_id after sort
+    radii = [0]
+    for _ in range(KCENTER_K - 1):
+        cos = _micro(emb @ emb[sel].T)  # (n, |sel|)
+        maxcos = cos.max(axis=1)
+        mask = ~np.isin(np.arange(len(ids)), sel)
+        cand = np.where(mask)[0]
+        o = cand[np.lexsort((ids[cand], maxcos[cand]))[0]]
+        sel.append(int(o))
+        radii.append(1_000_000 - int(maxcos[o]))
+    assert got["vec_id"].tolist() == ids[sel].tolist()
+    assert got["min_dist_micro"].tolist() == radii
+    assert (np.diff(got["min_dist_micro"].to_numpy()[1:]) <= 0).all()
