@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "robots_wildcard_gate",
     "image_dedup_eval",
     "kcenter_coreset",
+    "bloom_fp_audit",
 ]
 
 

@@ -1339,6 +1339,153 @@ def _hrw_rebalance_sql(raw: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter false-positive audit (URL-seen sizing)
+# --------------------------------------------------------------------------
+
+BLOOM_M_BITS = 131072  # 2^17 filter bits
+BLOOM_K = 3  # hash functions (the HRW mixer salted by hash index)
+
+
+def q_bloom_fp_audit(sf_dir: str):
+    """BLOOM FALSE-POSITIVE AUDIT: build a ``BLOOM_M_BITS``-bit,
+    ``BLOOM_K``-hash Bloom filter over half the raw-URL keys (even
+    url_ids) and probe it with the DISJOINT other half (odd url_ids),
+    reporting the measured false-positive rate and bit fill — the
+    empirical sizing check behind the north rule's bloom-fallback
+    URL-seen set (a 10^10-URL frontier sizes m/k from exactly this
+    curve; the theory value at this fill is ~(fill)^k ≈ 0.9%, and the
+    audit MEASURES it instead of assuming it). One output row:
+    (m_bits, k_hashes, n_inserted, n_probed, n_fp, fp_ppm, fill_bits,
+    fill_ppm). Hashes are the SQL-replayable 32-bit mixer salted by
+    hash index (``_hrw_hash_vec``), so the oracle replays bit-for-bit.
+
+    Scale shape: insertion is a map-side distinct-position fold
+    (positions bounded by m, never by keys — the driver union is the
+    filter itself, exactly what a real deployment broadcasts); probing
+    is map-side against the broadcast sorted positions with per-batch
+    partial counts. No shuffle."""
+    import ray
+    import ray.data as rd
+
+    raw = _fx_raw_urls(sf_dir)
+
+    def ins_positions(batch: pa.Table) -> pa.Table:
+        k = batch["url_id"].to_numpy().astype(np.int64)
+        k = k[k % 2 == 0]
+        pos = np.unique(
+            np.concatenate(
+                [
+                    _hrw_hash_vec(k, j) % BLOOM_M_BITS
+                    for j in range(BLOOM_K)
+                ]
+            )
+            if len(k)
+            else np.array([], np.int64)
+        )
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    ins = (
+        rd.read_parquet(raw, columns=["url_id"])
+        .map_batches(ins_positions, batch_format="pyarrow")
+        .to_pandas()["pos"]  # m-bounded per batch
+        .to_numpy()
+    )
+    bits = np.unique(ins)
+    bits_ref = ray.put(bits)
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        k = batch["url_id"].to_numpy().astype(np.int64)
+        k = k[k % 2 == 1]
+        if len(k) == 0 or len(b) == 0:
+            return pa.table(
+                {
+                    "n_probed": pa.array([len(k)], pa.int64()),
+                    "n_fp": pa.array([0], pa.int64()),
+                }
+            )
+        allset = np.ones(len(k), bool)
+        for j in range(BLOOM_K):
+            pos = _hrw_hash_vec(k, j) % BLOOM_M_BITS
+            idx = np.searchsorted(b, pos)
+            allset &= (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == pos)
+        return pa.table(
+            {
+                "n_probed": pa.array([len(k)], pa.int64()),
+                "n_fp": pa.array([int(allset.sum())], pa.int64()),
+            }
+        )
+
+    probes = (
+        rd.read_parquet(raw, columns=["url_id"])
+        .map_batches(probe_partial, batch_format="pyarrow")
+        .to_pandas()  # n_batches-bounded partials
+        .sum()
+    )
+    n_ins = (
+        rd.read_parquet(raw, columns=["url_id"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [int((b["url_id"].to_numpy() % 2 == 0).sum())],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
+    n_probed, n_fp = int(probes["n_probed"]), int(probes["n_fp"])
+    return pa.table(
+        {
+            "m_bits": pa.array([BLOOM_M_BITS], pa.int64()),
+            "k_hashes": pa.array([BLOOM_K], pa.int64()),
+            "n_inserted": pa.array([int(n_ins)], pa.int64()),
+            "n_probed": pa.array([n_probed], pa.int64()),
+            "n_fp": pa.array([n_fp], pa.int64()),
+            "fp_ppm": pa.array(
+                [(n_fp * 1_000_000) // n_probed if n_probed else 0], pa.int64()
+            ),
+            "fill_bits": pa.array([len(bits)], pa.int64()),
+            "fill_ppm": pa.array(
+                [(len(bits) * 1_000_000) // BLOOM_M_BITS], pa.int64()
+            ),
+        }
+    )
+
+
+def _bloom_fp_sql(raw: str) -> str:
+    m, k = BLOOM_M_BITS, BLOOM_K
+    mix = _hrw_mix_sql("u.url_id", "j.j")
+    return (
+        f"WITH u AS (SELECT url_id FROM read_parquet('{raw}')), "
+        f"j AS (SELECT UNNEST(range({k})) AS j), "
+        f"ins AS (SELECT DISTINCT {mix} % {m} AS pos "
+        "FROM u CROSS JOIN j WHERE u.url_id % 2 = 0), "
+        f"pr AS (SELECT u.url_id, {mix} % {m} AS pos "
+        "FROM u CROSS JOIN j WHERE u.url_id % 2 = 1), "
+        "hit AS (SELECT pr.url_id, COUNT(*) AS nset FROM pr "
+        "JOIN ins ON ins.pos = pr.pos GROUP BY pr.url_id), "
+        "agg AS (SELECT "
+        "CAST((SELECT COUNT(*) FROM u WHERE url_id % 2 = 0) AS BIGINT) "
+        "AS n_inserted, "
+        "CAST((SELECT COUNT(*) FROM u WHERE url_id % 2 = 1) AS BIGINT) "
+        "AS n_probed, "
+        f"CAST((SELECT COUNT(*) FROM hit WHERE nset = {k}) AS BIGINT) "
+        "AS n_fp, "
+        "CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS fill_bits) "
+        f"SELECT CAST({m} AS BIGINT) AS m_bits, CAST({k} AS BIGINT) "
+        "AS k_hashes, n_inserted, n_probed, n_fp, "
+        "CASE WHEN n_probed = 0 THEN 0 ELSE n_fp * 1000000 // n_probed END "
+        "AS fp_ppm, fill_bits, "
+        f"fill_bits * 1000000 // {m} AS fill_ppm FROM agg"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1346,6 +1493,7 @@ CRAWL_QUERIES = {
     "url_canonical_audit": q_url_canonical_audit,
     "hrw_shard_rebalance": q_hrw_shard_rebalance,
     "robots_wildcard_gate": q_robots_wildcard_gate,
+    "bloom_fp_audit": q_bloom_fp_audit,
     "robots_gate_counts": q_robots_gate_counts,
     "url_expand_final": q_url_expand_final,
     "politeness_rounds": q_politeness_rounds,
@@ -1375,6 +1523,7 @@ def build_crawl_oracles() -> dict[str, str]:
             _fx_raw_urls("/root/testdata/sf0.01"),
             _fx_robots_wildcards("/root/testdata/sf0.01"),
         ),
+        "bloom_fp_audit": _bloom_fp_sql(_fx_raw_urls("/root/testdata/sf0.01")),
         "robots_gate_counts": _robots_gate_counts_sql(seeds, robots),
         "url_expand_final": _url_expand_final_sql(seeds, redirects),
         "politeness_rounds": _politeness_rounds_sql(seeds),

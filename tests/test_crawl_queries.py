@@ -431,3 +431,30 @@ def test_robots_wildcard_precedence(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(eng, exp, check_dtype=False)
     assert eng["n_blocked"].sum() > 0  # planted rules actually fire
+
+
+def test_bloom_fp_audit_theory_band(ray_session):
+    """Engine == DuckDB replay at the tiny tier, and the measured FP
+    rate lands in a generous band around the theory value fill^k."""
+    import duckdb
+    import pandas as pd
+
+    from mklab_focused_crawler_ray.pipelines.queries_crawl import (
+        BLOOM_K,
+        _bloom_fp_sql,
+        _fx_raw_urls,
+        q_bloom_fp_audit,
+    )
+
+    got = q_bloom_fp_audit("/root/testdata/sf0.001").to_pandas()
+    exp = duckdb.sql(
+        _bloom_fp_sql(_fx_raw_urls("/root/testdata/sf0.001"))
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.iloc[0]
+    assert r["n_inserted"] + r["n_probed"] == 500  # disjoint halves
+    fill = r["fill_ppm"] / 1_000_000
+    theory = fill**BLOOM_K
+    # 250 probes at tiny → noisy; just bound it loosely above 0 and
+    # below many-sigma of theory (the sf0.01 tier lands within ~2%)
+    assert 0 <= r["fp_ppm"] / 1_000_000 <= max(10 * theory, 0.05)

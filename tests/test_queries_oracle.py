@@ -134,6 +134,7 @@ FIXTURE_BACKED = {
     "hrw_shard_rebalance",
     "url_canonical_audit",
     "robots_wildcard_gate",
+    "bloom_fp_audit",
     "url_expand_final",
     "politeness_rounds",
     "frontier_schedule",
