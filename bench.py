@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "image_dedup_eval",
     "kcenter_coreset",
     "bloom_fp_audit",
+    "kmeans_purity",
 ]
 
 

@@ -1690,6 +1690,118 @@ def _matryoshka_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# k-means cluster purity (clustering-quality eval vs labels)
+# --------------------------------------------------------------------------
+
+
+def q_kmeans_purity(sf_dir: str):
+    """K-MEANS CLUSTER PURITY: the E-step assignment of
+    ``kmeans_assign`` (micro-cosine nearest of the K deterministic
+    centroids, ties → smallest centroid id) scored against the
+    embeddings' ground-truth ``label`` column — per cluster the
+    majority label, its count, and purity_micro = top_count·10⁶ // n;
+    majority ties break to the SMALLEST label. The standard external
+    clustering-quality metric (purity) next to the pair-counting
+    Rand decomposition ``image_dedup_eval`` uses. Output per centroid:
+    (centroid_id, n_vecs, top_label, top_count, purity_micro).
+
+    Scale shape: assignment is the broadcast-centroid matmul; each
+    batch emits (centroid, label) partial counts — K × |labels|
+    bounded — and the argmax fold is a cluster-bounded driver step.
+    One tiny shuffle, vectors never move. Oracle: the kmeans_assign
+    CTE joined to labels with a window argmax."""
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data as rd
+
+    from ..stages.ann import _batch_embeddings, _micro, _normalize
+    from .queries_ml import KMEANS_K
+
+    emb_path = _p(sf_dir, "embeddings")
+    cent_tbl = pq_.read_table(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)],
+    )
+    order = np.argsort(cent_tbl["vec_id"].to_numpy(), kind="stable")
+    cmat = _normalize(
+        np.asarray(cent_tbl["embedding"].to_pylist(), np.float64)[order]
+    )
+    cent_ref = ray.put(cmat)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(_batch_embeddings(batch))
+        cm = _micro(mat @ c.T)
+        best = np.argmax(cm, axis=1).astype(np.int64)
+        lbl = batch["label"].to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "centroid_id": pa.array(best, pa.int64()),
+                "label": pa.array(lbl, pa.int64()),
+                "one": pa.array(np.ones(len(best), np.int64)),
+            }
+        )
+        return t.group_by(["centroid_id", "label"]).aggregate([("one", "sum")])
+
+    cells = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # K × |labels| × n_batches-bounded
+        .groupby(["centroid_id", "label"], sort=True)["one_sum"]
+        .sum()
+        .reset_index(name="cnt")
+    )
+    rows = []
+    for cid, g in cells.groupby("centroid_id", sort=True):
+        n = int(g["cnt"].sum())
+        g = g.sort_values(["cnt", "label"], ascending=[False, True])
+        top_label = int(g.iloc[0]["label"])
+        top_count = int(g.iloc[0]["cnt"])
+        rows.append(
+            (int(cid), n, top_label, top_count, (top_count * 1_000_000) // n)
+        )
+    return pa.table(
+        {
+            "centroid_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_vecs": pa.array([r[1] for r in rows], pa.int64()),
+            "top_label": pa.array([r[2] for r in rows], pa.int64()),
+            "top_count": pa.array([r[3] for r in rows], pa.int64()),
+            "purity_micro": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _kmeans_purity_sql() -> str:
+    from .queries_ml import KMEANS_K
+
+    return (
+        "WITH c AS (SELECT vec_id AS centroid_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id < {KMEANS_K}), "
+        "v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve "
+        "FROM embeddings), "
+        "s AS (SELECT v.vec_id, v.label, c.centroid_id, "
+        "CAST(FLOOR(list_cosine_similarity(c.ce, v.ve)*1000000 + 0.5) "
+        "AS BIGINT) AS cm FROM v CROSS JOIN c), "
+        "a AS (SELECT vec_id, label, centroid_id FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY cm DESC, centroid_id ASC) = 1), "
+        "cell AS (SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM a GROUP BY 1, 2), "
+        "tot AS (SELECT centroid_id, CAST(SUM(cnt) AS BIGINT) AS n_vecs "
+        "FROM cell GROUP BY 1), "
+        "top AS (SELECT centroid_id, label AS top_label, cnt AS top_count "
+        "FROM cell QUALIFY ROW_NUMBER() OVER (PARTITION BY centroid_id "
+        "ORDER BY cnt DESC, label ASC) = 1) "
+        "SELECT t.centroid_id, t.n_vecs, p.top_label, p.top_count, "
+        "p.top_count * 1000000 // t.n_vecs AS purity_micro "
+        "FROM tot t JOIN top p USING (centroid_id)"
+    )
+
+
+# --------------------------------------------------------------------------
 # k-center greedy coreset (diversity sampling)
 # --------------------------------------------------------------------------
 
@@ -1975,6 +2087,7 @@ ML9_QUERIES = {
     "unimax_allocation": q_unimax_allocation,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "kcenter_coreset": q_kcenter_coreset,
+    "kmeans_purity": q_kmeans_purity,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -2005,6 +2118,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "unimax_allocation": _unimax_sql(),
         "ann_matryoshka_recall": _matryoshka_sql(),
         "kcenter_coreset": _kcenter_sql(),
+        "kmeans_purity": _kmeans_purity_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

@@ -974,3 +974,41 @@ def test_kcenter_coreset_vs_numpy(ray_session):
     assert got["vec_id"].tolist() == ids[sel].tolist()
     assert got["min_dist_micro"].tolist() == radii
     assert (np.diff(got["min_dist_micro"].to_numpy()[1:]) <= 0).all()
+
+
+def test_kmeans_purity_invariants_and_planted(ray_session, tmp_path):
+    """Planted separable embeddings: purity must be 1.0 when clusters
+    align with labels; majority ties must break to the smaller label."""
+    from mklab_focused_crawler_ray.pipelines.queries_ml import KMEANS_K
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_kmeans_purity
+
+    assert KMEANS_K == 8
+    # 8 orthogonal axis directions as both centroids (vec_id<8) and
+    # members: vec i gets axis i%8 → every cluster pure, label = i%8
+    n, d = 64, 64
+    emb = np.zeros((n, d), np.float32)
+    for i in range(n):
+        emb[i, i % 8] = 1.0
+        emb[i, 8 + (i % 8)] = 0.25  # off-axis but still nearest to axis
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(
+                    [e.tolist() for e in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array((np.arange(n) % 8).astype(np.int32), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = q_kmeans_purity(str(tmp_path)).to_pandas()
+    assert (got["purity_micro"] == 1_000_000).all()
+    assert got["top_label"].tolist() == list(range(8))
+    assert int(got["n_vecs"].sum()) == n
+
+    # real fixture: mass conservation + purity in (0, 1]
+    real = q_kmeans_purity("/root/testdata/sf0.001").to_pandas()
+    assert int(real["n_vecs"].sum()) == 500
+    assert ((real["purity_micro"] > 0) & (real["purity_micro"] <= 1_000_000)).all()
+    assert (real["top_count"] <= real["n_vecs"]).all()
