@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "kcenter_coreset",
     "bloom_fp_audit",
     "kmeans_purity",
+    "image_dhash_agreement",
 ]
 
 

@@ -398,6 +398,33 @@ def build_extended_oracles() -> dict[str, str]:
         "SELECT node AS image_id, MIN(label) AS cluster_id FROM cc GROUP BY node"
     )
 
+    # dual-hash agreement: both band joins replayed, the dHash side over
+    # the SEQUENTIAL signature table (pins distributed == sequential)
+    from .queries_media import dhash_signature_parquet
+
+    _pair_set = (
+        "SELECT a.image_id AS id_a, b.image_id AS id_b FROM {rel} a "
+        "JOIN {rel} b ON a.image_id < b.image_id "
+        f"WHERE ({_band_eq}) AND bit_count(xor(a.phash, b.phash)) <= 8"
+    )
+    sql["image_dhash_agreement"] = (
+        "WITH pp AS ("
+        + _pair_set.format(rel=f"read_parquet('{images}')")
+        + "), dp AS ("
+        + _pair_set.format(
+            rel=f"read_parquet('{dhash_signature_parquet(fdir)}')"
+        )
+        + "), b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pp "
+        "JOIN dp USING (id_a, id_b)), "
+        "np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pp), "
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dp) "
+        "SELECT np.n AS n_phash_pairs, nd.n AS n_dhash_pairs, "
+        "b.n AS n_both, np.n + nd.n - b.n AS n_union, "
+        "CASE WHEN np.n + nd.n - b.n = 0 THEN 0 ELSE "
+        "b.n * 1000000 // (np.n + nd.n - b.n) END AS jaccard_micro "
+        "FROM np CROSS JOIN nd CROSS JOIN b"
+    )
+
     # image dedup eval: pair-counting precision/recall of the pHash
     # clusters vs the planted dupmap — composes the recursive
     # image_clusters CTE (nested WITH is valid in a subquery) with the

@@ -1800,6 +1800,97 @@ def q_caption_to_image_topk(sf_dir: str):
     )
 
 
+def dhash_scores_dir(fdir: str) -> str:
+    """Materialize the DISTRIBUTED dHash table once per fixture tier as
+    a parquet directory (columns image_id, phash — the dHash value,
+    named for ``phash_band_pairs`` reuse; ``write_parquet`` + atomic
+    dir rename, the alignment_scores_dir discipline)."""
+    import shutil
+
+    out = os.path.join(fdir, "dhash_scores")
+    if os.path.isdir(out):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    from ..stages.image import dhash_scores
+
+    dhash_scores(os.path.join(fdir, "images.parquet")).write_parquet(tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def dhash_signature_parquet(fdir: str) -> str:
+    """Expected dHash values from the SEQUENTIAL codec path (no Ray),
+    cached next to the fixture — the oracle's ground truth (columns
+    image_id, phash holding the dHash, for the band-SQL reuse)."""
+    import pyarrow.parquet as pq
+
+    from ..fixtures.codecs import decode as cdecode
+    from ..stages.image import dhash64
+
+    path = os.path.join(fdir, "dhash_signatures.parquet")
+    if os.path.exists(path):
+        return path
+    src = pq.read_table(
+        os.path.join(fdir, "images.parquet"), columns=["image_id", "bytes", "fmt"]
+    )
+    ids, hs = [], []
+    for iid, blob, fmt in zip(
+        src["image_id"].to_pylist(),
+        src["bytes"].to_pylist(),
+        src["fmt"].to_pylist(),
+    ):
+        ids.append(iid)
+        hs.append(dhash64(cdecode(blob, fmt)))
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(np.array(hs, np.int64), pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def q_image_dhash_agreement(sf_dir: str):
+    """DUAL-HASH DEDUP AGREEMENT AUDIT: the banded near-dup pair sets
+    of pHash (DCT, global frequency) and dHash (gradient) over the same
+    corpus, reduced to one row — (n_phash_pairs, n_dhash_pairs, n_both,
+    n_union, jaccard_micro). Multi-hash agreement is the standard
+    confidence signal in production image dedup (a pair both hashes
+    flag is near-certain; one-hash-only pairs get human/model review).
+
+    Scale shape: both pair pipelines are the banded two-shuffle
+    ``phash_band_pairs`` path (dHash values come from the DISTRIBUTED
+    actor-pool materialization, written once per tier); the pair sets
+    are dup-shaped (output-bounded), so the intersection is a driver
+    set merge — the image_dedup_eval discipline. Oracle: replays both
+    band joins (dHash side over the SEQUENTIAL signature table, so the
+    comparison also pins distributed dHash == sequential dHash)."""
+    from ..stages.image import phash_band_pairs
+
+    fdir = fixture_dir_for(sf_dir)
+    ph = phash_band_pairs(_images(sf_dir), max_hamming=8).to_pandas()
+    dh = phash_band_pairs(dhash_scores_dir(fdir), max_hamming=8).to_pandas()
+    ps = set(zip(ph["id_a"], ph["id_b"]))
+    ds_ = set(zip(dh["id_a"], dh["id_b"]))
+    both, union = len(ps & ds_), len(ps | ds_)
+    return pa.table(
+        {
+            "n_phash_pairs": pa.array([len(ps)], pa.int64()),
+            "n_dhash_pairs": pa.array([len(ds_)], pa.int64()),
+            "n_both": pa.array([both], pa.int64()),
+            "n_union": pa.array([union], pa.int64()),
+            "jaccard_micro": pa.array(
+                [(both * 1_000_000) // union if union else 0], pa.int64()
+            ),
+        }
+    )
+
+
 def q_image_dedup_eval(sf_dir: str):
     """IMAGE DEDUP QUALITY EVAL: pair-counting precision/recall of the
     pHash near-dup clustering (``q_image_clusters``) against the
@@ -2642,6 +2733,7 @@ MEDIA_QUERIES = {
     "image_color_stats": q_image_color_stats,
     "crossmodal_recall": q_crossmodal_recall,
     "image_dedup_eval": q_image_dedup_eval,
+    "image_dhash_agreement": q_image_dhash_agreement,
     "image_junk_gate": q_image_junk_gate,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,

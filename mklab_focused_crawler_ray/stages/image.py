@@ -425,6 +425,65 @@ def color_scores(
     )
 
 
+def dhash64(rgb: np.ndarray) -> int:
+    """64-bit difference (gradient) hash: gray → area-resize 8×9 →
+    bit = left-to-right brightness increase per adjacent column pair
+    (8 rows × 8 comparisons). The classic cheap complement to the DCT
+    pHash — dHash sees local gradients where pHash sees global
+    frequency structure, so their pair sets disagree in instructive
+    ways (q_image_dhash_agreement measures exactly that). Same float64
+    resize discipline as ``fixtures.codecs.phash64`` (one shared kernel
+    for the sequential oracle path and the distributed actor stage)."""
+    from ..fixtures.codecs import resize_area, to_gray
+
+    g = resize_area(to_gray(rgb), 8, 9)
+    bits = g[:, 1:] > g[:, :-1]  # (8, 8)
+    val = 0
+    for b in bits.flatten():
+        val = (val << 1) | int(b)
+    return int(np.int64(val & 0x7FFFFFFFFFFFFFFF))  # signed int64 domain
+
+
+class DHash:
+    """batch (image_id, bytes, fmt) → (image_id, phash) where the
+    column holds the 64-bit dHash — NAMED ``phash`` so the banded
+    pairing pipeline (``phash_band_pairs``) consumes the output
+    verbatim; decode caches warm once per actor."""
+
+    def __init__(self):
+        _dct_matrix(32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        out = np.zeros(len(ids), np.int64)
+        for i, (blob, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            out[i] = dhash64(decode(blob, fmt))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(out, pa.int64()),
+            }
+        )
+
+
+def dhash_scores(
+    images_parquet: str, concurrency=(1, 8), batch_size: int = 64
+):
+    """Dataset pipeline: column-pruned read → DHash actor pool."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        images_parquet, columns=["image_id", "bytes", "fmt"]
+    ).map_batches(
+        DHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def pseudo_embed_rgb(rgb: np.ndarray) -> np.ndarray:
     """Deterministic 64-dim unit vector from pixels: luma → budgeted
     downscale → 16×16 area resize → 2-D DCT-II → flatten → L2 normalize."""

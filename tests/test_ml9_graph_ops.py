@@ -1012,3 +1012,24 @@ def test_kmeans_purity_invariants_and_planted(ray_session, tmp_path):
     assert int(real["n_vecs"].sum()) == 500
     assert ((real["purity_micro"] > 0) & (real["purity_micro"] <= 1_000_000)).all()
     assert (real["top_count"] <= real["n_vecs"]).all()
+
+
+def test_dhash64_semantics():
+    from mklab_focused_crawler_ray.stages.image import dhash64
+
+    flat = np.full((32, 32, 3), 100, np.uint8)
+    assert dhash64(flat) == 0  # no gradient anywhere
+
+    # monotone left-to-right brightness ramp → every comparison true
+    ramp = np.tile(
+        np.linspace(0, 255, 36, dtype=np.uint8)[None, :, None], (16, 1, 3)
+    )
+    assert dhash64(ramp) == 0x7FFFFFFFFFFFFFFF  # all 63 usable bits set
+
+    # brightness-shifted copy keeps the hash (gradients unchanged)
+    rng = np.random.default_rng(3)
+    img = rng.integers(30, 200, (40, 50, 3)).astype(np.uint8)
+    assert dhash64(img) == dhash64(np.clip(img.astype(int) + 20, 0, 255).astype(np.uint8))
+
+    # transpose changes gradients → different hash (sanity, not identity)
+    assert dhash64(img) != dhash64(np.transpose(img, (1, 0, 2)))

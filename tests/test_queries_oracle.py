@@ -135,6 +135,7 @@ FIXTURE_BACKED = {
     "url_canonical_audit",
     "robots_wildcard_gate",
     "bloom_fp_audit",
+    "image_dhash_agreement",
     "url_expand_final",
     "politeness_rounds",
     "frontier_schedule",
