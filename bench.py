@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "bloom_fp_audit",
     "kmeans_purity",
     "image_dhash_agreement",
+    "kmeans_nmi",
 ]
 
 

@@ -1694,22 +1694,12 @@ def _matryoshka_sql() -> str:
 # --------------------------------------------------------------------------
 
 
-def q_kmeans_purity(sf_dir: str):
-    """K-MEANS CLUSTER PURITY: the E-step assignment of
-    ``kmeans_assign`` (micro-cosine nearest of the K deterministic
-    centroids, ties → smallest centroid id) scored against the
-    embeddings' ground-truth ``label`` column — per cluster the
-    majority label, its count, and purity_micro = top_count·10⁶ // n;
-    majority ties break to the SMALLEST label. The standard external
-    clustering-quality metric (purity) next to the pair-counting
-    Rand decomposition ``image_dedup_eval`` uses. Output per centroid:
-    (centroid_id, n_vecs, top_label, top_count, purity_micro).
-
-    Scale shape: assignment is the broadcast-centroid matmul; each
-    batch emits (centroid, label) partial counts — K × |labels|
-    bounded — and the argmax fold is a cluster-bounded driver step.
-    One tiny shuffle, vectors never move. Oracle: the kmeans_assign
-    CTE joined to labels with a window argmax."""
+def _kmeans_cells(sf_dir: str):
+    """(centroid_id, label, cnt) contingency table of the kmeans_assign
+    E-step vs the ground-truth labels — K × |labels| bounded, shared by
+    the purity and NMI evals. Per-batch Arrow group_by partials, one
+    driver fold (vectors never leave the map side)."""
+    import pandas as pd  # noqa: F401
     import pyarrow.parquet as pq_
     import ray
     import ray.data as rd
@@ -1744,7 +1734,7 @@ def q_kmeans_purity(sf_dir: str):
         )
         return t.group_by(["centroid_id", "label"]).aggregate([("one", "sum")])
 
-    cells = (
+    return (
         rd.read_parquet(emb_path, columns=["vec_id", "embedding", "label"])
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()  # K × |labels| × n_batches-bounded
@@ -1752,6 +1742,25 @@ def q_kmeans_purity(sf_dir: str):
         .sum()
         .reset_index(name="cnt")
     )
+
+
+def q_kmeans_purity(sf_dir: str):
+    """K-MEANS CLUSTER PURITY: the E-step assignment of
+    ``kmeans_assign`` (micro-cosine nearest of the K deterministic
+    centroids, ties → smallest centroid id) scored against the
+    embeddings' ground-truth ``label`` column — per cluster the
+    majority label, its count, and purity_micro = top_count·10⁶ // n;
+    majority ties break to the SMALLEST label. The standard external
+    clustering-quality metric (purity) next to the pair-counting
+    Rand decomposition ``image_dedup_eval`` uses. Output per centroid:
+    (centroid_id, n_vecs, top_label, top_count, purity_micro).
+
+    Scale shape: assignment is the broadcast-centroid matmul; each
+    batch emits (centroid, label) partial counts — K × |labels|
+    bounded — and the argmax fold is a cluster-bounded driver step.
+    One tiny shuffle, vectors never move. Oracle: the kmeans_assign
+    CTE joined to labels with a window argmax."""
+    cells = _kmeans_cells(sf_dir)
     rows = []
     for cid, g in cells.groupby("centroid_id", sort=True):
         n = int(g["cnt"].sum())
@@ -1798,6 +1807,103 @@ def _kmeans_purity_sql() -> str:
         "SELECT t.centroid_id, t.n_vecs, p.top_label, p.top_count, "
         "p.top_count * 1000000 // t.n_vecs AS purity_micro "
         "FROM tot t JOIN top p USING (centroid_id)"
+    )
+
+
+def q_kmeans_nmi(sf_dir: str):
+    """NORMALIZED MUTUAL INFORMATION of the k-means assignment vs the
+    ground-truth labels — the information-theoretic complement to
+    ``kmeans_purity`` (purity rewards many tiny clusters; NMI does
+    not). All terms use the house entropy envelope (lp =
+    floor(log10(c/T)·10⁶ + 0.5), H = Σ c·(−lp) // T, micro-Hartleys):
+    MI = H(label) − Σ_c (n_c/n)·H(label | cluster=c) (the info-gain
+    identity), NMI_sum = 2·MI / (H(label) + H(cluster)) × 10⁶. One
+    output row: (n_vecs, h_label_micro, h_cluster_micro,
+    h_within_micro, mi_micro, nmi_micro).
+
+    Scale shape: the same single assignment pass as kmeans_purity
+    (shared ``_kmeans_cells``); every entropy folds over the
+    K × |labels|-bounded contingency table in PYTHON ints."""
+    cells = _kmeans_cells(sf_dir)
+
+    def _h(c: np.ndarray) -> tuple[int, int]:
+        t = int(c.sum())
+        lp = np.floor(np.log10(c / float(t)) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        return t, int((c.astype(object) * (-lp).astype(object)).sum()) // t
+
+    n, h_label = _h(
+        cells.groupby("label", sort=True)["cnt"].sum().to_numpy(np.int64)
+    )
+    _, h_cluster = _h(
+        cells.groupby("centroid_id", sort=True)["cnt"].sum().to_numpy(np.int64)
+    )
+    h_within_num = 0
+    for _, g in cells.groupby("centroid_id", sort=True):
+        t_c, h_c = _h(g["cnt"].to_numpy(np.int64))
+        h_within_num += t_c * h_c
+    h_within = h_within_num // n
+    mi = h_label - h_within
+    denom = h_label + h_cluster
+    nmi = (2 * mi * 1_000_000) // denom if denom else 0
+    return pa.table(
+        {
+            "n_vecs": pa.array([n], pa.int64()),
+            "h_label_micro": pa.array([h_label], pa.int64()),
+            "h_cluster_micro": pa.array([h_cluster], pa.int64()),
+            "h_within_micro": pa.array([h_within], pa.int64()),
+            "mi_micro": pa.array([mi], pa.int64()),
+            "nmi_micro": pa.array([nmi], pa.int64()),
+        }
+    )
+
+
+def _kmeans_nmi_sql() -> str:
+    from .queries_ml import KMEANS_K
+
+    def h_expr(rel: str, tot: str) -> str:
+        return (
+            f"CAST(SUM(CAST({rel}.c AS HUGEINT) * "
+            f"-CAST(FLOOR(LOG10(CAST({rel}.c AS DOUBLE)/{tot})*1000000 + 0.5) "
+            f"AS BIGINT)) // ANY_VALUE({tot}) AS BIGINT)"
+        )
+
+    return (
+        "WITH c AS (SELECT vec_id AS centroid_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id < {KMEANS_K}), "
+        "v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve "
+        "FROM embeddings), "
+        "s AS (SELECT v.vec_id, v.label, c.centroid_id, "
+        "CAST(FLOOR(list_cosine_similarity(c.ce, v.ve)*1000000 + 0.5) "
+        "AS BIGINT) AS cm FROM v CROSS JOIN c), "
+        "a AS (SELECT vec_id, label, centroid_id FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY cm DESC, centroid_id ASC) = 1), "
+        "cell AS (SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM a GROUP BY 1, 2), "
+        "n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell), "
+        "lm AS (SELECT label, CAST(SUM(c) AS BIGINT) AS c "
+        "FROM cell GROUP BY 1), "
+        "km AS (SELECT centroid_id, CAST(SUM(c) AS BIGINT) AS c "
+        "FROM cell GROUP BY 1), "
+        f"hl AS (SELECT {h_expr('lm', 'n.n')} AS h FROM lm CROSS JOIN n), "
+        f"hk AS (SELECT {h_expr('km', 'n.n')} AS h FROM km CROSS JOIN n), "
+        "kt AS (SELECT centroid_id, CAST(SUM(c) AS BIGINT) AS t "
+        "FROM cell GROUP BY 1), "
+        "hc AS (SELECT cell.centroid_id, ANY_VALUE(kt.t) AS t, "
+        f"{h_expr('cell', 'kt.t')} AS h "
+        "FROM cell JOIN kt USING (centroid_id) GROUP BY 1), "
+        "hw AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * h) "
+        "// (SELECT n FROM n) AS BIGINT) AS h FROM hc) "
+        "SELECT n.n AS n_vecs, hl.h AS h_label_micro, "
+        "hk.h AS h_cluster_micro, hw.h AS h_within_micro, "
+        "hl.h - hw.h AS mi_micro, "
+        "CASE WHEN hl.h + hk.h = 0 THEN 0 ELSE "
+        "2 * (hl.h - hw.h) * 1000000 // (hl.h + hk.h) END AS nmi_micro "
+        "FROM n CROSS JOIN hl CROSS JOIN hk CROSS JOIN hw"
     )
 
 
@@ -2088,6 +2194,7 @@ ML9_QUERIES = {
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "kcenter_coreset": q_kcenter_coreset,
     "kmeans_purity": q_kmeans_purity,
+    "kmeans_nmi": q_kmeans_nmi,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -2119,6 +2226,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "ann_matryoshka_recall": _matryoshka_sql(),
         "kcenter_coreset": _kcenter_sql(),
         "kmeans_purity": _kmeans_purity_sql(),
+        "kmeans_nmi": _kmeans_nmi_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

@@ -1033,3 +1033,41 @@ def test_dhash64_semantics():
 
     # transpose changes gradients → different hash (sanity, not identity)
     assert dhash64(img) != dhash64(np.transpose(img, (1, 0, 2)))
+
+
+def test_kmeans_nmi_planted_extremes(ray_session, tmp_path):
+    """Perfectly-aligned planted clusters → NMI = 1.0 (within envelope
+    rounding); label-independent assignment → MI ≈ 0."""
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_kmeans_nmi
+
+    n, d = 64, 64
+    emb = np.zeros((n, d), np.float32)
+    for i in range(n):
+        emb[i, i % 8] = 1.0
+
+    def write(labels):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                    "embedding": pa.array(
+                        [e.tolist() for e in emb], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels.astype(np.int32), pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        return str(tmp_path)
+
+    # aligned: label == cluster → H(label|cluster)=0, MI=H, NMI=1
+    got = q_kmeans_nmi(write(np.arange(n) % 8)).to_pandas().iloc[0]
+    assert got["h_within_micro"] == 0
+    assert got["mi_micro"] == got["h_label_micro"]
+    assert abs(got["nmi_micro"] - 1_000_000) <= 5  # envelope rounding
+
+    # independent: one label for vectors of EVERY cluster equally
+    # (labels cycle 0/1 orthogonally to the 8 clusters) → MI ≈ 0
+    got = q_kmeans_nmi(write(np.arange(n) // 32)).to_pandas().iloc[0]
+    assert abs(int(got["mi_micro"])) <= 5
+    assert abs(int(got["nmi_micro"])) <= 20
