@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "kmeans_purity",
     "image_dhash_agreement",
     "kmeans_nmi",
+    "image_curation_funnel",
 ]
 
 

@@ -900,6 +900,54 @@ def build_extended_oracles() -> dict[str, str]:
         f"WHERE a.align_ppm >= {CAPTION_ALIGN_PPM}"
     )
 
+    # image curation funnel: every threshold replayed over the signature
+    # tables + the alignment CTE + the MIN-per-phash keeper; decode_ok is
+    # SQL-TRUE (the fixture all-decode invariant — an engine decode
+    # failure shows up as a count mismatch)
+    from .queries_media import (
+        FLAT_MIN_PPM as _FLAT,
+    )
+    from .queries_media import (
+        GRAY_MAX_CHROMA_MICRO as _GRAY,
+    )
+    from .queries_media import (
+        JUNK_BLUR_MIN_MICRO,
+        JUNK_BRIGHT_MAX_PPM,
+        JUNK_DARK_MAX_PPM,
+    )
+
+    _fun_junk = (
+        f"(b.n_interior <> 0 AND b.lap_var_micro >= {JUNK_BLUR_MIN_MICRO} "
+        f"AND e.dark_ppm <= {JUNK_DARK_MAX_PPM} "
+        f"AND e.bright_ppm <= {JUNK_BRIGHT_MAX_PPM})"
+    )
+    _fun_color = (
+        f"(c.chroma_mean_micro >= {_GRAY} AND c.dominant_ppm <= {_FLAT})"
+    )
+    sql["image_curation_funnel"] = (
+        f"WITH al AS ({sql['caption_image_alignment']}), "
+        f"k AS (SELECT phash, MIN(image_id) AS keeper FROM {images_rel} "
+        "GROUP BY phash), "
+        f"f AS (SELECT i.image_id, {_fun_junk} AS junk_ok, "
+        f"{_fun_color} AS color_ok, k.keeper = i.image_id AS is_rep, "
+        f"al.align_ppm >= {CAPTION_ALIGN_PPM} AS align_ok "
+        f"FROM {images_rel} i "
+        f"JOIN read_parquet('{blur_signature_parquet(fdir)}') b USING (image_id) "
+        f"JOIN read_parquet('{exposure_signature_parquet(fdir)}') e USING (image_id) "
+        f"JOIN read_parquet('{color_signature_parquet(fdir)}') c USING (image_id) "
+        "JOIN k ON k.phash = i.phash JOIN al USING (image_id)) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_images, "
+        "CAST(COUNT(*) AS BIGINT) AS n_decode_ok, "
+        "CAST(SUM(CASE WHEN junk_ok THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_pass_junk, "
+        "CAST(SUM(CASE WHEN junk_ok AND color_ok THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_pass_color, "
+        "CAST(SUM(CASE WHEN junk_ok AND color_ok AND is_rep THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_dedup_rep, "
+        "CAST(SUM(CASE WHEN junk_ok AND color_ok AND is_rep AND align_ok "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned FROM f"
+    )
+
     # aspect-ratio bucketing: fixed training AR set, integer argmin with
     # list-order ties (the Ray side's np.argmin first-min)
     from .queries_media import AR_BUCKETS

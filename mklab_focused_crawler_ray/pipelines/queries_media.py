@@ -385,6 +385,137 @@ def color_signature_parquet(fdir: str) -> str:
     return path
 
 
+def q_image_curation_funnel(sf_dir: str):
+    """IMAGE CURATION FUNNEL: the whole image-tier gate chain as ONE
+    audit row of cumulative survivors —
+
+      n_images → n_decode_ok → n_pass_junk (sharp, not under/over-
+      exposed, not tiny) → n_pass_color (not gray, not flat) →
+      n_dedup_rep (first-wins pHash keeper) → n_aligned (caption gate)
+
+    — the report an image-curation run ships with its output (the
+    doc-side twin is ``curation_funnel``). ONE decode per image feeds
+    ALL pixel kernels (blur, exposure, color, pseudo-embed for the
+    caption dot) inside one actor pool — decoding per-gate is the
+    anti-pattern the composed junk gate already avoids; this extends
+    the sharing to the full chain.
+
+    Scale shape: map-side pixel pass → ONE phash-keyed shuffle (keeper
+    resolution + cumulative-count partials inside ``map_groups``) →
+    pair-of-rows driver sum. The phash groupby is the same key the
+    dedup pipeline shuffles by. Oracle: joins the blur/exposure/color
+    signature tables, the alignment CTE and the MIN-per-phash keeper,
+    replaying every threshold; the engine's measured decode_ok count
+    is compared against the fixture's all-decode invariant."""
+    import ray.data as rd
+
+    from ..stages.image import (
+        _dct_matrix,
+        color_stats,
+        exposure_stats,
+        lap_var_stats,
+        pseudo_embed_rgb,
+    )
+
+    class Gates:
+        def __init__(self):
+            _dct_matrix(16)
+            _dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..fixtures.codecs import decode as cdecode
+
+            caps = batch["caption"].to_pylist()
+            hist = _caption_hist64(caps)
+            total = hist.sum(axis=1)
+            n = len(caps)
+            dec = np.zeros(n, np.int64)
+            junk = np.zeros(n, np.int64)
+            col = np.zeros(n, np.int64)
+            ali = np.zeros(n, np.int64)
+            for i, (blob, fmt) in enumerate(
+                zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+            ):
+                try:
+                    rgb = cdecode(blob, fmt)
+                except Exception:
+                    continue
+                dec[i] = 1
+                n_int, lap = lap_var_stats(rgb)
+                np_, d_, b_ = exposure_stats(rgb)
+                d_ppm = (d_ * 1_000_000) // np_ if np_ else 0
+                b_ppm = (b_ * 1_000_000) // np_ if np_ else 0
+                junk[i] = int(
+                    n_int != 0
+                    and lap >= JUNK_BLUR_MIN_MICRO
+                    and d_ppm <= JUNK_DARK_MAX_PPM
+                    and b_ppm <= JUNK_BRIGHT_MAX_PPM
+                )
+                _, chroma, _, dom_ppm = color_stats(rgb)
+                col[i] = int(
+                    chroma >= GRAY_MAX_CHROMA_MICRO and dom_ppm <= FLAT_MIN_PPM
+                )
+                mic = _img_mic_from_f32(
+                    pseudo_embed_rgb(rgb).astype(np.float32)
+                )
+                dot = int((mic * hist[i]).sum())
+                align_ppm = dot // int(total[i]) if total[i] > 0 else 0
+                ali[i] = int(align_ppm >= CAPTION_ALIGN_PPM)
+            return pa.table(
+                {
+                    "phash": batch["phash"],
+                    "image_id": batch["image_id"],
+                    "dec": pa.array(dec, pa.int64()),
+                    "junk": pa.array(junk, pa.int64()),
+                    "col": pa.array(col, pa.int64()),
+                    "ali": pa.array(ali, pa.int64()),
+                }
+            )
+
+    def per_group(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        rep = (df["image_id"] == df["image_id"].min()).to_numpy()
+        a = df["dec"].to_numpy().astype(bool)
+        b = a & df["junk"].to_numpy().astype(bool)
+        c = b & df["col"].to_numpy().astype(bool)
+        d = c & rep
+        e = d & df["ali"].to_numpy().astype(bool)
+        return pd.DataFrame(
+            {
+                "n_images": [len(df)],
+                "n_decode_ok": [int(a.sum())],
+                "n_pass_junk": [int(b.sum())],
+                "n_pass_color": [int(c.sum())],
+                "n_dedup_rep": [int(d.sum())],
+                "n_aligned": [int(e.sum())],
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            _images(sf_dir),
+            columns=["image_id", "bytes", "fmt", "caption", "phash"],
+        )
+        .map_batches(
+            Gates, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+        )
+        .groupby("phash")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()  # phash-group-bounded partial rows
+        .sum()
+    )
+    cols = [
+        "n_images",
+        "n_decode_ok",
+        "n_pass_junk",
+        "n_pass_color",
+        "n_dedup_rep",
+        "n_aligned",
+    ]
+    return pa.table({c: pa.array([int(parts[c])], pa.int64()) for c in cols})
+
+
 def q_image_exposure_stats(sf_dir: str):
     """EXPOSURE JUNK GATE: per-image under/over-exposed pixel fractions
     (integer BT.601 luma thresholds 16/239, exact ppm) via the
@@ -2734,6 +2865,7 @@ MEDIA_QUERIES = {
     "crossmodal_recall": q_crossmodal_recall,
     "image_dedup_eval": q_image_dedup_eval,
     "image_dhash_agreement": q_image_dhash_agreement,
+    "image_curation_funnel": q_image_curation_funnel,
     "image_junk_gate": q_image_junk_gate,
     "image_format_stats": q_image_format_stats,
     "image_aspect_stats": q_image_aspect_stats,

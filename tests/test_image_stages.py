@@ -233,3 +233,24 @@ def test_image_dedup_eval_brute_force(ray_session):
     assert int(got["precision_micro"]) == (p_both * 1_000_000) // p_pred
     assert int(got["recall_micro"]) == (p_both * 1_000_000) // p_truth
     assert p_truth > 0 and int(got["recall_micro"]) > 0
+
+
+def test_image_curation_funnel_monotone(ray_session):
+    """Cumulative funnel: every stage is a subset of the previous one,
+    and each planted gate actually drops something at the tiny tier."""
+    from mklab_focused_crawler_ray.pipelines.queries_media import (
+        q_image_curation_funnel,
+    )
+
+    r = q_image_curation_funnel("/root/testdata/sf0.001").to_pandas().iloc[0]
+    stages = [
+        r["n_images"],
+        r["n_decode_ok"],
+        r["n_pass_junk"],
+        r["n_pass_color"],
+        r["n_dedup_rep"],
+        r["n_aligned"],
+    ]
+    assert all(a >= b for a, b in zip(stages, stages[1:]))
+    assert r["n_images"] == 100 and r["n_decode_ok"] == 100
+    assert r["n_aligned"] < r["n_images"]  # the chain is not vacuous

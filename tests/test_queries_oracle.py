@@ -136,6 +136,7 @@ FIXTURE_BACKED = {
     "robots_wildcard_gate",
     "bloom_fp_audit",
     "image_dhash_agreement",
+    "image_curation_funnel",
     "url_expand_final",
     "politeness_rounds",
     "frontier_schedule",
