@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "image_dhash_agreement",
     "kmeans_nmi",
     "image_curation_funnel",
+    "kmeans_ari",
 ]
 
 

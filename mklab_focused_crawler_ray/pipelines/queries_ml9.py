@@ -1907,6 +1907,91 @@ def _kmeans_nmi_sql() -> str:
     )
 
 
+def q_kmeans_ari(sf_dir: str):
+    """ADJUSTED RAND INDEX of the k-means assignment vs the labels —
+    the chance-corrected pair-counting metric completing the trio
+    (purity rewards fragmenting, NMI depends on entropy scale; ARI is
+    0 in expectation for random assignments). Exact integers
+    throughout: with index = Σ C(n_ij,2), A = Σ C(a_i,2),
+    B = Σ C(b_j,2), P = C(n,2), the identity ARI =
+    (index − A·B/P) / ((A+B)/2 − A·B/P) clears denominators to
+    num = 2·(index·P − A·B), den = (A+B)·P − 2·A·B, and
+    ari_micro = num·10⁶ // den with the house sign-split floor (ARI
+    can be negative). One row: (n_vecs, sum_pairs_both,
+    sum_pairs_cluster, sum_pairs_label, ari_micro).
+
+    Scale shape: the same single assignment pass (shared
+    ``_kmeans_cells``); all pair sums fold over the K×|labels|-bounded
+    table in PYTHON ints (C(n,2) wraps int64 past ~4.3×10⁹-member
+    cells — same headroom rule as image_dedup_eval)."""
+    cells = _kmeans_cells(sf_dir)
+
+    def c2(v) -> int:
+        return sum(int(x) * (int(x) - 1) // 2 for x in v)
+
+    n = int(cells["cnt"].sum())
+    index = c2(cells["cnt"])
+    a_sum = c2(cells.groupby("centroid_id")["cnt"].sum())
+    b_sum = c2(cells.groupby("label")["cnt"].sum())
+    p = n * (n - 1) // 2
+    num = 2 * (index * p - a_sum * b_sum)
+    den = (a_sum + b_sum) * p - 2 * a_sum * b_sum
+    # Python // floors toward -inf (ARI can be negative); the SQL side
+    # sign-splits DuckDB's truncating // to match
+    ari = (num * 1_000_000) // den if den else 0
+    return pa.table(
+        {
+            "n_vecs": pa.array([n], pa.int64()),
+            "sum_pairs_both": pa.array([index], pa.int64()),
+            "sum_pairs_cluster": pa.array([a_sum], pa.int64()),
+            "sum_pairs_label": pa.array([b_sum], pa.int64()),
+            "ari_micro": pa.array([ari], pa.int64()),
+        }
+    )
+
+
+def _kmeans_ari_sql() -> str:
+    from .queries_ml import KMEANS_K
+
+    c2 = "CAST(SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS HUGEINT)"
+    return (
+        "WITH c AS (SELECT vec_id AS centroid_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id < {KMEANS_K}), "
+        "v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve "
+        "FROM embeddings), "
+        "s AS (SELECT v.vec_id, v.label, c.centroid_id, "
+        "CAST(FLOOR(list_cosine_similarity(c.ce, v.ve)*1000000 + 0.5) "
+        "AS BIGINT) AS cm FROM v CROSS JOIN c), "
+        "a AS (SELECT vec_id, label, centroid_id FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY cm DESC, centroid_id ASC) = 1), "
+        "cell AS (SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM a GROUP BY 1, 2), "
+        "n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cell), "
+        f"ix AS (SELECT {c2} AS v FROM cell), "
+        f"am AS (SELECT {c2} AS v FROM "
+        "(SELECT CAST(SUM(c) AS BIGINT) AS c FROM cell GROUP BY centroid_id)), "
+        f"bm AS (SELECT {c2} AS v FROM "
+        "(SELECT CAST(SUM(c) AS BIGINT) AS c FROM cell GROUP BY label)), "
+        "t AS (SELECT n.n AS n, n.n * (n.n - 1) // 2 AS p, ix.v AS ix, "
+        "am.v AS am, bm.v AS bm FROM n CROSS JOIN ix CROSS JOIN am "
+        "CROSS JOIN bm), "
+        "f AS (SELECT n, ix, am, bm, "
+        "2 * (ix * p - am * bm) AS num, (am + bm) * p - 2 * am * bm AS den "
+        "FROM t) "
+        "SELECT CAST(n AS BIGINT) AS n_vecs, CAST(ix AS BIGINT) "
+        "AS sum_pairs_both, CAST(am AS BIGINT) AS sum_pairs_cluster, "
+        "CAST(bm AS BIGINT) AS sum_pairs_label, "
+        "CAST(CASE WHEN den = 0 THEN 0 "
+        # floor toward -inf for negative quotients (DuckDB // truncates)
+        "WHEN num * 1000000 % den <> 0 AND ((num < 0) <> (den < 0)) "
+        "THEN num * 1000000 // den - 1 "
+        "ELSE num * 1000000 // den END AS BIGINT) AS ari_micro FROM f"
+    )
+
+
 # --------------------------------------------------------------------------
 # k-center greedy coreset (diversity sampling)
 # --------------------------------------------------------------------------
@@ -2195,6 +2280,7 @@ ML9_QUERIES = {
     "kcenter_coreset": q_kcenter_coreset,
     "kmeans_purity": q_kmeans_purity,
     "kmeans_nmi": q_kmeans_nmi,
+    "kmeans_ari": q_kmeans_ari,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -2227,6 +2313,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "kcenter_coreset": _kcenter_sql(),
         "kmeans_purity": _kmeans_purity_sql(),
         "kmeans_nmi": _kmeans_nmi_sql(),
+        "kmeans_ari": _kmeans_ari_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

@@ -1071,3 +1071,47 @@ def test_kmeans_nmi_planted_extremes(ray_session, tmp_path):
     got = q_kmeans_nmi(write(np.arange(n) // 32)).to_pandas().iloc[0]
     assert abs(int(got["mi_micro"])) <= 5
     assert abs(int(got["nmi_micro"])) <= 20
+
+
+def test_kmeans_ari_extremes_and_sklearn_formula(ray_session, tmp_path):
+    """Aligned planted clusters → ARI = 1.0; label-independent →
+    ARI ≈ 0 (can be slightly negative — the chance correction); and the
+    integer formula must equal a float reference on the real fixture."""
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import q_kmeans_ari
+
+    n, d = 64, 64
+    emb = np.zeros((n, d), np.float32)
+    for i in range(n):
+        emb[i, i % 8] = 1.0
+
+    def write(labels):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                    "embedding": pa.array(
+                        [e.tolist() for e in emb], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels.astype(np.int32), pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        return str(tmp_path)
+
+    got = q_kmeans_ari(write(np.arange(n) % 8)).to_pandas().iloc[0]
+    assert got["ari_micro"] == 1_000_000
+    got = q_kmeans_ari(write(np.arange(n) // 32)).to_pandas().iloc[0]
+    assert abs(int(got["ari_micro"])) < 50_000  # ≈ 0 under independence
+
+    # float cross-check on the driver fixture (formula identity)
+    r = q_kmeans_ari("/root/testdata/sf0.001").to_pandas().iloc[0]
+    ix, a, b = (
+        float(r["sum_pairs_both"]),
+        float(r["sum_pairs_cluster"]),
+        float(r["sum_pairs_label"]),
+    )
+    nn = int(r["n_vecs"])
+    p = nn * (nn - 1) / 2
+    expect = (ix - a * b / p) / ((a + b) / 2 - a * b / p)
+    assert abs(r["ari_micro"] / 1e6 - expect) < 2e-6
