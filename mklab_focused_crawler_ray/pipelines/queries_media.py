@@ -472,10 +472,24 @@ def q_image_curation_funnel(sf_dir: str):
                 }
             )
 
-    def per_group(df) -> "pd.DataFrame":
+    nb = derive_buckets_for_paths(_images(sf_dir), floor=16)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy().view(np.uint64)
+        return batch.append_column(
+            "b", pa.array((ph % np.uint64(nb)).astype(np.int64), pa.int64())
+        )
+
+    def per_bucket(df) -> "pd.DataFrame":
+        # a bucket holds WHOLE phash groups (hash partitioning), so the
+        # keeper resolve is one vectorized pandas transform — never one
+        # Python call per mostly-singleton phash group (the bucketed-
+        # finisher discipline of the scheduler queries)
         import pandas as pd
 
-        rep = (df["image_id"] == df["image_id"].min()).to_numpy()
+        rep = (
+            df["image_id"] == df.groupby("phash")["image_id"].transform("min")
+        ).to_numpy()
         a = df["dec"].to_numpy().astype(bool)
         b = a & df["junk"].to_numpy().astype(bool)
         c = b & df["col"].to_numpy().astype(bool)
@@ -500,9 +514,10 @@ def q_image_curation_funnel(sf_dir: str):
         .map_batches(
             Gates, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
         )
-        .groupby("phash")
-        .map_groups(per_group, batch_format="pandas")
-        .to_pandas()  # phash-group-bounded partial rows
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # bucket-bounded partial rows
         .sum()
     )
     cols = [
