@@ -985,35 +985,46 @@ def q_url_canonical_audit(sf_dir: str):
         cols["changed"] = pa.array(changed, pa.int64())
         return pa.table(cols)
 
-    def per_group(df) -> "pd.DataFrame":
+    from ..functions.urls import url_hash64_vec
+    from ..scale import derive_buckets_for_paths
+
+    nb = derive_buckets_for_paths(_fx_raw_urls(sf_dir), floor=16)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "b",
+            pa.array(
+                (url_hash64_vec(batch["canonical"]) % np.uint64(nb)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def per_bucket(df) -> "pd.DataFrame":
+        # a bucket holds WHOLE canonical groups (hash partitioning) —
+        # ONE vectorized pandas groupby per bucket, never one Python
+        # call per mostly-singleton canonical group
         import pandas as pd
 
-        n = len(df)
+        sizes = df.groupby("canonical")["changed"].size()
         out = {
-            "n_urls": [n],
-            "n_unique_canonical": [1],
-            "n_collided_raw": [n if n >= 2 else 0],
+            "n_urls": [len(df)],
+            "n_unique_canonical": [int(len(sizes))],
+            "n_collided_raw": [int(sizes[sizes >= 2].sum())],
             "n_changed": [int(df["changed"].sum())],
         }
         for name in _CANON_FLAGS:
             out[f"n_{name}"] = [int(df[name].sum())]
         return pd.DataFrame(out)
 
-    def partial_sum(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                c: pa.array([int(pa.compute.sum(batch[c]).as_py() or 0)], pa.int64())
-                for c in batch.column_names
-            }
-        )
-
     parts = (
         rd.read_parquet(_fx_raw_urls(sf_dir), columns=["raw_url"])
         .map_batches(canon_batch, batch_format="pyarrow")
-        .groupby("canonical")
-        .map_groups(per_group, batch_format="pandas")
-        .map_batches(partial_sum, batch_format="pyarrow")
-        .to_pandas()  # n_batches-bounded partials
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # bucket-bounded partial rows
         .sum()
     )
     order = (
