@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "kmeans_nmi",
     "image_curation_funnel",
     "kmeans_ari",
+    "event_interarrival_expfit",
 ]
 
 

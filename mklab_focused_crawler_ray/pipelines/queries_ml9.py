@@ -2144,6 +2144,263 @@ def _kcenter_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# inter-arrival exponential-fit (one-sample KS per event type)
+# --------------------------------------------------------------------------
+
+
+def q_event_interarrival_expfit(sf_dir: str):
+    """INTER-ARRIVAL EXPONENTIAL FIT: per event type, the one-sample
+    Kolmogorov–Smirnov distance between the empirical inter-arrival-gap
+    distribution and the MLE-fitted exponential (λ̂ = n_gaps / Σgaps) —
+    the Poisson-process sanity audit behind rate-based alerting (a big
+    D says arrivals are bursty/periodic and a fixed-rate alarm will
+    misfire; complements the two-sample ``event_value_ks_pairs``).
+    D is evaluated tie-exactly at every distinct gap v:
+    max(|cnt_le(v)·10⁶//n − F(v)|, |cnt_lt(v)·10⁶//n − F(v)|) with
+    F(v) = floor((1 − e^{−v·n/S})·10⁶ + 0.5) — the float expression is
+    written IDENTICALLY on both engines (the _score_micro bridging
+    discipline). Output per type: (event_type, n_gaps, sum_gap_us,
+    ks_micro).
+
+    Scale shape: gaps come from TIME-RANGE buckets (sort only inside a
+    bucket; the B×T boundary gaps stitch on the driver — the
+    sorted-neighborhood rolling-tail discipline), and the CDF counts
+    come from VALUE-RANGE buckets with driver prefix offsets (the
+    event_value_ks_pairs discipline); the final max is a per-batch
+    partial. The gap multiset is invariant under equal-ts orderings
+    (equal neighbors contribute 0 gaps either way), so no tie-break
+    column is needed."""
+    import pandas as pd
+    import ray.data as rd
+
+    path = _p(sf_dir, "events")
+    nb = derive_buckets(path, floor=KS_BUCKETS_FLOOR)
+
+    def us(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "t": batch["event_type"],
+                "ts": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    # pass 0: global ts envelope (tiny partial aggregate)
+    env = (
+        rd.read_parquet(path, columns=["event_type", "ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lo": pa.array(
+                        [int(pa.compute.min(us(b)["ts"]).as_py())], pa.int64()
+                    ),
+                    "hi": pa.array(
+                        [int(pa.compute.max(us(b)["ts"]).as_py())], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    t_lo, t_hi = int(env["lo"].min()), int(env["hi"].max())
+    t_splits = np.linspace(t_lo, t_hi, nb + 1)[1:-1]
+
+    def ts_bucketize(batch: pa.Table) -> pa.Table:
+        t = us(batch)
+        return t.append_column(
+            "b",
+            pa.array(
+                np.searchsorted(
+                    t_splits, t["ts"].to_numpy(), side="right"
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        )
+
+    def local_gaps(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["ts"].to_numpy())
+        return pd.DataFrame(
+            {
+                "t": df["t"].iloc[0],
+                "v": np.diff(v).astype(np.int64),
+            }
+        )
+
+    gaps = (
+        rd.read_parquet(path, columns=["event_type", "ts"])
+        .map_batches(ts_bucketize, batch_format="pyarrow")
+        .groupby(["t", "b"])
+        .map_groups(local_gaps, batch_format="pandas")
+    ).materialize()  # consumed by totals AND the CDF pass
+
+    # boundary stitch: per-(type, bucket) min/max ts (B×T-bounded)
+    edges = (
+        rd.read_parquet(path, columns=["event_type", "ts"])
+        .map_batches(ts_bucketize, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.Table.from_pandas(
+                b.to_pandas()
+                .groupby(["t", "b"])["ts"]
+                .agg(["min", "max"])
+                .reset_index(),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby(["t", "b"])
+        .agg(mn=("min", "min"), mx=("max", "max"))
+        .reset_index()
+        .sort_values(["t", "b"])
+    )
+    brows_t, brows_v = [], []
+    for t, g in edges.groupby("t", sort=True):
+        mx = g["mx"].to_numpy()
+        mn = g["mn"].to_numpy()
+        for i in range(1, len(g)):
+            brows_t.append(t)
+            brows_v.append(int(mn[i] - mx[i - 1]))
+    all_gaps = gaps
+    if brows_t:
+        all_gaps = gaps.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "t": pa.array(brows_t, pa.string()),
+                        "v": pa.array(np.array(brows_v, np.int64), pa.int64()),
+                    }
+                )
+            )
+        ).materialize()
+
+    # totals + value envelope per type (tiny partial aggregate)
+    tot = (
+        all_gaps.map_batches(
+            lambda b: pa.Table.from_pandas(
+                b.to_pandas()
+                .groupby("t")["v"]
+                .agg(["count", "sum", "min", "max"])
+                .reset_index(),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("t")
+        .agg(
+            n=("count", "sum"),
+            s=("sum", "sum"),
+            lo=("min", "min"),
+            hi=("max", "max"),
+        )
+    )
+    n_tot = {t: int(r["n"]) for t, r in tot.iterrows()}
+    s_tot = {t: int(r["s"]) for t, r in tot.iterrows()}
+    v_lo, v_hi = float(tot["lo"].min()), float(tot["hi"].max())
+    v_splits = np.linspace(v_lo, v_hi, nb + 1)[1:-1]
+
+    def v_bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "vb",
+            pa.array(
+                np.searchsorted(
+                    v_splits, batch["v"].to_numpy(), side="right"
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        )
+
+    # per-(type, vbucket) counts → prefix offsets (B×T, driver-merged)
+    vb = (
+        all_gaps.map_batches(v_bucketize, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.Table.from_pandas(
+                b.to_pandas()
+                .groupby(["t", "vb"])
+                .size()
+                .reset_index(name="c"),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby(["t", "vb"], sort=True)["c"]
+        .sum()
+        .unstack(fill_value=0)
+        .sort_index()
+    )
+    offs = vb.cumsum(axis=1).shift(1, axis=1, fill_value=0)
+    off_map = {
+        (t, int(b)): int(offs.loc[t, b]) for t in offs.index for b in offs.columns
+    }
+
+    def d_group(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["t"].iloc[0]
+        b = int(df["vb"].iloc[0])
+        v = np.sort(df["v"].to_numpy())
+        uv = np.unique(v)
+        base = off_map.get((t, b), 0)
+        le = base + np.searchsorted(v, uv, side="right")
+        lt = base + np.searchsorted(v, uv, side="left")
+        n, s = n_tot[t], s_tot[t]
+        fm = np.floor(
+            (1.0 - np.exp(-(uv.astype(np.float64) * n) / s)) * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        lem = le * 1_000_000 // n
+        ltm = lt * 1_000_000 // n
+        d = np.maximum(np.abs(lem - fm), np.abs(ltm - fm))
+        return pd.DataFrame({"t": [t], "d": [int(d.max()) if len(d) else 0]})
+
+    parts = (
+        all_gaps.map_batches(v_bucketize, batch_format="pyarrow")
+        .groupby(["t", "vb"])
+        .map_groups(d_group, batch_format="pandas")
+        .to_pandas()  # B×T-bounded
+        .groupby("t", sort=True)["d"]
+        .max()
+    )
+    types = sorted(n_tot)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_gaps": pa.array([n_tot[t] for t in types], pa.int64()),
+            "sum_gap_us": pa.array([s_tot[t] for t in types], pa.int64()),
+            "ks_micro": pa.array(
+                [int(parts[t]) for t in types], pa.int64()
+            ),
+        }
+    )
+
+
+def _expfit_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_type AS t, epoch_us(ts) AS ts FROM events), "
+        "g AS (SELECT t, ts - LAG(ts) OVER (PARTITION BY t ORDER BY ts) AS v "
+        "FROM e QUALIFY v IS NOT NULL), "
+        "n AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS s FROM g GROUP BY t), "
+        "d AS (SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM g "
+        "GROUP BY t, v), "
+        "cum AS (SELECT t, v, CAST(SUM(c) OVER "
+        "(PARTITION BY t ORDER BY v) AS BIGINT) AS le, "
+        "CAST(SUM(c) OVER (PARTITION BY t ORDER BY v) - c AS BIGINT) AS lt "
+        "FROM d), "
+        "f AS (SELECT cum.t, n.n, n.s, "
+        "CAST(FLOOR((1 - EXP(-(CAST(cum.v AS DOUBLE) * n.n) / n.s)) "
+        "* 1000000 + 0.5) AS BIGINT) AS fm, "
+        "cum.le * 1000000 // n.n AS lem, cum.lt * 1000000 // n.n AS ltm "
+        "FROM cum JOIN n USING (t)) "
+        "SELECT t AS event_type, ANY_VALUE(n) AS n_gaps, "
+        "ANY_VALUE(s) AS sum_gap_us, "
+        "CAST(MAX(GREATEST(ABS(lem - fm), ABS(ltm - fm))) AS BIGINT) "
+        "AS ks_micro FROM f GROUP BY t"
+    )
+
+
+# --------------------------------------------------------------------------
 # UniMax waterfill allocation (per-source token budgets)
 # --------------------------------------------------------------------------
 
@@ -2281,6 +2538,7 @@ ML9_QUERIES = {
     "kmeans_purity": q_kmeans_purity,
     "kmeans_nmi": q_kmeans_nmi,
     "kmeans_ari": q_kmeans_ari,
+    "event_interarrival_expfit": q_event_interarrival_expfit,
     "host_components": q_host_components,
     "pagerank_seeded_top20": q_pagerank_seeded_top20,
     "ranker_rank_gamma": q_ranker_rank_gamma,
@@ -2314,6 +2572,7 @@ def build_ml9_oracles() -> dict[str, str]:
         "kmeans_purity": _kmeans_purity_sql(),
         "kmeans_nmi": _kmeans_nmi_sql(),
         "kmeans_ari": _kmeans_ari_sql(),
+        "event_interarrival_expfit": _expfit_sql(),
         "host_components": _host_cc_sql(pages),
         "pagerank_seeded_top20": _ppr_sql(pages, seeds, PPR_ITERS, PPR_TOP),
         "ranker_rank_gamma": _gamma_sql(),

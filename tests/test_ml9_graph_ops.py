@@ -1115,3 +1115,61 @@ def test_kmeans_ari_extremes_and_sklearn_formula(ray_session, tmp_path):
     p = nn * (nn - 1) / 2
     expect = (ix - a * b / p) / ((a + b) / 2 - a * b / p)
     assert abs(r["ari_micro"] / 1e6 - expect) < 2e-6
+
+
+def test_event_interarrival_expfit_brute_force(ray_session, tmp_path):
+    """Planted Poisson arrivals must score a SMALL KS distance and
+    planted perfectly-periodic arrivals a LARGE one; both must equal a
+    direct numpy replay of the tie-exact one-sample statistic."""
+    from mklab_focused_crawler_ray.pipelines.queries_ml9 import (
+        q_event_interarrival_expfit,
+    )
+
+    rng = np.random.default_rng(13)
+    base = 1_704_067_200_000_000
+    pois = base + np.cumsum(
+        rng.exponential(1_000_000, 400).astype(np.int64) + 1
+    )
+    peri = base + np.arange(300, dtype=np.int64) * 2_000_000
+    ts = np.concatenate([pois, peri])
+    types = ["pois"] * len(pois) + ["peri"] * len(peri)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(len(ts)), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(np.zeros(len(ts)), pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        q_event_interarrival_expfit(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+
+    def brute(arr):
+        v = np.sort(np.diff(np.sort(arr)))
+        n, s = len(v), int(v.sum())
+        uv = np.unique(v)
+        le = np.searchsorted(v, uv, side="right")
+        lt = np.searchsorted(v, uv, side="left")
+        fm = np.floor(
+            (1.0 - np.exp(-(uv.astype(np.float64) * n) / s)) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        d = np.maximum(
+            np.abs(le * 1_000_000 // n - fm), np.abs(lt * 1_000_000 // n - fm)
+        )
+        return n, s, int(d.max())
+
+    for name, arr in (("pois", pois), ("peri", peri)):
+        n, s, d = brute(arr)
+        assert int(got.loc[name, "n_gaps"]) == n
+        assert int(got.loc[name, "sum_gap_us"]) == s
+        assert int(got.loc[name, "ks_micro"]) == d
+    # Poisson fits (KS well under the 5% critical band for n≈400);
+    # periodic arrivals are maximally non-exponential
+    assert got.loc["pois", "ks_micro"] < 70_000
+    assert got.loc["peri", "ks_micro"] > 300_000
